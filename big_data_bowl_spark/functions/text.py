@@ -1,0 +1,107 @@
+"""Text-analysis column builders (north-star extensions, BASELINE.json).
+
+Language-ID, quality scoring, token counting and fingerprinting for a
+training-data pipeline over the `documents` table. Everything here is
+native Column expressions (JVM-side, codegen-friendly) — no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID. Deliberately small + deterministic; real pipelines swap
+# in fastText etc. outside the engine.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+TOKEN_PATTERN = r"\s+"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count. size(split(trim(text), '\\s+'))."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, TOKEN_PATTERN))
+    )
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    n = F.length(text)
+    punct = n - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct.cast("double") / n)
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """How many occurrences of the given stopwords appear (word-bounded).
+
+    Uses plain (non-regex) replace so the semantics — single-pass,
+    non-overlapping, left-to-right — are bit-identical in Spark SQL
+    and DuckDB, keeping the language-ID query oracle-checkable.
+    """
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        replaced = F.call_function("replace", padded, F.lit(f" {w} "), F.lit(" "))
+        # each removed occurrence shrinks the string by len(w)+1 chars
+        occurrences = (F.length(padded) - F.length(replaced)) / F.lit(len(w) + 1)
+        total = total + occurrences.cast("int")
+    return total
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0, 1].
+
+    Combines length saturation, punctuation sanity and mean word
+    length — the shape of the Gopher/C4-style filters, reduced to
+    engine-native expressions.
+    """
+    n_tok = token_count(text)
+    mean_word_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(text, r"\s+", "")).cast("double") / n_tok
+    )
+    length_component = F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    wordlen_component = F.when(
+        (mean_word_len >= 2.0) & (mean_word_len <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return (length_component + punct_component + wordlen_component) / F.lit(3.0)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace/case-normalized text.
+
+    Rolling-hash flavored content signature — two documents that differ
+    only in spacing/case collide, which is the point for exact-ish
+    dedup keys.
+    """
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles (the MinHash input unit).
+
+    transform over a split array — pure SQL functions, no UDF.
+    """
+    tokens = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", tokens))).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(k)]),
+        )
+    )

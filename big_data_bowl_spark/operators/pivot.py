@@ -1,0 +1,61 @@
+"""R1: wide pivot, multiple value columns, explicit category list.
+
+The reference pivots 8 metrics x 7 defender positions into ~56
+columns with `pivot_wider(names_from = position, values_from = c(...),
+values_fill = 0)` (all coverages.R:186-188, 291-294). Spark's
+groupBy().pivot() handles one category column natively; this operator
+adds the multi-value-column spelling and names columns `metric_CAT`
+like the reference's output.
+
+Always pass `categories` explicitly: with the list declared, the plan
+is a single aggregation (no extra distinct-scan job to discover pivot
+values), the output schema is deterministic, and at 100 TB you avoid
+a full pass over the fact table just to enumerate categories.
+
+Duplicate rows per (group, category) collapse under `first()` with an
+explicit in-group order — the reference's arrival-order row_number
+(SURVEY.md W3 / §7 risk 1) made deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pivot_wide_multi(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    pivot_col: str,
+    categories: Sequence[str],
+    value_cols: Sequence[str],
+    agg: str = "first",
+    fill_value: float | int | None = 0,
+) -> DataFrame:
+    """Pivot `pivot_col` into columns, one per (value_col, category).
+
+    Output columns are named `{value_col}_{category}` (reference
+    naming). `agg` is any SQL aggregate name valid per value column
+    ('first', 'sum', 'avg', 'max', ...). For agg='first' make the
+    input deterministic first (orderBy a stable key) — Spark's first()
+    is order-sensitive.
+    """
+    aggs = [
+        F.expr(f"{agg}(`{v}`)").alias(v) for v in value_cols
+    ]
+    wide = df.groupBy(*group_cols).pivot(pivot_col, list(categories)).agg(*aggs)
+    # Spark names multi-agg pivot columns "{cat}_{alias}"; rename to
+    # the reference's "{alias}_{cat}".
+    if len(value_cols) > 1:
+        renames = {
+            f"{cat}_{v}": f"{v}_{cat}" for cat in categories for v in value_cols
+        }
+    else:
+        renames = {f"{cat}": f"{value_cols[0]}_{cat}" for cat in categories}
+    for old, new in renames.items():
+        wide = wide.withColumnRenamed(old, new)
+    if fill_value is not None:
+        wide = wide.fillna(fill_value, subset=list(renames.values()))
+    return wide

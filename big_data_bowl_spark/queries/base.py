@@ -1,0 +1,65 @@
+"""Registry plumbing + float-determinism helpers shared by all queries.
+
+Float determinism policy
+------------------------
+The driver hash-compares values between Spark and DuckDB, so every
+aggregate must be bit-reproducible, not merely "close":
+
+- Sums of exact-2-decimal doubles (prices, balances, event values)
+  are cast to DECIMAL before summing — decimal addition is exact and
+  order-independent, then one cast back to double. Plain double sums
+  depend on accumulation order and WILL differ across engines.
+- Sums of integral doubles (l_quantity) are left native: integers
+  < 2^53 sum exactly in double in any order.
+- Averages are spelled exact_sum / count (double / bigint is one IEEE
+  division — deterministic), never engine avg() over doubles.
+- Transcendentals (sin/exp/atan) are rounded to 6-9 decimals: engines
+  may differ in the last ulp.
+- Anything "random" (samples, splits, MinHash) derives from md5,
+  which both engines implement identically (functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+
+@dataclass(frozen=True)
+class Q:
+    """A registered query: Spark fn + optional DuckDB oracle SQL."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    note: str = ""
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def register(name: str, oracle: str | None = None, note: str = ""):
+    def deco(fn):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Q(fn=fn, oracle=oracle, note=note)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col: Column, scale: int = 2, precision: int = 28) -> Column:
+    """Exact (order-independent) sum of a fixed-decimal double column."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dsum_sql(expr: str, scale: int = 2, precision: int = 28) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"

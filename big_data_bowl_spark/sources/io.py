@@ -1,0 +1,79 @@
+"""Sources: scans over the star-schema parquet + the reference's scan shapes.
+
+Reference scan inventory (SURVEY.md §2.1):
+- S1  CSV scan with schema inference  (Tutorial.R:11-13)
+- S2  multi-file CSV scan + union     (Tutorial.R:15-20) — Spark reads the
+      whole list in ONE scan (no driver-side loop, unlike the reference's
+      17-iteration rbind which forces everything through one process).
+- S3  TSV scan                        (Field Control.R:109-113)
+- S4  generated grid table            (Field Control.R:324-327)
+
+At 100 TB the fact tables are parquet (columnar, predicate/column
+pushdown at the row-group level); the CSV path exists for reference
+parity only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one star-schema table (TESTDATA.md layout)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All star-schema tables as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}
+
+
+def read_csv_inferred(
+    spark: SparkSession, paths: str | list[str], sep: str = ","
+) -> DataFrame:
+    """S1/S2/S3: (multi-)file delimited scan with header + inferred schema.
+
+    Mirrors the reference's read.csv / read_csv(col_types=cols()) /
+    read_tsv behavior (Tutorial.R:11-20, Field Control.R:109-113). A
+    list of paths becomes one distributed scan — the Spark-first
+    replacement for the reference's sequential union loop.
+    """
+    return (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("sep", sep)
+        .csv(paths)
+    )
+
+
+def field_grid(
+    spark: SparkSession,
+    x_max: float = 120.0,
+    y_max: float = 160.0 / 3.0,
+    step: float = 1.0,
+) -> DataFrame:
+    """S4: generated field grid (Field Control.R:324-327, Tutorial.R:66).
+
+    expand_grid(x, y) as a crossJoin of two generated ranges. The grid
+    is tiny (~6.4k rows at step=1) — always broadcast it into the
+    player x grid cross join (SURVEY.md J5).
+    """
+    nx = int(x_max / step) + 1
+    ny = int(y_max / step) + 1
+    xs = spark.range(nx).select((F.col("id") * step).alias("grid_x"))
+    ys = spark.range(ny).select((F.col("id") * step).alias("grid_y"))
+    return xs.crossJoin(ys)
