@@ -22,30 +22,45 @@ def euclidean(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
     Reference: Tutorial.R:200-201, Field Control.R:235,
     all coverages.R:112-113.
     """
-    return F.sqrt(F.pow(x1 - x2, F.lit(2.0)) + F.pow(y1 - y2, F.lit(2.0)))
+    dx = x1 - x2
+    dy = y1 - y2
+    # dx*dx (not pow(dx,2)): elementary * and sqrt are IEEE-exact and
+    # reproduce bit-identically in any engine; pow() may not.
+    return F.sqrt(dx * dx + dy * dy)
 
 
 def velocity_components(s: Column, direction_deg: Column) -> tuple[Column, Column, Column]:
     """F6: decompose speed along a compass direction (degrees).
 
     v_x = sin(dir_rad) * s ; v_y = cos(dir_rad) * s ;
-    v_theta = atan(v_y / v_x), with the NaN (v_x == 0) case zeroed the
-    way the reference does (Field Control.R:31-44, including the
-    is.nan guard at :36-37).
+    v_theta = atan(v_y / v_x) (Field Control.R:31-44).
+
+    R semantics for the v_x == 0 edge: atan(v_y/0) = atan(+-Inf) =
+    +-pi/2, and only the 0/0 NaN case is zeroed by the is.nan guard
+    (Field Control.R:36-37). Spark's `/` returns NULL on zero
+    division, so the +-pi/2 and 0 cases are spelled explicitly here.
     """
     rad = F.radians(direction_deg)
     v_x = F.sin(rad) * s
     v_y = F.cos(rad) * s
-    v_theta_raw = F.atan(v_y / v_x)
-    v_theta = F.when(F.isnan(v_theta_raw) | v_theta_raw.isNull(), F.lit(0.0)).otherwise(
-        v_theta_raw
+    half_pi = math.pi / 2.0
+    v_theta = (
+        F.when((v_x == 0) & (v_y > 0), F.lit(half_pi))
+        .when((v_x == 0) & (v_y < 0), F.lit(-half_pi))
+        .when((v_x == 0) & (v_y == 0), F.lit(0.0))
+        .otherwise(F.atan(v_y / v_x))
     )
     return v_x, v_y, v_theta
 
 
 def speed_ratio(s: Column, s_max: float = 13.0) -> Column:
-    """Speed ratio vs. a max speed, squared (Field Control.R:247-255)."""
-    return F.pow(s / F.lit(s_max), F.lit(2.0))
+    """Plain speed ratio s / s_max (Field Control.R:247-255).
+
+    The reference uses the unsquared ratio (s_max = 13 yds/s from the
+    NGS fastest-ballcarrier tables); the Fernandez-Bornn paper squares
+    it, but parity here follows the reference.
+    """
+    return s / F.lit(s_max)
 
 
 def next_location(x: Column, y: Column, v_x: Column, v_y: Column, dt: float = 0.5) -> tuple[Column, Column]:
@@ -53,12 +68,21 @@ def next_location(x: Column, y: Column, v_x: Column, v_y: Column, dt: float = 0.
     return x + v_x * F.lit(dt), y + v_y * F.lit(dt)
 
 
-def radius_of_influence(dist_from_ball: Column, max_radius: float = 10.0, min_radius: float = 4.0) -> Column:
-    """Cubic ramp clamped to [min, max] (Field Control.R:277-292).
+def radius_of_influence(
+    dist_from_ball: Column,
+    min_radius: float = 4.0,
+    max_radius: float = 10.0,
+    max_distance_from_ball: float = 20.0,
+) -> Column:
+    """Cubic ramp clamped to [min, max] (Field Control.R:276-292).
 
-    radius = min + dist^3 / 560, clamped at max (F9's clamp via least).
+    radius = min + d^3 * (max - min) / max_dist  (= 4 + 0.3 * d^3 at
+    defaults), clamped at max via case_when -> F.least (F9).
     """
-    r = F.lit(min_radius) + F.pow(dist_from_ball, F.lit(3.0)) / F.lit(560.0)
+    d = dist_from_ball
+    r = F.lit(min_radius) + d * d * d * F.lit(
+        (max_radius - min_radius) / max_distance_from_ball
+    )
     return F.least(r, F.lit(max_radius))
 
 
@@ -90,15 +114,16 @@ def bivariate_gaussian_pdf(
       det = sx^2 sy^2
       pdf = exp(-(c*dx^2 - 2b*dx*dy + a*dy^2) / (2 det)) / (2 pi sqrt(det))
 
-    sx = (radius + radius*s_ratio) / 2, sy = (radius - radius*s_ratio) / 2
-    (Field Control.R:304-312); sy is clamped to eps to survive the
-    s_ratio -> 1 singularity the reference inherits from solve(R)
-    (SURVEY.md §7 risk 4).
+    sx = radius * (1 + s_ratio), sy = radius * (1 - s_ratio) — the
+    reference's scaling matrix verbatim (Field Control.R:305-312, no
+    halving); sy is clamped to eps to survive the s_ratio -> 1
+    singularity the reference inherits from solve(R) (SURVEY.md §7
+    risk 4).
     """
     ct = F.cos(v_theta)
     st = F.sin(v_theta)
-    sx = (radius + radius * s_ratio) / F.lit(2.0)
-    sy = F.greatest((radius - radius * s_ratio) / F.lit(2.0), F.lit(eps))
+    sx = radius * (F.lit(1.0) + s_ratio)
+    sy = F.greatest(radius * (F.lit(1.0) - s_ratio), F.lit(eps))
     sx2 = sx * sx
     sy2 = sy * sy
     a = ct * ct * sx2 + st * st * sy2

@@ -22,31 +22,33 @@ from pyspark.sql import functions as F
 
 
 def md5_of(*cols: Column, salt: str = "") -> Column:
-    """md5 hex digest of the concatenated columns (with optional salt)."""
+    """md5 hex digest of the '|'-joined columns (with optional salt).
+
+    DuckDB mirror: md5(concat_ws('|', 'salt', CAST(c AS VARCHAR), ...)).
+    """
     parts = [F.lit(salt)] if salt else []
     parts += [c.cast("string") for c in cols]
-    return F.md5(F.concat_ws("\x1f", *parts))
+    return F.md5(F.concat_ws("|", *parts))
 
 
-def hash_bucket(col: Column, n_buckets: int, salt: str = "") -> Column:
-    """Deterministic bucket in [0, n_buckets) from a column value.
+def md5_sql(*exprs: str, salt: str = "") -> str:
+    """The DuckDB SQL string mirroring md5_of over the same exprs."""
+    parts = [f"'{salt}'"] if salt else []
+    parts += [f"CAST({e} AS VARCHAR)" for e in exprs]
+    return f"md5(concat_ws('|', {', '.join(parts)}))"
 
-    Uses the first 8 hex chars of md5 -> 32-bit int -> mod. DuckDB
-    equivalent:
-      CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % n  -- via conv
-    (the queries module emits the matching SQL).
+
+def hex_threshold(fraction: float, digits: int = 13) -> str:
+    """Hex string h such that P[substr(md5(x),1,digits) < h] = fraction.
+
+    md5 hex chars are uniform, so comparing the hex PREFIX against a
+    threshold string selects an exact fraction of rows — in any engine,
+    with plain string comparison, no hex->int parsing (DuckDB has no
+    conv()). fraction=0.75 -> 'c000000000000'.
     """
-    h = F.conv(F.substring(md5_of(col, salt=salt), 1, 8), 16, 10).cast("bigint")
-    return h % n_buckets
+    return format(int(fraction * 16**digits), f"0{digits}x")
 
 
-def hash_unit_interval(*cols: Column, salt: str = "") -> Column:
-    """Deterministic pseudo-uniform double in [0, 1) from column values.
-
-    Used by deterministic_sample / deterministic_split (SURVEY.md O4/O5)
-    in place of rand(seed): same rows chosen on any engine, any
-    partitioning, any cluster size — rand(seed) in Spark is
-    partition-dependent and not reproducible by an external oracle.
-    """
-    h = F.conv(F.substring(md5_of(*cols, salt=salt), 1, 13), 16, 10).cast("double")
-    return h / F.lit(float(16**13))
+def hash_lt_fraction(col: Column, fraction: float, digits: int = 13) -> Column:
+    """True for a deterministic `fraction` of rows, keyed on md5(col)."""
+    return F.substring(col, 1, digits) < F.lit(hex_threshold(fraction, digits))

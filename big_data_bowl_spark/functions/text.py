@@ -47,17 +47,17 @@ def punct_ratio(text: Column) -> Column:
 def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
     """How many occurrences of the given stopwords appear (word-bounded).
 
-    Uses plain (non-regex) replace so the semantics — single-pass,
-    non-overlapping, left-to-right — are bit-identical in Spark SQL
-    and DuckDB, keeping the language-ID query oracle-checkable.
+    Counts with \\b word-boundary regexes so adjacent occurrences all
+    count ("the the the" -> 3) — the replace(' w ', ' ') trick
+    undercounts because each replacement consumes the shared space.
+    Oracle-checkable: DuckDB spells the same count as
+    len(regexp_extract_all(text, '\\bw\\b')) (both engines' regex
+    dialects agree on \\b).
     """
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    lowered = F.lower(text)
     total = F.lit(0)
     for w in words:
-        replaced = F.call_function("replace", padded, F.lit(f" {w} "), F.lit(" "))
-        # each removed occurrence shrinks the string by len(w)+1 chars
-        occurrences = (F.length(padded) - F.length(replaced)) / F.lit(len(w) + 1)
-        total = total + occurrences.cast("int")
+        total = total + F.regexp_count(lowered, F.lit(rf"\b{w}\b"))
     return total
 
 

@@ -19,9 +19,9 @@ explicit in-group order — the reference's arrival-order row_number
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -31,20 +31,23 @@ def pivot_wide_multi(
     pivot_col: str,
     categories: Sequence[str],
     value_cols: Sequence[str],
-    agg: str = "first",
+    agg: str | Callable[[str], Column] = "first",
     fill_value: float | int | None = 0,
 ) -> DataFrame:
     """Pivot `pivot_col` into columns, one per (value_col, category).
 
     Output columns are named `{value_col}_{category}` (reference
     naming). `agg` is any SQL aggregate name valid per value column
-    ('first', 'sum', 'avg', 'max', ...). For agg='first' make the
+    ('first', 'sum', 'avg', 'max', ...), or a callable
+    `value_col -> Column` for custom aggregates (e.g. the decimal-cast
+    exact sum the oracle queries need). For agg='first' make the
     input deterministic first (orderBy a stable key) — Spark's first()
     is order-sensitive.
     """
-    aggs = [
-        F.expr(f"{agg}(`{v}`)").alias(v) for v in value_cols
-    ]
+    if callable(agg):
+        aggs = [agg(v).alias(v) for v in value_cols]
+    else:
+        aggs = [F.expr(f"{agg}(`{v}`)").alias(v) for v in value_cols]
     wide = df.groupBy(*group_cols).pivot(pivot_col, list(categories)).agg(*aggs)
     # Spark names multi-agg pivot columns "{cat}_{alias}"; rename to
     # the reference's "{alias}_{cat}".

@@ -20,7 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash_unit_interval
+from ..functions.hashing import hash_lt_fraction, md5_of
 
 
 def deterministic_sample(
@@ -29,11 +29,13 @@ def deterministic_sample(
     """Exactly-n pseudo-random sample, stable across engines/partitionings.
 
     Orders by md5(key) and takes n — the hash order is the "shuffle".
-    The global sort is fine because n is small (top-k via TakeOrdered);
+    The global sort is fine because n is small (Spark plans
+    orderBy+limit as TakeOrderedAndProject: per-partition top-n, then
+    a driver merge of n*partitions rows — no full sort, no shuffle);
     don't use this to sample millions of rows (use a hash threshold
     filter instead — see deterministic_split).
     """
-    h = F.md5(F.concat_ws("\x1f", F.lit(salt), *[F.col(c).cast("string") for c in key_cols]))
+    h = md5_of(*[F.col(c) for c in key_cols], salt=salt)
     return df.orderBy(h.asc()).limit(n)
 
 
@@ -49,8 +51,11 @@ def deterministic_split(
     size; the split is a pure function of the row key so it survives
     re-partitioning and incremental reloads (critical for training-
     data pipelines: a row never migrates between train and test).
+    The threshold is a hex-string prefix compare (hashing.hex_threshold)
+    so the DuckDB oracle reproduces the exact row assignment.
     """
-    u = hash_unit_interval(*[F.col(c) for c in key_cols], salt=salt)
-    train = df.filter(u < train_fraction)
-    test = df.filter(u >= train_fraction)
+    h = md5_of(*[F.col(c) for c in key_cols], salt=salt)
+    is_train = hash_lt_fraction(h, train_fraction)
+    train = df.filter(is_train)
+    test = df.filter(~is_train)
     return train, test

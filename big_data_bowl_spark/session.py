@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamps in oracle comparisons.
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
+        # nanosecond timestamp type, so read it as raw int64 nanos and
+        # convert in the loader (sources/io.py) — same truncation DuckDB
+        # applies when it casts TIMESTAMP_NS to TIMESTAMP.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -15,6 +15,8 @@ parity only.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,8 +35,22 @@ STAR_TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan of one star-schema table (TESTDATA.md layout)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Parquet scan of one star-schema table (TESTDATA.md layout).
+
+    events.ts is TIMESTAMP(NANOS) in the parquet; with
+    spark.sql.legacy.parquet.nanosAsLong it scans as int64 nanos and is
+    converted here to a microsecond TimestampType by integer division
+    (`div 1000` — floor for the positive epoch range), matching DuckDB's
+    TIMESTAMP_NS -> TIMESTAMP truncation so oracle comparisons agree.
+    """
+    if name == "events":
+        # Runtime-settable, so the contract works with ANY caller-provided
+        # SparkSession (the driver builds its own), not just get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -64,16 +80,25 @@ def field_grid(
     spark: SparkSession,
     x_max: float = 120.0,
     y_max: float = 160.0 / 3.0,
-    step: float = 1.0,
+    nx: int | None = None,
+    ny: int | None = None,
 ) -> DataFrame:
-    """S4: generated field grid (Field Control.R:324-327, Tutorial.R:66).
+    """S4: generated field grid (Field Control.R:322-327, Tutorial.R:66).
 
-    expand_grid(x, y) as a crossJoin of two generated ranges. The grid
-    is tiny (~6.4k rows at step=1) — always broadcast it into the
+    Reproduces R's expand_grid(x = seq(0, 120, length.out = 120),
+    y = seq(0, 160/3, length.out = 160/3)): `length.out` is the POINT
+    COUNT (R ceils a fractional length.out, so 160/3 -> 54 points),
+    with inclusive endpoints and spacing max/(n-1) — linspace, not an
+    integer-step grid. Built as a crossJoin of two generated ranges;
+    the grid is tiny (~6.5k rows) — always broadcast it into the
     player x grid cross join (SURVEY.md J5).
     """
-    nx = int(x_max / step) + 1
-    ny = int(y_max / step) + 1
-    xs = spark.range(nx).select((F.col("id") * step).alias("grid_x"))
-    ys = spark.range(ny).select((F.col("id") * step).alias("grid_y"))
+    nx = nx if nx is not None else int(x_max)
+    ny = ny if ny is not None else math.ceil(y_max)
+    xs = spark.range(nx).select(
+        (F.col("id") * F.lit(x_max / (nx - 1))).alias("grid_x")
+    )
+    ys = spark.range(ny).select(
+        (F.col("id") * F.lit(y_max / (ny - 1))).alias("grid_y")
+    )
     return xs.crossJoin(ys)

@@ -1,0 +1,126 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every registered query (or a named subset) through Spark AND its
+DuckDB oracle on the same parquet tables, then compares row count,
+sorted column names, and the full order-insensitive multiset of values
+— stricter than a hash: on mismatch it prints the first differing rows
+so the gap is debuggable.
+
+Usage:
+    python tools/check_oracle.py [--sf /root/testdata/sf0.001] [names...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_value(v):
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, list):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def norm_rows(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM "
+            f"read_parquet('{args.sf}/{tbl}.parquet')"
+        )
+
+    names = args.names or list(REGISTRY)
+    n_pass = n_fail = n_rows_only = 0
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.time()
+        try:
+            df = spec.fn(spark, args.sf)
+            scols = df.columns
+            srows = df.collect()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows (no oracle)")
+            n_rows_only += 1
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if sorted(scols) != sorted(ocols):
+            print(f"FAIL  {name}: columns {sorted(scols)} != {sorted(ocols)}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
+            n_fail += 1
+            continue
+        sn = norm_rows(srows, scols)
+        on = norm_rows(orows, ocols)
+        if sn != on:
+            diffs = [(a, b) for a, b in zip(sn, on) if a != b]
+            print(
+                f"FAIL  {name}: {len(diffs)} differing rows of {len(sn)}; "
+                f"first: spark={diffs[0][0]} oracle={diffs[0][1]} "
+                f"(cols sorted: {sorted(scols)})"
+            )
+            n_fail += 1
+            continue
+        print(f"PASS  {name}: {len(srows)} rows  [{dt:.1f}s]")
+        n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
