@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (plan + execute + count) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+The per-query timing includes full materialization (df.count() after
+a no-op cache-free execution) — scan, shuffle, and aggregation all
+measured, nothing cached between queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one representative per operator family, weighted toward
+# the shapes that dominate at 100 TB (joins, windows, aggs, pivot, the
+# E1/E2 pipelines, dedup + similarity extensions).
+HEADLINE = [
+    "e01_distance_at_anchor",
+    "j02_inner_join_2keys",
+    "j08_semijoin_scalar_subquery",
+    "a01_grouped_sum",
+    "a03_grouped_mode",
+    "w02_group_broadcast_value",
+    "r01_pivot_wide",
+    "f12_bivariate_gaussian",
+    "o01_sort_desc_topk",
+    # north-star extensions (present from round 2 on; skipped if absent)
+    "e02_field_control",
+    "d01_dedup_exact",
+    "d02_dedup_minhash_lsh",
+    "v01_cosine_topk",
+    "t01_tumbling_window",
+    "n02_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.session import get_spark
+
+    spark = get_spark(cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        n_rows = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,9 @@ Import order populates REGISTRY via the @register decorator.
 
 from .base import REGISTRY, Q, register  # noqa: F401
 from . import core  # noqa: F401,E402
+from . import nlp  # noqa: F401,E402
+from . import vectors  # noqa: F401,E402
+from . import temporal  # noqa: F401,E402
 
 
 def queries():

@@ -1,0 +1,447 @@
+"""Text-analysis + deduplication queries over the `documents` table.
+
+North-star extensions (BASELINE.md): the operators a 100 TB training-
+data pipeline needs — token/char stats, quality scoring, language ID,
+fingerprinting, exact dedup, MinHash+LSH near-dup, SimHash, and n-gram
+Jaccard verification. Everything is native Column expressions (no
+Python UDFs); every "random" quantity derives from md5 so the DuckDB
+oracle reproduces the result bit-for-bit.
+
+Scale notes (the 100 TB story):
+- Exact dedup = hash-groupBy on a 32-byte key: one shuffle of
+  (key, doc_id), never of the text payload.
+- MinHash/LSH: signatures are computed in a narrow map (explode-free
+  higher-order functions over the shingle array); candidate pairs come
+  from an equi-join WITHIN band buckets — complexity O(sum of
+  bucket^2), never the all-pairs O(n^2) cross join.
+- SimHash: one narrow explode + one groupBy(doc_id) re-aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    punct_ratio,
+    quality_score,
+    stopword_hits,
+    token_count,
+    word_shingles,
+)
+from .base import register, t
+
+# MinHash/LSH parameters: H hashes split into B bands of R rows.
+# P[candidate | jaccard=s] = 1 - (1 - s^R)^B — with (H,B,R)=(8,4,2)
+# the S-curve midpoint sits near s≈0.5, right for near-dup detection.
+MINHASH_H = 8
+LSH_BANDS = 4
+LSH_ROWS = 2
+SHINGLE_K = 3
+
+# DuckDB mirrors of functions/text.py expressions -----------------------
+
+_SQL_TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+_SQL_NTOK = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+
+def _sql_shingle_ctes(k: int = SHINGLE_K) -> str:
+    """DuckDB CTEs tk -> sh_t mirroring text.word_shingles."""
+    parts = ", ".join(f"t[i+{j}]" for j in range(k))
+    return (
+        f"tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents), "
+        f"sh_t AS (SELECT doc_id, "
+        f"CASE WHEN len(t) < {k} THEN [array_to_string(t, ' ')] "
+        f"ELSE list_transform(range(1, len(t) - {k - 1} + 1), "
+        f"i -> concat_ws(' ', {parts})) END AS sh FROM tk)"
+    )
+
+
+def _sql_minhash(i: int) -> str:
+    """DuckDB min-over-md5 for seed i, over the shingle list column `sh`."""
+    return (
+        f"list_min(list_transform(sh, s -> "
+        f"md5(concat_ws('|', '{i}', CAST(s AS VARCHAR)))))"
+    )
+
+
+def _spark_minhash(shingles, i: int):
+    return F.array_min(
+        F.transform(
+            shingles, lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# N: text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "n01_token_stats",
+    oracle=f"""
+    SELECT doc_id, {_SQL_NTOK} AS n_tokens,
+           length(text) AS n_chars_text,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+             / {_SQL_NTOK} AS mean_word_len
+    FROM documents
+    """,
+    note="Token counting (whitespace tokenizer) + char stats — "
+    "narrow projection, no shuffle",
+)
+def n01_token_stats(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    mean_wl = (
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tok
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+        mean_wl.alias("mean_word_len"),
+    )
+
+
+@register(
+    "n02_quality_score",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tok,
+             length(text) AS n,
+             length(text)
+               - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_word_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           (least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+            + (1.0 - least((CAST(n_punct AS DOUBLE) / n) * 5.0, 1.0))
+            + CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0
+                         ELSE CAST(n_word_chars AS DOUBLE) / n_tok END)
+                        BETWEEN 2.0 AND 12.0
+                   THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+    FROM s
+    """,
+    note="Gopher/C4-style quality scoring (length saturation + punct "
+    "sanity + mean word length), all in codegen — the oracle spells the "
+    "identical IEEE expression tree so no rounding is needed",
+)
+def n02_quality_score(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_hits_sql(words: tuple[str, ...]) -> str:
+    terms = " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in words
+    )
+    return f"({terms})"
+
+
+_LANGS = sorted(LANG_STOPWORDS)
+_LANG_ID_ORACLE = (
+    "WITH h AS (SELECT doc_id, lang, "
+    + ", ".join(
+        f"{_lang_hits_sql(LANG_STOPWORDS[lang])} AS hits_{lang}"
+        for lang in _LANGS
+    )
+    + " FROM documents), m AS (SELECT *, greatest("
+    + ", ".join(f"hits_{lang}" for lang in _LANGS)
+    + ") AS best FROM h) SELECT doc_id, lang, CASE "
+    + " ".join(f"WHEN hits_{lang} = best THEN '{lang}'" for lang in _LANGS)
+    + " END AS pred_lang FROM m"
+)
+
+
+@register(
+    "n03_lang_id",
+    oracle=_LANG_ID_ORACLE,
+    note="Language ID via stopword-hit argmax (ties broken by lang code "
+    "asc) — the n-gram heuristic shape; fastText et al. slot in behind "
+    "the same column contract",
+)
+def n03_lang_id(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    hits = {
+        lang: stopword_hits(F.col("text"), LANG_STOPWORDS[lang])
+        for lang in _LANGS
+    }
+    best = F.greatest(*hits.values())
+    expr = None
+    for lang in _LANGS:
+        cond = hits[lang] == best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return d.select("doc_id", "lang", expr.alias("pred_lang"))
+
+
+@register(
+    "n04_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             AS fingerprint
+    FROM documents
+    """,
+    note="Document fingerprint: md5 of whitespace/case-normalized text — "
+    "the exact-dedup key (32-byte shuffle payload, not the document)",
+)
+def n04_fingerprint(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "n05_punct_ratio",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(length(text)
+                     - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                     AS DOUBLE) / length(text) END AS punct_ratio
+    FROM documents
+    """,
+    note="Punctuation-ratio quality signal",
+)
+def n05_punct_ratio(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", punct_ratio(F.col("text")).alias("punct_ratio"))
+
+
+# ---------------------------------------------------------------------------
+# D: deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d01_dedup_exact",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+    FROM fp GROUP BY fingerprint
+    """,
+    note="Exact dedup: hash-groupBy on the md5 fingerprint, keep the "
+    "min doc_id per group. Shuffles (32-byte key, doc_id) only — at "
+    "100 TB the text never moves",
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _sig_sql() -> str:
+    """DuckDB CTEs: documents -> shingles -> minhash signature m0..m{H-1}."""
+    minhashes = ", ".join(f"{_sql_minhash(i)} AS m{i}" for i in range(MINHASH_H))
+    return f"WITH {_sql_shingle_ctes()}, sig AS (SELECT doc_id, {minhashes} FROM sh_t)"
+
+
+def _bands_sql() -> str:
+    selects = []
+    for b in range(LSH_BANDS):
+        cols = ", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5(concat_ws('|', '{b}', {cols})) AS bkey FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+_D02_ORACLE = (
+    _sig_sql()
+    + f", bands AS ({_bands_sql()}) "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b "
+    "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id"
+)
+
+
+def _minhash_bands(d):
+    """doc_id + exploded (band, bkey) rows from MinHash signatures.
+
+    Shingles are materialized as a column FIRST so the split+transform
+    runs once per row, not once per minhash seed (8x saving).
+    """
+    sh_df = d.select(
+        "doc_id", word_shingles(F.col("text"), k=SHINGLE_K).alias("sh")
+    )
+    sig = sh_df.select(
+        "doc_id",
+        *[
+            _spark_minhash(F.col("sh"), i).alias(f"m{i}")
+            for i in range(MINHASH_H)
+        ],
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"m{b * LSH_ROWS + r}")
+                            for r in range(LSH_ROWS)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.bkey"
+    )
+
+
+@register(
+    "d02_dedup_minhash_lsh",
+    oracle=_D02_ORACLE,
+    note=f"MinHash+LSH near-dup candidates: {MINHASH_H} md5-derived "
+    f"minhashes -> {LSH_BANDS} bands x {LSH_ROWS} rows -> equi-join "
+    "WITHIN band buckets. Complexity O(sum bucket^2), never all-pairs "
+    "O(n^2); the join key is a 32-byte band hash so the shuffle carries "
+    "(band, bkey, doc_id) only",
+)
+def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    bands = _minhash_bands(d)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            "inner",
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+_D03_ORACLE = (
+    _sig_sql()
+    + f", bands AS ({_bands_sql()}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b "
+    "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id) "
+    "SELECT c.doc_a, c.doc_b, "
+    "round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE) "
+    "/ len(list_distinct(list_concat(sa.sh, sb.sh))), 9) AS jaccard "
+    "FROM cand c "
+    "JOIN sh_t sa ON c.doc_a = sa.doc_id "
+    "JOIN sh_t sb ON c.doc_b = sb.doc_id "
+    "WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE) "
+    "/ len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5"
+)
+
+
+@register(
+    "d03_ngram_jaccard_verify",
+    oracle=_D03_ORACLE,
+    note="n-gram (3-word shingle) Jaccard verification of the LSH "
+    "candidates: set intersection/union on shingle arrays, threshold "
+    "0.5. Only candidate pairs are scored — the verify join touches "
+    "O(candidates) rows, not O(n^2)",
+)
+def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    shingle_tbl = d.select(
+        "doc_id", word_shingles(F.col("text"), k=SHINGLE_K).alias("sh")
+    )
+    cand = d02_dedup_minhash_lsh(spark, sf_dir)
+    sa = shingle_tbl.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = shingle_tbl.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_distinct(F.array_intersect("sh_a", "sh_b")))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def _simhash_exprs_spark(h):
+    """Per-token ±1 contributions for each simhash bit, given hash col."""
+    return [
+        (
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+
+
+_D04_ORACLE = (
+    "WITH tok AS (SELECT doc_id, unnest("
+    + _SQL_TOKENS
+    + ") AS tk FROM documents), "
+    "h AS (SELECT doc_id, "
+    "CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS hv FROM tok), "
+    "bits AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(((hv >> {j}) & 1) * 2 - 1) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    + " FROM h GROUP BY doc_id) "
+    "SELECT doc_id, "
+    + " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    + " AS simhash FROM bits"
+)
+
+
+@register(
+    "d04_simhash",
+    oracle=_D04_ORACLE,
+    note=f"SimHash ({SIMHASH_BITS}-bit) document signature: md5-derived "
+    "per-token hash, frequency-weighted bit votes, sign -> bit. One "
+    "narrow explode + one groupBy(doc_id) — near-dup docs land in "
+    "nearby hamming space",
+)
+def d04_simhash(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tk"),
+    )
+    hv = F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10).cast("bigint")
+    contrib = toks.select("doc_id", *[c for c in _simhash_exprs_spark(hv)])
+    votes = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return votes.select("doc_id", simhash.alias("simhash"))

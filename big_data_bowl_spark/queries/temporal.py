@@ -1,0 +1,177 @@
+"""Event-time windowing over the `events` table (ts: timestamp).
+
+North-star extension (SURVEY.md §2.11): the reference has no temporal
+operators, but the driver's events stream table makes tumbling /
+sliding / session windows and JSON prop extraction first-class here.
+Batch `F.window`/`F.session_window` is the primary surface (oracle-
+checkable); `streaming/windows.py` runs the SAME aggregations as a
+Structured Streaming query with a watermark (tested for batch parity
+in tests/test_streaming.py).
+
+Scale notes: event-time windows are hash-aggregations on (bucket,
+keys) — partial map-side combine makes them linear-scan shaped; the
+sliding window materializes exactly window/slide rows per event
+(2 here), not a range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .base import dsum, dsum_sql, register, t
+
+# DuckDB view ts is TIMESTAMP_NS; CAST truncates to micros — matching
+# the loader's `ts div 1000` floor (sources/io.py).
+_TS = "CAST(ts AS TIMESTAMP)"
+
+
+@register(
+    "t01_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 hour', {_TS}) AS window_start,
+           time_bucket(INTERVAL '1 hour', {_TS}) + INTERVAL '1 hour'
+             AS window_end,
+           event_type, COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    note="Tumbling 1-hour event-time window x event_type: one hash-agg "
+    "on (bucket, type) with map-side partial aggregation — the "
+    "streaming-ready aggregation shape (streaming/windows.py runs the "
+    "same plan incrementally with a watermark)",
+)
+def t01_tumbling_window(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "t02_sliding_window",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT time_bucket(INTERVAL '1 hour', {_TS}) AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', {_TS}, INTERVAL '30 minutes')
+               AS window_start, value
+      FROM events
+    )
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS sum_value
+    FROM buckets GROUP BY 1, 2
+    """,
+    note="Sliding window (1 hour / 30 min): each event lands in exactly "
+    "window/slide = 2 buckets — Spark expands then hash-aggregates; "
+    "never a range join",
+)
+def t02_sliding_window(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "t03_session_window",
+    oracle=f"""
+    WITH e AS (SELECT user_id, {_TS} AS ts FROM events),
+         x AS (SELECT user_id, ts,
+                      CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+                           THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (SELECT user_id, ts,
+                      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x)
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '10 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM y GROUP BY user_id, sid
+    """,
+    note="Session windows (10-min gap) per user — Spark's native "
+    "session_window vs the gaps-and-islands SQL formulation; session "
+    "end is exclusive (event at exactly last+gap starts a new session)",
+)
+def t03_session_window(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "t04_interevent_gap",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(date_diff('microseconds',
+                LAG({_TS}) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id),
+                {_TS}) AS BIGINT) AS gap_us
+    FROM events
+    """,
+    note="lead/lag over event time: per-user inter-event gap in "
+    "microseconds — one window shuffle on user_id, deterministic "
+    "tie-break on event_id",
+)
+def t04_interevent_gap(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    # integral microsecond arithmetic — exact, no float involved
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    return ev.select("event_id", "user_id", gap.alias("gap_us"))
+
+
+@register(
+    "t05_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+    note="JSON prop extraction (events.props) — get_json_object stays "
+    "JVM-side; at scale prefer from_json with an explicit schema once "
+    "per pipeline, not repeated path extraction",
+)
+def t05_json_props(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )

@@ -1,0 +1,212 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+North-star extension (BASELINE.md): approximate-nearest-neighbor
+building blocks — brute-force cosine top-k as the exact baseline, a
+sign-random-projection (SRP) LSH bucketing as the scale path, and
+bucketed cosine near-dup pairs.
+
+Everything stays JVM-side: dot products are `zip_with` + sequential
+`aggregate` folds over array<double> (bit-identical to DuckDB's
+list_dot_product, verified), so the oracles compare EXACT values — no
+rounding, no Python UDFs.
+
+Scale notes (the 100 TB story):
+- v01 brute force is one broadcast of the (tiny) query set against a
+  scan of the corpus — O(corpus) work, no shuffle of the embeddings;
+  the top-k per query is a TakeOrdered-style window on a small result.
+- v02/v03: SRP buckets turn all-pairs O(n^2) into O(sum bucket^2);
+  the hyperplane signs are CONSTANTS (md5-derived in Python at plan
+  build), so bucketing is a narrow projection — zero joins, zero
+  Python at runtime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import register, t
+
+EMBED_DIM = 64
+N_PLANES = 8
+TOPK = 10
+NEARDUP_COS = 0.4  # calibrated: driver embeddings max pairwise cos ≈ 0.51
+
+
+def _srp_weights() -> list[list[float]]:
+    """±1 hyperplane weights, a pure function of (plane, dim) via md5.
+
+    Computed driver-side with hashlib (identical to any engine's md5);
+    embedded as literals so runtime cost is a plain dot product.
+    """
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(EMBED_DIM):
+            h = hashlib.md5(f"{p}|{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+SRP = _srp_weights()
+
+
+def _dot(a, b):
+    """Sequential-fold dot product: bit-identical to list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sql_vec(col: str) -> str:
+    return f"CAST({col} AS DOUBLE[])"
+
+
+def _sql_lit_vec(w: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in w) + "]"
+
+
+def _cosine(va, vb):
+    return _dot(va, vb) / (F.sqrt(_dot(va, va)) * F.sqrt(_dot(vb, vb)))
+
+
+_SQL_COS = (
+    "list_dot_product(qe, ce) / "
+    "(sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"
+)
+
+
+@register(
+    "v01_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, {_sql_vec('embedding')} AS qe
+               FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS cand_id, {_sql_vec('embedding')} AS ce
+               FROM embeddings),
+         s AS (SELECT query_id, cand_id, {_SQL_COS} AS cosine
+               FROM q CROSS JOIN c WHERE query_id <> cand_id),
+         r AS (SELECT query_id, cand_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, cand_id ASC)
+                        AS rn
+               FROM s)
+    SELECT query_id, cand_id, cosine, rn FROM r WHERE rn <= {TOPK}
+    """,
+    note="Brute-force cosine top-k: broadcast the query set, one corpus "
+    "scan, exact values (fold dot product == DuckDB list_dot_product "
+    "bit-for-bit), deterministic rank tie-break on cand_id",
+)
+def v01_cosine_topk(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            _cosine(F.col("qe"), F.col("ce")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("query_id", "cand_id", "cosine", "rn")
+    )
+
+
+def _bucket_expr(vec):
+    """SRP bucket id in [0, 2^N_PLANES): bit p = sign of plane-p dot."""
+    bucket = None
+    for p in range(N_PLANES):
+        w_lit = F.array(*[F.lit(x) for x in SRP[p]])
+        bit = F.when(_dot(vec, w_lit) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket
+
+
+def _sql_bucket(vec_col: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({vec_col}, {_sql_lit_vec(SRP[p])}) > 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return f"({bits})"
+
+
+@register(
+    "v02_srp_lsh_buckets",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_sql_vec('embedding')} AS ce FROM embeddings)
+    SELECT vec_id, {_sql_bucket('ce')} AS bucket FROM c
+    """,
+    note=f"SRP-LSH bucketing: {N_PLANES} md5-derived constant "
+    "hyperplanes, bucket = sign bits of the projections. Narrow "
+    "projection, no shuffle — the ANN pre-filter that makes near-dup "
+    "search O(sum bucket^2) instead of O(n^2)",
+)
+def v02_srp_lsh_buckets(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id", _bucket_expr(vec).alias("bucket")
+    )
+
+
+@register(
+    "v03_bucketed_cosine_neardup",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_sql_vec('embedding')} AS v,
+                      {_sql_bucket(_sql_vec('embedding'))} AS bucket
+               FROM embeddings),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))) AS cosine
+               FROM c a JOIN c b
+                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {NEARDUP_COS!r}
+    """,
+    note="Embedding-cosine near-dup pairs WITHIN SRP buckets only — "
+    "the equi-join on bucket id keeps the pair space O(sum bucket^2); "
+    "exact cosine re-scoring inside each bucket",
+)
+def v03_bucketed_neardup(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    withb = e.select(
+        "vec_id", vec.alias("v"), _bucket_expr(vec).alias("bucket")
+    )
+    a = withb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        "bucket",
+    )
+    b = withb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        "bucket",
+    )
+    return (
+        a.join(b, "bucket", "inner")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b", _cosine(F.col("va"), F.col("vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= NEARDUP_COS)
+    )
