@@ -63,3 +63,12 @@ def dsum(col: Column, scale: int = 2, precision: int = 28) -> Column:
 
 def dsum_sql(expr: str, scale: int = 2, precision: int = 28) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+from ..functions.rounding import rhu  # noqa: F401  (re-export for queries)
+
+
+def rhu_sql(expr: str, scale: int = 9) -> str:
+    """DuckDB spelling of functions.rounding.rhu — keep in lockstep."""
+    p = 10.0**scale
+    return f"floor(({expr}) * {p!r} + 0.5) / {p!r}"
