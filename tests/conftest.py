@@ -1,0 +1,26 @@
+"""Shared fixtures: one local SparkSession per test session."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from big_data_bowl_spark.session import get_spark
+
+    spark = get_spark(cpus="4", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

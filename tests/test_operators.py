@@ -1,0 +1,126 @@
+"""Unit tests for operators/ (mode A3, pivot R1, sample O4/O5) on
+tiny hand-built DataFrames with exact expected rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_bowl_spark.operators.mode import grouped_mode
+from big_data_bowl_spark.operators.pivot import pivot_wide_multi
+from big_data_bowl_spark.operators.sample import (
+    deterministic_sample,
+    deterministic_split,
+)
+
+
+@pytest.fixture(scope="module")
+def plays(spark):
+    rows = [
+        # (game, play, coverage)
+        (1, 1, "cover_3"),
+        (1, 1, "cover_3"),
+        (1, 1, "cover_1"),
+        (1, 2, "cover_0"),
+        (1, 2, "cover_2"),  # tie -> smallest value wins
+        (2, 1, "man"),
+    ]
+    return spark.createDataFrame(rows, "gameId int, playId int, coverage string")
+
+
+def test_grouped_mode_majority_and_tiebreak(plays):
+    got = {
+        (r.gameId, r.playId): r.mode_value
+        for r in grouped_mode(plays, ["gameId", "playId"], "coverage").collect()
+    }
+    assert got == {
+        (1, 1): "cover_3",  # majority
+        (1, 2): "cover_0",  # 1-1 tie breaks to smallest value
+        (2, 1): "man",  # singleton
+    }
+
+
+@pytest.fixture(scope="module")
+def metrics(spark):
+    rows = [
+        (1, "SS", 4.0, 1.0),
+        (1, "CB", 6.0, 2.0),
+        (2, "SS", 5.0, 3.0),
+    ]
+    return spark.createDataFrame(rows, "playId int, position string, s double, a double")
+
+
+def test_pivot_multi_value_columns(metrics):
+    wide = pivot_wide_multi(
+        metrics,
+        group_cols=["playId"],
+        pivot_col="position",
+        categories=["SS", "CB", "FS"],
+        value_cols=["s", "a"],
+    )
+    # reference naming metric_POS, declared categories => stable schema
+    assert set(wide.columns) == {
+        "playId", "s_SS", "a_SS", "s_CB", "a_CB", "s_FS", "a_FS"
+    }
+    by_play = {r.playId: r for r in wide.collect()}
+    assert by_play[1].s_SS == 4.0 and by_play[1].a_CB == 2.0
+    assert by_play[2].s_CB == 0.0  # values_fill=0
+    assert by_play[2].s_FS == 0.0
+
+
+def test_pivot_single_value_column_rename(metrics):
+    # VERDICT r1 flagged this rename as version-fragile — pin it
+    wide = pivot_wide_multi(
+        metrics,
+        group_cols=["playId"],
+        pivot_col="position",
+        categories=["SS", "CB"],
+        value_cols=["s"],
+    )
+    assert set(wide.columns) == {"playId", "s_SS", "s_CB"}
+
+
+def test_pivot_custom_agg(metrics):
+    wide = pivot_wide_multi(
+        metrics,
+        group_cols=["playId"],
+        pivot_col="position",
+        categories=["SS"],
+        value_cols=["s"],
+        agg=lambda v: F.sum(F.col(v)),
+    )
+    assert {r.playId: r.s_SS for r in wide.collect()} == {1: 4.0, 2: 5.0}
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [(i, f"name_{i}") for i in range(100)], "id int, name string"
+    )
+
+
+def test_deterministic_sample_exact_n_and_stable(people):
+    a = deterministic_sample(people, ["id"], 7)
+    b = deterministic_sample(people, ["id"], 7)
+    ra = sorted(r.id for r in a.collect())
+    rb = sorted(r.id for r in b.collect())
+    assert len(ra) == 7
+    assert ra == rb  # same keys -> same sample, any run
+
+
+def test_deterministic_split_partitions_exactly(people):
+    train, test = deterministic_split(people, ["id"], 0.75)
+    tr = {r.id for r in train.collect()}
+    te = {r.id for r in test.collect()}
+    assert tr | te == set(range(100))
+    assert tr & te == set()
+    # hash split is approximate in count but must be near 75
+    assert 60 <= len(tr) <= 90
+
+
+def test_deterministic_split_row_never_migrates(people):
+    # split is a pure function of the key: repartitioning must not
+    # move any row between train and test (critical for pipelines)
+    train1, _ = deterministic_split(people, ["id"], 0.75)
+    train2, _ = deterministic_split(people.repartition(13), ["id"], 0.75)
+    assert {r.id for r in train1.collect()} == {r.id for r in train2.collect()}
