@@ -1,0 +1,129 @@
+"""Structured Streaming operators over the events stream.
+
+Design (SURVEY.md §2.11): the batch queries in queries/temporal.py
+define the semantics and carry the DuckDB oracles; these functions run
+the SAME aggregation expressions as an incremental streaming query —
+``readStream`` -> watermark -> windowed agg -> sink. Batch/stream
+parity is asserted in tests/test_streaming.py by replaying the events
+parquet with an availableNow trigger and diffing against the batch
+result.
+
+Scale notes:
+- The watermark bounds state: closed windows are evicted, so state is
+  O(open windows x keys), independent of stream length.
+- ``availableNow`` processes the backlog in bounded batches and
+  terminates — the cluster-friendly way to run a streaming query over
+  a static lake for backfills.
+- Streaming dedup keeps one state row per key within the watermark
+  horizon — the streaming face of the d01 exact-dedup operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Schema of events.parquet as scanned with nanosAsLong (readStream
+# requires an explicit schema; ts arrives as int64 nanoseconds).
+EVENTS_NANOS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (the lake-backfill
+    shape: same code path as a live Kafka/file feed).
+
+    Converts nanosecond int64 ts to TimestampType exactly like the
+    batch loader (sources/io.py `ts div 1000` floor), so streaming
+    results are comparable to the batch oracles.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source requires a DIRECTORY; select just the events
+    # file(s) within it via glob filter (works for single-file layouts
+    # like the testdata and for real events/ partition directories)
+    raw = (
+        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time window x event_type with late-data bound —
+    the streaming twin of t01_tumbling_window (same expressions).
+
+    The watermark lets the engine finalize and evict a window once
+    event time passes window_end + watermark; without it, state grows
+    forever on an unbounded stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact dedup on a stream: first arrival per key wins, state
+    bounded by the watermark horizon (the streaming face of d01).
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def run_to_memory(
+    stream_df: DataFrame, table_name: str, output_mode: str = "append"
+) -> None:
+    """Drain a bounded stream into an in-memory sink (test/demo only;
+    production sinks are parquet/Delta/Kafka via the same API).
+
+    Uses trigger(availableNow=True): processes everything currently in
+    the source in rate-limited batches, then stops.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
