@@ -91,17 +91,40 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalized)
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles (the MinHash input unit).
+def tokenize(text: Column) -> Column:
+    """Lowercased whitespace tokens — the shingle input."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
 
-    transform over a split array — pure SQL functions, no UDF.
+
+def shingles_from_tokens(tokens: Column, k: int = 3) -> Column:
+    """Array of k-word shingles from a token-ARRAY column.
+
+    PERFORMANCE CONTRACT: ``tokens`` must be a materialized column
+    (bound attribute), not an inline ``split(...)`` expression. The
+    lambda below references it k+2 times, and higher-order-function
+    lambdas run interpreted — an inline split would re-tokenize the
+    document O(k * n_shingles) times, turning a linear scan quadratic
+    (measured 20s -> 2s on 5k docs when hoisted).
     """
-    tokens = F.split(F.lower(F.trim(text)), r"\s+")
     n = F.size(tokens)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n < k, F.array(F.concat_ws(" ", tokens))).otherwise(
         F.transform(
             idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(k)]),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(k)],
+            ),
         )
     )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles of a TEXT column (convenience form).
+
+    Only for small/test use: the inline tokenization is re-evaluated
+    per lambda reference (see shingles_from_tokens) — in query paths,
+    materialize ``tokenize(text)`` with a select/withColumn first and
+    call shingles_from_tokens on the bound column.
+    """
+    return shingles_from_tokens(tokenize(text), k)

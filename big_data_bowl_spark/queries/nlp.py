@@ -22,7 +22,9 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import (
+from ..functions.text import (  # noqa: F401
+    shingles_from_tokens,
+    tokenize,
     LANG_STOPWORDS,
     fingerprint,
     punct_ratio,
@@ -59,18 +61,26 @@ def _sql_shingle_ctes(k: int = SHINGLE_K) -> str:
     )
 
 
+# Each MinHash "seed" is a disjoint 4-hex-char slice of ONE md5 per
+# shingle (slices of a good hash are independent uniform hashes, and
+# MINHASH_H * 4 = 32 chars uses the whole digest). One digest per
+# shingle instead of one per (shingle, seed) is an 8x saving on the
+# dominant cost of signature computation; the extra collision mass of
+# a 16-bit slice (~1/65536 per seed, squared per 2-row band) is
+# negligible against Jaccard-scale probabilities. min over fixed-width
+# lowercase hex strings == numeric min, identically in both engines.
+
+
 def _sql_minhash(i: int) -> str:
-    """DuckDB min-over-md5 for seed i, over the shingle list column `sh`."""
-    return (
-        f"list_min(list_transform(sh, s -> "
-        f"md5(concat_ws('|', '{i}', CAST(s AS VARCHAR)))))"
-    )
+    """DuckDB min-over-md5-slice for seed i, over the shingle list `hh`
+    (pre-hashed shingles — see _sig_sql)."""
+    return f"list_min(list_transform(hh, h -> substr(h, {i * 4 + 1}, 4)))"
 
 
-def _spark_minhash(shingles, i: int):
+def _spark_minhash(hashed_shingles, i: int):
     return F.array_min(
         F.transform(
-            shingles, lambda s: F.md5(F.concat_ws("|", F.lit(str(i)), s))
+            hashed_shingles, lambda h: F.substring(h, i * 4 + 1, 4)
         )
     )
 
@@ -247,9 +257,15 @@ def d01_dedup_exact(spark: SparkSession, sf_dir: str):
 
 
 def _sig_sql() -> str:
-    """DuckDB CTEs: documents -> shingles -> minhash signature m0..m{H-1}."""
+    """DuckDB CTEs: documents -> shingles -> hashed shingles -> minhash
+    signature m0..m{H-1}."""
     minhashes = ", ".join(f"{_sql_minhash(i)} AS m{i}" for i in range(MINHASH_H))
-    return f"WITH {_sql_shingle_ctes()}, sig AS (SELECT doc_id, {minhashes} FROM sh_t)"
+    return (
+        f"WITH {_sql_shingle_ctes()}, "
+        f"hsh AS (SELECT doc_id, sh, "
+        f"list_transform(sh, s -> md5(s)) AS hh FROM sh_t), "
+        f"sig AS (SELECT doc_id, {minhashes} FROM hsh)"
+    )
 
 
 def _bands_sql() -> str:
@@ -278,13 +294,20 @@ def _minhash_bands(d):
     Shingles are materialized as a column FIRST so the split+transform
     runs once per row, not once per minhash seed (8x saving).
     """
-    sh_df = d.select(
-        "doc_id", word_shingles(F.col("text"), k=SHINGLE_K).alias("sh")
+    # tokens materialized FIRST: shingling references the token array
+    # inside interpreted lambdas, so it must be a bound column, not an
+    # inline split (see text.shingles_from_tokens performance contract)
+    tok_df = d.select("doc_id", tokenize(F.col("text")).alias("tok"))
+    sh_df = tok_df.select(
+        "doc_id", shingles_from_tokens(F.col("tok"), k=SHINGLE_K).alias("sh")
     )
-    sig = sh_df.select(
+    hashed = sh_df.select(
+        "doc_id", F.transform(F.col("sh"), F.md5).alias("hh")
+    )
+    sig = hashed.select(
         "doc_id",
         *[
-            _spark_minhash(F.col("sh"), i).alias(f"m{i}")
+            _spark_minhash(F.col("hh"), i).alias(f"m{i}")
             for i in range(MINHASH_H)
         ],
     )
@@ -367,7 +390,9 @@ _D03_ORACLE = (
 def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents")
     shingle_tbl = d.select(
-        "doc_id", word_shingles(F.col("text"), k=SHINGLE_K).alias("sh")
+        "doc_id", tokenize(F.col("text")).alias("tok")
+    ).select(
+        "doc_id", shingles_from_tokens(F.col("tok"), k=SHINGLE_K).alias("sh")
     )
     cand = d02_dedup_minhash_lsh(spark, sf_dir)
     sa = shingle_tbl.select(
