@@ -1368,14 +1368,16 @@ def e01_distance_at_anchor(spark, sf_dir):
         )
     )
     w = Window.partitionBy("o_orderkey")
-    windowed = merged.withColumn(
-        "anchor_qty",
-        F.max(F.when(F.col("l_linenumber") == 1, F.col("qty_std"))).over(w),
-    ).withColumn(
-        "anchor_price",
-        F.max(
-            F.when(F.col("l_linenumber") == 1, F.col("l_extendedprice"))
-        ).over(w),
+    # both window aggregates in ONE select: same window spec -> Spark
+    # plans a single Window node (one pass over each partition buffer)
+    windowed = merged.select(
+        "*",
+        F.max(F.when(F.col("l_linenumber") == 1, F.col("qty_std")))
+        .over(w)
+        .alias("anchor_qty"),
+        F.max(F.when(F.col("l_linenumber") == 1, F.col("l_extendedprice")))
+        .over(w)
+        .alias("anchor_price"),
     )
     dist = euclidean(
         F.col("qty_std"),
