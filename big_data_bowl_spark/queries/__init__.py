@@ -15,6 +15,7 @@ from . import vectors  # noqa: F401,E402
 from . import temporal  # noqa: F401,E402
 from . import pipelines  # noqa: F401,E402
 from . import ml  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402
 
 
 def queries():

@@ -1,0 +1,118 @@
+"""Multimodal queries over the synthetic media table.
+
+mm01 (metadata/selection) is pure column algebra — full DuckDB oracle.
+mm02 (feature extraction) decodes with the fake codec whose features
+reduce to byte statistics, which DuckDB can also compute from the
+utf8 payload — so even the mapInPandas path gets a value-level oracle.
+mm03 (frame sampling) is rows-only (payload slicing), with exact-value
+unit tests in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..multimodal.media import (
+    as_media_table,
+    extract_image_features,
+    sample_frames,
+)
+from .base import register, t
+
+_MEDIA_SQL = """
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         'fake' AS format,
+         CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+         CAST(doc_id % 8 + 1 AS INTEGER) AS height,
+         CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames,
+         encode(text) AS payload
+  FROM documents
+"""
+
+
+@register(
+    "mm01_media_metadata",
+    oracle=f"""
+    SELECT media_id, media_type, format, width, height, n_frames,
+           octet_length(payload) AS n_bytes
+    FROM ({_MEDIA_SQL})
+    WHERE media_type IN ('image', 'video')
+    """,
+    note="Multimodal metadata selection: typed metadata columns filter "
+    "and project WITHOUT touching payload bytes — at 100 TB a "
+    "metadata-only query reads zero payload pages (parquet column "
+    "pruning).",
+)
+def mm01_media_metadata(spark, sf_dir):
+    media = as_media_table(t(spark, sf_dir, "documents"))
+    return media.filter(
+        F.col("media_type").isin("image", "video")
+    ).select(
+        "media_id",
+        "media_type",
+        "format",
+        "width",
+        "height",
+        "n_frames",
+        F.octet_length("payload").alias("n_bytes"),
+    )
+
+
+@register(
+    "mm02_image_features",
+    oracle=f"""
+    WITH m AS ({_MEDIA_SQL}),
+    hx AS (
+      SELECT media_id, width, height,
+             octet_length(payload) AS n_bytes,
+             lower(hex(payload)) AS h
+      FROM m WHERE media_type = 'image'
+    ),
+    px AS (
+      -- the fake codec tiles payload bytes into width*height pixels;
+      -- byte k (0-based, tiled) = hex pair at 2k+1 — decoded via
+      -- strpos arithmetic since DuckDB blobs aren't indexable
+      SELECT media_id, n_bytes,
+             list_transform(
+               range(0, width * height),
+               i -> (strpos('0123456789abcdef',
+                       substr(h, CAST(2 * (i % n_bytes) + 1 AS BIGINT), 1)) - 1) * 16
+                  + (strpos('0123456789abcdef',
+                       substr(h, CAST(2 * (i % n_bytes) + 2 AS BIGINT), 1)) - 1)
+             ) AS pixels
+      FROM hx
+    )
+    SELECT media_id, n_bytes,
+           CAST(list_sum(pixels) AS DOUBLE) / len(pixels) AS mean_intensity,
+           CAST(list_max(pixels) AS BIGINT) AS max_intensity
+    FROM px
+    """,
+    note="Arrow-batched mapInPandas decode + per-media features: "
+    "payloads stream through Python per BATCH and only (id, scalars) "
+    "return to the JVM — the multimodal hot-path shape. The fake codec "
+    "reduces to byte statistics, so even this path is value-checked "
+    "against DuckDB.",
+)
+def mm02_image_features(spark, sf_dir):
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    return extract_image_features(media)
+
+
+@register(
+    "mm03_frame_sample",
+    oracle=None,
+    note="Video frame sampling via mapInPandas: every 2nd frame as "
+    "(media_id, frame_idx, frame_payload) — bounded fan-out, no "
+    "shuffle; exact slicing pinned by tests/test_multimodal.py.",
+)
+def mm03_frame_sample(spark, sf_dir):
+    media = as_media_table(t(spark, sf_dir, "documents"))
+    frames = sample_frames(media, every_n=2)
+    return frames.select(
+        "media_id", "frame_idx", F.octet_length("frame_payload").alias("n_bytes")
+    )
