@@ -16,6 +16,7 @@ from . import temporal  # noqa: F401,E402
 from . import pipelines  # noqa: F401,E402
 from . import ml  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
+from . import extras  # noqa: F401,E402
 
 
 def queries():

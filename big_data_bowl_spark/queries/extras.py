@@ -1,0 +1,251 @@
+"""Coverage completions: F9 clamp, BPE-ish tokenization, IVF ANN,
+parquet sink roundtrip.
+
+v04 is the IVF ("inverted file") ANN variant the 100 TB design calls
+for: a coarse quantizer assigns every corpus vector to its best
+centroid cell (narrow broadcast multiply, NLIST * dim flops per
+vector), queries probe only their NPROBE nearest cells, and exact
+cosine re-scoring runs on the probed subset — O(corpus/NLIST * NPROBE)
+per query instead of O(corpus). Centroids here are deterministically
+chosen (first NLIST vectors) so the whole structure is reproducible
+in SQL; swapping in k-means centroids changes recall, not the plan
+shape.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import dsum, dsum_sql, register, t
+
+# ---------------------------------------------------------------------------
+# F9: clamp via least/greatest (Field Control.R:284-287 as its own row)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f09_clamp_least",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(l_quantity, 30.0) AS qty_capped,
+           greatest(least(l_discount, 0.08), 0.02) AS disc_banded
+    FROM lineitem
+    """,
+    note="F9 clamp: the reference's case_when(r > max ~ max) spelled as "
+    "least/greatest (Field Control.R:284-287) — pure codegen, no branch "
+    "divergence",
+)
+def f09_clamp_least(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.least(F.col("l_quantity"), F.lit(30.0)).alias("qty_capped"),
+        F.greatest(
+            F.least(F.col("l_discount"), F.lit(0.08)), F.lit(0.02)
+        ).alias("disc_banded"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N6: BPE-ish regex token counting (training-data token budgeting)
+# ---------------------------------------------------------------------------
+
+# GPT-2-flavored pretokenizer, restricted to syntax RE2 (DuckDB) and
+# the JVM regex engine agree on: no lookahead, non-capturing groups.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+_BPE_SQL = BPE_PATTERN.replace("'", "''")
+
+
+@register(
+    "n06_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+    note="BPE-ish regex pretokenization (GPT-2 pattern family) vs "
+    "whitespace token counts — the token-budget column a training-data "
+    "pipeline filters and bills on; one regex pass, no shuffle",
+)
+def n06_bpe_token_count(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# V4: IVF approximate nearest neighbor
+# ---------------------------------------------------------------------------
+
+NLIST = 8  # coarse cells
+NPROBE = 2  # cells searched per query
+IVF_TOPK = 5
+N_QUERIES = 3
+
+_VEC = "CAST(embedding AS DOUBLE[])"
+_COS = (
+    "list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) "
+    "* sqrt(list_dot_product(cv, cv)))"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+@register(
+    "v04_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, {_VEC} AS kv FROM embeddings WHERE vec_id < {NLIST}
+    ),
+    corp AS (SELECT vec_id, {_VEC} AS cv FROM embeddings),
+    scored AS (
+      SELECT c.vec_id, k.cid,
+             list_dot_product(c.cv, k.kv) AS score,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY list_dot_product(c.cv, k.kv) DESC,
+                                         k.cid ASC) AS rn
+      FROM corp c CROSS JOIN cent k
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM scored WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, k.cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_dot_product(q.qv, k.kv) DESC,
+                                         k.cid ASC) AS rn
+      FROM (SELECT vec_id, {_VEC} AS qv FROM embeddings
+            WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN cent k
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assign a ON p.cell = a.cell
+      WHERE p.rn <= {NPROBE} AND a.vec_id <> p.query_id
+    ),
+    rescored AS (
+      SELECT c.query_id, c.cand_id, {_COS} AS cosine,
+             ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                ORDER BY {_COS} DESC, c.cand_id ASC) AS rn
+      FROM cand c
+      JOIN (SELECT vec_id, {_VEC} AS qv FROM embeddings) q
+        ON c.query_id = q.vec_id
+      JOIN (SELECT vec_id, {_VEC} AS cv FROM embeddings) e
+        ON c.cand_id = e.vec_id
+    )
+    SELECT query_id, cand_id, cosine, rn FROM rescored WHERE rn <= {IVF_TOPK}
+    """,
+    note=f"IVF ANN: {NLIST} deterministic centroids; assignment = "
+    "argmax-dot over broadcast centroids (narrow, NLIST*dim flops/row); "
+    f"queries probe {NPROBE} cells and re-score exactly within them — "
+    "per-query work O(corpus/NLIST * NPROBE), the scale path when "
+    "brute force (v01) stops fitting the latency budget",
+)
+def v04_ivf_topk(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cent = e.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("cid"), vec.alias("kv")
+    )
+    corp = e.select("vec_id", vec.alias("cv"))
+
+    # cell assignment: best centroid per corpus vector
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("cid")
+    )
+    assign = (
+        corp.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", _dot(F.col("cv"), F.col("kv")).alias("score"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+
+    # probe list: NPROBE best cells per query
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), vec.alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cid")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "cid", _dot(F.col("qv"), F.col("kv")).alias("score")
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+
+    # candidates = corpus vectors in probed cells; exact re-score
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), vec.alias("qv"))
+    cv = e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select("query_id", "cand_id", "cosine", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S5: parquet sink + re-scan roundtrip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s05_parquet_sink_roundtrip",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    note="S5 sink: write an aggregate to parquet and re-scan it — the "
+    "engine's sink is df.write.parquet (the reference's ggsave/gtsave "
+    "image sinks are out of engine scope, SURVEY §2.1). Roundtrip "
+    "equality proves the sink preserves values bit-for-bit.",
+)
+def s05_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    out = tempfile.mkdtemp(prefix="sink_", dir=scratch)
+    agg.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
