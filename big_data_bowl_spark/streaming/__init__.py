@@ -7,6 +7,7 @@ variants reuse the same column logic so batch == stream by
 construction, verified in tests/test_streaming.py.
 """
 
+from .stateful import sessionize  # noqa: F401
 from .windows import (  # noqa: F401
     read_events_stream,
     streaming_dedup,

@@ -1,0 +1,82 @@
+"""Stateful sessionization parity: closed sessions emitted by the
+applyInPandasWithState operator must equal the batch t03 session
+query, minus each user's final (still-open) session."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from big_data_bowl_spark.queries.temporal import t03_session_window
+from big_data_bowl_spark.streaming.stateful import sessionize
+from big_data_bowl_spark.streaming.windows import read_events_stream, run_to_memory
+
+
+def test_stateful_sessions_match_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir).select("user_id", "ts")
+    run_to_memory(sessionize(stream), "stateful_sessions", output_mode="append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("stateful_sessions").collect()
+    }
+
+    batch = t03_session_window(spark, sf_dir)
+    # drop each user's final session: the stateful op keeps it open
+    # (no timeout fires during a single availableNow drain)
+    w = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .drop("rn")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_state_carries_across_microbatches(spark, sf_dir, tmp_path):
+    import os
+
+    from big_data_bowl_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    median = ev.withColumn("us", F.unix_micros("ts")).approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    early = ev.filter(F.unix_micros("ts") < F.lit(int(median)))
+    late = ev.filter(F.unix_micros("ts") >= F.lit(int(median)))
+
+    src = tmp_path / "events_split"
+    early.coalesce(1).write.parquet(str(src / "b1"))
+    late.coalesce(1).write.parquet(str(src / "b2"))
+    # force processing order: the file source orders by mod time
+    for i, sub in enumerate(["b1", "b2"]):
+        for f in (src / sub).glob("*.parquet"):
+            os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_to_memory(sessionize(stream), "split_sessions", output_mode="append")
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("split_sessions").collect()
+    }
+
+    # sessions spanning the file split must be stitched by state: the
+    # expected closed set is the batch result minus open sessions
+    batch = t03_session_window(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("session_start"))
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .drop("rn")
+        .collect()
+    }
+    assert got == want
