@@ -38,8 +38,11 @@ HEADLINE = [
     "d01_dedup_exact",
     "d02_dedup_minhash_lsh",
     "v01_cosine_topk",
+    "v04_ivf_topk",
     "t01_tumbling_window",
     "n02_quality_score",
+    "mm02_image_features",
+    "m00_ml_feature_table",
 ]
 
 
