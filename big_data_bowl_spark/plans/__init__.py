@@ -10,3 +10,11 @@ from .e2_control import (  # noqa: F401
     field_control_surface,
     player_influence,
 )
+from .tracking import (  # noqa: F401
+    attach_ball_position,
+    derive_side_of_ball,
+    distance_to_football_pipeline,
+    line_of_scrimmage_features,
+    personnel_features,
+    standardize_coordinates,
+)
