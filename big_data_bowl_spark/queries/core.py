@@ -411,6 +411,12 @@ def j02_join_2keys(spark, sf_dir):
     supp_totals = li.groupBy("l_orderkey", "l_suppkey").agg(
         dsum(F.col("l_extendedprice")).alias("supp_total")
     )
+    # merge hint: the agg output is fact-sized (one row per order+supp
+    # line group) — broadcasting it only looks cheap at bench SF. SMJ
+    # on the composite key reuses the aggregate's own shuffle
+    # partitioning, so the join costs one extra exchange (li side), not
+    # a driver-side collect+broadcast that dies at 100 TB.
+    supp_totals = supp_totals.hint("merge")
     return li.join(supp_totals, ["l_orderkey", "l_suppkey"], "inner").select(
         "l_orderkey", "l_linenumber", "supp_total"
     )
@@ -432,9 +438,11 @@ def j02_join_2keys(spark, sf_dir):
 )
 def j03_selfjoin_anchor(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
+    # the anchor side is one row per order — fact-sized, never broadcast;
+    # merge hint keeps the self-join an SMJ co-partitioned on l_orderkey
     first = li.filter(F.col("l_linenumber") == 1).select(
         "l_orderkey", F.col("l_extendedprice").alias("first_price")
-    )
+    ).hint("merge")
     return li.join(first, "l_orderkey", "inner").select(
         "l_orderkey",
         "l_linenumber",
@@ -461,9 +469,12 @@ def j04_left_join(spark, sf_dir):
         .filter(F.col("p_size") >= 40)
         .select("p_partkey", "p_brand")
     )
-    return li.join(
-        F.broadcast(p), li.l_partkey == p.p_partkey, "left"
-    ).select("l_orderkey", "l_linenumber", "p_brand")
+    # no forced broadcast: part scales with the data (unlike region /
+    # nation), so AQE decides at runtime — BHJ while the filtered dim
+    # fits, SMJ once it doesn't.
+    return li.join(p, li.l_partkey == p.p_partkey, "left").select(
+        "l_orderkey", "l_linenumber", "p_brand"
+    )
 
 
 @register(
@@ -525,7 +536,9 @@ def j06_join_rowid(spark, sf_dir):
 def j07_join_merge(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+    # customer scales with the data — leave join strategy to AQE
+    # (broadcast while small, SMJ at scale)
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
         "o_orderkey", "c_name", "o_totalprice"
     )
 
@@ -544,8 +557,11 @@ def j07_join_merge(spark, sf_dir):
 def j08_semijoin(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000.0)
+    # the semi-join build side is a filtered fact — selective today, not
+    # bounded; AQE's runtime size check picks broadcast vs SMJ, which is
+    # the scale-safe posture (no unconditional driver collect)
     return li.join(
-        F.broadcast(big), li.l_orderkey == big.o_orderkey, "left_semi"
+        big, li.l_orderkey == big.o_orderkey, "left_semi"
     ).select("l_orderkey", "l_linenumber", "l_extendedprice")
 
 
@@ -1350,7 +1366,11 @@ def u01_groupby_apply(spark, sf_dir):
 def e01_distance_at_anchor(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    li = t(spark, sf_dir, "lineitem")
+    # merge hint: fact-fact join must never broadcast (Catalyst would
+    # broadcast the small compressed lineitem scan at bench SF); SMJ on
+    # o_orderkey leaves the output hash-partitioned AND sorted on the
+    # window key, so the Window below adds no exchange and no sort.
+    li = t(spark, sf_dir, "lineitem").hint("merge")
     merged = (
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
         .join(li, o.o_orderkey == li.l_orderkey, "inner")

@@ -346,7 +346,10 @@ def _minhash_bands(d):
 def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents")
     bands = _minhash_bands(d)
-    a, b = bands.alias("a"), bands.alias("b")
+    # both sides are the full banded corpus — never broadcastable at
+    # scale; shuffle_hash co-partitions on the 32-byte band key and
+    # probes hash buckets without the SMJ sort
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     return (
         a.join(
             b,
@@ -395,12 +398,15 @@ def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
         "doc_id", shingles_from_tokens(F.col("tok"), k=SHINGLE_K).alias("sh")
     )
     cand = d02_dedup_minhash_lsh(spark, sf_dir)
+    # the shingle side carries the full corpus' shingle arrays — wide
+    # and fact-sized, so force shuffle joins keyed on doc id rather
+    # than letting a small bench SF broadcast the whole corpus
     sa = shingle_tbl.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
+    ).hint("shuffle_hash")
     sb = shingle_tbl.select(
         F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
+    ).hint("shuffle_hash")
     inter = F.size(F.array_distinct(F.array_intersect("sh_a", "sh_b")))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
     jac = inter.cast("double") / union

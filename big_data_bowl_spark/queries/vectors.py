@@ -201,7 +201,10 @@ def v03_bucketed_neardup(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
         "bucket",
-    )
+    ).hint("shuffle_hash")
+    # self-join of the full corpus on the SRP bucket key: both sides
+    # scale with the data, so shuffle on the bucket key instead of
+    # broadcasting one copy of the corpus
     return (
         a.join(b, "bucket", "inner")
         .filter(F.col("vec_a") < F.col("vec_b"))
