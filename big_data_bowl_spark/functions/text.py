@@ -128,3 +128,41 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     call shingles_from_tokens on the bound column.
     """
     return shingles_from_tokens(tokenize(text), k)
+
+
+# Rolling-hash fingerprint parameters. BASE/MOD are classic polynomial-
+# hash constants; MOD ~2^30 keeps every intermediate (acc*BASE + h48,
+# h48 < 2^48) far inside int64, so Spark and DuckDB fold identically.
+ROLL_BASE = 31
+ROLL_MOD = 1_000_000_007
+
+
+def token_hash48(token: Column) -> Column:
+    """48-bit integer hash of a token: first 12 hex chars of its md5.
+
+    Slicing one digest (see queries/nlp.py on slice independence) keeps
+    the hash deterministic and reproducible in any engine with md5 —
+    no engine-specific hash() in the fingerprint.
+    """
+    return F.conv(
+        F.substring(F.md5(token.cast("binary")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def rolling_hash(tokens: Column, base: int = ROLL_BASE, mod: int = ROLL_MOD) -> Column:
+    """Order-sensitive polynomial rolling hash of a token array:
+    fold(acc -> (acc * base + hash(token)) % mod, init 0).
+
+    Unlike the order-insensitive md5 fingerprint, two documents with
+    the same words in different order get different fingerprints. One
+    narrow pass per document, constant state — scale-safe.
+
+    PERFORMANCE CONTRACT: ``tokens`` must be a materialized column
+    (same reason as shingles_from_tokens).
+    """
+    hashes = F.transform(tokens, token_hash48)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(base) + h) % F.lit(mod),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..multimodal.media import (
     as_media_table,
     extract_image_features,
+    resize_images,
     sample_frames,
 )
 from .base import register, t
@@ -116,3 +117,53 @@ def mm03_frame_sample(spark, sf_dir):
     return frames.select(
         "media_id", "frame_idx", F.octet_length("frame_payload").alias("n_bytes")
     )
+
+
+_RESIZE_W, _RESIZE_H = 4, 3
+
+
+@register(
+    "mm04_resize_features",
+    oracle=f"""
+    WITH m AS ({_MEDIA_SQL}),
+    hx AS (
+      SELECT media_id, width, height,
+             octet_length(payload) AS n_bytes,
+             lower(hex(payload)) AS h
+      FROM m WHERE media_type = 'image'
+    ),
+    px AS (
+      -- nearest-neighbor resize to {_RESIZE_W}x{_RESIZE_H}: resized
+      -- pixel (y, x) = original pixel (y*height//{_RESIZE_H},
+      -- x*width//{_RESIZE_W}); original pixel k (row-major, tiled
+      -- fake codec) = payload byte (k % n_bytes), decoded from hex
+      -- as in mm02
+      SELECT media_id,
+             list_transform(
+               range(0, {_RESIZE_W * _RESIZE_H}),
+               i -> (strpos('0123456789abcdef',
+                       substr(h, CAST(2 * ((((i // {_RESIZE_W}) * height // {_RESIZE_H}) * width
+                                            + ((i % {_RESIZE_W}) * width // {_RESIZE_W})) % n_bytes) + 1 AS BIGINT), 1)) - 1) * 16
+                  + (strpos('0123456789abcdef',
+                       substr(h, CAST(2 * ((((i // {_RESIZE_W}) * height // {_RESIZE_H}) * width
+                                            + ((i % {_RESIZE_W}) * width // {_RESIZE_W})) % n_bytes) + 2 AS BIGINT), 1)) - 1)
+             ) AS pixels
+      FROM hx
+    )
+    SELECT media_id,
+           CAST({_RESIZE_W * _RESIZE_H} AS BIGINT) AS n_bytes,
+           CAST(list_sum(pixels) AS DOUBLE) / len(pixels) AS mean_intensity,
+           CAST(list_max(pixels) AS BIGINT) AS max_intensity
+    FROM px
+    """,
+    note="Resize (nearest-neighbor, mapInPandas stub codec) then "
+    "feature-extract: two chained narrow media ops — payload bytes "
+    "move zero times over the network, and the resized payload is "
+    "value-checked by replicating the index arithmetic in SQL.",
+)
+def mm04_resize_features(spark, sf_dir):
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    resized = resize_images(media, out_w=_RESIZE_W, out_h=_RESIZE_H)
+    return extract_image_features(resized)

@@ -29,6 +29,7 @@ from ..functions.text import (  # noqa: F401
     fingerprint,
     punct_ratio,
     quality_score,
+    rolling_hash,
     stopword_hits,
     token_count,
     word_shingles,
@@ -222,6 +223,31 @@ def n04_fingerprint(spark: SparkSession, sf_dir: str):
 def n05_punct_ratio(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents")
     return d.select("doc_id", punct_ratio(F.col("text")).alias("punct_ratio"))
+
+
+@register(
+    "n07_rolling_hash_fingerprint",
+    oracle=rf"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform({_SQL_TOKENS},
+                 tkn -> CAST('0x' || substr(md5(tkn), 1, 12) AS BIGINT))),
+             (acc, h) -> (acc * 31 + h) % 1000000007) AS rolling_fp
+    FROM documents
+    """,
+    note="Order-sensitive polynomial rolling-hash fingerprint: fold "
+    "(acc*31 + md5_48(token)) % 1e9+7 over the token stream. One "
+    "narrow pass, constant per-doc state; complements the order-"
+    "insensitive md5 fingerprint (n04) for exact-dedup keys",
+)
+def n07_rolling_hash(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    # materialize tokens before the HOF lambdas (perf contract)
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tok"))
+    return toks.select(
+        "doc_id", rolling_hash(F.col("tok")).alias("rolling_fp")
+    )
 
 
 # ---------------------------------------------------------------------------

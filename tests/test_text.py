@@ -77,3 +77,19 @@ def test_rhu_tie_rounds_consistently(spark):
     assert r.a == 0.500000062
     assert r.b == 1.234567894
     assert r.c == -0.500000062
+
+
+def test_rolling_hash_order_sensitive(spark):
+    from big_data_bowl_spark.functions.text import (
+        ROLL_MOD,
+        rolling_hash,
+        tokenize,
+    )
+
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",), ("",)], "text string"
+    ).select(tokenize(F.col("text")).alias("tok"))
+    got = [r.fp for r in df.select(rolling_hash(F.col("tok")).alias("fp")).collect()]
+    assert got[0] == got[2]          # deterministic
+    assert got[0] != got[1]          # order matters (unlike md5-of-sorted)
+    assert all(0 <= v < ROLL_MOD for v in got)
