@@ -249,3 +249,89 @@ def s05_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str):
     out = tempfile.mkdtemp(prefix="sink_", dir=scratch)
     agg.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Scale techniques as first-class, value-checked operators: bucketed
+# co-located joins (shuffle-free persisted layout) and salted skew
+# aggregation. Values are layout-independent, so both get full oracles.
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+
+def _scratch_dir() -> str:
+    scratch = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch"
+    )
+    os.makedirs(scratch, exist_ok=True)
+    return scratch
+
+
+@register(
+    "s06_bucketed_colocated_join",
+    oracle="""
+    WITH c AS (SELECT l_orderkey, COUNT(*) AS n_lines
+               FROM lineitem GROUP BY l_orderkey)
+    SELECT l.l_orderkey, l.l_linenumber, c.n_lines
+    FROM lineitem l JOIN c ON l.l_orderkey = c.l_orderkey
+    """,
+    note="Bucketed co-located join: both sides persisted with "
+    "bucketBy(8, l_orderkey) + sortBy, so the join's exchange "
+    "requirement is satisfied by the STORED layout — zero shuffle at "
+    "read time (tests assert no Exchange in the plan). At 100 TB this "
+    "is the amortization play: bucket the fact table once, and every "
+    "subsequent key join/agg on the bucket key skips its shuffle.",
+)
+def s06_bucketed_join(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    agg = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    scratch = _scratch_dir()
+    for name, df in [("bkt_lineitem", li), ("bkt_counts", agg)]:
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(_N_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .option("path", os.path.join(scratch, name))
+            .saveAsTable(name)
+        )
+    a = spark.table("bkt_lineitem")
+    b = spark.table("bkt_counts")
+    return a.join(b, "l_orderkey").select(
+        "l_orderkey", "l_linenumber", "n_lines"
+    )
+
+
+_N_SALTS = 16
+
+
+@register(
+    "a08_salted_grouped_sum",
+    oracle=f"""
+    SELECT user_id, {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    note=f"Salted two-stage aggregation for skewed keys: rows of one "
+    f"group spread over {_N_SALTS} salts (event_id % {_N_SALTS}), "
+    "partial-agg on (key, salt), then final-agg on key — a hot key's "
+    f"work lands on {_N_SALTS} tasks instead of one straggler. Decimal "
+    "partials keep the two-stage sum bit-equal to the one-stage oracle. "
+    "(groupBy already map-side-combines; explicit salting is the "
+    "pattern for window/collect ops where partial agg can't help, and "
+    "complements AQE skew-join splitting, which only covers joins.)",
+)
+def a08_salted_grouped_sum(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (F.col("event_id") % _N_SALTS).alias("salt"),
+    )
+    partial = ev.groupBy("user_id", "salt").agg(
+        F.sum(F.col("value").cast("decimal(28,2)")).alias("psum")
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("psum").cast("double").alias("sum_value")
+    )

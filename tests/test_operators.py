@@ -124,3 +124,34 @@ def test_deterministic_split_row_never_migrates(people):
     train1, _ = deterministic_split(people, ["id"], 0.75)
     train2, _ = deterministic_split(people.repartition(13), ["id"], 0.75)
     assert {r.id for r in train1.collect()} == {r.id for r in train2.collect()}
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    from big_data_bowl_spark.queries.extras import s06_bucketed_join
+
+    df = s06_bucketed_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the whole point of bucketing: the persisted layout satisfies the
+    # join's distribution requirement, so NO shuffle exchange appears
+    assert "Exchange hashpartitioning" not in plan
+    assert df.count() > 0
+
+
+def test_salted_sum_matches_unsalted(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.queries.base import dsum, load_table
+    from big_data_bowl_spark.queries.extras import a08_salted_grouped_sum
+
+    salted = {
+        r.user_id: r.sum_value
+        for r in a08_salted_grouped_sum(spark, sf_dir).collect()
+    }
+    plain = {
+        r.user_id: r.sum_value
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(dsum(F.col("value")).alias("sum_value"))
+        .collect()
+    }
+    assert salted == plain
