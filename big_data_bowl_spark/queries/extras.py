@@ -200,12 +200,19 @@ def v04_ivf_topk(spark: SparkSession, sf_dir: str):
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
     )
-    qv = e.select(F.col("vec_id").alias("query_id"), vec.alias("qv"))
-    cv = e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    # query side filtered to the bounded query set BEFORE the broadcast
+    # (broadcasting the whole corpus would die at scale), and per-vector
+    # norms hoisted out of the pair scoring: one fold per vector instead
+    # of three per pair, bit-identical cosine
+    qv = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), vec.alias("qv"))
+        .withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     )
+    cv = e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv")).withColumn(
+        "cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w_final = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id")
     )

@@ -103,21 +103,27 @@ _SQL_COS = (
 )
 def v01_cosine_topk(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "embeddings")
+    # norms are per-VECTOR, so compute them once on each input (one
+    # fold per vector) instead of inside the pair scoring (which would
+    # fold 3 arrays per PAIR); cosine = dot/(qn*cn) is bit-identical
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qe"),
-    )
+    ).withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
     c = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").cast("array<double>").alias("ce"),
-    )
+    ).withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("cand_id"))
         .select(
             "query_id",
             "cand_id",
-            _cosine(F.col("qe"), F.col("ce")).alias("cosine"),
+            (
+                _dot(F.col("qe"), F.col("ce"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -189,17 +195,21 @@ def v02_srp_lsh_buckets(spark: SparkSession, sf_dir: str):
 def v03_bucketed_neardup(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
+    # per-vector norm computed ONCE before the pair join (one array
+    # fold per vector, not three per pair); cosine stays bit-identical
     withb = e.select(
         "vec_id", vec.alias("v"), _bucket_expr(vec).alias("bucket")
-    )
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     a = withb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
         "bucket",
     )
     b = withb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
         "bucket",
     ).hint("shuffle_hash")
     # self-join of the full corpus on the SRP bucket key: both sides
@@ -209,7 +219,11 @@ def v03_bucketed_neardup(spark: SparkSession, sf_dir: str):
         a.join(b, "bucket", "inner")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "vec_a", "vec_b", _cosine(F.col("va"), F.col("vb")).alias("cosine")
+            "vec_a",
+            "vec_b",
+            (
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_COS)
     )
