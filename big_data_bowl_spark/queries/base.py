@@ -27,7 +27,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.io import load_table
+from ..sources.io import fan_out, load_table
 
 
 @dataclass(frozen=True)
@@ -54,6 +54,21 @@ def register(name: str, oracle: str | None = None, note: str = ""):
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def tf(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like t(), but fanned out across the cluster for CPU-heavy per-row
+    pipelines. A small table scans as one split, which would pin all
+    that per-row work to a single core; fan_out round-robins it to
+    defaultParallelism partitions, and is a no-op once the scan itself
+    carries enough splits (always true at scale).
+
+    Measured guidance (sf0.1 A/B): the extra shuffle only pays for
+    itself when per-row work truly dominates — the shingle->md5->minhash
+    pipelines (d02/d03) and the rolling-hash fold (n07). Cheap regex
+    projections and payload-carrying media tables run FASTER on the raw
+    scan partitioning at bench scale, so they stay on t()."""
+    return fan_out(load_table(spark, sf_dir, name))
 
 
 def dsum(col: Column, scale: int = 2, precision: int = 28) -> Column:

@@ -34,7 +34,7 @@ from ..functions.text import (  # noqa: F401
     token_count,
     word_shingles,
 )
-from .base import register, t
+from .base import register, t, tf
 
 # MinHash/LSH parameters: H hashes split into B bands of R rows.
 # P[candidate | jaccard=s] = 1 - (1 - s^R)^B — with (H,B,R)=(8,4,2)
@@ -242,7 +242,7 @@ def n05_punct_ratio(spark: SparkSession, sf_dir: str):
     "insensitive md5 fingerprint (n04) for exact-dedup keys",
 )
 def n07_rolling_hash(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents")
+    d = tf(spark, sf_dir, "documents")
     # materialize tokens before the HOF lambdas (perf contract)
     toks = d.select("doc_id", tokenize(F.col("text")).alias("tok"))
     return toks.select(
@@ -370,22 +370,31 @@ def _minhash_bands(d):
     "(band, bkey, doc_id) only",
 )
 def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents")
+    d = tf(spark, sf_dir, "documents")
     bands = _minhash_bands(d)
-    # both sides are the full banded corpus — never broadcastable at
-    # scale; shuffle_hash co-partitions on the 32-byte band key and
-    # probes hash buckets without the SMJ sort
-    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    # Pair generation is a groupBy on the band key, NOT a self-join:
+    # Spark plans a self-join of this subtree as TWO full evaluations
+    # of the shingle->md5->minhash pipeline (no ReusedExchange, the
+    # sides' exchanges don't canonicalize equal), doubling the only
+    # expensive part. Grouping shuffles the banded corpus ONCE —
+    # (band, bkey, doc_id) rows only — and emits i<j pairs
+    # bucket-locally from the sorted id array. Work per bucket is the
+    # same O(bucket^2) bound the join form had; a degenerate hot
+    # bucket is equally degenerate under both forms.
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-            "inner",
-        )
+        buckets.select(F.posexplode("ids").alias("pos", "doc_a"), "ids")
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            "doc_a",
+            F.explode(
+                F.slice(
+                    F.col("ids"), F.col("pos") + 2, F.size("ids")
+                )
+            ).alias("doc_b"),
         )
         .distinct()
     )
@@ -417,7 +426,7 @@ _D03_ORACLE = (
     "O(candidates) rows, not O(n^2)",
 )
 def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents")
+    d = tf(spark, sf_dir, "documents")
     shingle_tbl = d.select(
         "doc_id", tokenize(F.col("text")).alias("tok")
     ).select(

@@ -53,6 +53,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame) -> DataFrame:
+    """Redistribute an under-partitioned scan before CPU-heavy per-row work.
+
+    A small parquet file scans as ONE input split, so a per-row-expensive
+    pipeline downstream (shingle+md5 minhash, embedding folds, mapInPandas
+    codecs) would run on a single core no matter how wide the cluster is.
+    This round-robins the rows across `defaultParallelism` partitions ONLY
+    when the scan has fewer — at 100 TB the scan already carries >= that
+    many splits and this is a no-op (no shuffle inserted). The guard is a
+    plan-only inspection (no job runs).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All star-schema tables as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}
