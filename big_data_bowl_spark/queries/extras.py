@@ -164,16 +164,18 @@ def v04_ivf_topk(spark: SparkSession, sf_dir: str):
     )
     corp = e.select("vec_id", vec.alias("cv"))
 
-    # cell assignment: best centroid per corpus vector
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("score"), F.asc("cid")
-    )
+    # cell assignment: best centroid per corpus vector. max_by with a
+    # (score, -cid) ordering struct == "ORDER BY score DESC, cid ASC
+    # LIMIT 1" but as a partially-aggregable groupBy: the map side
+    # reduces NLIST rows/vector to 1 BEFORE the shuffle, where the
+    # row_number window would shuffle and sort all NLIST*corpus rows.
     assign = (
         corp.crossJoin(F.broadcast(cent))
         .select("vec_id", "cid", _dot(F.col("cv"), F.col("kv")).alias("score"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cid, struct(score, -cid))").alias("cell")
+        )
     )
 
     # probe list: NPROBE best cells per query

@@ -195,35 +195,44 @@ def v02_srp_lsh_buckets(spark: SparkSession, sf_dir: str):
 def v03_bucketed_neardup(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    # per-vector norm computed ONCE before the pair join (one array
-    # fold per vector, not three per pair); cosine stays bit-identical
+    # per-vector norm computed ONCE (one array fold per vector, not
+    # three per pair); cosine = dot/(na*nb) stays bit-identical
     withb = e.select(
         "vec_id", vec.alias("v"), _bucket_expr(vec).alias("bucket")
     ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    a = withb.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-        "bucket",
+    # Pair generation is a groupBy on the bucket id, NOT a self-join: a
+    # self-join of this subtree would evaluate the SRP-projection +
+    # norm pipeline twice (the two sides' exchanges don't canonicalize
+    # equal, so nothing is reused). One shuffle keyed on the bucket id
+    # collects each bucket's (vec_id, nrm, v) structs, and i<j pairs
+    # are emitted bucket-locally — identical O(sum bucket^2) pair
+    # space, half the projection compute. A vector lands in exactly
+    # one bucket, so pairs are already distinct.
+    buckets = (
+        withb.groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "nrm", "v"))
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
     )
-    b = withb.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-        "bucket",
-    ).hint("shuffle_hash")
-    # self-join of the full corpus on the SRP bucket key: both sides
-    # scale with the data, so shuffle on the bucket key instead of
-    # broadcasting one copy of the corpus
+    pairs = buckets.select(
+        F.posexplode("xs").alias("pos", "a"), "xs"
+    ).select(
+        "a",
+        F.explode(
+            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
+        ).alias("b"),
+    )
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
-        a.join(b, "bucket", "inner")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            (
-                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-            ).alias("cosine"),
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_COS)
     )
