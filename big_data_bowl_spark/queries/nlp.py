@@ -12,8 +12,10 @@ Scale notes (the 100 TB story):
   (key, doc_id), never of the text payload.
 - MinHash/LSH: signatures are computed in a narrow map (explode-free
   higher-order functions over the shingle array); candidate pairs come
-  from an equi-join WITHIN band buckets — complexity O(sum of
-  bucket^2), never the all-pairs O(n^2) cross join.
+  from ONE groupBy on the band key with bucket-local i<j pair
+  emission — complexity O(sum of bucket^2), never the all-pairs
+  O(n^2) cross join, and the signature pipeline is evaluated once
+  (a bucket self-join would evaluate it twice).
 - SimHash: one narrow explode + one groupBy(doc_id) re-aggregation.
 """
 
@@ -364,10 +366,11 @@ def _minhash_bands(d):
     "d02_dedup_minhash_lsh",
     oracle=_D02_ORACLE,
     note=f"MinHash+LSH near-dup candidates: {MINHASH_H} md5-derived "
-    f"minhashes -> {LSH_BANDS} bands x {LSH_ROWS} rows -> equi-join "
-    "WITHIN band buckets. Complexity O(sum bucket^2), never all-pairs "
-    "O(n^2); the join key is a 32-byte band hash so the shuffle carries "
-    "(band, bkey, doc_id) only",
+    f"minhashes -> {LSH_BANDS} bands x {LSH_ROWS} rows -> pairs emitted "
+    "bucket-locally from ONE groupBy on the band hash. Complexity "
+    "O(sum bucket^2), never all-pairs O(n^2); the single shuffle "
+    "carries (band, bkey, doc_id) only, and the signature pipeline "
+    "runs once (a self-join would run it twice)",
 )
 def d02_dedup_minhash_lsh(spark: SparkSession, sf_dir: str):
     d = tf(spark, sf_dir, "documents")

@@ -189,7 +189,8 @@ def v02_srp_lsh_buckets(spark: SparkSession, sf_dir: str):
     SELECT vec_a, vec_b, cosine FROM p WHERE cosine >= {NEARDUP_COS!r}
     """,
     note="Embedding-cosine near-dup pairs WITHIN SRP buckets only — "
-    "the equi-join on bucket id keeps the pair space O(sum bucket^2); "
+    "bucket-local pair emission from one groupBy on the bucket id "
+    "keeps the pair space O(sum bucket^2); "
     "exact cosine re-scoring inside each bucket",
 )
 def v03_bucketed_neardup(spark: SparkSession, sf_dir: str):
