@@ -436,23 +436,34 @@ def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
         "doc_id", shingles_from_tokens(F.col("tok"), k=SHINGLE_K).alias("sh")
     )
     cand = d02_dedup_minhash_lsh(spark, sf_dir)
-    # the shingle side carries the full corpus' shingle arrays — wide
-    # and fact-sized, so force shuffle joins keyed on doc id rather
-    # than letting a small bench SF broadcast the whole corpus
-    sa = shingle_tbl.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    ).hint("shuffle_hash")
-    sb = shingle_tbl.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    ).hint("shuffle_hash")
+    # One shingle-table join, not two: joining sa/sb separately would
+    # evaluate the corpus tokenize->shingle pipeline once PER SIDE
+    # (self-referenced subtrees are never reused). Instead each pair
+    # explodes into its two member doc_ids, the (fact-sized, never
+    # broadcastable) shingle table joins ONCE keyed on doc_id, and the
+    # pair reassembles by grouping — each group has exactly 2 rows, so
+    # the conditional first() picks each side deterministically.
+    members = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
+    joined = members.join(shingle_tbl.hint("shuffle_hash"), "doc_id")
+    paired = joined.groupBy("doc_a", "doc_b").agg(
+        F.first(
+            F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
+            ignorenulls=True,
+        ).alias("sh_a"),
+        F.first(
+            F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
+            ignorenulls=True,
+        ).alias("sh_b"),
+    )
     inter = F.size(F.array_distinct(F.array_intersect("sh_a", "sh_b")))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
     jac = inter.cast("double") / union
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+    return paired.filter(jac >= 0.5).select(
+        "doc_a", "doc_b", F.round(jac, 9).alias("jaccard")
     )
 
 
