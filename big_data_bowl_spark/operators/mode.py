@@ -8,18 +8,21 @@ is deterministic under any partitioning and reproducible by the SQL
 oracle.
 
 Plan shape: one partial+final count aggregation (map-side combine is
-free from Catalyst) + one window over the small (group, value, cnt)
-intermediate — two shuffles total, both on the group key, so AQE can
-coalesce. At 100 TB this beats collecting per-group value lists by
-orders of magnitude: state per group is one row per *distinct* value,
-not per input row.
+free from Catalyst) + one min_by aggregation over the small
+(group, value, cnt) intermediate — two shuffles total, both on the
+group key, so AQE can coalesce, and BOTH stages are partially
+aggregable (the min_by pick reduces map-side too, where a row_number
+window would have to shuffle and sort every distinct value). At
+100 TB this beats collecting per-group value lists by orders of
+magnitude: state per group is one row per *distinct* value, not per
+input row.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,11 +38,10 @@ def grouped_mode(
     matching the oracle SQL emitted in queries.py.
     """
     counted = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.desc("cnt"), F.asc(value_col)
-    )
-    return (
-        counted.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*group_cols, F.col(value_col).alias(out_col))
+    # min over (-cnt, value) == ORDER BY cnt DESC, value ASC LIMIT 1,
+    # but as a partially-aggregable aggregate instead of a sort window
+    return counted.groupBy(*group_cols).agg(
+        F.expr(f"min_by({value_col}, struct(-cnt, {value_col}))").alias(
+            out_col
+        )
     )
