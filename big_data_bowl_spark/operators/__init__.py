@@ -1,8 +1,10 @@
+from .components import connected_components
 from .mode import grouped_mode
 from .pivot import pivot_wide_multi
 from .sample import deterministic_sample, deterministic_split
 
 __all__ = [
+    "connected_components",
     "grouped_mode",
     "pivot_wide_multi",
     "deterministic_sample",

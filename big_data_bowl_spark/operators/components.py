@@ -1,0 +1,103 @@
+"""Distributed connected components — dedup canonicalization.
+
+Near-dup detection (queries/nlp.py d02/d03) emits PAIRS; an actual
+dedup pass needs the transitive closure of those pairs so every
+cluster keeps exactly one canonical document. This operator labels
+each node with the minimum node id reachable from it.
+
+Algorithm: min-label propagation with pointer jumping ("hash-to-min",
+Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds", ICDE 2013). Each round, every node takes the min
+label over {itself} ∪ {graph neighbors} ∪ {its current label's
+neighbors} — the label-pointer edges double the effective path length
+per round, so convergence is O(log d) rounds on diameter-d
+components, not O(d). Each round is one shuffle join + one min
+aggregation — plain Catalyst primitives, no RDDs.
+
+Scale notes (100 TB):
+- Labels only ever DECREASE, and never below the true component min,
+  so the fixpoint is exact; convergence is detected with a cheap
+  count of changed labels (an action per round — unavoidable for any
+  data-dependent iteration).
+- `localCheckpoint` truncates the per-round lineage; without it round
+  k re-evaluates all k-1 predecessors (and the upstream edge
+  pipeline) from scratch.
+- Near-dup graphs are benign inputs: LSH buckets emit cliques, so
+  components have tiny diameter and 2-3 rounds settle them. For
+  adversarial long-chain graphs at extreme scale, the same join
+  primitive supports the large-star/small-star contraction of
+  Kiveris et al. (MapReduce '14); hash-to-min is preferred here for
+  its simpler invariant.
+
+The reference repo has no graph operator; this extends its dedup
+story per BASELINE.md's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Label every node of the undirected pair graph with its
+    component's minimum node id.
+
+    Returns DataFrame[node, comp]. Nodes appear only if they occur in
+    `edges`; callers attach singletons with a left join + coalesce.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).where(F.col("u") != F.col("v"))
+    sym = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        # evaluated once here, reused every round — without this the
+        # upstream pipeline (e.g. the whole LSH candidate generation)
+        # would re-run inside every iteration
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # pointer-jumping edges: node <-> its current label
+        ptr = labels.select(
+            F.col("node").alias("u"), F.col("comp").alias("v")
+        )
+        msg_edges = sym.unionByName(ptr).unionByName(
+            ptr.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr_min = (
+            msg_edges.join(
+                labels.select(
+                    F.col("node").alias("u"), F.col("comp").alias("ucomp")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("ucomp").alias("nbr"))
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("comp").alias("old"),
+                F.least(
+                    F.col("comp"), F.coalesce("nbr", "comp")
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        labels = stepped.select("node", "comp")
+        if stepped.where(F.col("comp") != F.col("old")).isEmpty():
+            break
+    return labels

@@ -525,3 +525,55 @@ def d04_simhash(spark: SparkSession, sf_dir: str):
         bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = bit if simhash is None else simhash + bit
     return votes.select("doc_id", simhash.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# D5: connected-components canonicalization of the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_D05_ORACLE = (
+    _sig_sql().replace("WITH ", "WITH RECURSIVE ", 1)
+    + f", bands AS ({_bands_sql()}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b "
+    "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+    "pairs AS (SELECT c.doc_a, c.doc_b FROM cand c "
+    "JOIN sh_t sa ON c.doc_a = sa.doc_id "
+    "JOIN sh_t sb ON c.doc_b = sb.doc_id "
+    "WHERE CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) AS DOUBLE) "
+    "/ len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5), "
+    "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs "
+    "UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs), "
+    "reach(node, lbl) AS ("
+    "SELECT doc_id AS node, doc_id AS lbl FROM documents "
+    "UNION "
+    "SELECT r.node, e.v AS lbl FROM reach r JOIN edges e ON e.u = r.lbl) "
+    "SELECT node AS doc_id, MIN(lbl) AS canonical_id, "
+    "MIN(lbl) <> node AS is_dup FROM reach GROUP BY node"
+)
+
+
+@register(
+    "d05_dedup_components",
+    oracle=_D05_ORACLE,
+    note="Transitive closure of the verified near-dup pairs "
+    "(connected components, hash-to-min pointer jumping — "
+    "operators/components.py): every document maps to its cluster's "
+    "min doc_id; keep-one dedup = filter is_dup. O(log diameter) "
+    "rounds of join+min-agg; oracle = DuckDB recursive CTE",
+)
+def d05_dedup_components(spark: SparkSession, sf_dir: str):
+    from ..operators.components import connected_components
+
+    pairs = d03_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    out = docs.join(
+        labels, docs["doc_id"] == labels["node"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").alias("canonical_id"),
+    )
+    return out.withColumn(
+        "is_dup", F.col("canonical_id") != F.col("doc_id")
+    )

@@ -155,3 +155,43 @@ def test_salted_sum_matches_unsalted(spark, sf_dir):
         .collect()
     }
     assert salted == plain
+
+
+def test_connected_components_chain_and_singleton_clusters(spark):
+    from big_data_bowl_spark.operators.components import (
+        connected_components,
+    )
+
+    # one 4-chain (needs transitive closure, not just direct pairs),
+    # one isolated pair, one triangle with a redundant edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["comp"] for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_connected_components_long_path_pointer_jumping(spark):
+    from big_data_bowl_spark.operators.components import (
+        connected_components,
+    )
+
+    # a 12-node path is the adversarial (max-diameter) shape: plain
+    # min-propagation needs 11 rounds, hash-to-min pointer jumping
+    # must still settle it within the round budget
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, max_rounds=8).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
