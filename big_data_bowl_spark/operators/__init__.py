@@ -1,9 +1,11 @@
+from .asof import asof_join
 from .components import connected_components
 from .mode import grouped_mode
 from .pivot import pivot_wide_multi
 from .sample import deterministic_sample, deterministic_split
 
 __all__ = [
+    "asof_join",
     "connected_components",
     "grouped_mode",
     "pivot_wide_multi",

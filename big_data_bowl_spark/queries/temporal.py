@@ -175,3 +175,51 @@ def t05_json_props(spark: SparkSession, sf_dir: str):
         "event_id",
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
     )
+
+
+@register(
+    "t06_asof_join",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      value FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      MAX(value) AS prior_view_value
+               FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS prior_view_ts, r.prior_view_value,
+           epoch_us(l.ts) - epoch_us(r.ts) AS gap_us
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    note="As-of join: attach the most recent prior 'view' to each "
+    "'purchase' per user. Spark has no ASOF JOIN; the inequality-join "
+    "spelling plans as a broadcast-nested-loop (O(n*m) — never at "
+    "scale). Instead: union both sides tagged, ONE shuffle on "
+    "user_id, sort by (ts, tag), last(ignorenulls) carries the "
+    "latest right row forward — the distributed merge as-of, linear "
+    "per partition. Right side pre-aggregated per (user_id, ts) so "
+    "tie resolution is deterministic in both engines",
+)
+def t06_asof_join(spark: SparkSession, sf_dir: str):
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("prior_view_value"))
+    )
+    res = asof_join(left, right, on="user_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_r").alias("prior_view_ts"),
+        "prior_view_value",
+        gap.alias("gap_us"),
+    )

@@ -195,3 +195,37 @@ def test_connected_components_long_path_pointer_jumping(spark):
         for r in connected_components(edges, max_rounds=8).collect()
     }
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_asof_join_backward_inclusive_semantics(spark):
+    from big_data_bowl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, 5),    # exact tie with right ts=5 -> inclusive
+            (1, 101, 7),    # between right 5 and 9 -> matches 5
+            (1, 102, 3),    # before any right row -> NULLs
+            (2, 200, 50),   # other key, matches its own right side
+            (3, 300, 1),    # key with no right rows at all -> NULLs
+        ],
+        "k long, event_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 5, "a", None),  # NULL payload field must not be
+            (1, 9, "b", 9.9),   # back-filled from an older row
+            (2, 40, "c", 4.4),
+        ],
+        "k long, ts long, label string, score double",
+    )
+    got = {
+        r["event_id"]: (r["ts_r"], r["label"], r["score"])
+        for r in asof_join(left, right, on="k").collect()
+    }
+    assert got == {
+        100: (5, "a", None),   # tie -> matched; score stays NULL
+        101: (5, "a", None),
+        102: (None, None, None),
+        200: (40, "c", 4.4),
+        300: (None, None, None),
+    }
