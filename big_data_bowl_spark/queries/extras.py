@@ -20,7 +20,7 @@ import tempfile
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import dsum, dsum_sql, register, t
+from .base import dsum, dsum_sql, register, rhu, t
 
 # ---------------------------------------------------------------------------
 # F9: clamp via least/greatest (Field Control.R:284-287 as its own row)
@@ -343,4 +343,67 @@ def a08_salted_grouped_sum(spark: SparkSession, sf_dir: str):
     )
     return partial.groupBy("user_id").agg(
         F.sum("psum").cast("double").alias("sum_value")
+    )
+
+
+_QUANTILE_PS = (0.5, 0.9, 0.99)
+_A09_SELECT = ", ".join(
+    f"floor(quantile_cont(l_extendedprice, {p}) * 1e9 + 0.5) / 1e9 "
+    f"AS p{int(p * 100)}"
+    for p in _QUANTILE_PS
+)
+
+
+@register(
+    "a09_grouped_quantiles",
+    oracle=f"""
+    SELECT l_returnflag, {_A09_SELECT}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="Exact grouped quantiles (p50/p90/p99): Spark percentile() == "
+    "DuckDB quantile_cont (both interpolate at rank (n-1)*p). Exact "
+    "quantiles buffer each group's values on one reducer — fine for "
+    "bounded groups; at 100 TB with huge groups switch to "
+    "percentile_approx (t-digest: mergeable map-side sketches, "
+    "bounded memory) and accept the approximation",
+)
+def a09_grouped_quantiles(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            rhu(
+                F.expr(f"percentile(l_extendedprice, {p})"), 9
+            ).alias(f"p{int(p * 100)}")
+            for p in _QUANTILE_PS
+        ]
+    )
+
+
+@register(
+    "s07_partitioned_sink_pruning",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY 1, 2
+    """,
+    note="S5/scale sink: write events hive-partitioned by event_type "
+    "(df.write.partitionBy), then re-read with a partition predicate. "
+    "The filter resolves against directory names — PartitionFilters "
+    "in the scan, untouched partitions never open (asserted in "
+    "tests/test_operators.py). The 100 TB pattern for any "
+    "low-cardinality hot filter column (date, source, lang)",
+)
+def s07_partitioned_sink_pruning(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", F.to_date("ts").alias("event_date")
+    )
+    out = tempfile.mkdtemp(prefix="psink_", dir=_scratch_dir())
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type", "event_date")
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )

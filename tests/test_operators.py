@@ -229,3 +229,30 @@ def test_asof_join_backward_inclusive_semantics(spark):
         200: (40, "c", 4.4),
         300: (None, None, None),
     }
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    import contextlib
+    import io
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(30)],
+        "id long, part string",
+    )
+    out = str(tmp_path / "psink")
+    df.write.mode("overwrite").partitionBy("part").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("part") == "a")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    # the predicate must resolve against partition directories, not
+    # row-level data filters — that's what makes untouched partitions
+    # free at 100 TB
+    assert "PartitionFilters" in plan
+    ppart = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "part" in ppart and "= a" in ppart.replace("'", "")
+
+    assert back.count() == 10
+    assert {r["part"] for r in back.collect()} == {"a"}
