@@ -577,3 +577,136 @@ def d05_dedup_components(spark: SparkSession, sf_dir: str):
     return out.withColumn(
         "is_dup", F.col("canonical_id") != F.col("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# N8-N10: corpus curation ops — per-source quotas, vocabulary, TF-IDF
+# ---------------------------------------------------------------------------
+
+QUOTA_PER_SOURCE = 50
+VOCAB_TOPK = 100
+TFIDF_TOPK = 3
+
+
+@register(
+    "n08_source_quota",
+    oracle=f"""
+    SELECT doc_id, source, rn AS source_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {QUOTA_PER_SOURCE}
+    """,
+    note=f"Per-source quota capping (keep first {QUOTA_PER_SOURCE} docs "
+    "per source by doc_id) — the anti-domination filter web-scale "
+    "corpora apply per domain. One shuffle on source; a pathologically "
+    "hot source is bounded by the quota itself (the window stops "
+    "emitting past k, and at extreme skew the salted two-phase pick "
+    "of a08 applies)",
+)
+def n08_source_quota(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id", "source", F.row_number().over(w).alias("source_rank")
+        )
+        .filter(F.col("source_rank") <= QUOTA_PER_SOURCE)
+    )
+
+
+@register(
+    "n09_vocab_topk",
+    oracle=f"""
+    SELECT tk AS token, n, rank FROM (
+      SELECT tk, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tk ASC) AS rank
+      FROM (SELECT unnest({_SQL_TOKENS}) AS tk FROM documents)
+      GROUP BY tk)
+    WHERE rank <= {VOCAB_TOPK}
+    """,
+    note=f"Corpus vocabulary: top-{VOCAB_TOPK} tokens by frequency. "
+    "explode -> count (map-side partial agg does the heavy lifting: "
+    "the shuffle carries one row per distinct token per task, not one "
+    "per occurrence) -> orderBy+limit, which Spark executes as "
+    "TakeOrderedAndProject: each task keeps its local top-k and only "
+    "k rows per task reach the driver-side merge — no single-partition "
+    "sort even with a 100M-token vocabulary. The rank window runs on "
+    "the k survivors only. Deterministic (count DESC, token ASC) "
+    "tiebreak in both engines",
+)
+def n09_vocab_topk(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_TOPK)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "n10_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tk
+                 FROM documents),
+    tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tk,
+             floor(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)
+                   * 1e9 + 0.5) / 1e9 AS tfidf
+      FROM tf JOIN df USING (tk) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, tk AS token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, tk ASC) AS rank
+      FROM scored)
+    SELECT doc_id, token, tfidf, rank FROM ranked
+    WHERE rank <= {TFIDF_TOPK}
+    """,
+    note=f"TF-IDF top-{TFIDF_TOPK} terms per document (smoothed idf "
+    "ln((N+1)/(df+1))+1). Two aggregations over the exploded token "
+    "table (both map-side combinable) + one broadcast-sized join on "
+    "the distinct-token df table; per-doc top-k via max_by-shaped "
+    "window on the small tf table, never the raw corpus",
+)
+def n10_tfidf_top_terms(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    from ..functions.rounding import rhu
+
+    scored = (
+        tf.join(df_tbl, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            rhu(F.col("tf") * idf, 9).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+    )
