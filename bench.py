@@ -40,7 +40,9 @@ HEADLINE = [
     "v01_cosine_topk",
     "v04_ivf_topk",
     "t01_tumbling_window",
+    "t06_asof_join",
     "n02_quality_score",
+    "n10_tfidf_top_terms",
     "mm02_image_features",
     "m00_ml_feature_table",
 ]

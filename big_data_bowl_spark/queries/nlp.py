@@ -674,10 +674,14 @@ def n09_vocab_topk(spark: SparkSession, sf_dir: str):
     WHERE rank <= {TFIDF_TOPK}
     """,
     note=f"TF-IDF top-{TFIDF_TOPK} terms per document (smoothed idf "
-    "ln((N+1)/(df+1))+1). Two aggregations over the exploded token "
-    "table (both map-side combinable) + one broadcast-sized join on "
-    "the distinct-token df table; per-doc top-k via max_by-shaped "
-    "window on the small tf table, never the raw corpus",
+    "ln((N+1)/(df+1))+1). ONE pass over the exploded token table: "
+    "tf = groupBy(doc, token) (map-side combinable), then df = "
+    "count over a token-partitioned window of the tf table — tf has "
+    "one row per (doc, token), so the window count IS the document "
+    "frequency, and the expensive explode pipeline is never "
+    "evaluated twice (a tf-vs-df self-join would run it once per "
+    "side); per-doc top-k windows the small tf table, never the raw "
+    "corpus",
 )
 def n10_tfidf_top_terms(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
@@ -687,21 +691,15 @@ def n10_tfidf_top_terms(spark: SparkSession, sf_dir: str):
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df_tbl = tok.groupBy("token").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
+    df_c = F.count(F.lit(1)).over(Window.partitionBy("token"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    idf = F.log((F.col("n_docs") + 1.0) / (df_c + 1.0)) + 1.0
     from ..functions.rounding import rhu
 
-    scored = (
-        tf.join(df_tbl, "token")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "token",
-            rhu(F.col("tf") * idf, 9).alias("tfidf"),
-        )
+    scored = tf.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id",
+        "token",
+        rhu(F.col("tf") * idf, 9).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("tfidf"), F.asc("token")
