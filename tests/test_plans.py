@@ -1,0 +1,64 @@
+"""Physical-plan regression guards.
+
+These pin the plan properties the 100 TB design depends on — a
+refactor that silently turns the as-of join into a nested loop or
+un-broadcasts the dimension join should fail HERE, not in a cluster
+bill. Plans are built at sf0.001 (plan shape is SF-independent)."""
+
+from __future__ import annotations
+
+import pytest
+
+from big_data_bowl_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return (
+        REGISTRY[name]
+        .fn(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_e01_broadcasts_dim_prunes_columns_pushes_filters(spark):
+    plan = _plan(spark, "e01_distance_at_anchor")
+    assert "BroadcastHashJoin" in plan  # customer dim side
+    assert "PushedFilters: [IsNotNull" in plan
+    # projection must reach the scan: fact scan reads only needed cols
+    assert "l_comment" not in plan and "l_shipdate" not in plan
+
+
+def test_t06_asof_join_is_merge_shaped_not_nested_loop(spark):
+    plan = _plan(spark, "t06_asof_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the cumulative carry-forward
+
+
+def test_relational_core_has_no_nested_loop_joins(spark):
+    # every J-family query except the intentional cross joins must
+    # plan as hash or sort-merge joins
+    for name in [
+        "j01_inner_join_1key",
+        "j02_inner_join_2keys",
+        "j03_selfjoin_anchor_attach",
+        "j04_left_outer_join",
+        "j06_join_rowid",
+        "j07_inner_join_merge",
+        "j08_semijoin_scalar_subquery",
+    ]:
+        plan = _plan(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize(
+    "name", ["n01_token_stats", "n02_quality_score", "p01_project"]
+)
+def test_narrow_queries_stay_shuffle_free(spark, name):
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, name
