@@ -407,3 +407,88 @@ def s07_partitioned_sink_pruning(spark: SparkSession, sf_dir: str):
         .groupBy("event_type", "event_date")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ: data-quality audits — the checks a pipeline runs before training
+# ---------------------------------------------------------------------------
+
+_DQ_COLS = ("text", "lang", "source", "n_chars")
+
+
+@register(
+    "dq01_column_profile",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_null, "
+        f"COUNT(DISTINCT {c}) AS n_distinct FROM documents"
+        for c in _DQ_COLS
+    ),
+    note="Column profile (rows/nulls/distincts per column) — the "
+    "pre-training audit table. ONE scan: all per-column aggregates "
+    "compute in a single pass (count_distinct rewrites to partial "
+    "distinct aggregation), then the 1-row wide result unpivots "
+    "driver-costlessly; never one scan per column",
+)
+def dq01_column_profile(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _DQ_COLS:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    wide = d.agg(*aggs)
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in _DQ_COLS
+        ]
+    )
+    return wide.select(F.explode(profile).alias("p")).select("p.*")
+
+
+@register(
+    "dq02_referential_orphans",
+    oracle="""
+    SELECT 'orders->customer' AS fk, COUNT(*) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    """,
+    note="Referential-integrity audit: orphan counts via left-anti "
+    "joins. The true dimension (customer) broadcasts so the fact side "
+    "streams shuffle-free; the fact-to-fact check (lineitem->orders) "
+    "deliberately does NOT broadcast — orders is fact-sized at 100 TB, "
+    "so it anti-joins as a key-pruned shuffle join (only o_orderkey "
+    "ships, AQE picks the strategy)",
+)
+def dq02_referential_orphans(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    orphans1 = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o["o_custkey"] == c["c_custkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .select(F.lit("orders->customer").alias("fk"), "n_orphans")
+    )
+    orphans2 = (
+        li.join(
+            o.select("o_orderkey"),
+            li["l_orderkey"] == o["o_orderkey"],
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+        .select(F.lit("lineitem->orders").alias("fk"), "n_orphans")
+    )
+    return orphans1.unionByName(orphans2)
