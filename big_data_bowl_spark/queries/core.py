@@ -1050,9 +1050,9 @@ def f05_euclidean(spark, sf_dir):
     oracle=f"""
     SELECT event_id,
            round(sin(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value, 9)
-             AS v_x,
+             + 0.0 AS v_x,
            round(cos(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value, 9)
-             AS v_y,
+             + 0.0 AS v_y,
            round(CASE
              WHEN sin(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value = 0
                   AND cos(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value > 0
@@ -1064,12 +1064,14 @@ def f05_euclidean(spark, sf_dir):
                THEN 0.0
              ELSE atan((cos(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value)
                      / (sin(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value))
-           END, 9) AS v_theta
+           END, 9) + 0.0 AS v_theta
     FROM events
     """,
     note="F6 trig velocity decomposition with R's atan(v_y/v_x) edge "
     "semantics (Field Control.R:31-44); transcendentals rounded to 9 "
-    "decimals — engines may differ in the last ulp",
+    "decimals — engines may differ in the last ulp — and +0.0 "
+    "normalizes IEEE signed zero (DuckDB round keeps -0.0, Spark's "
+    "BigDecimal HALF_UP cannot represent it)",
 )
 def f06_velocity(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
@@ -1077,9 +1079,9 @@ def f06_velocity(spark, sf_dir):
     v_x, v_y, v_theta = velocity_components(F.col("value"), direction)
     return ev.select(
         "event_id",
-        F.round(v_x, 9).alias("v_x"),
-        F.round(v_y, 9).alias("v_y"),
-        F.round(v_theta, 9).alias("v_theta"),
+        (F.round(v_x, 9) + F.lit(0.0)).alias("v_x"),
+        (F.round(v_y, 9) + F.lit(0.0)).alias("v_y"),
+        (F.round(v_theta, 9) + F.lit(0.0)).alias("v_theta"),
     )
 
 
