@@ -492,3 +492,37 @@ def dq02_referential_orphans(spark: SparkSession, sf_dir: str):
         .select(F.lit("lineitem->orders").alias("fk"), "n_orphans")
     )
     return orphans1.unionByName(orphans2)
+
+
+STRATUM_K = 20
+
+
+@register(
+    "o08_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, rn AS strat_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {STRATUM_K}
+    """,
+    note=f"Deterministic stratified sample: {STRATUM_K} docs per lang, "
+    "ordered by md5(doc_id) — a seedable pseudo-random draw both "
+    "engines reproduce bit-for-bit (engine rand() never matches "
+    "across systems). One shuffle on the stratum key; each stratum's "
+    "window stops at k, so a giant stratum costs its scan, not its "
+    "sort",
+)
+def o08_stratified_sample(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select(
+            "doc_id", "lang", F.row_number().over(w).alias("strat_rank")
+        )
+        .filter(F.col("strat_rank") <= STRATUM_K)
+    )

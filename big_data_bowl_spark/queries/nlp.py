@@ -708,3 +708,62 @@ def n10_tfidf_top_terms(spark: SparkSession, sf_dir: str):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TFIDF_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# N11: repetition / diversity scoring (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "n11_repetition_score",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS t FROM documents),
+    bg AS (SELECT doc_id, t,
+           CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+                ELSE list_transform(range(1, len(t)),
+                                    i -> concat_ws(' ', t[i], t[i+1]))
+           END AS b FROM tk)
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           floor(CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+                 * 1e9 + 0.5) / 1e9 AS distinct_frac,
+           floor((1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b))
+                 * 1e9 + 0.5) / 1e9 AS dup_bigram_frac,
+           floor(CAST(list_max(list_transform(list_distinct(t),
+                 w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)
+                 / len(t) * 1e9 + 0.5) / 1e9 AS top_token_frac
+    FROM bg
+    """,
+    note="Repetition/diversity signals (Gopher-style): type-token "
+    "ratio, duplicate-bigram fraction, most-frequent-token share. "
+    "Pure array expressions over materialized token columns — narrow, "
+    "shuffle-free, whole-corpus linear; the per-doc top-token count "
+    "is O(distinct x len) inside one row, never a shuffle",
+)
+def n11_repetition_score(spark: SparkSession, sf_dir: str):
+    d = tf(spark, sf_dir, "documents")
+    tok_df = d.select("doc_id", tokenize(F.col("text")).alias("t"))
+    bg_df = tok_df.select(
+        "doc_id", "t", shingles_from_tokens(F.col("t"), k=2).alias("b")
+    )
+    n = F.size("t")
+    distinct_frac = F.size(F.array_distinct("t")).cast("double") / n
+    dup_bigram = F.lit(1.0) - F.size(
+        F.array_distinct("b")
+    ).cast("double") / F.size("b")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("t"),
+            lambda w: F.size(F.filter(F.col("t"), lambda x: x == w)),
+        )
+    )
+    from ..functions.rounding import rhu
+
+    return bg_df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        rhu(distinct_frac, 9).alias("distinct_frac"),
+        rhu(dup_bigram, 9).alias("dup_bigram_frac"),
+        rhu(top_cnt.cast("double") / n, 9).alias("top_token_frac"),
+    )
