@@ -526,3 +526,40 @@ def o08_stratified_sample(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("strat_rank") <= STRATUM_K)
     )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "s08_shuffled_shards",
+    oracle=f"""
+    SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                      AS BIGINT) % {N_SHARDS} AS shard, n_chars
+          FROM documents)
+    GROUP BY shard
+    """,
+    note=f"Training-export sharding: md5-derived shard id in "
+    f"[0, {N_SHARDS}) gives a deterministic global shuffle "
+    "(reproducible across engines AND runs, unlike rand()). In "
+    "production the same column feeds df.repartition(N, shard)"
+    ".write — each data-loader shard is one file set; here the "
+    "audit aggregates per-shard balance. Narrow hash, one "
+    "aggregation shuffle",
+)
+def s08_shuffled_shards(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % N_SHARDS
+    )
+    return (
+        d.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

@@ -767,3 +767,49 @@ def n11_repetition_score(spark: SparkSession, sf_dir: str):
         rhu(dup_bigram, 9).alias("dup_bigram_frac"),
         rhu(top_cnt.cast("double") / n, 9).alias("top_token_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N12: sequence packing — token-budget binning for training batches
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512
+
+
+@register(
+    "n12_sequence_packing",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, {_SQL_NTOK} AS n_tok FROM documents)
+    SELECT doc_id, lang, n_tok,
+           CAST(floor((SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tok)
+                 / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+    FROM sized
+    """,
+    note=f"Sequence packing: greedy concatenation of docs into "
+    f"~{PACK_BUDGET}-token training sequences via a running-sum "
+    "window per lang stream — pack_id = floor(preceding_tokens / "
+    "budget). ONE sort-shuffle per stream; integral token counts sum "
+    "exactly so both engines agree bit-for-bit. The deterministic "
+    "doc_id order makes packing reproducible across runs",
+)
+def n12_sequence_packing(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    preceding = F.sum("n_tok").over(w) - F.col("n_tok")
+    return sized.select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.floor(preceding / PACK_BUDGET).alias("pack_id"),
+    )
