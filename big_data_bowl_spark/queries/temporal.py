@@ -223,3 +223,34 @@ def t06_asof_join(spark: SparkSession, sf_dir: str):
         "prior_view_value",
         gap.alias("gap_us"),
     )
+
+
+# t07 runs the STREAMING twin of t01 (readStream -> watermark ->
+# windowed agg -> availableNow drain) and must hash-match the same
+# batch oracle — streaming is a first-class, correctness-gated
+# surface here, not a demo.
+from .base import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "t07_streaming_tumbling",
+    oracle=_REGISTRY["t01_tumbling_window"].oracle,
+    note="Structured Streaming tumbling window (availableNow backfill "
+    "over the events lake, watermark-bounded state, memory sink in "
+    "complete mode) — identical expressions to batch t01 and checked "
+    "against the SAME DuckDB oracle; swap the sink for Kafka/parquet "
+    "and the trigger for processingTime and this is the production "
+    "incremental pipeline",
+)
+def t07_streaming_tumbling(spark: SparkSession, sf_dir: str):
+    from ..streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    run_to_memory(
+        stream, "t07_streaming_tumbling_sink", output_mode="complete"
+    )
+    return spark.table("t07_streaming_tumbling_sink")
