@@ -106,10 +106,23 @@ def mm02_image_features(spark, sf_dir):
 
 @register(
     "mm03_frame_sample",
-    oracle=None,
+    oracle=f"""
+    SELECT media_id,
+           unnest(range(0, n_frames, 2)) AS frame_idx,
+           least(frame_len,
+                 greatest(n - unnest(range(0, n_frames, 2)) * frame_len,
+                          0)) AS n_bytes
+    FROM (
+      SELECT media_id, n_frames, octet_length(payload) AS n,
+             greatest(octet_length(payload) // n_frames, 1) AS frame_len
+      FROM ({_MEDIA_SQL})
+      WHERE media_type = 'video' AND n_frames > 0)
+    """,
     note="Video frame sampling via mapInPandas: every 2nd frame as "
     "(media_id, frame_idx, frame_payload) — bounded fan-out, no "
-    "shuffle; exact slicing pinned by tests/test_multimodal.py.",
+    "shuffle; the fake codec's slice arithmetic is mirrored in SQL so "
+    "even the Python path is value-checked (plus exact-byte tests in "
+    "tests/test_multimodal.py).",
 )
 def mm03_frame_sample(spark, sf_dir):
     media = as_media_table(t(spark, sf_dir, "documents"))

@@ -254,3 +254,43 @@ def t07_streaming_tumbling(spark: SparkSession, sf_dir: str):
         stream, "t07_streaming_tumbling_sink", output_mode="complete"
     )
     return spark.table("t07_streaming_tumbling_sink")
+
+
+@register(
+    "t08_streaming_sessionization",
+    oracle=f"""
+    WITH e AS (SELECT user_id, {_TS} AS ts FROM events),
+         x AS (SELECT user_id, ts,
+                      CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL '10 minutes'
+                           THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (SELECT user_id, ts,
+                      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x),
+         s AS (SELECT user_id, sid, MIN(ts) AS session_start,
+                      MAX(ts) + INTERVAL '10 minutes' AS session_end,
+                      COUNT(*) AS n_events
+               FROM y GROUP BY user_id, sid)
+    SELECT user_id, session_start, session_end, n_events FROM s
+    QUALIFY sid < MAX(sid) OVER (PARTITION BY user_id)
+    """,
+    note="Custom stateful streaming operator "
+    "(applyInPandasWithState sessionization, streaming/stateful.py) "
+    "gated on a FULL value oracle: closed sessions must hash-match "
+    "the batch gaps-and-islands SQL minus each user's still-open "
+    "final session (which stays in O(1) state awaiting its timeout). "
+    "State: one tuple per key; emission on session close",
+)
+def t08_streaming_sessionization(spark: SparkSession, sf_dir: str):
+    from ..streaming.stateful import sessionize
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir).select("user_id", "ts")
+    run_to_memory(
+        sessionize(stream),
+        "t08_streaming_sessionization_sink",
+        output_mode="append",
+    )
+    return spark.table("t08_streaming_sessionization_sink")
