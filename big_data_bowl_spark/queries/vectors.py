@@ -237,3 +237,87 @@ def v03_bucketed_neardup(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("cosine") >= NEARDUP_COS)
     )
+
+
+# ---------------------------------------------------------------------------
+# V5: one Lloyd's k-means step (assign + recompute centroids)
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_DIM = 64
+
+
+@register(
+    "v05_kmeans_step",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS kv
+      FROM embeddings WHERE vec_id < {KM_K}),
+    corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (
+      SELECT c.vec_id, k.cid,
+             list_dot_product(k.kv, k.kv)
+               - 2.0 * list_dot_product(c.cv, k.kv) AS d,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY list_dot_product(k.kv, k.kv)
+                        - 2.0 * list_dot_product(c.cv, k.kv) ASC,
+                        k.cid ASC) AS rn
+      FROM corp c CROSS JOIN cent k),
+    assign AS (
+      SELECT s.vec_id, s.cid AS cell, corp.cv
+      FROM scored s JOIN corp ON s.vec_id = corp.vec_id
+      WHERE s.rn = 1),
+    dims AS (
+      SELECT cell, unnest(range(1, {KM_DIM} + 1)) AS dim_idx, cv
+      FROM assign)
+    SELECT cell, dim_idx,
+           COUNT(*) AS n_members,
+           floor(CAST(SUM(CAST(cv[dim_idx] AS DECIMAL(38,18))) AS DOUBLE)
+                 / COUNT(*) * 1e6 + 0.5) / 1e6 AS centroid_val
+    FROM dims GROUP BY cell, dim_idx
+    """,
+    note=f"One Lloyd's k-means iteration over embeddings (k={KM_K}): "
+    "argmin squared distance via ||k||^2 - 2 c.k (broadcast "
+    "centroids, map-side max_by — no window over corpus x k rows), "
+    "then element-wise centroid means in LONG form (cell, dim). "
+    "Sums decimal-cast for order independence; the full loop is this "
+    "step under the d05-style convergence driver. The 100 TB shape: "
+    "per-iteration cost = one broadcast scan + one (cell, dim) "
+    "aggregation, state = k x dim doubles",
+)
+def v05_kmeans_step(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cent = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), vec.alias("kv")
+    )
+    corp = e.select("vec_id", vec.alias("cv"))
+    d = _dot(F.col("kv"), F.col("kv")) - 2.0 * _dot(
+        F.col("cv"), F.col("kv")
+    )
+    # min_by on (d, cid) struct == ORDER BY d ASC, cid ASC LIMIT 1 per
+    # vector, but partially aggregable (k rows collapse map-side)
+    assign = (
+        corp.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cv", "cid", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("min_by(cid, struct(d, cid))").alias("cell"),
+            F.first("cv").alias("cv"),
+        )
+    )
+    dims = assign.select(
+        "cell", F.posexplode("cv").alias("dim_idx0", "val")
+    ).select("cell", (F.col("dim_idx0") + 1).alias("dim_idx"), "val")
+    from ..functions.rounding import rhu
+
+    return dims.groupBy("cell", "dim_idx").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        rhu(
+            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_val"),
+    )
