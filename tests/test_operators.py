@@ -256,3 +256,26 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
 
     assert back.count() == 10
     assert {r["part"] for r in back.collect()} == {"a"}
+
+
+def test_kmeans_fit_recovers_separated_blobs(spark):
+    import random
+
+    from big_data_bowl_spark.operators.kmeans import kmeans_fit
+
+    rng = random.Random(5)
+    centers = [(0.0, 0.0), (10.0, 10.0), (-10.0, 5.0)]
+    rows = []
+    for i in range(90):
+        cx, cy = centers[i % 3]
+        rows.append(
+            (i, [cx + rng.uniform(-1, 1), cy + rng.uniform(-1, 1)])
+        )
+    df = spark.createDataFrame(rows, "vid long, embedding array<double>")
+    cent = kmeans_fit(df, id_col="vid", k=3, max_iter=15, tol=1e-9)
+    got = sorted(
+        (round(r["kv"][0]), round(r["kv"][1]), r["n_members"])
+        for r in cent.collect()
+    )
+    # converged centroids sit on the true blob centers, 30 points each
+    assert got == [(-10, 5, 30), (0, 0, 30), (10, 10, 30)]
