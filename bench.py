@@ -97,17 +97,43 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
+
+    # Compare against the frozen per-query baseline (bench_baseline.json,
+    # round-2 numbers at sf0.1) so the driver's "within 2x of BASELINE"
+    # gate is falsifiable: regressions (> 2x the recorded time, with a
+    # 0.3s absolute floor to ignore fixed-overhead jitter on sub-100ms
+    # queries) are named in the output itself.
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("sf") == sf:
+            regressions = {
+                name: {"sec": timings[name], "baseline_sec": b,
+                       "ratio": round(timings[name] / b, 2)}
+                for name, b in base["queries"].items()
+                if name in timings
+                and timings[name] > max(2.0 * b, b + 0.3)
             }
-        )
-    )
+            result["baseline_total"] = base["total"]
+            result["vs_baseline"] = round(total / base["total"], 3)
+            result["regressions"] = regressions
+            for name, r in regressions.items():
+                print(
+                    f"# REGRESSION {name}: {r['sec']:.3f}s vs baseline "
+                    f"{r['baseline_sec']:.3f}s ({r['ratio']}x)",
+                    file=sys.stderr,
+                )
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

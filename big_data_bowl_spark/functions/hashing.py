@@ -21,21 +21,26 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def md5_of(*cols: Column, salt: str = "") -> Column:
-    """md5 hex digest of the '|'-joined columns (with optional salt).
+# Unit-separator (0x1f) keeps multi-column keys unambiguous: a printable
+# separator like '|' would make ('a|b','c') and ('a','b|c') collide.
+_SEP = "\x1f"
 
-    DuckDB mirror: md5(concat_ws('|', 'salt', CAST(c AS VARCHAR), ...)).
+
+def md5_of(*cols: Column, salt: str = "") -> Column:
+    """md5 hex digest of the 0x1f-joined columns (with optional salt).
+
+    DuckDB mirror: md5(concat_ws(chr(31), 'salt', CAST(c AS VARCHAR), ...)).
     """
     parts = [F.lit(salt)] if salt else []
     parts += [c.cast("string") for c in cols]
-    return F.md5(F.concat_ws("|", *parts))
+    return F.md5(F.concat_ws(_SEP, *parts))
 
 
 def md5_sql(*exprs: str, salt: str = "") -> str:
     """The DuckDB SQL string mirroring md5_of over the same exprs."""
     parts = [f"'{salt}'"] if salt else []
     parts += [f"CAST({e} AS VARCHAR)" for e in exprs]
-    return f"md5(concat_ws('|', {', '.join(parts)}))"
+    return f"md5(concat_ws(chr(31), {', '.join(parts)}))"
 
 
 def hex_threshold(fraction: float, digits: int = 13) -> str:
@@ -45,10 +50,27 @@ def hex_threshold(fraction: float, digits: int = 13) -> str:
     threshold string selects an exact fraction of rows — in any engine,
     with plain string comparison, no hex->int parsing (DuckDB has no
     conv()). fraction=0.75 -> 'c000000000000'.
+
+    Only meaningful for fraction in [0, 1): at 1.0 the encoded value is
+    digits+1 chars wide and the lexicographic prefix compare breaks, so
+    callers must special-case it (hash_lt_fraction does).
     """
+    if not 0.0 <= fraction < 1.0:
+        raise ValueError(
+            f"hex_threshold needs 0 <= fraction < 1, got {fraction}; "
+            "handle fraction >= 1 as a constant-true predicate"
+        )
     return format(int(fraction * 16**digits), f"0{digits}x")
 
 
 def hash_lt_fraction(col: Column, fraction: float, digits: int = 13) -> Column:
-    """True for a deterministic `fraction` of rows, keyed on md5(col)."""
+    """True for a deterministic `fraction` of rows, keyed on md5(col).
+
+    fraction >= 1 keeps everything and fraction <= 0 keeps nothing,
+    rather than silently mis-comparing against an over-wide hex string.
+    """
+    if fraction >= 1.0:
+        return F.lit(True)
+    if fraction <= 0.0:
+        return F.lit(False)
     return F.substring(col, 1, digits) < F.lit(hex_threshold(fraction, digits))

@@ -8,6 +8,8 @@ the hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -57,7 +59,10 @@ def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
     lowered = F.lower(text)
     total = F.lit(0)
     for w in words:
-        total = total + F.regexp_count(lowered, F.lit(rf"\b{w}\b"))
+        # re.escape keeps words with regex metacharacters ('c++', 'a.b')
+        # from miscounting or throwing; the SQL mirror escapes the same
+        # way (queries/nlp.py _lang_hits_sql).
+        total = total + F.regexp_count(lowered, F.lit(rf"\b{re.escape(w)}\b"))
     return total
 
 

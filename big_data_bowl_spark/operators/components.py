@@ -35,6 +35,8 @@ story per BASELINE.md's north star.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -100,4 +102,15 @@ def connected_components(
         labels = stepped.select("node", "comp")
         if stepped.where(F.col("comp") != F.col("old")).isEmpty():
             break
+    else:
+        # exhausting max_rounds with labels still moving means the
+        # returned labels are PARTIAL — downstream canonicalization
+        # would silently split clusters, so make it loud
+        warnings.warn(
+            "connected_components stopped after "
+            f"max_rounds={max_rounds} without reaching the fixpoint; "
+            "labels are partially converged — raise max_rounds",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

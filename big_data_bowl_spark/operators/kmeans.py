@@ -93,7 +93,13 @@ def kmeans_fit(
                 F.array_sort(
                     F.collect_list(F.struct("dim_idx", "m"))
                 ).alias("pairs"),
-                F.first("n").alias("n_members"),
+                # member count = the dim-0 row's count: every vector in
+                # the cell contributes exactly one dim_idx==0 row, so
+                # this stays exact even if arrays are ragged (where
+                # first() over differing per-dim counts is arbitrary)
+                F.max(
+                    F.when(F.col("dim_idx") == 0, F.col("n"))
+                ).alias("n_members"),
             )
             .select(
                 F.col("cell").alias("cid"),

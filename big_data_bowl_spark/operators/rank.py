@@ -1,0 +1,77 @@
+"""Scale-safe contiguous global row numbering.
+
+``row_number() OVER (ORDER BY k)`` — the reference's zip/rowid idiom
+(all coverages.R:300-306) — plans as Exchange SinglePartition + sort:
+the WHOLE table funnels through one task. This operator produces the
+identical contiguous 1-based ordinal with a two-phase rank:
+
+1. Bucket each row by a DETERMINISTIC range function of the key:
+   ``bucket = floor((k - min) / width)`` from a one-row min/max
+   aggregate. (Deliberately NOT ``repartitionByRange`` +
+   ``spark_partition_id``: Spark's RangePartitioner samples with a
+   per-RDD-id seed, so boundaries can differ between the count action
+   and the final action, corrupting the offsets — observed, not
+   hypothetical.)
+2. Count rows per bucket and collect the counts to the driver —
+   ``n_buckets`` rows, a metadata-sized action (same legitimacy class
+   as the k-means convergence scalar) — then prefix-sum into offsets.
+3. ``row_number`` within each bucket (parallel WindowExec, one hash
+   shuffle on the bucket id) + the bucket's broadcast offset.
+
+Every stage is parallel and deterministic; cost is two scans of the
+input (a map-side-combined count + the ranked pass) and ONE shuffle.
+Buckets default to 4x parallelism so moderate key skew still spreads.
+
+Caveats (documented contract):
+- ``order_col`` must be numeric and non-null (the reference's zip keys
+  are). Pathologically skewed keys make value-width buckets uneven —
+  for those, sample boundaries explicitly and pass them via
+  ``boundaries``; the numbering logic is boundary-agnostic.
+- With duplicate keys straddling a bucket edge, ties are numbered by
+  bucket order — exactly as nondeterministic as row_number itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "row_num",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Attach a contiguous 1-based global ordinal over `order_col`.
+
+    Equivalent to ``ROW_NUMBER() OVER (ORDER BY order_col)`` but with
+    no single-partition exchange anywhere in the plan.
+    """
+    spark = df.sparkSession
+    n = num_buckets or 4 * spark.sparkContext.defaultParallelism
+    lo, hi = df.agg(
+        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    ).collect()[0]
+    if lo is None or hi is None or hi <= lo:
+        # empty input or a single key value: one bucket is exact
+        bucket = F.lit(0)
+    else:
+        width = (hi - lo) / n
+        bucket = F.least(
+            F.floor((F.col(order_col).cast("double") - F.lit(lo)) / width),
+            F.lit(n - 1),
+        ).cast("int")
+    bucketed = df.withColumn("__bkt", bucket)
+    counts = dict(bucketed.groupBy("__bkt").count().collect())
+    offsets, acc = [], 0
+    for b in sorted(counts):
+        offsets.append((b, acc))
+        acc += counts[b]
+    off_df = spark.createDataFrame(offsets, ["__bkt", "__offset"])
+    w = Window.partitionBy("__bkt").orderBy(order_col)
+    return (
+        bucketed.join(F.broadcast(off_df), "__bkt")
+        .withColumn(out_col, F.row_number().over(w) + F.col("__offset"))
+        .drop("__bkt", "__offset")
+    )

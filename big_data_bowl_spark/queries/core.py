@@ -28,6 +28,7 @@ from ..functions.geometry import (
 from ..functions.hashing import hex_threshold, md5_sql
 from ..operators.mode import grouped_mode
 from ..operators.pivot import pivot_wide_multi
+from ..operators.rank import with_global_row_number
 from ..operators.sample import deterministic_sample, deterministic_split
 from ..sources.io import field_grid, read_csv_inferred
 from .base import dsum, dsum_sql, register, t
@@ -507,18 +508,16 @@ def j05_crossjoin_grid(spark, sf_dir):
     FROM a JOIN b ON a.row_num = b.row_num
     """,
     note="J6 zip-join on a synthetic row id (all coverages.R:300-306). "
-    "row_number over a global order is a single-partition sort — fine for "
-    "the reference's post-model zip, wrong for a fact table at scale "
-    "(use zipWithIndex/monotonic id + join keys instead)",
+    "Both ordinals come from operators/rank.with_global_row_number — the "
+    "two-phase rank whose plan has NO single-partition exchange — so the "
+    "reference's post-model zip semantics survive a fact-table-sized input",
 )
 def j06_join_rowid(spark, sf_dir):
-    a = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.row_number().over(Window.orderBy("o_orderkey")).alias("row_num"),
+    a = with_global_row_number(
+        t(spark, sf_dir, "orders").select("o_orderkey"), "o_orderkey"
     )
-    b = t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.row_number().over(Window.orderBy("c_custkey")).alias("row_num"),
+    b = with_global_row_number(
+        t(spark, sf_dir, "customer").select("c_custkey"), "c_custkey"
     )
     return a.join(b, "row_num", "inner").select(
         "row_num", "o_orderkey", "c_custkey"
@@ -766,16 +765,17 @@ def w03_rownum_group(spark, sf_dir):
     SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_num
     FROM orders
     """,
-    note="W4 global row id (all coverages.R:300-304). Contiguous global "
-    "row_number forces a single-partition sort; at scale swap for "
-    "monotonically_increasing_id/zipWithIndex when contiguity isn't needed",
+    note="W4 global row id (all coverages.R:300-304). Contiguous ordinal "
+    "via operators/rank.with_global_row_number: range repartition + "
+    "parallel per-partition row_number + broadcast offsets — no "
+    "Exchange SinglePartition anywhere in the plan. (A naive "
+    "row_number() OVER (ORDER BY ...) funnels the whole table through "
+    "one task; when contiguity isn't needed monotonically_increasing_id "
+    "is cheaper still.)",
 )
 def w04_global_rowid(spark, sf_dir):
-    o = t(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.row_number().over(Window.orderBy("o_orderkey")).alias("row_num"),
-    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    return with_global_row_number(o, "o_orderkey")
 
 
 @register(

@@ -21,6 +21,8 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -152,8 +154,11 @@ def n02_quality_score(spark: SparkSession, sf_dir: str):
 
 
 def _lang_hits_sql(words: tuple[str, ...]) -> str:
+    # re.escape mirrors functions/text.py stopword_hits, so a word with
+    # regex metacharacters counts identically in both engines.
     terms = " + ".join(
-        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in words
+        rf"len(regexp_extract_all(lower(text), '\b{re.escape(w)}\b'))"
+        for w in words
     )
     return f"({terms})"
 

@@ -62,3 +62,27 @@ def test_relational_core_has_no_nested_loop_joins(spark):
 def test_narrow_queries_stay_shuffle_free(spark, name):
     plan = _plan(spark, name)
     assert "Exchange" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["w04_global_rowid", "j06_join_rowid"])
+def test_global_rowid_has_no_single_partition_exchange(spark, name):
+    # the two-phase rank (operators/rank.py) must never fall back to
+    # the whole-table Exchange SinglePartition a global window plans as
+    plan = _plan(spark, name)
+    assert "SinglePartition" not in plan, name
+
+
+def test_global_row_number_matches_naive_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.rank import with_global_row_number
+    from big_data_bowl_spark.sources.io import load_table
+
+    o = load_table(spark, SF, "orders").select("o_orderkey")
+    fast = with_global_row_number(o, "o_orderkey", num_buckets=7)
+    naive = o.select(
+        "o_orderkey",
+        F.row_number().over(Window.orderBy("o_orderkey")).alias("row_num"),
+    )
+    assert fast.exceptAll(naive).isEmpty() and naive.exceptAll(fast).isEmpty()
