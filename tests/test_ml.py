@@ -39,3 +39,47 @@ def test_confusion_matrix_shape(spark, sf_dir):
     diag = sum(r.n for r in rows if r.label == r.prediction)
     off = sum(r.n for r in rows if r.label != r.prediction)
     assert diag > off
+
+
+def test_m02_predict_class_counts_golden(spark):
+    """VERDICT r2 #4: the md5-stable split + seeded forest make the
+    held-out predictions deterministic, so per-class counts are
+    pinnable constants (sf0.001, the fixture SF)."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    rows = REGISTRY["m02_rf_predict_counts"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {(r.prediction, r.n) for r in rows} == {
+        ("large", 65),
+        ("medium", 187),
+        ("small", 127),
+    }
+
+
+def test_m04_importance_ordering_golden(spark):
+    """sum_qty (the label's sole determinant) must dominate; the full
+    ordering is pinned since the fit is deterministic."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    rows = REGISTRY["m04_rf_feature_importances"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    imps = {r.feature: r.importance for r in rows}
+    ranked = sorted(imps, key=imps.get, reverse=True)
+    assert ranked == ["sum_qty", "n_lines", "n_parts", "sum_price", "max_disc"]
+    assert imps["sum_qty"] > 0.5
+
+
+def test_m01_confusion_matrix_golden(spark):
+    from big_data_bowl_spark.queries import REGISTRY
+
+    rows = REGISTRY["m01_rf_train_confusion"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert {(r.label, r.prediction, r.n) for r in rows} == {
+        ("large", "large", 65),
+        ("large", "medium", 9),
+        ("medium", "medium", 178),
+        ("small", "small", 127),
+    }
