@@ -19,12 +19,20 @@ Design for 100 TB of media:
   Anything that must shuffle (e.g. grouping frames) should carry only
   (media_id, frame_idx, small features), never the payload.
 
-The actual pixel codecs (PIL/ffmpeg/librosa) are not in this
-container. ``decode_payload`` therefore implements a deterministic
-'fake' codec — payload bytes are tiled into the declared (height,
-width) grid — and raises NotImplementedError for real formats. The
-operator signatures, schemas and batch handling are exactly what a
-real codec would plug into.
+Codecs: heavyweight libs (PIL/ffmpeg/librosa) are not in this
+container, so ``decode_payload`` implements, pure-Python:
+
+- 'fake'  — payload bytes tiled into the declared (height, width)
+  grid; deterministic, used by the DuckDB-oracle queries.
+- 'pgm' / 'ppm' — binary netpbm P5 (grayscale) and P6 (RGB -> BT.601
+  luma): real image formats, stdlib-decodable.
+- 'bmp' — uncompressed 8-bit-palette or 24-bit Windows bitmaps
+  (BITMAPINFOHEADER), incl. bottom-up row order + 4-byte row padding.
+- 'wav' (via ``decode_audio``) — PCM via the stdlib ``wave`` module.
+
+Compressed formats (jpeg/png/mp4) still raise NotImplementedError at
+the same seam — plug PIL/ffmpeg into ``decode_payload`` where the
+marked dispatch is.
 """
 
 from __future__ import annotations
@@ -88,17 +96,87 @@ def as_media_table(documents: DataFrame) -> DataFrame:
     )
 
 
+def _decode_netpbm(payload: bytes) -> "np.ndarray":
+    """Binary netpbm: P5 (grayscale) / P6 (RGB -> BT.601 luma)."""
+    import numpy as np
+
+    magic = payload[:2]
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary netpbm payload: {magic!r}")
+    # header = magic, width, height, maxval as whitespace-separated
+    # tokens ('#' comment lines allowed), then a single whitespace byte
+    # before the raster
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm not supported")
+    depth = 1 if magic == b"P5" else 3
+    raster = np.frombuffer(payload, np.uint8, count=w * h * depth, offset=pos)
+    if depth == 1:
+        return raster.reshape(h, w)
+    rgb = raster.reshape(h, w, 3).astype(np.float64)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    return luma.astype(np.uint8)
+
+
+def _decode_bmp(payload: bytes) -> "np.ndarray":
+    """Uncompressed 8-bit-palette / 24-bit BMP (BITMAPINFOHEADER)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression != 0:
+        raise NotImplementedError("compressed BMP not supported")
+    if bpp not in (8, 24):
+        raise NotImplementedError(f"BMP bit depth {bpp} not supported")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    rows = []
+    for y in range(h):
+        off = data_offset + y * row_bytes
+        row = np.frombuffer(payload, np.uint8, count=w * bpp // 8, offset=off)
+        if bpp == 24:
+            bgr = row.reshape(w, 3).astype(np.float64)
+            row = (
+                0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
+            ).astype(np.uint8)
+        rows.append(row)
+    img = np.stack(rows)
+    return img[::-1] if bottom_up else img
+
+
 def decode_payload(
     payload: bytes, fmt: str, width: int, height: int
 ) -> "np.ndarray":
-    """STUB decode: the seam where PIL/ffmpeg would plug in.
+    """Decode a payload to a (height, width) uint8 grayscale array.
 
-    'fake' format: tile/truncate the payload bytes into a (height,
-    width) uint8 array — deterministic, so tests can assert exact
-    features. Real formats raise until a codec is available.
+    Dispatches on `fmt`; this is the seam where heavier codecs (PIL,
+    ffmpeg) plug in for compressed formats.
     """
     import numpy as np
 
+    if fmt in ("pgm", "ppm"):
+        return _decode_netpbm(payload)
+    if fmt == "bmp":
+        return _decode_bmp(payload)
     if fmt != "fake":
         raise NotImplementedError(
             f"codec for format {fmt!r} not available in this environment; "
@@ -110,6 +188,63 @@ def decode_payload(
         buf = np.zeros(1, dtype=np.uint8)
     reps = -(-n // len(buf))  # ceil division
     return np.tile(buf, reps)[:n].reshape(height, width)
+
+
+def decode_audio(payload: bytes, fmt: str) -> "np.ndarray":
+    """Decode an audio payload to int16 samples (stdlib `wave`)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if fmt != "wav":
+        raise NotImplementedError(f"audio codec for {fmt!r} not available")
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only 16-bit PCM WAV supported")
+        frames = wf.readframes(wf.getnframes())
+    return np.frombuffer(frames, dtype="<i2")
+
+
+def encode_pgm(img: "np.ndarray") -> bytes:
+    """Encode a (h, w) uint8 array as binary PGM (P5) — the sink half
+    of the netpbm codec, and the test fixture generator."""
+    h, w = img.shape
+    return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def encode_bmp(img: "np.ndarray") -> bytes:
+    """Encode a (h, w) uint8 array as an 8-bit grayscale-palette BMP."""
+    import struct
+
+    h, w = img.shape
+    row_bytes = (w + 3) & ~3
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    data_offset = 14 + 40 + len(palette)
+    raster = b"".join(
+        img[y].tobytes() + b"\0" * (row_bytes - w) for y in range(h - 1, -1, -1)
+    )
+    file_size = data_offset + len(raster)
+    return (
+        struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(raster), 0, 0, 256, 0)
+        + palette
+        + raster
+    )
+
+
+def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """Encode int16 samples as a mono 16-bit PCM WAV."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:

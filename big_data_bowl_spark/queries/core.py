@@ -30,7 +30,7 @@ from ..operators.mode import grouped_mode
 from ..operators.pivot import pivot_wide_multi
 from ..operators.rank import with_global_row_number
 from ..operators.sample import deterministic_sample, deterministic_split
-from ..sources.io import field_grid, read_csv_inferred
+from ..sources.io import fetch_remote_delimited, field_grid, read_csv_inferred
 from .base import dsum, dsum_sql, register, t
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
@@ -106,10 +106,18 @@ def s02_csv_multifile(spark: SparkSession, sf_dir: str):
 @register(
     "s03_tsv_scan",
     oracle="SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name FROM region",
-    note="S3 TSV scan (Field Control.R:109-113)",
+    note="S3 remote TSV scan (Field Control.R:109-113 read_tsv over "
+    "https). Exercises the full fetch path — urlopen + parse + "
+    "createDataFrame (sources/io.fetch_remote_delimited) — via a "
+    "network-free file:// URL over a TSV written from `region`.",
 )
 def s03_tsv_scan(spark: SparkSession, sf_dir: str):
-    df = _csv_roundtrip(spark, sf_dir, "region", "s03_region", sep="\t")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"s03_region_{sf_tag}.tsv")
+    t(spark, sf_dir, "region").select("r_regionkey", "r_name").toPandas().to_csv(
+        path, sep="\t", index=False
+    )
+    df = fetch_remote_delimited(spark, f"file://{path}", sep="\t")
     return df.select(F.col("r_regionkey").cast("bigint"), "r_name")
 
 

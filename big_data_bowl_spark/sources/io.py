@@ -93,6 +93,32 @@ def read_csv_inferred(
     )
 
 
+def fetch_remote_delimited(
+    spark: SparkSession, url: str, sep: str = ","
+) -> DataFrame:
+    """S3's remote half: read a delimited table from a URL
+    (Field Control.R:109-113 reads a TSV over https).
+
+    The driver fetches the URL (urllib: https/http/file), parses with
+    pandas (type inference matching read_csv), and ships rows via
+    createDataFrame. Driver-side on purpose, and cluster-correct:
+    executors never need access to a driver-local temp file (a
+    `spark.read` over a fetched local path only works when every node
+    sees the same filesystem), and anything retrievable in one HTTP
+    request is by definition dim-table-sized. Big remote data belongs
+    in distributed storage (S3/HDFS/...) read by `spark.read` directly.
+    """
+    import io as _io
+    from urllib.request import urlopen
+
+    import pandas as pd
+
+    with urlopen(url) as resp:  # noqa: S310 — caller controls the URL
+        raw = resp.read()
+    pdf = pd.read_csv(_io.BytesIO(raw), sep=sep)
+    return spark.createDataFrame(pdf)
+
+
 def field_grid(
     spark: SparkSession,
     x_max: float = 120.0,

@@ -66,3 +66,66 @@ def test_sample_frames_every_other(spark):
     frames = sample_frames(media_df(spark, rows), every_n=2).collect()
     got = {(r.media_id, r.frame_idx): bytes(r.frame_payload) for r in frames}
     assert got == {(7, 0): b"aa", (7, 2): b"cc"}
+
+
+# --- real pure-Python codecs (VERDICT r2 #6) --------------------------------
+
+
+def _img44():
+    return np.arange(16, dtype=np.uint8).reshape(4, 4) * 10
+
+
+def test_pgm_roundtrip_exact():
+    from big_data_bowl_spark.multimodal.media import encode_pgm
+
+    img = _img44()
+    assert decode_payload(encode_pgm(img), "pgm", 4, 4).tolist() == img.tolist()
+
+
+def test_pgm_header_with_comment():
+    img = _img44()
+    payload = b"P5\n# a comment\n4 4\n255\n" + img.tobytes()
+    assert decode_payload(payload, "pgm", 4, 4).tolist() == img.tolist()
+
+
+def test_ppm_rgb_to_luma():
+    # one pure-red, one pure-green pixel: luma 76 / 150 (BT.601)
+    payload = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    assert decode_payload(payload, "ppm", 2, 1).tolist() == [[76, 149]]
+
+
+def test_bmp_roundtrip_exact():
+    from big_data_bowl_spark.multimodal.media import encode_bmp
+
+    img = _img44()[:, :3]  # 3 wide: exercises row padding
+    assert decode_payload(encode_bmp(img), "bmp", 3, 4).tolist() == img.tolist()
+
+
+def test_wav_roundtrip_exact():
+    from big_data_bowl_spark.multimodal.media import decode_audio, encode_wav
+
+    samples = np.array([0, 1000, -1000, 32767, -32768], dtype=np.int16)
+    assert decode_audio(encode_wav(samples), "wav").tolist() == samples.tolist()
+
+
+def test_mm_features_and_resize_on_real_bmp_pgm(spark):
+    """mm02/mm04 end-to-end against REAL encoded bytes: the same
+    mapInPandas operators, no fake codec anywhere in the path."""
+    from big_data_bowl_spark.multimodal.media import encode_bmp, encode_pgm
+
+    img = _img44()
+    rows = [
+        (1, "image", "pgm", 4, 4, 1, bytearray(encode_pgm(img))),
+        (2, "image", "bmp", 4, 4, 1, bytearray(encode_bmp(img))),
+    ]
+    feats = {
+        r.media_id: r for r in extract_image_features(media_df(spark, rows)).collect()
+    }
+    assert feats[1].mean_intensity == feats[2].mean_intensity == float(img.mean())
+    assert feats[1].max_intensity == feats[2].max_intensity == 150
+
+    out = {r.media_id: r for r in resize_images(media_df(spark, rows), 2, 2).collect()}
+    expect = img[np.ix_([0, 2], [0, 2])]
+    for mid in (1, 2):
+        got = np.frombuffer(bytes(out[mid].payload), np.uint8).reshape(2, 2)
+        assert got.tolist() == expect.tolist()
