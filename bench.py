@@ -35,6 +35,8 @@ HEADLINE = [
     "o01_sort_desc_topk",
     # north-star extensions (present from round 2 on; skipped if absent)
     "e02_field_control",
+    "e03_field_control_season",
+    "v06_kmeans_two_steps",
     "d01_dedup_exact",
     "d02_dedup_minhash_lsh",
     "v01_cosine_topk",
@@ -116,15 +118,22 @@ def main() -> None:
         with open(base_path) as f:
             base = json.load(f)
         if base.get("sf") == sf:
+            common = [n for n in base["queries"] if n in timings]
             regressions = {
-                name: {"sec": timings[name], "baseline_sec": b,
-                       "ratio": round(timings[name] / b, 2)}
-                for name, b in base["queries"].items()
-                if name in timings
-                and timings[name] > max(2.0 * b, b + 0.3)
+                name: {"sec": timings[name], "baseline_sec": base["queries"][name],
+                       "ratio": round(timings[name] / base["queries"][name], 2)}
+                for name in common
+                if timings[name] > max(2.0 * base["queries"][name],
+                                       base["queries"][name] + 0.3)
             }
-            result["baseline_total"] = base["total"]
-            result["vs_baseline"] = round(total / base["total"], 3)
+            # ratio over the queries that HAVE budgets, so a new
+            # (unbudgeted) headline entry can't skew the comparison
+            base_common = sum(base["queries"][n] for n in common)
+            result["baseline_total"] = round(base_common, 3)
+            if base_common > 0:
+                result["vs_baseline"] = round(
+                    sum(timings[n] for n in common) / base_common, 3
+                )
             result["regressions"] = regressions
             for name, r in regressions.items():
                 print(

@@ -164,3 +164,112 @@ def e02_field_control(spark, sf_dir):
     grid = field_grid(spark)
     influence = player_influence(players, grid, player_key="player_id")
     return field_control_surface(influence)
+
+
+# ---------------------------------------------------------------------------
+# E2 full season: the scale showcase (SURVEY §7 phase 3)
+# ---------------------------------------------------------------------------
+
+# ~3% of events become players, deterministically spread over 48
+# "frames" — at sf0.1 that is ~3.4k players x 6480 grid cells ≈ 22M
+# Gaussian evaluations, two orders of magnitude past the reference's
+# one-play-in-RAM ceiling.
+_SEASON_PLAYERS_SQL = """
+  SELECT event_id AS player_id,
+         CAST((event_id // 29) % 48 AS BIGINT) AS frame_id,
+         CAST(event_id % 121 AS DOUBLE) AS px,
+         CAST(user_id % 53 AS DOUBLE) AS py,
+         CAST(event_id % 13 AS DOUBLE) AS s,
+         CAST((event_id * 7) % 360 AS DOUBLE) AS dir_deg,
+         CASE WHEN user_id % 2 = 0 THEN 'home' ELSE 'away' END AS team
+  FROM events WHERE event_id % 29 = 0
+"""
+
+
+def _season_players(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 29 == 0).select(
+        F.col("event_id").alias("player_id"),
+        ((F.col("event_id") / F.lit(29)).cast("bigint") % 48).alias("frame_id"),
+        (F.col("event_id") % 121).cast("double").alias("px"),
+        (F.col("user_id") % 53).cast("double").alias("py"),
+        (F.col("event_id") % 13).cast("double").alias("s"),
+        ((F.col("event_id") * 7) % 360).cast("double").alias("dir_deg"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("home"))
+        .otherwise(F.lit("away"))
+        .alias("team"),
+    )
+
+
+@register(
+    "e03_field_control_season",
+    oracle=f"""
+    WITH kin AS ({_KINEMATICS_SQL.replace(_PLAYERS_SQL, _SEASON_PLAYERS_SQL)}),
+    grid AS (
+      SELECT CAST(gx.i AS DOUBLE) * (120.0 / 119.0) AS grid_x,
+             CAST(gy.i AS DOUBLE) * ((160.0 / 3.0) / 53.0) AS grid_y
+      FROM range(120) gx(i) CROSS JOIN range(54) gy(i)
+    ),
+    cells AS (
+      SELECT k.player_id, k.frame_id, k.team, g.grid_x, g.grid_y,
+             cos(k.v_theta) AS ct, sin(k.v_theta) AS st,
+             k.radius * (1.0 + k.s_ratio) AS sx,
+             greatest(k.radius * (1.0 - k.s_ratio), 1e-08) AS sy,
+             g.grid_x - k.mu_x AS dx, g.grid_y - k.mu_y AS dy
+      FROM kin k CROSS JOIN grid g
+    ),
+    gauss AS (
+      SELECT player_id, frame_id, team, grid_x, grid_y,
+             exp(-0.5 * (((st * st * sx * sx + ct * ct * sy * sy) * dx * dx
+                  - 2.0 * (st * ct * (sx * sx - sy * sy)) * dx * dy
+                  + (ct * ct * sx * sx + st * st * sy * sy) * dy * dy)
+                 / (sx * sx * sy * sy)))
+             / ({TWO_PI!r} * sqrt(sx * sx * sy * sy)) AS influence_raw
+      FROM cells
+    ),
+    norm AS (
+      SELECT frame_id, team, grid_x, grid_y,
+             {rhu_sql('influence_raw / MAX(influence_raw)'
+                      ' OVER (PARTITION BY player_id)')} AS influence
+      FROM gauss
+    )
+    SELECT frame_id, grid_x, grid_y,
+           {rhu_sql('''1.0 / (1.0 + exp(CAST(SUM(CAST(
+                 CASE WHEN team = 'home' THEN -influence ELSE influence END
+                 AS DECIMAL(28,9))) AS DOUBLE)))''')} AS control
+    FROM norm
+    GROUP BY frame_id, grid_x, grid_y
+    """,
+    note="E2 at FULL-SEASON scale (SURVEY §7 phase 3's showcase): the "
+    "same one-plan field-control pipeline over every frame at once — "
+    "~3.4k players x 6480 cells ≈ 22M Gaussian evals at sf0.1, vs the "
+    "reference's one-play-at-a-time RAM ceiling (Field Control."
+    "R:357-378). Plan shape is UNCHANGED from e02: broadcast grid, "
+    "codegen Gaussian, per-player normalize window (partition = grid "
+    "size, frame-count-independent), ONE shuffle for the per-(frame, "
+    "cell) signed decimal sum. Frames add rows, not stages — the "
+    "definition of linear scale-out.",
+)
+def e03_field_control_season(spark, sf_dir):
+    players = _season_players(spark, sf_dir).transform(attach_kinematics)
+    grid = field_grid(spark)
+    influence = player_influence(players, grid, player_key="player_id")
+    signed = influence.withColumn(
+        "signed_influence",
+        F.when(F.col("team") == "home", -F.col("influence")).otherwise(
+            F.col("influence")
+        ),
+    )
+    from ..functions.geometry import sigmoid
+
+    per_cell = signed.groupBy("frame_id", "grid_x", "grid_y").agg(
+        F.sum(F.col("signed_influence").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("control_sum")
+    )
+    return per_cell.select(
+        "frame_id",
+        "grid_x",
+        "grid_y",
+        rhu(sigmoid(F.col("control_sum"))).alias("control"),
+    )

@@ -321,3 +321,108 @@ def v05_kmeans_step(spark: SparkSession, sf_dir: str):
             6,
         ).alias("centroid_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V6: bounded two-step k-means — the oracle-expressible kmeans_fit
+# ---------------------------------------------------------------------------
+
+
+def _sql_lloyd_step(corp: str, cent: str, tag: str) -> str:
+    """One Lloyd step as chained CTEs: assign each vector of `corp` to
+    its nearest centroid in `cent` (tie-break on cid), then per-(cell,
+    dim) rounded means. Mirrors the Spark `_spark_lloyd_step`."""
+    return f"""
+    scored{tag} AS (
+      SELECT c.vec_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY list_dot_product(k.kv, k.kv)
+                        - 2.0 * list_dot_product(c.cv, k.kv) ASC,
+                        k.cid ASC) AS rn,
+             k.cid
+      FROM {corp} c CROSS JOIN {cent} k),
+    assign{tag} AS (
+      SELECT s.cid AS cell, corp0.cv
+      FROM scored{tag} s JOIN {corp} corp0 ON s.vec_id = corp0.vec_id
+      WHERE s.rn = 1),
+    dims{tag} AS (
+      SELECT cell, unnest(range(1, {KM_DIM} + 1)) AS dim_idx, cv
+      FROM assign{tag}),
+    step{tag} AS (
+      SELECT cell, dim_idx, COUNT(*) AS n_members,
+             floor(CAST(SUM(CAST(cv[dim_idx] AS DECIMAL(38,18))) AS DOUBLE)
+                   / COUNT(*) * 1e6 + 0.5) / 1e6 AS centroid_val
+      FROM dims{tag} GROUP BY cell, dim_idx)"""
+
+
+def _spark_lloyd_step(corp, cent):
+    """One Lloyd step (broadcast centroids, map-side min_by assignment,
+    long-form rounded means) — the v05 body, reusable."""
+    from ..functions.rounding import rhu
+
+    d = _dot(F.col("kv"), F.col("kv")) - 2.0 * _dot(F.col("cv"), F.col("kv"))
+    assign = (
+        corp.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cv", "cid", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.expr("min_by(cid, struct(d, cid))").alias("cell"),
+            F.first("cv").alias("cv"),
+        )
+    )
+    dims = assign.select(
+        "cell", F.posexplode("cv").alias("dim_idx0", "val")
+    ).select("cell", (F.col("dim_idx0") + 1).alias("dim_idx"), "val")
+    return dims.groupBy("cell", "dim_idx").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        rhu(
+            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_val"),
+    )
+
+
+@register(
+    "v06_kmeans_two_steps",
+    oracle=f"""
+    WITH corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    cent1 AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS kv
+      FROM embeddings WHERE vec_id < {KM_K}),
+    {_sql_lloyd_step('corp', 'cent1', '1')},
+    cent2 AS (
+      SELECT cell AS cid, list(centroid_val ORDER BY dim_idx) AS kv
+      FROM step1 GROUP BY cell),
+    {_sql_lloyd_step('corp', 'cent2', '2')}
+    SELECT cell, dim_idx, n_members, centroid_val FROM step2
+    """,
+    note="V6: operators/kmeans.kmeans_fit bounded to TWO Lloyd "
+    "iterations so the whole fit is one declarative plan with a full "
+    "DuckDB value oracle (VERDICT r2 #9) — iteration-1 centroids are "
+    "rounded to 6 decimals in BOTH engines before re-use, making the "
+    "second assignment bit-deterministic. The unbounded operator "
+    "(displacement-convergence loop, localCheckpoint lineage "
+    "truncation) stays pytest-verified; per-iteration plan shape is "
+    "identical: broadcast centroids, map-side min_by, (cell, dim) "
+    "aggregation.",
+)
+def v06_kmeans_two_steps(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    corp = e.select("vec_id", vec.alias("cv"))
+    cent1 = e.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cid"), vec.alias("kv")
+    )
+    step1 = _spark_lloyd_step(corp, cent1)
+    cent2 = step1.groupBy(F.col("cell").alias("cid")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "centroid_val"))),
+            lambda s: s["centroid_val"],
+        ).alias("kv")
+    )
+    return _spark_lloyd_step(corp, cent2).select(
+        "cell", "dim_idx", "n_members", "centroid_val"
+    )
