@@ -1423,3 +1423,36 @@ def e01_distance_at_anchor(spark, sf_dir):
         )
         .select("o_orderkey", "l_linenumber", "c_mktsegment", dist.alias("dist"))
     )
+
+
+@register(
+    "w07_running_total",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS running_total,
+           lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_price
+    FROM orders
+    """,
+    note="W7 cumulative window: per-customer running order total + "
+    "lag. One shuffle on the partition key; the running sum is "
+    "decimal-cast so the cumulative value is exact at every row "
+    "(engines disagree on float accumulation association otherwise — "
+    "DuckDB's windowed sum uses segment trees). Partition = one "
+    "customer's orders, never the whole table.",
+)
+def w07_running_total(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+    )

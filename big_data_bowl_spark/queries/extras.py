@@ -563,3 +563,129 @@ def s08_shuffled_shards(spark: SparkSession, sf_dir: str):
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+@register(
+    "a10_approx_count_distinct",
+    oracle=None,
+    note="A10: HyperLogLog++ approximate distinct counts per group "
+    "(rsd 2%). No value oracle: Spark's HLL++ and DuckDB's "
+    "approx_distinct are different sketches, so cross-engine equality "
+    "is impossible BY DESIGN; tests/test_operators.py pins each "
+    "estimate within 5% of the exact count instead. The 100 TB point: "
+    "the sketch is a fixed-size mergeable state aggregated map-side — "
+    "count-distinct at any cardinality with bounded memory, where "
+    "a05's exact form must shuffle every distinct value.",
+)
+def a10_approx_count_distinct(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias(
+            "approx_parts"
+        ),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
+            "approx_orders"
+        ),
+    )
+
+
+@register(
+    "s09_jsonl_scan",
+    oracle="""
+    SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal, c_mktsegment
+    FROM customer
+    """,
+    note="S9: JSON-lines sink + scan with an EXPLICIT schema (no "
+    "inference pass over the data — schema-on-read done right: "
+    "inference at 100 TB is a full extra scan). Round-trips `customer` "
+    "through .write.json / .read.schema(...).json; values must match "
+    "the parquet original bit-for-bit.",
+)
+def s09_jsonl_scan(spark: SparkSession, sf_dir: str):
+    cust = t(spark, sf_dir, "customer")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+        f"s09_customer_{sf_tag}",
+    )
+    cust.write.mode("overwrite").json(path)
+    schema = (
+        "c_custkey long, c_name string, c_nationkey long, "
+        "c_acctbal double, c_mktsegment string"
+    )
+    return spark.read.schema(schema).json(path).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+@register(
+    "a11_rollup_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    note="A11 hierarchical rollup: (flag, status), (flag), () subtotal "
+    "grains in ONE aggregation — Spark expands grouping sets inside a "
+    "single hash-agg (one shuffle), where the naive spelling is three "
+    "scans + a union. sum(l_quantity) is integral-exact (base.py "
+    "policy).",
+)
+def a11_rollup_agg(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@register(
+    "p14_fillna_coalesce",
+    oracle="""
+    SELECT event_id,
+           COALESCE(value, 0.0) AS value_filled,
+           COALESCE(NULLIF(event_type, 'error'), 'unknown') AS type_clean
+    FROM events
+    """,
+    note="P14 null handling (the reference's na.omit/replace_na "
+    "analogues): fillna as COALESCE projections — narrow, codegen, "
+    "pushdown-transparent.",
+)
+def p14_fillna_coalesce(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value_filled"),
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("error")), F.lit("unknown")
+        ).alias("type_clean"),
+    )
+
+
+@register(
+    "w08_ntile_quartiles",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_orderkey) AS quartile,
+           CAST(percent_rank() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_orderkey) AS DOUBLE)
+             AS pct_rank
+    FROM orders
+    """,
+    note="W8 rank-family windows (ntile + percent_rank) per priority "
+    "group: one shuffle on the partition key; ordering key is the "
+    "unique o_orderkey so both engines tile identically.",
+)
+def w08_ntile_quartiles(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+    )

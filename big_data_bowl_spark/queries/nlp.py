@@ -533,6 +533,93 @@ def d04_simhash(spark: SparkSession, sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# D6: simhash hamming near-dup pairs (banded buckets + bit_count verify)
+# ---------------------------------------------------------------------------
+
+HAM_K = 1  # pairs within hamming distance <= 1 are near-dups
+SIM_BANDS = 2  # k+1 bands: pigeonhole guarantees one exact band match
+_BAND_BITS = SIMHASH_BITS // SIM_BANDS
+
+_D06_ORACLE = (
+    "WITH sim AS ("
+    + _D04_ORACLE
+    + "), bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * _BAND_BITS}) & {(1 << _BAND_BITS) - 1} AS bkey "
+        "FROM sim"
+        for b in range(SIM_BANDS)
+    )
+    + ") "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "bit_count(xor(a.simhash, b.simhash)) AS hamming "
+    "FROM bands a JOIN bands b "
+    "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id "
+    f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAM_K}"
+)
+
+
+@register(
+    "d06_simhash_neardup",
+    oracle=_D06_ORACLE,
+    note=f"SimHash near-dup pairs: hamming(simhash) <= {HAM_K} via "
+    f"{SIM_BANDS}-band pigeonhole bucketing — a pair within the "
+    "threshold MUST agree exactly on at least one band, so candidates "
+    "come from equality buckets (O(sum bucket^2) pair space, same "
+    "bucket-local groupBy emission as d02 — the simhash pipeline is "
+    "evaluated ONCE, where a self-join would run it twice), then exact "
+    "bit_count(xor) verification on candidates only. At 100 TB swap "
+    f"{SIMHASH_BITS}-bit for 64-bit signatures (constant here) — the "
+    "plan is unchanged, buckets get sparser.",
+)
+def d06_simhash_neardup(spark: SparkSession, sf_dir: str):
+    sim = d04_simhash(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * _BAND_BITS)
+                .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                .alias("bkey"),
+            )
+            for b in range(SIM_BANDS)
+        ]
+    )
+    banded = sim.select(
+        "doc_id", "simhash", F.explode(band_structs).alias("b")
+    ).select("doc_id", "simhash", "b.band", "b.bkey")
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    pairs = buckets.select(
+        F.posexplode("xs").alias("pos", "a"), "xs"
+    ).select(
+        "a",
+        F.explode(
+            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
+        ).alias("b"),
+    )
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAM_K)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # D5: connected-components canonicalization of the near-dup pair graph
 # ---------------------------------------------------------------------------
 

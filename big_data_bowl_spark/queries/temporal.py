@@ -294,3 +294,92 @@ def t08_streaming_sessionization(spark: SparkSession, sf_dir: str):
         output_mode="append",
     )
     return spark.table("t08_streaming_sessionization_sink")
+
+
+# ---------------------------------------------------------------------------
+# T9: interval (range) join — events x time windows without a BNLJ
+# ---------------------------------------------------------------------------
+
+N_INTERVALS = 100
+_IV_BASE = "2024-01-01 00:00:00"
+_IV_SECONDS = 90 * 60  # 90-minute windows, every 7 hours
+
+
+@register(
+    "t09_interval_join",
+    oracle=f"""
+    WITH iv AS (
+      SELECT i.i AS interval_id,
+             TIMESTAMP '{_IV_BASE}' + to_hours(CAST(i.i * 7 + 3 AS BIGINT))
+               AS start_ts,
+             TIMESTAMP '{_IV_BASE}' + to_hours(CAST(i.i * 7 + 3 AS BIGINT))
+               + to_seconds({_IV_SECONDS}) AS end_ts
+      FROM range({N_INTERVALS}) i(i))
+    SELECT iv.interval_id, e.event_id, e.event_type
+    FROM events e JOIN iv
+      ON {_TS} >= iv.start_ts AND {_TS} < iv.end_ts
+    """,
+    note="Interval/range join: events matched to the time windows "
+    "containing them. A raw `ts >= start AND ts < end` join has no "
+    "equality key, so Spark plans a BroadcastNestedLoopJoin — "
+    "O(events x intervals). Instead each interval EXPANDS into the "
+    "1-hour buckets it overlaps (bounded fan-out: duration/bucket + 1 "
+    "rows), the join runs on bucket EQUALITY (hash join, broadcast "
+    "here since intervals are dim-sized; shuffle-hash at scale), and "
+    "exact containment filters the bucket matches. The standard "
+    "scale-out for range joins (cf. Databricks range-join bin "
+    "optimization) in plain DataFrame ops.",
+)
+def t09_interval_join(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    base = F.to_timestamp(F.lit(_IV_BASE))
+    start_s = F.unix_timestamp(base) + (F.col("id") * 7 + 3) * 3600
+    iv = spark.range(N_INTERVALS).select(
+        F.col("id").alias("interval_id"),
+        F.timestamp_seconds(start_s).alias("start_ts"),
+        F.timestamp_seconds(start_s + _IV_SECONDS).alias("end_ts"),
+        F.explode(
+            F.sequence(
+                F.floor(start_s / 3600),
+                F.floor((start_s + _IV_SECONDS - 1) / 3600),
+            )
+        ).alias("bucket"),
+    )
+    bucketed = ev.withColumn(
+        "bucket", F.floor(F.unix_timestamp(F.col("ts")) / 3600)
+    )
+    return (
+        bucketed.join(F.broadcast(iv), "bucket")
+        .filter(
+            (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("end_ts"))
+        )
+        .select("interval_id", "event_id", "event_type")
+    )
+
+
+@register(
+    "t10_date_parts",
+    oracle=f"""
+    SELECT event_id,
+           CAST(year({_TS}) AS INT) AS yr,
+           CAST(month({_TS}) AS INT) AS mo,
+           CAST(dayofweek({_TS}) AS INT) AS dow,
+           CAST(date_trunc('day', {_TS}) AS DATE) AS event_date,
+           CAST(hour({_TS}) AS INT) AS hr
+    FROM events
+    """,
+    note="T10 calendar decomposition: year/month/dow/hour + date_trunc "
+    "as narrow projections. dayofweek: DuckDB is 0=Sunday..6, Spark "
+    "1=Sunday..7 — normalized to DuckDB's numbering (dayofweek - 1).",
+)
+def t10_date_parts(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        (F.dayofweek("ts") - 1).alias("dow"),
+        F.date_trunc("day", F.col("ts")).cast("date").alias("event_date"),
+        F.hour("ts").alias("hr"),
+    )

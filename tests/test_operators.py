@@ -279,3 +279,31 @@ def test_kmeans_fit_recovers_separated_blobs(spark):
     )
     # converged centroids sit on the true blob centers, 30 points each
     assert got == [(-10, 5, 30), (0, 0, 30), (10, 10, 30)]
+
+
+def test_a10_approx_distinct_within_tolerance(spark, sf_dir):
+    """a10 has no cross-engine oracle (different sketches); pin the
+    HLL++ estimates within 5% of exact counts instead."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    approx = {
+        r.l_returnflag: r
+        for r in REGISTRY["a10_approx_count_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, e in exact.items():
+        assert abs(approx[flag].approx_parts - e.parts) <= 0.05 * e.parts
+        assert abs(approx[flag].approx_orders - e.orders) <= 0.05 * e.orders
