@@ -689,3 +689,54 @@ def w08_ntile_quartiles(spark: SparkSession, sf_dir: str):
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).cast("double").alias("pct_rank"),
     )
+
+
+@register(
+    "j09_full_outer_join",
+    oracle="""
+    SELECT n.n_name, r.r_name
+    FROM nation n FULL OUTER JOIN region r
+      ON n.n_regionkey = r.r_regionkey AND r.r_regionkey < 3
+    """,
+    note="J9 full outer join with a non-trivial condition (both sides "
+    "keep unmatched rows). Full outer can't broadcast (both sides "
+    "must persist unmatched state) — Spark correctly plans SMJ/SHJ; "
+    "at scale this is the one join family where AQE cannot save a "
+    "skewed build side, noted for operators choosing outer flavors.",
+)
+def j09_full_outer_join(spark: SparkSession, sf_dir: str):
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return n.join(
+        r,
+        (n.n_regionkey == r.r_regionkey) & (r.r_regionkey < 3),
+        "full_outer",
+    ).select("n_name", "r_name")
+
+
+@register(
+    "a12_grouped_corr",
+    oracle="""
+    SELECT l_returnflag,
+           floor(corr(l_quantity, l_extendedprice) * 1e9 + 0.5) / 1e9
+             AS corr_qty_price,
+           floor(covar_samp(l_quantity, l_discount) * 1e9 + 0.5) / 1e9
+             AS covar_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="A12 grouped correlation/covariance: single-pass mergeable "
+    "moment aggregates (map-side combined, one shuffle) — the "
+    "feature-screening agg of an ML pipeline. Rounded to 9 decimals: "
+    "the co-moment update order differs across engines in the last "
+    "ulps.",
+)
+def a12_grouped_corr(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rhu(F.corr("l_quantity", "l_extendedprice"), 9).alias(
+            "corr_qty_price"
+        ),
+        rhu(F.covar_samp("l_quantity", "l_discount"), 9).alias(
+            "covar_qty_disc"
+        ),
+    )

@@ -905,3 +905,44 @@ def n12_sequence_packing(spark: SparkSession, sf_dir: str):
         "n_tok",
         F.floor(preceding / PACK_BUDGET).alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N13: PII redaction (emails / phone-shaped numbers) — pre-training scrub
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (work unchanged in Spark's Java regex and DuckDB's
+# RE2): no lookbehind, no backreferences.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+@register(
+    "n13_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{_PHONE_RE}', '[PHONE]', 'g') AS text_clean,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones
+    FROM documents
+    """,
+    note="N13 PII scrub: email/phone redaction + per-doc match counts, "
+    "the mandatory pre-training pass over a web corpus. Narrow "
+    "JVM-regex projections (patterns kept RE2-compatible so both "
+    "engines match identically); at 100 TB this is scan-bound, "
+    "exactly as it should be.",
+)
+def n13_pii_redaction(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("text_clean"),
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
+    )

@@ -248,7 +248,11 @@ def _season_players(spark, sf_dir):
     "codegen Gaussian, per-player normalize window (partition = grid "
     "size, frame-count-independent), ONE shuffle for the per-(frame, "
     "cell) signed decimal sum. Frames add rows, not stages — the "
-    "definition of linear scale-out.",
+    "definition of linear scale-out. (Measured A/B at sf0.1: the "
+    "normalize WINDOW beats a groupBy-max + broadcast-join-back "
+    "5.7s vs 6.9s — the join form re-evaluates the Gaussian subtree, "
+    "which costs more than the window's sort; self-referenced "
+    "subtrees are never reused across join sides.)",
 )
 def e03_field_control_season(spark, sf_dir):
     players = _season_players(spark, sf_dir).transform(attach_kinematics)

@@ -383,3 +383,28 @@ def t10_date_parts(spark: SparkSession, sf_dir: str):
         F.date_trunc("day", F.col("ts")).cast("date").alias("event_date"),
         F.hour("ts").alias("hr"),
     )
+
+
+@register(
+    "t11_streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    note="Streaming exact dedup (the streaming face of d01): "
+    "watermarked dropDuplicates keeps ONE state row per key inside "
+    "the 2h horizon — state is bounded no matter how long the stream "
+    "runs. Only the KEYS are emitted because 'first arrival' under a "
+    "backfill is processing-order-dependent; the key set itself is "
+    "deterministic and oracle = DISTINCT. availableNow backfill over "
+    "the events lake, append-mode memory sink.",
+)
+def t11_streaming_dedup(spark: SparkSession, sf_dir: str):
+    from ..streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        streaming_dedup,
+    )
+
+    stream = streaming_dedup(
+        read_events_stream(spark, sf_dir), keys=["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    run_to_memory(stream, "t11_streaming_dedup_sink", output_mode="append")
+    return spark.table("t11_streaming_dedup_sink")

@@ -426,3 +426,47 @@ def v06_kmeans_two_steps(spark: SparkSession, sf_dir: str):
     return _spark_lloyd_step(corp, cent2).select(
         "cell", "dim_idx", "n_members", "centroid_val"
     )
+
+
+# ---------------------------------------------------------------------------
+# V7: int8 vector quantization (storage/bandwidth compression for ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v07_int8_quantize",
+    oracle="""
+    WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+         m AS (SELECT vec_id, v,
+                      greatest(list_max(list_transform(v, x -> abs(x))),
+                               1e-30) AS mx
+               FROM c)
+    SELECT vec_id, CAST(mx AS DOUBLE) AS scale,
+           list_transform(v, x -> CAST(floor(x / mx * 127.0 + 0.5)
+                                       AS INTEGER)) AS q
+    FROM m
+    """,
+    note="V7 symmetric int8 quantization: per-vector max-abs scale, "
+    "q = round(x/scale*127). Shrinks an ANN corpus 4x (the standard "
+    "IVF/PQ storage step) as a NARROW projection — array HOFs stay "
+    "JVM-side, no shuffle, no Python. round() spelled floor(x+0.5) "
+    "because engines disagree on banker's rounding.",
+)
+def v07_int8_quantize(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    mx = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    withm = e.select("vec_id", v.alias("v"), mx.alias("mx"))
+    return withm.select(
+        "vec_id",
+        F.col("mx").cast("double").alias("scale"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("mx") * 127.0 + F.lit(0.5)).cast(
+                "int"
+            ),
+        ).alias("q"),
+    )
