@@ -143,6 +143,11 @@ def main() -> None:
                 )
 
     print(json.dumps(result))
+    # Opt-in hard gate (VERDICT r2 #1): exit nonzero on any >2x
+    # per-query regression. Off by default so the driver's JSON-line
+    # contract (rc 0 + one line) is never at risk.
+    if os.environ.get("SPARK_GRAFT_BENCH_STRICT") and result.get("regressions"):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
