@@ -68,7 +68,9 @@ def with_global_row_number(
     for b in sorted(counts):
         offsets.append((b, acc))
         acc += counts[b]
-    off_df = spark.createDataFrame(offsets, ["__bkt", "__offset"])
+    off_df = spark.createDataFrame(
+        offsets, "__bkt int, __offset long"  # explicit: offsets may be empty
+    )
     w = Window.partitionBy("__bkt").orderBy(order_col)
     return (
         bucketed.join(F.broadcast(off_df), "__bkt")

@@ -307,3 +307,49 @@ def test_a10_approx_distinct_within_tolerance(spark, sf_dir):
     for flag, e in exact.items():
         assert abs(approx[flag].approx_parts - e.parts) <= 0.05 * e.parts
         assert abs(approx[flag].approx_orders - e.orders) <= 0.05 * e.orders
+
+
+def test_split_fraction_edge_cases(spark):
+    """ADVICE r2: fraction >= 1 must keep everything (not ~6% via a
+    broken 14-char hex compare); <= 0 keeps nothing; out-of-domain
+    thresholds raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.functions.hashing import (
+        hex_threshold,
+        md5_of,
+    )
+    from big_data_bowl_spark.operators.sample import deterministic_split
+
+    df = spark.range(1000).withColumn("k", F.col("id").cast("string"))
+    train, test = deterministic_split(df, key_cols=["k"], train_fraction=1.0)
+    assert train.count() == 1000 and test.count() == 0
+    train0, test0 = deterministic_split(df, key_cols=["k"], train_fraction=0.0)
+    assert train0.count() == 0 and test0.count() == 1000
+    with pytest.raises(ValueError):
+        hex_threshold(1.0)
+    with pytest.raises(ValueError):
+        hex_threshold(-0.1)
+    # separator ambiguity regression: ('a|b','c') must not collide with
+    # ('a','b|c') now that the join char is 0x1f
+    row = spark.range(1).select(
+        md5_of(F.lit("a|b"), F.lit("c")).alias("h1"),
+        md5_of(F.lit("a"), F.lit("b|c")).alias("h2"),
+    ).collect()[0]
+    assert row.h1 != row.h2
+
+
+def test_global_row_number_degenerate_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.rank import with_global_row_number
+
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    assert with_global_row_number(empty, "k").count() == 0
+
+    const = spark.range(5).select(F.lit(7).alias("k"))
+    rows = sorted(
+        r.row_num for r in with_global_row_number(const, "k").collect()
+    )
+    assert rows == [1, 2, 3, 4, 5]
