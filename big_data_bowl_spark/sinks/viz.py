@@ -1,0 +1,69 @@
+"""Visualization sink adapters (SURVEY §2.12 / reference S5 viz half).
+
+The reference ends its pipelines in ggplot/gganimate/gt renderings
+(Field Control.R:155-219, all coverages.R:330-360). Rendering is out
+of engine scope — a plot is a driver-side artifact of a SMALL result —
+so these adapters enforce exactly that contract:
+
+- the engine side stays a DataFrame until the last moment;
+- collection is size-GUARDED (an unbounded `toPandas()` on a fact
+  table is the #1 way a 100 TB job kills its driver);
+- the matplotlib dependency is optional (this container doesn't ship
+  it): matrix/table adapters work without it, `save_heatmap` raises a
+  clear error where the plotting backend would plug in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def collect_for_viz(df: DataFrame, max_rows: int = 100_000):
+    """Guarded `toPandas()`: refuses to collect more than max_rows.
+
+    The limit+count probe costs one extra action but turns a
+    driver-OOM into a loud, early error.
+    """
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"result exceeds max_rows={max_rows}; aggregate or sample "
+            "before visualizing (viz sinks are for SMALL results)"
+        )
+    return df.toPandas()
+
+
+def control_surface_matrix(control_df: DataFrame, value_col: str = "control"):
+    """E2's ggplot input shape: the per-cell control surface pivoted to
+    a (grid_y rows x grid_x cols) matrix — what geom_raster/imshow
+    consume (Field Control.R:155-219)."""
+    pdf = collect_for_viz(
+        control_df.select("grid_x", "grid_y", value_col)
+    )
+    return pdf.pivot(index="grid_y", columns="grid_x", values=value_col)
+
+
+def save_heatmap(
+    control_df: DataFrame, path: str, value_col: str = "control"
+) -> str:
+    """Render the control surface to an image file (matplotlib backend).
+
+    Raises ImportError with guidance when matplotlib is absent — the
+    matrix adapter above still works everywhere.
+    """
+    mat = control_surface_matrix(control_df, value_col)
+    try:
+        import matplotlib
+    except ImportError as exc:  # pragma: no cover - env without mpl
+        raise ImportError(
+            "matplotlib is not installed in this environment; use "
+            "control_surface_matrix() and render with your own backend"
+        ) from exc
+    matplotlib.use("Agg")  # pragma: no cover - env with mpl
+    import matplotlib.pyplot as plt  # pragma: no cover
+
+    fig, ax = plt.subplots(figsize=(12, 5.33))  # pragma: no cover
+    ax.imshow(mat.values, origin="lower", aspect="auto")  # pragma: no cover
+    fig.savefig(path, dpi=100)  # pragma: no cover
+    plt.close(fig)  # pragma: no cover
+    return path  # pragma: no cover

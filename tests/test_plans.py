@@ -86,3 +86,22 @@ def test_global_row_number_matches_naive_window(spark):
         F.row_number().over(Window.orderBy("o_orderkey")).alias("row_num"),
     )
     assert fast.exceptAll(naive).isEmpty() and naive.exceptAll(fast).isEmpty()
+
+
+def test_viz_sink_matrix_and_guard(spark):
+    import pytest
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sinks.viz import (
+        collect_for_viz,
+        control_surface_matrix,
+    )
+    from big_data_bowl_spark.sources.io import load_table
+
+    control = REGISTRY["e02_field_control"].fn(spark, SF)
+    mat = control_surface_matrix(control)
+    assert mat.shape == (54, 120)  # grid_y rows x grid_x cols
+    assert ((mat.values >= 0) & (mat.values <= 1)).all()
+
+    with pytest.raises(ValueError, match="max_rows"):
+        collect_for_viz(load_table(spark, SF, "lineitem"), max_rows=10)

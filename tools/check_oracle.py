@@ -55,13 +55,27 @@ def norm_rows(rows, colnames):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="use a bare SparkSession (driver-like) instead of get_spark()",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     from big_data_bowl_spark.queries import REGISTRY
-    from big_data_bowl_spark.session import get_spark
 
-    spark = get_spark(shuffle_partitions=8)
+    if args.plain:
+        # The driver imports __spark_entry__ and calls queries() with
+        # ITS OWN bare session — --plain reproduces that, catching any
+        # accidental dependency on get_spark()'s config.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from big_data_bowl_spark.session import get_spark
+
+        spark = get_spark(shuffle_partitions=8)
 
     con = duckdb.connect()
     for tbl in TABLES:
