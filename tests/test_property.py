@@ -79,3 +79,45 @@ def test_asof_join_matches_nested_loop(spark, seed):
         ).collect()
     }
     assert got == expect
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_global_row_number_matches_sorted_rank(spark, seed):
+    """Random (skewed, duplicate-bearing, negative) keys: the two-phase
+    rank must emit exactly {1..n} and respect key order."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.rank import with_global_row_number
+
+    rng = random.Random(seed)
+    keys = (
+        [rng.randrange(-50, 50) for _ in range(200)]
+        + [7] * 50  # heavy duplicate run
+        + [rng.gauss(0, 1000) for _ in range(50)]
+    )
+    df = spark.createDataFrame([(float(k),) for k in keys], "k double")
+    got = with_global_row_number(df, "k", num_buckets=13).collect()
+    assert sorted(r.row_num for r in got) == list(range(1, len(keys) + 1))
+    by_rank = sorted(got, key=lambda r: r.row_num)
+    ks = [r.k for r in by_rank]
+    assert ks == sorted(ks)  # nondecreasing key along the ordinal
+
+
+def test_registry_priority_list_is_consistent():
+    """Every _PRIORITY name must exist (typos would silently demote a
+    query), and queries()/oracle_sql() must agree with REGISTRY."""
+    from big_data_bowl_spark.queries import (
+        REGISTRY,
+        _PRIORITY,
+        oracle_sql,
+        queries,
+    )
+
+    missing = set(_PRIORITY) - set(REGISTRY)
+    assert not missing, f"_PRIORITY names not in REGISTRY: {missing}"
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate priority names"
+    q = queries()
+    assert set(q) == set(REGISTRY)
+    assert set(oracle_sql()) == {
+        n for n, s in REGISTRY.items() if s.oracle is not None
+    }
