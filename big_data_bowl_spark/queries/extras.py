@@ -740,3 +740,41 @@ def a12_grouped_corr(spark: SparkSession, sf_dir: str):
             "covar_qty_disc"
         ),
     )
+
+
+SALT_JOIN_R = 8
+
+
+@register(
+    "s10_salted_skew_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderpriority, l_quantity
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    note=f"Skew-safe salted JOIN (companion to a08's salted agg): the "
+    "fact side gets salt = l_linenumber % "
+    f"{SALT_JOIN_R}, the other side replicates x{SALT_JOIN_R} with a "
+    "generated salt column, and the join runs on (key, salt) — a "
+    "pathologically hot key spreads over "
+    f"{SALT_JOIN_R} shuffle cells instead of melting one reducer. "
+    "Result rows are IDENTICAL to the plain join (salt only changes "
+    "distribution), so the oracle is the plain join. Cost: the "
+    "replicated side scans x"
+    f"{SALT_JOIN_R} — use for fact-fact joins where AQE's skew split "
+    "can't help (e.g. when the skewed side is the output of an "
+    "aggregation, not a shuffle file).",
+)
+def s10_salted_skew_join(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % SALT_JOIN_R).cast("int")
+    )
+    o = t(spark, sf_dir, "orders").crossJoin(
+        F.broadcast(
+            spark.range(SALT_JOIN_R).select(F.col("id").cast("int").alias("salt"))
+        )
+    )
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt),
+        "inner",
+    ).select("l_orderkey", "l_linenumber", "o_orderpriority", "l_quantity")
