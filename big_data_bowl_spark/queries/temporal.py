@@ -408,3 +408,46 @@ def t11_streaming_dedup(spark: SparkSession, sf_dir: str):
     ).select("user_id", "event_type")
     run_to_memory(stream, "t11_streaming_dedup_sink", output_mode="append")
     return spark.table("t11_streaming_dedup_sink")
+
+
+@register(
+    "t12_streaming_interval_join",
+    oracle=_REGISTRY["t09_interval_join"].oracle,
+    note="Stream-static interval join: the t09 bucket-expansion range "
+    "join with the events side as a STREAM (availableNow backfill) and "
+    "the interval table broadcast as the static side. Stream-static "
+    "inner joins need no watermark/state — each micro-batch joins "
+    "against the static table independently — so this is the "
+    "incremental form of enrich-by-time-window; checked against the "
+    "identical batch oracle.",
+)
+def t12_streaming_interval_join(spark: SparkSession, sf_dir: str):
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    base = F.to_timestamp(F.lit(_IV_BASE))
+    start_s = F.unix_timestamp(base) + (F.col("id") * 7 + 3) * 3600
+    iv = spark.range(N_INTERVALS).select(
+        F.col("id").alias("interval_id"),
+        F.timestamp_seconds(start_s).alias("start_ts"),
+        F.timestamp_seconds(start_s + _IV_SECONDS).alias("end_ts"),
+        F.explode(
+            F.sequence(
+                F.floor(start_s / 3600),
+                F.floor((start_s + _IV_SECONDS - 1) / 3600),
+            )
+        ).alias("bucket"),
+    )
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withColumn("bucket", F.floor(F.unix_timestamp(F.col("ts")) / 3600))
+        .join(F.broadcast(iv), "bucket")
+        .filter(
+            (F.col("ts") >= F.col("start_ts"))
+            & (F.col("ts") < F.col("end_ts"))
+        )
+        .select("interval_id", "event_id", "event_type")
+    )
+    run_to_memory(
+        stream, "t12_streaming_interval_join_sink", output_mode="append"
+    )
+    return spark.table("t12_streaming_interval_join_sink")
