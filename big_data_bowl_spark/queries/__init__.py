@@ -44,6 +44,12 @@ _PRIORITY = [
     # similarity / clustering
     "v01_cosine_topk", "v02_srp_lsh_buckets", "v03_bucketed_cosine_neardup",
     "v04_ivf_topk", "v05_kmeans_step",
+    # multimodal + ML feature table + reshape/user-code: never driver-
+    # checked in r2, so they sit inside the expected ~50-slot prefix
+    "mm01_media_metadata", "mm02_image_features", "mm03_frame_sample",
+    "mm04_resize_features", "m00_ml_feature_table",
+    "r01_pivot_wide", "r02_pivot_wide_multivalue",
+    "u01_groupby_apply", "u02_transform_chain",
     # temporal + streaming
     "t01_tumbling_window", "t02_sliding_window", "t03_session_window",
     "t04_interevent_gap", "t05_json_props", "t06_asof_join",
@@ -53,12 +59,6 @@ _PRIORITY = [
     "n05_punct_ratio", "n06_bpe_token_count", "n07_rolling_hash_fingerprint",
     "n08_source_quota", "n09_vocab_topk", "n10_tfidf_top_terms",
     "n11_repetition_score", "n12_sequence_packing",
-    # multimodal + ML feature table
-    "mm01_media_metadata", "mm02_image_features", "mm03_frame_sample",
-    "mm04_resize_features", "m00_ml_feature_table",
-    # reshape / user-code
-    "r01_pivot_wide", "r02_pivot_wide_multivalue",
-    "u01_groupby_apply", "u02_transform_chain",
     # scale-technique + data-quality
     "s05_parquet_sink_roundtrip", "s06_bucketed_colocated_join",
     "a08_salted_grouped_sum", "a09_grouped_quantiles",
