@@ -38,6 +38,7 @@ from ..functions.text import (  # noqa: F401
     token_count,
     word_shingles,
 )
+from ..functions.hashing import hex_threshold
 from .base import register, t, tf
 
 # MinHash/LSH parameters: H hashes split into B bands of R rows.
@@ -946,3 +947,47 @@ def n13_pii_redaction(spark: SparkSession, sf_dir: str):
         F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).alias("n_emails"),
         F.regexp_count(F.col("text"), F.lit(_PHONE_RE)).alias("n_phones"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N14: source-weighted corpus mixing (deterministic Bernoulli sampling)
+# ---------------------------------------------------------------------------
+
+# Per-source keep rates — the "data mixing weights" of a pre-training
+# corpus recipe (e.g. books oversampled, common-crawl downsampled).
+MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
+MIX_DEFAULT_RATE = 0.1
+
+
+@register(
+    "n14_source_mixing",
+    oracle="SELECT doc_id, source FROM documents WHERE "
+    + " OR ".join(
+        f"(source = '{s}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)"
+        f" < '{hex_threshold(r)}')"
+        for s, r in MIX_RATES.items()
+    )
+    + f" OR (source NOT IN {tuple(MIX_RATES)!r} AND "
+    f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)"
+    f" < '{hex_threshold(MIX_DEFAULT_RATE)}')",
+    note="N14 corpus mixing: per-source keep rates applied as "
+    "DETERMINISTIC Bernoulli sampling — keep iff md5(doc_id) hex "
+    "prefix < the source's rate threshold. Unlike rand()<p this is "
+    "reproducible across runs, partitionings and engines, and a "
+    "document keeps/drops CONSISTENTLY when the corpus is "
+    "re-processed (critical for incremental pipeline re-runs). "
+    "Narrow filter, pushdown-friendly, zero shuffle.",
+)
+def n14_source_mixing(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    h13 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13)
+    keep = F.lit(False)
+    for s, r in MIX_RATES.items():
+        keep = keep | (
+            (F.col("source") == s) & (h13 < F.lit(hex_threshold(r)))
+        )
+    keep = keep | (
+        ~F.col("source").isin(*MIX_RATES)
+        & (h13 < F.lit(hex_threshold(MIX_DEFAULT_RATE)))
+    )
+    return d.filter(keep).select("doc_id", "source")
