@@ -70,6 +70,11 @@ def planted_dir(tmp_path_factory):
         near[20] = "CHANGED"
         dids += [100 + j, 200 + j]
         texts += [" ".join(base), " ".join(near)]
+    # exact-duplicate pair for the simhash hamming query (identical
+    # text -> identical simhash -> hamming 0, unconditionally)
+    twin = " ".join(rng.choice(words) for _ in range(40))
+    dids += [300, 400]
+    texts += [twin, twin]
     pq.write_table(
         pa.table(
             {
@@ -115,3 +120,12 @@ def test_d03_jaccard_verify_scores_planted_pairs_high(spark, planted_dir):
     ]
     # one changed word in 40 kills at most k=3 consecutive shingles
     assert all(r["jaccard"] > 0.7 for r in planted), planted
+
+
+def test_d06_simhash_finds_planted_exact_dup(spark, planted_dir):
+    rows = REGISTRY["d06_simhash_neardup"].fn(spark, planted_dir).collect()
+    pairs = {
+        (min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b)): r.hamming
+        for r in rows
+    }
+    assert pairs.get((300, 400)) == 0, pairs
