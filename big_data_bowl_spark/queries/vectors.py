@@ -470,3 +470,55 @@ def v07_int8_quantize(spark: SparkSession, sf_dir: str):
             ),
         ).alias("q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V8: embedding near-dup canonicalization (components over v03 pairs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "v08_embedding_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT vec_id, {_sql_vec('embedding')} AS v,
+             {_sql_bucket(_sql_vec('embedding'))} AS bucket
+      FROM embeddings),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cosine
+          FROM c a JOIN c b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pairs AS (SELECT vec_a, vec_b FROM p WHERE cosine >= {NEARDUP_COS!r}),
+    edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+              UNION ALL SELECT vec_b AS u, vec_a AS v FROM pairs),
+    reach(node, lbl) AS (
+      SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+      UNION
+      SELECT r.node, e.v AS lbl FROM reach r JOIN edges e ON e.u = r.lbl)
+    SELECT node AS vec_id, MIN(lbl) AS canonical_id,
+           MIN(lbl) <> node AS is_dup
+    FROM reach GROUP BY node
+    """,
+    note="V8: keep-one canonicalization of the embedding near-dup "
+    "graph — the d05 story on the vector side. SRP-bucketed candidate "
+    "pairs (v03) feed hash-to-min connected components "
+    "(operators/components.py, O(log diameter) rounds); every vector "
+    "maps to its cluster's min vec_id. Oracle = DuckDB recursive CTE "
+    "transitive closure.",
+)
+def v08_embedding_dedup_components(spark: SparkSession, sf_dir: str):
+    from ..operators.components import connected_components
+
+    pairs = v03_bucketed_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    ids = t(spark, sf_dir, "embeddings").select("vec_id")
+    return (
+        ids.join(labels, ids["vec_id"] == labels["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("comp", "vec_id").alias("canonical_id"),
+        )
+        .withColumn("is_dup", F.col("canonical_id") != F.col("vec_id"))
+    )
