@@ -778,3 +778,87 @@ def s10_salted_skew_join(spark: SparkSession, sf_dir: str):
         (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt),
         "inner",
     ).select("l_orderkey", "l_linenumber", "o_orderpriority", "l_quantity")
+
+
+DRIFT_BINS = 10
+DRIFT_LO, DRIFT_HI = 0.0, 200.0  # events.value domain
+
+
+@register(
+    "dq03_distribution_drift",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS cohort,
+             least(greatest(CAST(floor((value - {DRIFT_LO!r})
+                   / (({DRIFT_HI!r} - {DRIFT_LO!r}) / {DRIFT_BINS})) AS INT),
+                   0), {DRIFT_BINS - 1}) AS bin
+      FROM events WHERE value IS NOT NULL),
+    counts AS (
+      SELECT cohort, bin, COUNT(*) AS n FROM binned GROUP BY cohort, bin),
+    totals AS (
+      SELECT cohort, SUM(n) AS tot FROM counts GROUP BY cohort),
+    props AS (
+      SELECT c.bin, c.cohort,
+             (CAST(c.n AS DOUBLE) + 0.5) / (t.tot + {DRIFT_BINS} * 0.5) AS p
+      FROM counts c JOIN totals t ON c.cohort = t.cohort),
+    wide AS (
+      SELECT bin,
+             MAX(CASE WHEN cohort = 'ref' THEN p END) AS p_ref,
+             MAX(CASE WHEN cohort = 'cur' THEN p END) AS p_cur
+      FROM props GROUP BY bin)
+    SELECT bin,
+           floor(p_ref * 1e9 + 0.5) / 1e9 AS p_ref,
+           floor(p_cur * 1e9 + 0.5) / 1e9 AS p_cur,
+           floor((p_cur - p_ref) * ln(p_cur / p_ref) * 1e9 + 0.5) / 1e9
+             AS psi_term
+    FROM wide
+    """,
+    note=f"DQ3 distribution drift: population-stability-index terms "
+    "between a reference and current cohort over "
+    f"{DRIFT_BINS} fixed value bins (Laplace-smoothed so empty bins "
+    "don't blow up the log). The monitoring primitive a production "
+    "pipeline runs per column per batch; two map-side-combined "
+    "aggregations over one scan, output = bins rows. Sum psi_term "
+    "for the headline PSI number (>0.2 = investigate).",
+)
+def dq03_distribution_drift(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    width = (DRIFT_HI - DRIFT_LO) / DRIFT_BINS
+    binned = ev.select(
+        F.when(F.col("event_id") % 2 == 0, "ref").otherwise("cur").alias(
+            "cohort"
+        ),
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - DRIFT_LO) / width).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(DRIFT_BINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("cohort", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("cohort")
+    props = counts.select(
+        "bin",
+        "cohort",
+        (
+            (F.col("n").cast("double") + 0.5)
+            / (F.sum("n").over(w) + DRIFT_BINS * 0.5)
+        ).alias("p"),
+    )
+    wide = props.groupBy("bin").agg(
+        F.max(F.when(F.col("cohort") == "ref", F.col("p"))).alias("p_ref"),
+        F.max(F.when(F.col("cohort") == "cur", F.col("p"))).alias("p_cur"),
+    )
+    return wide.select(
+        "bin",
+        rhu(F.col("p_ref"), 9).alias("p_ref"),
+        rhu(F.col("p_cur"), 9).alias("p_cur"),
+        rhu(
+            (F.col("p_cur") - F.col("p_ref"))
+            * F.log(F.col("p_cur") / F.col("p_ref")),
+            9,
+        ).alias("psi_term"),
+    )
