@@ -180,3 +180,71 @@ def mm04_resize_features(spark, sf_dir):
     )
     resized = resize_images(media, out_w=_RESIZE_W, out_h=_RESIZE_H)
     return extract_image_features(resized)
+
+
+# ---------------------------------------------------------------------------
+# MM5: REAL WAV round-trip — encode -> decode through the actual codec
+# ---------------------------------------------------------------------------
+
+_WAV_N = 64  # samples per synthetic clip
+
+
+@register(
+    "mm05_audio_roundtrip_features",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id AS media_id,
+             list_transform(range({_WAV_N}),
+               i -> (doc_id * 37 + i * 11) % 2003 - 1001) AS samples
+      FROM documents WHERE doc_id % 3 = 1)
+    SELECT media_id,
+           CAST({_WAV_N} AS INT) AS n_samples,
+           CAST(list_sum(samples) AS DOUBLE) / {_WAV_N} AS mean_sample,
+           CAST(list_max(samples) AS INT) AS max_sample
+    FROM s
+    """,
+    note="MM5 audio: deterministic int16 clips are ENCODED to real RIFF "
+    "WAV bytes and DECODED back through the stdlib codec "
+    "(multimodal/media.py encode_wav/decode_audio) inside one "
+    "mapInPandas pass; the oracle computes the same statistics from "
+    "the sample formula directly, so any bit-loss in the container "
+    "round-trip fails the value check. Narrow, payloads never "
+    "shuffle; swap the codec seam for ffmpeg for compressed audio.",
+)
+def mm05_audio_roundtrip_features(spark, sf_dir):
+    from collections.abc import Iterator
+
+    docs = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ..multimodal.media import decode_audio, encode_wav
+
+        for pdf in it:
+            rows = []
+            for mid in pdf["media_id"]:
+                samples = (
+                    (int(mid) * 37 + np.arange(_WAV_N) * 11) % 2003 - 1001
+                ).astype(np.int16)
+                decoded = decode_audio(encode_wav(samples), "wav")
+                rows.append(
+                    (
+                        int(mid),
+                        int(decoded.size),
+                        float(decoded.mean()),
+                        int(decoded.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "mean_sample", "max_sample"],
+            )
+
+    return docs.mapInPandas(
+        batches,
+        schema="media_id long, n_samples int, mean_sample double, max_sample int",
+    )
