@@ -1,4 +1,4 @@
-"""Distributed as-of join (backward, inclusive).
+"""Distributed as-of join (backward or forward, inclusive).
 
 Spark has no ASOF JOIN. Spelling it as an inequality join
 (`l.ts >= r.ts` + pick-latest) plans as a broadcast-nested-loop —
@@ -34,13 +34,22 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join of `right` onto `left`.
+    """Inclusive as-of join of `right` onto `left`.
+
+    direction='backward' (default): greatest right-ts <= left-ts.
+    direction='forward': smallest right-ts >= left-ts — the same merge
+    with the partition sort reversed (descending ts), so the
+    cumulative carry picks up the NEAREST FOLLOWING right row; cost
+    and plan shape are identical.
 
     Output: all left columns, plus the matched right timestamp as
     `{right_ts}{suffix}` and every other right column under its own
     name (suffixed only on collision with a left column).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     rvals = [c for c in right.columns if c not in keys and c != right_ts]
     lcols = [c for c in left.columns if c not in keys]
@@ -71,10 +80,16 @@ def asof_join(
         *lcols,
         F.lit(1).alias("__tag"),
     )
-    # tag 0 sorts before tag 1 at equal __ts -> inclusive (>=) match
+    # tag 0 sorts before tag 1 at equal __ts -> inclusive match in
+    # either direction; forward just walks time backwards
+    ts_order = (
+        F.col("__ts").asc()
+        if direction == "backward"
+        else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__tag")
+        .orderBy(ts_order, F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("__match", ignorenulls=True).over(w)

@@ -451,3 +451,56 @@ def t12_streaming_interval_join(spark: SparkSession, sf_dir: str):
         stream, "t12_streaming_interval_join_sink", output_mode="append"
     )
     return spark.table("t12_streaming_interval_join_sink")
+
+
+@register(
+    "t13_asof_join_forward",
+    oracle="""
+    WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      MAX(value) AS next_error_value
+               FROM events WHERE event_type = 'error' GROUP BY 1, 2)
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS next_error_ts, r.next_error_value,
+           epoch_us(r.ts) - epoch_us(l.ts) AS gap_us
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts <= r.ts
+    """,
+    note="Forward as-of join: attach the NEXT 'error' after each "
+    "'purchase' per user (time-to-failure attribution). Same merge "
+    "operator as t06 with the partition sort reversed "
+    "(operators/asof.py direction='forward') — one shuffle, linear "
+    "per partition; oracle = DuckDB ASOF with l.ts <= r.ts.",
+)
+def t13_asof_join_forward(spark: SparkSession, sf_dir: str):
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_error_value"))
+    )
+    joined = asof_join(
+        left,
+        right,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        suffix="_x",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_x").alias("next_error_ts"),
+        "next_error_value",
+        (
+            F.unix_micros(F.col("ts_x")) - F.unix_micros(F.col("ts"))
+        ).alias("gap_us"),
+    )
