@@ -862,3 +862,60 @@ def dq03_distribution_drift(spark: SparkSession, sf_dir: str):
             9,
         ).alias("psi_term"),
     )
+
+
+@register(
+    "a13_collect_sorted_array",
+    oracle="""
+    SELECT o_orderpriority,
+           list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           COUNT(*) AS n
+    FROM orders WHERE o_totalprice > 400000.0
+    GROUP BY o_orderpriority
+    """,
+    note="A13 array aggregation: per-group sorted key list "
+    "(collect_list + array_sort == DuckDB list(ORDER BY)). The "
+    "filter keeps groups bounded — like exact quantiles, an unbounded "
+    "collect_list buffers a whole group on one reducer, so the "
+    "operator contract is 'pre-filter or cap'; the driver-facing "
+    "query demonstrates the bounded form.",
+)
+def a13_collect_sorted_array(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "u03_pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           least(greatest((l_extendedprice - 900.0) / (55000.0 - 900.0),
+                          0.0), 1.0) AS price_scaled
+    FROM lineitem
+    """,
+    note="U3: the sanctioned UDF path — a VECTORIZED @pandas_udf "
+    "(Arrow batches, pandas ops inside) for logic that genuinely "
+    "lives in Python. This min-max clip is expressible natively "
+    "(that spelling IS the oracle), which makes it the honest "
+    "benchmark of UDF overhead: same results, Arrow transfer cost "
+    "on top. Row-at-a-time Python UDFs remain banned everywhere.",
+)
+def u03_pandas_udf_scalar(spark: SparkSession, sf_dir: str):
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: this module uses `from __future__ import
+    # annotations`, which stringifies them and breaks pandas_udf's
+    # signature inference — the returnType string is authoritative
+    @pandas_udf("double")
+    def minmax_scale(s):
+        return ((s - 900.0) / (55000.0 - 900.0)).clip(0.0, 1.0)
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        minmax_scale("l_extendedprice").alias("price_scaled"),
+    )

@@ -504,3 +504,50 @@ def t13_asof_join_forward(spark: SparkSession, sf_dir: str):
             F.unix_micros(F.col("ts_x")) - F.unix_micros(F.col("ts"))
         ).alias("gap_us"),
     )
+
+
+@register(
+    "t14_time_weighted_avg",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, value,
+             CAST(date_diff('microseconds', {_TS},
+                  LEAD({_TS}) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) AS BIGINT)
+               AS dt_us
+      FROM events)
+    SELECT user_id,
+           floor(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+                 / SUM(dt_us) * 1e9 + 0.5) / 1e9 AS tw_avg,
+           SUM(dt_us) AS span_us
+    FROM g WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    note="T14 time-weighted average per user: each reading weighted by "
+    "its holding duration (gap to the next event) — the correct "
+    "average for irregularly-sampled telemetry, where a plain mean "
+    "overweights bursts. One window shuffle + one agg; the "
+    "value*duration products are decimal-summed (exact 2-decimal "
+    "value x integer micros), then one division rounded to 9 decimals "
+    "(the decimal->double cast can differ in the last ulp).",
+)
+def t14_time_weighted_avg(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    g = ev.select("user_id", "value", dt.alias("dt_us")).where(
+        F.col("dt_us").isNotNull()
+    )
+    from ..functions.rounding import rhu
+
+    return g.groupBy("user_id").agg(
+        rhu(
+            F.sum((F.col("value") * F.col("dt_us")).cast("decimal(38,6)"))
+            .cast("double")
+            / F.sum("dt_us"),
+            9,
+        ).alias("tw_avg"),
+        F.sum("dt_us").alias("span_us"),
+    )
