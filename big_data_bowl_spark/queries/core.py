@@ -1456,3 +1456,34 @@ def w07_running_total(spark, sf_dir):
         .alias("running_total"),
         F.lag("o_totalprice").over(w).alias("prev_price"),
     )
+
+
+@register(
+    "o09_set_ops",
+    oracle="""
+    SELECT 'with_orders' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer
+       INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'no_orders' AS tag, c_custkey FROM
+      (SELECT c_custkey FROM customer
+       EXCEPT SELECT o_custkey FROM orders)
+    """,
+    note="O9 set operations: INTERSECT / EXCEPT with SQL set semantics "
+    "(distinct), tagged into one result. Spark plans both as "
+    "aggregated semi/anti joins — same shuffle cost as the explicit "
+    "join spelling, but the intent-revealing operator; never "
+    "collect-and-diff.",
+)
+def o09_set_ops(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    ordered = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    with_orders = cust.intersect(ordered).select(
+        F.lit("with_orders").alias("tag"), "c_custkey"
+    )
+    no_orders = cust.exceptAll(ordered.distinct()).distinct().select(
+        F.lit("no_orders").alias("tag"), "c_custkey"
+    )
+    return with_orders.unionByName(no_orders)
