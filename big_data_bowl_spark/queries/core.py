@@ -1483,7 +1483,7 @@ def o09_set_ops(spark, sf_dir):
     with_orders = cust.intersect(ordered).select(
         F.lit("with_orders").alias("tag"), "c_custkey"
     )
-    no_orders = cust.exceptAll(ordered.distinct()).distinct().select(
+    no_orders = cust.subtract(ordered).select(
         F.lit("no_orders").alias("tag"), "c_custkey"
     )
     return with_orders.unionByName(no_orders)
