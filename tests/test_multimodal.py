@@ -129,3 +129,49 @@ def test_mm_features_and_resize_on_real_bmp_pgm(spark):
     for mid in (1, 2):
         got = np.frombuffer(bytes(out[mid].payload), np.uint8).reshape(2, 2)
         assert got.tolist() == expect.tolist()
+
+
+# --- codec fuzzing (hypothesis) ---------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 17),
+        h=st.integers(1, 9),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_pgm_bmp_roundtrip_fuzz(w, h, seed):
+        from big_data_bowl_spark.multimodal.media import (
+            encode_bmp,
+            encode_pgm,
+        )
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert decode_payload(encode_pgm(img), "pgm", w, h).tolist() == img.tolist()
+        # odd widths exercise BMP 4-byte row padding
+        assert decode_payload(encode_bmp(img), "bmp", w, h).tolist() == img.tolist()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(1, 300),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_wav_roundtrip_fuzz(n, seed):
+        from big_data_bowl_spark.multimodal.media import (
+            decode_audio,
+            encode_wav,
+        )
+
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        assert decode_audio(encode_wav(samples), "wav").tolist() == samples.tolist()
