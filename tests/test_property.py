@@ -121,3 +121,30 @@ def test_registry_priority_list_is_consistent():
     assert set(oracle_sql()) == {
         n for n, s in REGISTRY.items() if s.oracle is not None
     }
+
+
+def test_md5_parity_hashlib_spark_duckdb(spark):
+    """The entire deterministic-sampling/minhash/oracle stack rests on
+    md5 being bit-identical across Python, Spark and DuckDB — pin it
+    over awkward strings (unicode, empty, whitespace, separators)."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1234)
+    pool = "abc \t\nへんな字🦆'|\x1f%_0123"
+    strings = ["", " ", "\x1f", "a|b", "'quote'"] + [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(1, 30)))
+        for _ in range(40)
+    ]
+    expected = {s: hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings}
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got_spark = {r.s: r.h for r in df.select("s", F.md5(F.col("s").cast("binary")).alias("h")).collect()}
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    for s in strings:
+        (h,) = con.execute("SELECT md5(?)", [s]).fetchone()
+        assert h == expected[s], repr(s)
