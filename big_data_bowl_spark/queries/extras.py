@@ -793,8 +793,18 @@ DRIFT_LO, DRIFT_HI = 0.0, 200.0  # events.value domain
                    / (({DRIFT_HI!r} - {DRIFT_LO!r}) / {DRIFT_BINS})) AS INT),
                    0), {DRIFT_BINS - 1}) AS bin
       FROM events WHERE value IS NOT NULL),
-    counts AS (
+    counts0 AS (
       SELECT cohort, bin, COUNT(*) AS n FROM binned GROUP BY cohort, bin),
+    -- densify: EVERY (cohort, bin) cell exists so Laplace smoothing
+    -- also covers bins a cohort never hit (else their psi is NULL)
+    grid AS (
+      SELECT c.cohort, g.i AS bin
+      FROM (SELECT 'ref' AS cohort UNION ALL SELECT 'cur') c
+      CROSS JOIN range({DRIFT_BINS}) g(i)),
+    counts AS (
+      SELECT grid.cohort, grid.bin, COALESCE(c0.n, 0) AS n
+      FROM grid LEFT JOIN counts0 c0
+        ON grid.cohort = c0.cohort AND grid.bin = c0.bin),
     totals AS (
       SELECT cohort, SUM(n) AS tot FROM counts GROUP BY cohort),
     props AS (
@@ -836,8 +846,16 @@ def dq03_distribution_drift(spark: SparkSession, sf_dir: str):
             F.lit(DRIFT_BINS - 1),
         ).alias("bin"),
     )
-    counts = binned.groupBy("cohort", "bin").agg(
+    counts0 = binned.groupBy("cohort", "bin").agg(
         F.count(F.lit(1)).alias("n")
+    )
+    # densify so smoothing covers never-hit bins (grid is 2 x bins rows)
+    grid = spark.createDataFrame(
+        [(c, b) for c in ("ref", "cur") for b in range(DRIFT_BINS)],
+        "cohort string, bin int",
+    )
+    counts = grid.join(counts0, ["cohort", "bin"], "left").select(
+        "cohort", "bin", F.coalesce("n", F.lit(0)).alias("n")
     )
     w = Window.partitionBy("cohort")
     props = counts.select(

@@ -353,3 +353,43 @@ def test_global_row_number_degenerate_inputs(spark):
         r.row_num for r in with_global_row_number(const, "k").collect()
     )
     assert rows == [1, 2, 3, 4, 5]
+
+
+def test_dq03_smooths_bins_a_cohort_never_hit(spark, tmp_path):
+    """A bin with rows in only ONE cohort must still produce a finite
+    smoothed psi_term (not NULL) — the densified-grid contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    # ref cohort (even ids) all land in bin 0; cur (odd) all in bin 9
+    n = 40
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "ts": pa.array([1700000000000000 + i for i in range(n)],
+                               pa.timestamp("us")),
+                "user_id": pa.array([1] * n, pa.int64()),
+                "event_type": pa.array(["view"] * n),
+                "value": pa.array(
+                    [5.0 if i % 2 == 0 else 195.0 for i in range(n)]
+                ),
+                "props": pa.array(["{}"] * n),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = {
+        r.bin: r
+        for r in REGISTRY["dq03_distribution_drift"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == set(range(10))  # dense grid
+    for r in rows.values():
+        assert r.p_ref is not None and r.p_cur is not None
+        assert r.psi_term is not None
+    # the two one-sided bins carry the drift signal
+    assert rows[0].psi_term > 1.0 and rows[9].psi_term > 1.0
