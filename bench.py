@@ -36,6 +36,7 @@ HEADLINE = [
     # north-star extensions (present from round 2 on; skipped if absent)
     "e02_field_control",
     "e03_field_control_season",
+    "e04_corpus_curation",
     "v06_kmeans_two_steps",
     "d01_dedup_exact",
     "d02_dedup_minhash_lsh",

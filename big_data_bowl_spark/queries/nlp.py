@@ -39,7 +39,7 @@ from ..functions.text import (  # noqa: F401
     word_shingles,
 )
 from ..functions.hashing import hex_threshold
-from .base import register, t, tf
+from .base import REGISTRY, register, t, tf
 
 # MinHash/LSH parameters: H hashes split into B bands of R rows.
 # P[candidate | jaccard=s] = 1 - (1 - s^R)^B — with (H,B,R)=(8,4,2)
@@ -959,17 +959,40 @@ MIX_RATES = {"src0": 0.9, "src1": 0.5, "src2": 0.25}
 MIX_DEFAULT_RATE = 0.1
 
 
+def mixing_keep_sql(tbl: str = "") -> str:
+    """The n14 keep predicate as SQL, qualified by `tbl.` if given."""
+    p = f"{tbl}." if tbl else ""
+    return (
+        "("
+        + " OR ".join(
+            f"({p}source = '{s}' AND "
+            f"substr(md5(CAST({p}doc_id AS VARCHAR)), 1, 13)"
+            f" < '{hex_threshold(r)}')"
+            for s, r in MIX_RATES.items()
+        )
+        + f" OR ({p}source NOT IN {tuple(MIX_RATES)!r} AND "
+        f"substr(md5(CAST({p}doc_id AS VARCHAR)), 1, 13)"
+        f" < '{hex_threshold(MIX_DEFAULT_RATE)}'))"
+    )
+
+
+def mixing_keep_expr() -> "F.Column":
+    """The n14 keep predicate as a Column over (doc_id, source)."""
+    h13 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13)
+    keep = F.lit(False)
+    for s, r in MIX_RATES.items():
+        keep = keep | (
+            (F.col("source") == s) & (h13 < F.lit(hex_threshold(r)))
+        )
+    return keep | (
+        ~F.col("source").isin(*MIX_RATES)
+        & (h13 < F.lit(hex_threshold(MIX_DEFAULT_RATE)))
+    )
+
+
 @register(
     "n14_source_mixing",
-    oracle="SELECT doc_id, source FROM documents WHERE "
-    + " OR ".join(
-        f"(source = '{s}' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)"
-        f" < '{hex_threshold(r)}')"
-        for s, r in MIX_RATES.items()
-    )
-    + f" OR (source NOT IN {tuple(MIX_RATES)!r} AND "
-    f"substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)"
-    f" < '{hex_threshold(MIX_DEFAULT_RATE)}')",
+    oracle=f"SELECT doc_id, source FROM documents WHERE {mixing_keep_sql()}",
     note="N14 corpus mixing: per-source keep rates applied as "
     "DETERMINISTIC Bernoulli sampling — keep iff md5(doc_id) hex "
     "prefix < the source's rate threshold. Unlike rand()<p this is "
@@ -980,14 +1003,61 @@ MIX_DEFAULT_RATE = 0.1
 )
 def n14_source_mixing(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents")
-    h13 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13)
-    keep = F.lit(False)
-    for s, r in MIX_RATES.items():
-        keep = keep | (
-            (F.col("source") == s) & (h13 < F.lit(hex_threshold(r)))
-        )
-    keep = keep | (
-        ~F.col("source").isin(*MIX_RATES)
-        & (h13 < F.lit(hex_threshold(MIX_DEFAULT_RATE)))
+    return d.filter(mixing_keep_expr()).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# E4: the corpus-curation pipeline — every stage above, composed
+# ---------------------------------------------------------------------------
+
+E4_QUALITY_MIN = 0.5
+E4_SHARDS = 8
+
+
+@register(
+    "e04_corpus_curation",
+    oracle=(
+        f"WITH canon AS ({_D05_ORACLE}), "
+        f"q AS ({REGISTRY['n02_quality_score'].oracle}), "
+        f"lng AS ({_LANG_ID_ORACLE}), "
+        "kept AS ("
+        "SELECT d.doc_id, d.source FROM documents d "
+        "JOIN canon c ON c.doc_id = d.doc_id AND NOT c.is_dup "
+        f"JOIN q ON q.doc_id = d.doc_id AND q.quality >= {E4_QUALITY_MIN!r} "
+        "JOIN lng ON lng.doc_id = d.doc_id AND lng.pred_lang = lng.lang "
+        f"WHERE {mixing_keep_sql('d')}) "
+        "SELECT doc_id, source, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) "
+        f"AS BIGINT) % {E4_SHARDS} AS shard FROM kept"
+    ),
+    note="E4: the end-to-end training-corpus curation pipeline, every "
+    "stage a verified operator composed into ONE declarative plan: "
+    f"quality floor (n02, >= {E4_QUALITY_MIN}), language-metadata "
+    "consistency (n03 pred == recorded lang), near-dup keep-one "
+    "(d02->d03->d05 canonical docs only), source-weighted mixing "
+    "(n14), md5 shard assignment (s08). The oracle nests the same "
+    "registered CTE chains. Plan: three narrow filter joins on "
+    "doc_id (AQE picks broadcast/SMJ), the dedup chain's shuffles, "
+    "zero extra passes — the LLM-data e01-style flagship.",
+)
+def e04_corpus_curation(spark: SparkSession, sf_dir: str):
+    docs = t(spark, sf_dir, "documents")
+    canon = d05_dedup_components(spark, sf_dir).filter(~F.col("is_dup"))
+    quality = n02_quality_score(spark, sf_dir).filter(
+        F.col("quality") >= E4_QUALITY_MIN
     )
-    return d.filter(keep).select("doc_id", "source")
+    lang_ok = n03_lang_id(spark, sf_dir).filter(
+        F.col("pred_lang") == F.col("lang")
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("bigint")
+        % E4_SHARDS
+    )
+    return (
+        docs.filter(mixing_keep_expr())
+        .join(canon.select("doc_id"), "doc_id")
+        .join(quality.select("doc_id"), "doc_id")
+        .join(lang_ok.select("doc_id"), "doc_id")
+        .select("doc_id", "source", shard.alias("shard"))
+    )
