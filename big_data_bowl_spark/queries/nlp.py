@@ -1061,3 +1061,65 @@ def e04_corpus_curation(spark: SparkSession, sf_dir: str):
         .join(lang_ok.select("doc_id"), "doc_id")
         .select("doc_id", "source", shard.alias("shard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# N15: trending terms — top-k vocabulary per event-time window
+# ---------------------------------------------------------------------------
+
+TREND_TOPK = 3
+
+
+@register(
+    "n15_trending_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT time_bucket(INTERVAL '6 hours', CAST(e.ts AS TIMESTAMP))
+               AS window_start,
+             unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS term
+      FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id),
+    counts AS (
+      SELECT window_start, term, COUNT(*) AS n
+      FROM tok GROUP BY window_start, term),
+    ranked AS (
+      SELECT window_start, term, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, term ASC) AS rk
+      FROM counts)
+    SELECT window_start, term, n, rk FROM ranked WHERE rk <= {TREND_TOPK}
+    """,
+    note=f"N15 trending terms: top-{TREND_TOPK} tokens per 6h event "
+    "window (docs attached to events by id — the join stands in for a "
+    "real event->document link). Two shuffles: token count agg, then "
+    "the per-window rank window that STOPS at k rows per window — "
+    "never a global sort; ties broken by term for cross-engine "
+    "determinism. The 'what is trending now' primitive of a "
+    "streaming corpus monitor (swap t01's streaming form in for "
+    "incremental updates).",
+)
+def n15_trending_terms(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        ev.join(d, ev.event_id % 500 == d.doc_id)
+        .select(
+            F.window("ts", "6 hours").alias("w"),
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .select(F.col("w.start").alias("window_start"), "term")
+    )
+    counts = tok.groupBy("window_start", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("window_start").orderBy(
+            F.col("n").desc(), F.col("term").asc()
+        )
+    )
+    return counts.select("window_start", "term", "n", rk.alias("rk")).filter(
+        F.col("rk") <= TREND_TOPK
+    )

@@ -83,3 +83,24 @@ def test_m01_confusion_matrix_golden(spark):
         ("medium", "medium", 178),
         ("small", "small", 127),
     }
+
+
+def test_model_persistence_roundtrip(spark, tmp_path):
+    """M-family completeness: a fitted PipelineModel must save/load and
+    score identically — the deploy path of the training pipeline."""
+    from pyspark.ml import PipelineModel
+
+    from big_data_bowl_spark.queries.ml import _fitted
+
+    model, scored, _acc = _fitted(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "rf_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+
+    feats = scored.select(
+        "l_orderkey", "n_lines", "sum_qty", "sum_price", "max_disc",
+        "n_parts", "label",
+    )
+    a = {r.l_orderkey: r.prediction for r in model.transform(feats).collect()}
+    b = {r.l_orderkey: r.prediction for r in reloaded.transform(feats).collect()}
+    assert a == b and len(a) > 0
