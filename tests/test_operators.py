@@ -393,3 +393,39 @@ def test_dq03_smooths_bins_a_cohort_never_hit(spark, tmp_path):
         assert r.psi_term is not None
     # the two one-sided bins carry the drift signal
     assert rows[0].psi_term > 1.0 and rows[9].psi_term > 1.0
+
+
+def test_interval_join_boundary_semantics(spark, tmp_path):
+    """t09: start is inclusive, end exclusive — pin events exactly ON
+    the boundaries (the off-by-one a bucket-expansion rewrite could
+    introduce)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    # interval 0 = [2024-01-01 03:00, 04:30); place events at start,
+    # end-1us, end, and far outside
+    base = 1704078000000000  # 2024-01-01 03:00:00 UTC in epoch micros
+    cases = {
+        100: base,                       # == start -> IN
+        101: base + 90 * 60 * 1000000 - 1,  # end - 1us -> IN
+        102: base + 90 * 60 * 1000000,      # == end -> OUT
+        103: base - 1,                      # start - 1us -> OUT
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(list(cases), pa.int64()),
+                "ts": pa.array(list(cases.values()), pa.timestamp("us")),
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_type": pa.array(["view"] * 4),
+                "value": pa.array([1.0] * 4),
+                "props": pa.array(["{}"] * 4),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    rows = REGISTRY["t09_interval_join"].fn(spark, str(tmp_path)).collect()
+    got = {(r.event_id, r.interval_id) for r in rows}
+    assert got == {(100, 0), (101, 0)}, got
