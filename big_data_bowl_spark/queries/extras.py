@@ -937,3 +937,25 @@ def u03_pandas_udf_scalar(spark: SparkSession, sf_dir: str):
         "l_linenumber",
         minmax_scale("l_extendedprice").alias("price_scaled"),
     )
+
+
+@register(
+    "a14_bool_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_or(o_totalprice > 500000.0) AS any_jumbo,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+    note="A14 boolean/conditional aggregates: any/every/count_if — "
+    "single-pass mergeable flags (map-side combined), the cheap "
+    "existence checks that replace a self-join-and-probe antipattern.",
+)
+def a14_bool_aggs(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.some(F.col("o_totalprice") > 500000.0).alias("any_jumbo"),
+        F.every(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )

@@ -105,3 +105,19 @@ def test_viz_sink_matrix_and_guard(spark):
 
     with pytest.raises(ValueError, match="max_rows"):
         collect_for_viz(load_table(spark, SF, "lineitem"), max_rows=10)
+
+
+def test_monotonic_rowid_alternative_is_shuffle_free(spark):
+    """The scale-preferred non-contiguous ordinal (the alternative the
+    rank operator's docs point to): zero exchanges, globally unique."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.sources.io import load_table
+
+    df = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.monotonically_increasing_id().alias("mid")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    n = df.count()
+    assert df.select("mid").distinct().count() == n
