@@ -120,9 +120,12 @@ def main() -> None:
             base = json.load(f)
         if base.get("sf") == sf:
             common = [n for n in base["queries"] if n in timings]
+            # a baseline rounded to 0.0 (sub-ms query) must not divide:
+            # report ratio as inf instead of crashing the bench run
             regressions = {
                 name: {"sec": timings[name], "baseline_sec": base["queries"][name],
-                       "ratio": round(timings[name] / base["queries"][name], 2)}
+                       "ratio": (round(timings[name] / base["queries"][name], 2)
+                                 if base["queries"][name] else float("inf"))}
                 for name in common
                 if timings[name] > max(2.0 * base["queries"][name],
                                        base["queries"][name] + 0.3)

@@ -149,6 +149,20 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
     bottom_up = h > 0
     h = abs(h)
     row_bytes = (w * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    lut = None
+    if bpp == 8:
+        # palettized: indices go through the color table (BGRx entries
+        # after the info header), BT.601 over the RGB triple — NOT
+        # index-as-gray, which is only exact for an identity-gray
+        # palette (ADVICE r3). floor(x+0.5) keeps the identity ramp
+        # bit-exact despite 0.299+0.587+0.114 float error.
+        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+        pal = np.frombuffer(
+            payload, np.uint8, count=n_colors * 4, offset=14 + hdr_size
+        ).reshape(n_colors, 4).astype(np.float64)
+        lut = np.floor(
+            0.299 * pal[:, 2] + 0.587 * pal[:, 1] + 0.114 * pal[:, 0] + 0.5
+        ).astype(np.uint8)
     rows = []
     for y in range(h):
         off = data_offset + y * row_bytes
@@ -158,6 +172,8 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
             row = (
                 0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
             ).astype(np.uint8)
+        else:
+            row = lut[row]
         rows.append(row)
     img = np.stack(rows)
     return img[::-1] if bottom_up else img

@@ -23,8 +23,13 @@ input (a map-side-combined count + the ranked pass) and ONE shuffle.
 Buckets default to 4x parallelism so moderate key skew still spreads.
 
 Caveats (documented contract):
-- ``order_col`` must be numeric and non-null (the reference's zip keys
-  are). Pathologically skewed keys make value-width buckets uneven —
+- ``order_col`` must be numeric, non-null, and non-NaN (the
+  reference's zip keys are). The contract is ENFORCED: a null or NaN
+  key would silently floor to a null bucket and vanish at the inner
+  join (and NaN poisons the min/max bounds), so the bounds aggregate
+  also counts violations and raises — one extra column on an action
+  the operator already runs (ADVICE r3).
+- Pathologically skewed keys make value-width buckets uneven —
   for those, sample boundaries explicitly and pass them via
   ``boundaries``; the numbering logic is boundary-agnostic.
 - With duplicate keys straddling a bucket edge, ties are numbered by
@@ -50,9 +55,21 @@ def with_global_row_number(
     """
     spark = df.sparkSession
     n = num_buckets or 4 * spark.sparkContext.defaultParallelism
-    lo, hi = df.agg(
-        F.min(order_col).cast("double"), F.max(order_col).cast("double")
+    key = F.col(order_col).cast("double")
+    lo, hi, n_rows, n_keys, n_nan = df.agg(
+        F.min(order_col).cast("double"),
+        F.max(order_col).cast("double"),
+        F.count(F.lit(1)),
+        F.count(order_col),
+        F.sum(F.when(F.isnan(key), 1).otherwise(0)),
     ).collect()[0]
+    if n_keys < n_rows or (n_nan or 0) > 0:
+        raise ValueError(
+            f"with_global_row_number: order_col {order_col!r} has "
+            f"{n_rows - n_keys} null and {n_nan or 0} NaN values; the "
+            "key must be numeric, non-null, non-NaN (nulls/NaNs would "
+            "silently drop at the bucket join)"
+        )
     if lo is None or hi is None or hi <= lo:
         # empty input or a single key value: one bucket is exact
         bucket = F.lit(0)

@@ -20,68 +20,67 @@ from . import extras  # noqa: F401,E402
 
 
 # Driver-visible ordering. The driver's correctness gate verifies a
-# bounded prefix of the registry (round 2 reached exactly the first 50
-# entries), so emit queries in verification-priority order:
+# bounded prefix of the registry (~50 entries), so emit queries in
+# verification-priority order:
 #   1. anything NEW and not yet ranked below — always first (so a
 #      round-4 addition lands in the verified prefix automatically);
-#   2. the explicit list: the ~50-slot prefix is hand-composed so
-#      EVERY operator family is represented and the highest-risk /
-#      newest / changed-semantics queries come first; everything
-#      after slot ~50 is ordered lowest-risk-last (locally verified
-#      twice, or already green in CORRECTNESS_r02 and unchanged).
+#   2. the explicit list below. Round-4 policy (VERDICT r3 #2): the
+#      41 queries that have NEVER appeared in a driver CORRECTNESS
+#      file — plus v07, whose output type changed — fill the prefix
+#      this round, so that by end of r4 every oracle query has a
+#      driver-green row. Queries verified in r2/r3 rotate behind them.
 # Rows-only (no-oracle) ML queries sit late: their driver check is
 # weaker, so they spend prefix slots last.
 _PRIORITY = [
-    # -- the intended ~50-slot verified prefix ------------------------
-    # flagship pipelines (E-family)
+    # -- the ~50-slot verified prefix for round 4 ---------------------
+    # changed output type this round: must be driver-re-verified
+    "v07_int8_quantize",
+    # changed plan this round (salt derivation fix): re-verify
+    "s10_salted_skew_join",
+    # never driver-verified (41 queries, VERDICT r3 gap #1)
+    "f06_velocity_decomposition", "f07_sigmoid", "f08_radius_cubic_clamp",
+    "f09_clamp_least", "f10_floor_mod_round", "f11_arithmetic_projections",
+    "f12_bivariate_gaussian",
+    "dq01_column_profile", "dq02_referential_orphans",
+    "dq03_distribution_drift",
+    "s05_parquet_sink_roundtrip", "s06_bucketed_colocated_join",
+    "s07_partitioned_sink_pruning", "s08_shuffled_shards",
+    "s09_jsonl_scan",
+    "a08_salted_grouped_sum", "a09_grouped_quantiles",
+    "a10_approx_count_distinct", "a11_rollup_agg", "a12_grouped_corr",
+    "a13_collect_sorted_array",
+    "n04_fingerprint", "n05_punct_ratio", "n06_bpe_token_count",
+    "n07_rolling_hash_fingerprint", "n09_vocab_topk",
+    "n10_tfidf_top_terms", "n11_repetition_score",
+    "n13_pii_redaction", "n14_source_mixing",
+    "t02_sliding_window", "t04_interevent_gap", "t05_json_props",
+    "t10_date_parts", "t14_time_weighted_avg",
+    "w07_running_total", "w08_ntile_quartiles",
+    "p14_fillna_coalesce", "j09_full_outer_join",
+    "o08_stratified_sample", "o09_set_ops",
+    # flagship pipelines fill the remaining prefix slots
     "e01_distance_at_anchor", "e02_field_control",
     "e03_field_control_season", "e04_corpus_curation",
-    # changed-semantics since the r2 green run
+    # -- past the expected prefix: all driver-green in r2/r3 ----------
     "o04_deterministic_sample", "o05_deterministic_split",
     "w04_global_rowid", "j06_join_rowid", "s03_tsv_scan",
-    # dedup family (text)
     "d01_dedup_exact", "d02_dedup_minhash_lsh", "d03_ngram_jaccard_verify",
     "d04_simhash", "d05_dedup_components", "d06_simhash_neardup",
-    # similarity / clustering / embeddings
     "v01_cosine_topk", "v02_srp_lsh_buckets", "v03_bucketed_cosine_neardup",
     "v04_ivf_topk", "v05_kmeans_step", "v06_kmeans_two_steps",
-    "v07_int8_quantize", "v08_embedding_dedup_components",
-    # multimodal + ML feature table + reshape/user-code
+    "v08_embedding_dedup_components",
     "mm01_media_metadata", "mm02_image_features", "mm03_frame_sample",
     "mm04_resize_features", "mm05_audio_roundtrip_features",
     "m00_ml_feature_table",
     "r01_pivot_wide", "r02_pivot_wide_multivalue",
     "u01_groupby_apply", "u02_transform_chain", "u03_pandas_udf_scalar",
-    # temporal + streaming (one per shape)
     "t01_tumbling_window", "t03_session_window", "t06_asof_join",
     "t09_interval_join", "t13_asof_join_forward",
     "t07_streaming_tumbling", "t08_streaming_sessionization",
     "t11_streaming_dedup", "t12_streaming_interval_join",
-    # text analysis / curation representatives
     "n01_token_stats", "n02_quality_score", "n03_lang_id",
-    "n08_source_quota", "n12_sequence_packing", "n13_pii_redaction",
-    "n14_source_mixing",
-    # -- past the expected prefix: lower-risk, all locally verified ---
-    "t02_sliding_window", "t04_interevent_gap", "t05_json_props",
-    "t10_date_parts", "t14_time_weighted_avg",
-    "n04_fingerprint", "n05_punct_ratio", "n06_bpe_token_count",
-    "n07_rolling_hash_fingerprint", "n09_vocab_topk",
-    "n10_tfidf_top_terms", "n11_repetition_score",
-    "a10_approx_count_distinct", "a11_rollup_agg", "a12_grouped_corr",
-    "a13_collect_sorted_array",
-    "w07_running_total", "w08_ntile_quartiles",
-    "p14_fillna_coalesce", "j09_full_outer_join", "o09_set_ops",
-    "dq01_column_profile", "dq02_referential_orphans",
-    "dq03_distribution_drift",
-    "s05_parquet_sink_roundtrip", "s06_bucketed_colocated_join",
-    "s07_partitioned_sink_pruning", "s08_shuffled_shards",
-    "s09_jsonl_scan", "s10_salted_skew_join",
-    "a08_salted_grouped_sum", "a09_grouped_quantiles",
-    "o08_stratified_sample",
-    # reference scalar functions (locally verified, low risk)
-    "f06_velocity_decomposition", "f07_sigmoid", "f08_radius_cubic_clamp",
-    "f09_clamp_least", "f10_floor_mod_round", "f11_arithmetic_projections",
-    "f12_bivariate_gaussian",
+    "n08_source_quota", "n12_sequence_packing",
+    "n15_trending_terms", "a14_bool_aggs",
     # rows-only ML (weakest driver check -> last priority slots)
     "m01_rf_train_confusion", "m02_rf_predict_counts",
     "m04_rf_feature_importances", "m05_random_split_counts",

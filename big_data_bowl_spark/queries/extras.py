@@ -752,21 +752,25 @@ SALT_JOIN_R = 8
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     """,
     note=f"Skew-safe salted JOIN (companion to a08's salted agg): the "
-    "fact side gets salt = l_linenumber % "
-    f"{SALT_JOIN_R}, the other side replicates x{SALT_JOIN_R} with a "
-    "generated salt column, and the join runs on (key, salt) — a "
-    "pathologically hot key spreads over "
-    f"{SALT_JOIN_R} shuffle cells instead of melting one reducer. "
-    "Result rows are IDENTICAL to the plain join (salt only changes "
-    "distribution), so the oracle is the plain join. Cost: the "
-    "replicated side scans x"
+    "fact side gets salt = pmod(xxhash64(l_orderkey, l_linenumber), "
+    f"{SALT_JOIN_R}) — a hash, NOT l_linenumber % R, because "
+    "l_linenumber is 1..7 so a modulo salt never hits cell 0 and "
+    "wastes 1/R of the replicas (ADVICE r3). The other side "
+    f"replicates x{SALT_JOIN_R} with a generated salt column, and the "
+    "join runs on (key, salt) — a pathologically hot key spreads over "
+    f"all {SALT_JOIN_R} shuffle cells uniformly. Result rows are "
+    "IDENTICAL to the plain join (salt only changes distribution), so "
+    "the oracle is the plain join. Cost: the replicated side scans x"
     f"{SALT_JOIN_R} — use for fact-fact joins where AQE's skew split "
     "can't help (e.g. when the skewed side is the output of an "
     "aggregation, not a shuffle file).",
 )
 def s10_salted_skew_join(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % SALT_JOIN_R).cast("int")
+        "salt",
+        F.pmod(
+            F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT_JOIN_R)
+        ).cast("int"),
     )
     o = t(spark, sf_dir, "orders").crossJoin(
         F.broadcast(

@@ -433,6 +433,34 @@ def v06_kmeans_two_steps(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def int8_quantize(df, vec_col: str = "embedding"):
+    """Library operator: symmetric int8 quantization, array form.
+
+    Per-vector max-abs scale, q = round(x/scale*127) as array<int>.
+    Shrinks an ANN corpus 4x (the standard IVF/PQ storage step) as a
+    NARROW projection — array HOFs stay JVM-side, no shuffle, no
+    Python. round() spelled floor(x+0.5) because engines disagree on
+    banker's rounding. Pytest-verified (tests cover the array form);
+    the registered v07 query emits a stringified projection because
+    the driver's pandas canonicalization cannot hash list cells.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    mx = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    withm = df.select("vec_id", v.alias("v"), mx.alias("mx"))
+    return withm.select(
+        "vec_id",
+        F.col("mx").cast("double").alias("scale"),
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("mx") * 127.0 + F.lit(0.5)).cast(
+                "int"
+            ),
+        ).alias("q"),
+    )
+
+
 @register(
     "v07_int8_quantize",
     oracle="""
@@ -443,32 +471,25 @@ def v06_kmeans_two_steps(spark: SparkSession, sf_dir: str):
                                1e-30) AS mx
                FROM c)
     SELECT vec_id, CAST(mx AS DOUBLE) AS scale,
-           list_transform(v, x -> CAST(floor(x / mx * 127.0 + 0.5)
-                                       AS INTEGER)) AS q
+           array_to_string(
+             list_transform(v, x -> CAST(floor(x / mx * 127.0 + 0.5)
+                                         AS INTEGER)), ',') AS q
     FROM m
     """,
-    note="V7 symmetric int8 quantization: per-vector max-abs scale, "
-    "q = round(x/scale*127). Shrinks an ANN corpus 4x (the standard "
-    "IVF/PQ storage step) as a NARROW projection — array HOFs stay "
-    "JVM-side, no shuffle, no Python. round() spelled floor(x+0.5) "
-    "because engines disagree on banker's rounding.",
+    note="V7 symmetric int8 quantization (see int8_quantize). The "
+    "registered query projects the int8 array to a comma-joined "
+    "string so the driver gate can hash it (pandas sort_values cannot "
+    "factorize list cells — CORRECTNESS_r03 err on the array form); "
+    "library callers use int8_quantize() for the array<int> column.",
 )
 def v07_int8_quantize(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    mx = F.greatest(
-        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
-    )
-    withm = e.select("vec_id", v.alias("v"), mx.alias("mx"))
-    return withm.select(
+    return int8_quantize(e).select(
         "vec_id",
-        F.col("mx").cast("double").alias("scale"),
-        F.transform(
-            F.col("v"),
-            lambda x: F.floor(x / F.col("mx") * 127.0 + F.lit(0.5)).cast(
-                "int"
-            ),
-        ).alias("q"),
+        "scale",
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias(
+            "q"
+        ),
     )
 
 

@@ -21,16 +21,18 @@ from pyspark.sql import DataFrame
 def collect_for_viz(df: DataFrame, max_rows: int = 100_000):
     """Guarded `toPandas()`: refuses to collect more than max_rows.
 
-    The limit+count probe costs one extra action but turns a
-    driver-OOM into a loud, early error.
+    ONE action: collect `limit(max_rows + 1)` and check the length of
+    what arrived — a sentinel row beyond the cap proves the overflow
+    without a separate count() that would recompute the upstream plan
+    (ADVICE r3: the probe doubled the cost of every e02/e03 viz).
     """
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"result exceeds max_rows={max_rows}; aggregate or sample "
             "before visualizing (viz sinks are for SMALL results)"
         )
-    return df.toPandas()
+    return pdf
 
 
 def control_surface_matrix(control_df: DataFrame, value_col: str = "control"):
