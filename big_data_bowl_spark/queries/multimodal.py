@@ -6,6 +6,9 @@ reduce to byte statistics, which DuckDB can also compute from the
 utf8 payload — so even the mapInPandas path gets a value-level oracle.
 mm03 (frame sampling) is rows-only (payload slicing), with exact-value
 unit tests in tests/test_multimodal.py.
+mm05/mm06 round-trip REAL codecs (RIFF WAV, baseline PNG via zlib)
+inside mapInPandas; the oracle recomputes the same statistics from the
+generating formula, so any bit-loss in the codec fails the value check.
 """
 
 from __future__ import annotations
@@ -247,4 +250,87 @@ def mm05_audio_roundtrip_features(spark, sf_dir):
     return docs.mapInPandas(
         batches,
         schema="media_id long, n_samples int, mean_sample double, max_sample int",
+    )
+
+
+# ---------------------------------------------------------------------------
+# MM6: REAL compressed-image round-trip — baseline PNG (zlib) in-engine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm06_png_roundtrip_features",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 16 + 1 AS INTEGER) AS width,
+             CAST(doc_id % 8 + 1 AS INTEGER) AS height
+      FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT media_id, width, height,
+             list_transform(range(0, width * height),
+               i -> (media_id * 31 + i * 7) % 256) AS pixels
+      FROM m)
+    SELECT media_id,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(list_sum(pixels) AS DOUBLE) / len(pixels) AS mean_intensity,
+           CAST(list_max(pixels) AS BIGINT) AS max_intensity
+    FROM px
+    """,
+    note="MM6 COMPRESSED image round-trip (VERDICT r3 #5): a "
+    "deterministic grayscale image per media row is encoded to a real "
+    "baseline PNG (stdlib zlib; per-row filter = media_id %% 5, so the "
+    "corpus exercises None/Sub/Up/Average/Paeth) and decoded back "
+    "through multimodal/media.py's pure-Python codec inside ONE "
+    "mapInPandas pass — compress, DEFLATE, unfilter all on the hot "
+    "path. The oracle recomputes the statistics from the pixel "
+    "formula, so a single wrong byte anywhere in the codec fails the "
+    "value check. Narrow plan: payloads exist only inside the Python "
+    "worker, zero bytes shuffle.",
+)
+def mm06_png_roundtrip_features(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 16 + 1).cast("int").alias("width"),
+        (F.col("doc_id") % 8 + 1).cast("int").alias("height"),
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ..multimodal.media import decode_payload, encode_png
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid, w, h = int(r.media_id), int(r.width), int(r.height)
+                img = (
+                    (mid * 31 + np.arange(w * h) * 7) % 256
+                ).astype(np.uint8).reshape(h, w)
+                payload = encode_png(img, filter_type=mid % 5)
+                decoded = decode_payload(payload, "png", w, h)
+                rows.append(
+                    (
+                        mid,
+                        int(decoded.size),
+                        float(decoded.mean()),
+                        int(decoded.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_pixels", "mean_intensity", "max_intensity",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, n_pixels long, mean_intensity double, "
+        "max_intensity long",
     )

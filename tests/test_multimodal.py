@@ -26,9 +26,24 @@ def test_decode_fake_tiles_bytes():
     assert img.tolist() == [[1, 2], [3, 1]]
 
 
-def test_decode_real_format_raises():
+def test_decode_unsupported_format_raises():
     with pytest.raises(NotImplementedError):
-        decode_payload(b"\x89PNG", "png", 1, 1)
+        decode_payload(b"\xff\xd8\xff\xe0", "jpeg", 1, 1)
+
+
+def test_decode_nonbaseline_png_raises():
+    # palette PNG (color type 3) is past the baseline codec's seam
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(NotImplementedError):
+        decode_payload(payload, "png", 1, 1)
 
 
 def test_decode_empty_payload_zero_fills():
@@ -101,6 +116,37 @@ def test_bmp_roundtrip_exact():
     assert decode_payload(encode_bmp(img), "bmp", 3, 4).tolist() == img.tolist()
 
 
+def test_png_roundtrip_every_filter():
+    from big_data_bowl_spark.multimodal.media import encode_png
+
+    img = _img44()
+    for ftype in range(5):  # None, Sub, Up, Average, Paeth
+        payload = encode_png(img, filter_type=ftype)
+        got = decode_payload(payload, "png", 4, 4)
+        assert got.tolist() == img.tolist(), f"filter {ftype}"
+
+
+def test_png_truecolor_to_luma():
+    # hand-built color-type-2 PNG: red + green pixels -> BT.601 luma,
+    # same expectation as the PPM path
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    raster = b"\x00" + bytes([255, 0, 0, 0, 255, 0])
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b"")
+    )
+    assert decode_payload(payload, "png", 2, 1).tolist() == [[76, 149]]
+
+
 def test_wav_roundtrip_exact():
     from big_data_bowl_spark.multimodal.media import decode_audio, encode_wav
 
@@ -108,25 +154,32 @@ def test_wav_roundtrip_exact():
     assert decode_audio(encode_wav(samples), "wav").tolist() == samples.tolist()
 
 
-def test_mm_features_and_resize_on_real_bmp_pgm(spark):
-    """mm02/mm04 end-to-end against REAL encoded bytes: the same
-    mapInPandas operators, no fake codec anywhere in the path."""
-    from big_data_bowl_spark.multimodal.media import encode_bmp, encode_pgm
+def test_mm_features_and_resize_on_real_bmp_pgm_png(spark):
+    """mm02/mm04 end-to-end against REAL encoded bytes — including a
+    COMPRESSED payload (PNG/zlib) — through the same mapInPandas
+    operators, no fake codec anywhere in the path."""
+    from big_data_bowl_spark.multimodal.media import (
+        encode_bmp,
+        encode_pgm,
+        encode_png,
+    )
 
     img = _img44()
     rows = [
         (1, "image", "pgm", 4, 4, 1, bytearray(encode_pgm(img))),
         (2, "image", "bmp", 4, 4, 1, bytearray(encode_bmp(img))),
+        (3, "image", "png", 4, 4, 1, bytearray(encode_png(img, filter_type=4))),
     ]
     feats = {
         r.media_id: r for r in extract_image_features(media_df(spark, rows)).collect()
     }
-    assert feats[1].mean_intensity == feats[2].mean_intensity == float(img.mean())
-    assert feats[1].max_intensity == feats[2].max_intensity == 150
+    for mid in (1, 2, 3):
+        assert feats[mid].mean_intensity == float(img.mean())
+        assert feats[mid].max_intensity == 150
 
     out = {r.media_id: r for r in resize_images(media_df(spark, rows), 2, 2).collect()}
     expect = img[np.ix_([0, 2], [0, 2])]
-    for mid in (1, 2):
+    for mid in (1, 2, 3):
         got = np.frombuffer(bytes(out[mid].payload), np.uint8).reshape(2, 2)
         assert got.tolist() == expect.tolist()
 
@@ -149,10 +202,11 @@ if HAVE_HYPOTHESIS:
         h=st.integers(1, 9),
         seed=st.integers(0, 2**31 - 1),
     )
-    def test_pgm_bmp_roundtrip_fuzz(w, h, seed):
+    def test_pgm_bmp_png_roundtrip_fuzz(w, h, seed):
         from big_data_bowl_spark.multimodal.media import (
             encode_bmp,
             encode_pgm,
+            encode_png,
         )
 
         rng = np.random.default_rng(seed)
@@ -160,6 +214,12 @@ if HAVE_HYPOTHESIS:
         assert decode_payload(encode_pgm(img), "pgm", w, h).tolist() == img.tolist()
         # odd widths exercise BMP 4-byte row padding
         assert decode_payload(encode_bmp(img), "bmp", w, h).tolist() == img.tolist()
+        # random filter type exercises the whole unfilter matrix
+        ftype = int(seed) % 5
+        assert (
+            decode_payload(encode_png(img, ftype), "png", w, h).tolist()
+            == img.tolist()
+        )
 
     @settings(max_examples=25, deadline=None)
     @given(

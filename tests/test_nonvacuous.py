@@ -129,3 +129,39 @@ def test_d06_simhash_finds_planted_exact_dup(spark, planted_dir):
         for r in rows
     }
     assert pairs.get((300, 400)) == 0, pairs
+
+
+def test_v04_ivf_recall_vs_brute_force(spark):
+    """ANN quality guard (VERDICT r3 #4): IVF top-k must recall >= 0.9
+    of the exact brute-force top-k at sf0.1.
+
+    v04 is oracle-exact on its FIXED probe set, so a silently bad
+    nprobe/centroid configuration would stay green forever — the
+    oracle re-computes the same approximation. This test pins the
+    approximation against ground truth (v01, exact) on the largest
+    local SF so cell population is realistic; it catches any change
+    to NLIST/NPROBE/centroid seeding that degrades retrieval quality.
+    """
+    import os
+
+    sf_big = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf_big):  # pragma: no cover - driver env has it
+        pytest.skip("sf0.1 testdata not present")
+    from big_data_bowl_spark.queries.extras import IVF_TOPK
+
+    brute = REGISTRY["v01_cosine_topk"].fn(spark, sf_big).collect()
+    ivf = REGISTRY["v04_ivf_topk"].fn(spark, sf_big).collect()
+    truth: dict = {}
+    for r in brute:
+        if r.rn <= IVF_TOPK:
+            truth.setdefault(r.query_id, set()).add(r.cand_id)
+    got: dict = {}
+    for r in ivf:
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    # score only the queries v04 answers (v01 serves a superset)
+    recalls = {
+        q: len(truth[q] & cands) / len(truth[q]) for q, cands in got.items()
+    }
+    assert recalls, "IVF returned no queries"
+    mean_recall = sum(recalls.values()) / len(recalls)
+    assert mean_recall >= 0.9, recalls
