@@ -104,3 +104,30 @@ def test_model_persistence_roundtrip(spark, tmp_path):
     a = {r.l_orderkey: r.prediction for r in model.transform(feats).collect()}
     b = {r.l_orderkey: r.prediction for r in reloaded.transform(feats).collect()}
     assert a == b and len(a) > 0
+
+
+def test_m01_m02_golden_at_driver_sf(spark):
+    """VERDICT r3 #6: pin the held-out predictions at sf0.01 — the
+    SF the driver's rows-only gate actually runs — not just the
+    sf0.001 fixture. One fit (memoized) backs both queries; the
+    md5-stable split + seeded forest make every count a constant
+    UNDER A FIXED PARALLELISM: Spark RF's per-tree Poisson
+    subsample is seeded per input partition, so these goldens are
+    pinned to the conftest session (local[4], shuffle=4) — if the
+    fixture config changes, re-collect, don't loosen."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    m02 = REGISTRY["m02_rf_predict_counts"].fn(spark, sf).collect()
+    assert {(r.prediction, r.n) for r in m02} == {
+        ("large", 683),
+        ("medium", 1702),
+        ("small", 1330),
+    }
+    m01 = REGISTRY["m01_rf_train_confusion"].fn(spark, sf).collect()
+    assert {(r.label, r.prediction, r.n) for r in m01} == {
+        ("large", "large", 683),
+        ("large", "medium", 41),
+        ("medium", "medium", 1661),
+        ("small", "small", 1330),
+    }
