@@ -34,22 +34,43 @@ STAR_TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events.ts column to a session-TZ TimestampType.
+
+    The loader contract is: downstream operators (unix_micros windows,
+    as-of joins, streaming watermarks) always see ``ts: timestamp``,
+    whatever physical form the lake stores. Handled encodings:
+
+    - int64 nanos (TIMESTAMP(NANOS) parquet scanned with
+      spark.sql.legacy.parquet.nanosAsLong): floor-divide to micros,
+      matching DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation.
+    - TIMESTAMP_NTZ (naive timestamp[us] parquet, the current testdata):
+      cast to TIMESTAMP. The session time zone is pinned to UTC
+      (session.py), so the cast relabels the same micros value —
+      bit-exact vs DuckDB's naive timestamps.
+    """
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one star-schema table (TESTDATA.md layout).
 
-    events.ts is TIMESTAMP(NANOS) in the parquet; with
-    spark.sql.legacy.parquet.nanosAsLong it scans as int64 nanos and is
-    converted here to a microsecond TimestampType by integer division
-    (`div 1000` — floor for the positive epoch range), matching DuckDB's
-    TIMESTAMP_NS -> TIMESTAMP truncation so oracle comparisons agree.
+    events.ts is normalized to TimestampType at this boundary (see
+    normalize_event_ts) so no per-query code ever branches on the
+    lake's physical timestamp encoding.
     """
     if name == "events":
         # Runtime-settable, so the contract works with ANY caller-provided
         # SparkSession (the driver builds its own), not just get_spark().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

@@ -22,49 +22,35 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
-
-# Schema of events.parquet as scanned with nanosAsLong (readStream
-# requires an explicit schema; ts arrives as int64 nanoseconds).
-EVENTS_NANOS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (the lake-backfill
     shape: same code path as a live Kafka/file feed).
 
-    Converts nanosecond int64 ts to TimestampType exactly like the
-    batch loader (sources/io.py `ts div 1000` floor), so streaming
-    results are comparable to the batch oracles.
+    The file source requires an explicit schema; a hardcoded one rots
+    the moment the lake's physical timestamp encoding changes (round 4:
+    the testdata moved from TIMESTAMP(NANOS) to naive timestamp[us] and
+    a LongType schema silently dropped every row — wrong answers, not a
+    crash). So the schema comes from a metadata-only batch read of the
+    same file, and ts is normalized through the SAME boundary helper as
+    the batch loader (sources/io.py normalize_event_ts), keeping
+    streaming results comparable to the batch oracles by construction.
     """
+    from ..sources.io import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # footer-only read: resolves the schema as actually stored, no scan
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source requires a DIRECTORY; select just the events
     # file(s) within it via glob filter (works for single-file layouts
     # like the testdata and for real events/ partition directories)
     raw = (
-        spark.readStream.schema(EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    return normalize_event_ts(raw)
 
 
 def tumbling_counts(
