@@ -82,6 +82,7 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         fn = REGISTRY[name].fn
         # per-query untimed warmup: absorbs that query's own codegen /
@@ -89,15 +90,26 @@ def main() -> None:
         # steady-state throughput (nothing is cached — each run
         # re-scans, re-shuffles and re-aggregates everything). Best of
         # two timed runs guards against one-off GC / host stalls.
-        fn(spark, sf_dir).count()
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            n_rows = fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
+        # Per-query error isolation (round-4 lesson: one crashing
+        # headline must cost ONE row, not the whole round's perf
+        # signal — BENCH_r04 was rc 1 / no numbers because t06 threw).
+        try:
+            fn(spark, sf_dir).count()
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                n_rows = fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
+            print(
+                f"# {name}: {timings[name]:.3f}s ({n_rows} rows)",
+                file=sys.stderr,
+            )
+        except Exception as exc:  # noqa: BLE001 — isolate, report, go on
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            print(f"# ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
 
@@ -113,6 +125,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        result["errors"] = errors
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
     if os.path.exists(base_path):
@@ -148,9 +162,11 @@ def main() -> None:
 
     print(json.dumps(result))
     # Opt-in hard gate (VERDICT r2 #1): exit nonzero on any >2x
-    # per-query regression. Off by default so the driver's JSON-line
-    # contract (rc 0 + one line) is never at risk.
-    if os.environ.get("SPARK_GRAFT_BENCH_STRICT") and result.get("regressions"):
+    # per-query regression or per-query error. Off by default so the
+    # driver's JSON-line contract (rc 0 + one line) is never at risk.
+    if os.environ.get("SPARK_GRAFT_BENCH_STRICT") and (
+        result.get("regressions") or errors
+    ):
         sys.exit(1)
 
 

@@ -534,7 +534,8 @@ N_SHARDS = 16
 @register(
     "s08_shuffled_shards",
     oracle=f"""
-    SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
     FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
                       AS BIGINT) % {N_SHARDS} AS shard, n_chars
           FROM documents)
@@ -886,11 +887,23 @@ def dq03_distribution_drift(spark: SparkSession, sf_dir: str):
     )
 
 
+def collect_sorted_keys(df, group_col: str, key_col: str):
+    """Library form of A13: per-group sorted key array. Returns the
+    ARRAY column — the registered query below stringifies it because
+    the driver's pandas canonicalizer cannot sort/hash list cells
+    (the v07 lesson, round 3; a13's own lesson, round 4)."""
+    return df.groupBy(group_col).agg(
+        F.array_sort(F.collect_list(key_col)).alias("order_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register(
     "a13_collect_sorted_array",
     oracle="""
     SELECT o_orderpriority,
-           list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+               AS order_keys,
            COUNT(*) AS n
     FROM orders WHERE o_totalprice > 400000.0
     GROUP BY o_orderpriority
@@ -900,13 +913,19 @@ def dq03_distribution_drift(spark: SparkSession, sf_dir: str):
     "filter keeps groups bounded — like exact quantiles, an unbounded "
     "collect_list buffers a whole group on one reducer, so the "
     "operator contract is 'pre-filter or cap'; the driver-facing "
-    "query demonstrates the bounded form.",
+    "query demonstrates the bounded form. The registered query emits "
+    "array_join(...) (driver hash compatibility — list cells are "
+    "unhashable in its canonicalizer); collect_sorted_keys() keeps "
+    "the array form for library callers.",
 )
 def a13_collect_sorted_array(spark: SparkSession, sf_dir: str):
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
-    return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
-        F.count(F.lit(1)).alias("n"),
+    return collect_sorted_keys(o, "o_orderpriority", "o_orderkey").select(
+        "o_orderpriority",
+        F.array_join(F.col("order_keys").cast("array<string>"), ",").alias(
+            "order_keys"
+        ),
+        "n",
     )
 
 

@@ -519,7 +519,7 @@ def t13_asof_join_forward(spark: SparkSession, sf_dir: str):
     SELECT user_id,
            floor(CAST(SUM(CAST(value * dt_us AS DECIMAL(38,6))) AS DOUBLE)
                  / SUM(dt_us) * 1e9 + 0.5) / 1e9 AS tw_avg,
-           SUM(dt_us) AS span_us
+           CAST(SUM(dt_us) AS BIGINT) AS span_us
     FROM g WHERE dt_us IS NOT NULL
     GROUP BY user_id
     """,
