@@ -96,11 +96,18 @@ def main() -> None:
         try:
             fn(spark, sf_dir).count()
             best = None
-            for _ in range(2):
+            # 2 timed runs, +1 more while the best is still sub-second:
+            # host-level noise stalls (measured: random queries 3-5x
+            # off in back-to-back bench runs) swamp short queries, and
+            # an extra sub-second run is far cheaper than a false
+            # regression flag.
+            runs = 0
+            while runs < 2 or (best is not None and best < 1.0 and runs < 4):
                 t0 = time.time()
                 n_rows = fn(spark, sf_dir).count()
                 dt = time.time() - t0
                 best = dt if best is None or dt < best else best
+                runs += 1
             timings[name] = round(best, 3)
             print(
                 f"# {name}: {timings[name]:.3f}s ({n_rows} rows)",
