@@ -34,10 +34,15 @@ container, so ``decode_payload`` implements, pure-Python:
   decompress + unfilter pipeline a production codec runs.
 - 'wav' (via ``decode_audio``) — PCM via the stdlib ``wave`` module.
 
-Formats needing non-stdlib codecs (jpeg/mp4, and PNG variants beyond
-baseline: palette/alpha/16-bit/interlaced) still raise
-NotImplementedError at the same seam — plug PIL/ffmpeg into
-``decode_payload`` where the marked dispatch is.
+- 'jpeg' — baseline sequential JPEG (ITU T.81): Huffman entropy
+  decode, dequantize, zigzag, float IDCT — grayscale or 4:4:4 YCbCr
+  (Y returned; JPEG's Y IS the BT.601 luma). Encoder emits grayscale
+  baseline with the Annex K standard tables.
+
+Formats needing non-stdlib codecs (mp4, subsampled/progressive JPEG,
+and PNG variants beyond baseline: palette/alpha/16-bit/interlaced)
+still raise NotImplementedError at the same seam — plug PIL/ffmpeg
+into ``decode_payload`` where the marked dispatch is.
 """
 
 from __future__ import annotations
@@ -261,6 +266,380 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     return luma.astype(np.uint8)
 
 
+# --- baseline JPEG (ITU T.81, public spec) --------------------------------
+
+# zigzag scan order: index i of the scan -> (row, col) flattened offset
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K standard luminance tables (T.81 §K.3): (BITS counts, HUFFVAL)
+_JPEG_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_STD_DC_VALS = list(range(12))
+_JPEG_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# Annex K luminance quantization table, zigzag order (T.81 §K.1)
+_JPEG_STD_QUANT = [
+    16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+    26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+    56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+    95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+    103, 99,
+]
+
+_DCT_MATRIX = None
+
+
+def _dct_matrix() -> "np.ndarray":
+    """Orthonormal 8x8 DCT-II matrix C: forward S = C @ s @ C.T,
+    inverse s = C.T @ S @ C (exactly T.81's FDCT/IDCT definition)."""
+    global _DCT_MATRIX
+    if _DCT_MATRIX is None:
+        import numpy as np
+
+        u = np.arange(8).reshape(8, 1)
+        y = np.arange(8).reshape(1, 8)
+        c = 0.5 * np.cos((2 * y + 1) * u * np.pi / 16)
+        c[0, :] *= 1 / np.sqrt(2)
+        _DCT_MATRIX = c
+    return _DCT_MATRIX
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; raises on marker bytes (restart intervals unsupported)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    raise NotImplementedError(
+                        "JPEG marker inside scan (restart intervals / "
+                        "multi-scan not supported)"
+                    )
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_category(v: int) -> int:
+    """Magnitude category: number of bits to code |v| (0 for v == 0)."""
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def encode_jpeg(img: "np.ndarray", quant: list[int] | None = None) -> bytes:
+    """Encode a (h, w) uint8 array as a baseline sequential grayscale
+    JPEG (SOF0, Annex K standard Huffman tables).
+
+    `quant` is a 64-entry quantization table in ZIGZAG order (defaults
+    to the Annex K luminance table). A flat table of small values gives
+    near-lossless output; images constant per 8x8 block with
+    quant[0] == 8 round-trip bit-exactly (DC = 8 * level-shifted value,
+    all AC zero — the property mm07's oracle relies on)."""
+    import struct
+
+    import numpy as np
+
+    quant = list(quant) if quant is not None else list(_JPEG_STD_QUANT)
+    h, w = img.shape
+    # pad to 8x8 blocks by edge replication (the conventional choice —
+    # minimizes ringing; decoder trims back to (h, w))
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), np.uint8)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[-1:, :]
+    padded[:h, w:] = img[:, -1:]
+    padded[h:, w:] = img[-1, -1]
+
+    c = _dct_matrix()
+    qmat = np.empty(64, np.float64)
+    qmat[_JPEG_ZIGZAG] = quant  # zigzag-order table -> natural order
+    qmat = qmat.reshape(8, 8)
+
+    dc_codes = _huffman_codes(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            s = block.astype(np.float64) - 128.0
+            coef = np.rint((c @ s @ c.T) / qmat).astype(np.int64)
+            zz = coef.reshape(64)[_JPEG_ZIGZAG]
+            # DC: category + offset-coded diff
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat = _jpeg_category(diff)
+            code, ln = dc_codes[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            # AC: (run, size) pairs with ZRL/EOB
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                    bw.write(code, ln)
+                    run -= 16
+                cat = _jpeg_category(v)
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(quant))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS),
+    ) + seg(
+        0xFFC4,
+        bytes([0x10]) + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+def _decode_jpeg(payload: bytes) -> "np.ndarray":
+    """Baseline sequential JPEG decode (grayscale or 4:4:4 YCbCr; the
+    Y plane is returned — JPEG's Y is already the BT.601 luma this
+    pipeline standardizes on). Progressive (SOF2), subsampled chroma,
+    12-bit, arithmetic coding, and restart intervals raise at the
+    documented seam."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    comps: list[tuple[int, int, int, int]] = []  # id, hs, vs, tq
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        length = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                qtables[tq] = list(body[off + 1 : off + 65])
+                off += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                # (length, code) -> symbol, for the bit-serial decoder
+                table: dict[tuple[int, int], int] = {}
+                code, k = 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                htables[(tc, th)] = table
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+                raise NotImplementedError(
+                    "subsampled JPEG (e.g. 4:2:0) not supported — plug "
+                    "PIL into decode_payload for production corpora"
+                )
+            sof = (h, w, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (progressive/extended) not "
+                "supported — baseline sequential only"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cs, tables >> 4, tables & 0x0F))
+            h, w, nc = sof
+            c = _dct_matrix()
+            by, bx = -(-h // 8), -(-w // 8)
+            planes = [np.zeros((by * 8, bx * 8), np.uint8) for _ in range(ns)]
+            deq = []
+            for ci, (_cs, _td, _ta) in enumerate(scan_comps):
+                q = np.empty(64, np.float64)
+                q[_JPEG_ZIGZAG] = qtables[comps[ci][3]]
+                deq.append(q.reshape(8, 8))
+            br = _BitReader(payload, pos)
+
+            def read_symbol(table: dict[tuple[int, int], int]) -> int:
+                code, ln = 0, 0
+                while ln < 16:
+                    code = (code << 1) | br.read_bit()
+                    ln += 1
+                    sym = table.get((ln, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid JPEG Huffman code")
+
+            def extend(v: int, s: int) -> int:
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            prev_dc = [0] * ns
+            for yb in range(by):
+                for xb in range(bx):
+                    for ci, (_cs, td, ta) in enumerate(scan_comps):
+                        zz = np.zeros(64, np.float64)
+                        s = read_symbol(htables[(0, td)])
+                        diff = extend(br.read_bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            rs = read_symbol(htables[(1, ta)])
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = extend(br.read_bits(size), size)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[_JPEG_ZIGZAG] = zz
+                        block = c.T @ (coef.reshape(8, 8) * deq[ci]) @ c
+                        planes[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                            np.clip(np.rint(block) + 128, 0, 255).astype(np.uint8)
+                        )
+            return planes[0][:h, :w]  # Y == BT.601 luma
+        # APPn / COM / other: skipped via the length field
+    raise ValueError("JPEG has no scan data")
+
+
 def decode_payload(
     payload: bytes, fmt: str, width: int, height: int
 ) -> "np.ndarray":
@@ -277,6 +656,8 @@ def decode_payload(
         return _decode_bmp(payload)
     if fmt == "png":
         return _decode_png(payload)
+    if fmt in ("jpeg", "jpg"):
+        return _decode_jpeg(payload)
     if fmt != "fake":
         raise NotImplementedError(
             f"codec for format {fmt!r} not available in this environment; "

@@ -334,3 +334,96 @@ def mm06_png_roundtrip_features(spark, sf_dir):
         schema="media_id long, n_pixels long, mean_intensity double, "
         "max_intensity long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MM7: baseline JPEG round-trip — Huffman + DCT entropy pipeline in-engine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm07_jpeg_roundtrip_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS width,
+             CAST(8 * (doc_id % 2 + 1) AS INTEGER) AS height
+      FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT media_id, width, height,
+             list_transform(range(0, width * height),
+               i -> (media_id * 37 + ((i // width) // 8) * 17
+                     + ((i % width) // 8) * 29) % 256) AS pixels
+      FROM m)
+    SELECT media_id,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(list_sum(pixels) AS DOUBLE) / len(pixels) AS mean_intensity,
+           CAST(list_max(pixels) AS BIGINT) AS max_intensity
+    FROM px
+    """,
+    note="MM7 JPEG round-trip (VERDICT r4 #8): per media row a "
+    "deterministic block-constant grayscale image is encoded to a real "
+    "baseline sequential JPEG (Annex K Huffman tables) and decoded "
+    "back through multimodal/media.py's pure-Python codec — Huffman "
+    "entropy coding, zigzag, quantization and the float DCT all on "
+    "the hot path. JPEG is lossy in general, so the oracle pins the "
+    "one exactness regime the math guarantees: images constant per "
+    "8x8 block with DC quant step 8 have integer DC coefficients and "
+    "zero AC, making the round-trip bit-exact — the DuckDB oracle "
+    "recomputes the statistics from the pixel formula and any "
+    "codec bit-error fails the value hash. Narrow mapInPandas plan; "
+    "payloads never leave the Python worker.",
+)
+def mm07_jpeg_roundtrip_features(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        (8 * (F.col("doc_id") % 3 + 1)).cast("int").alias("width"),
+        (8 * (F.col("doc_id") % 2 + 1)).cast("int").alias("height"),
+    )
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from ..multimodal.media import decode_payload, encode_jpeg
+
+        # DC step 8 => quantized DC == level-shifted block value, exact;
+        # AC steps are irrelevant for block-constant images (all AC = 0)
+        flat_quant = [8] + [16] * 63
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid, w, h = int(r.media_id), int(r.width), int(r.height)
+                bvals = (
+                    mid * 37
+                    + np.arange(h // 8)[:, None] * 17
+                    + np.arange(w // 8)[None, :] * 29
+                ) % 256
+                img = np.kron(bvals, np.ones((8, 8), np.int64)).astype(np.uint8)
+                payload = encode_jpeg(img, quant=flat_quant)
+                decoded = decode_payload(payload, "jpeg", w, h)
+                rows.append(
+                    (
+                        mid,
+                        int(decoded.size),
+                        float(decoded.mean()),
+                        int(decoded.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_pixels", "mean_intensity", "max_intensity",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, n_pixels long, mean_intensity double, "
+        "max_intensity long",
+    )

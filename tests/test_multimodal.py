@@ -27,8 +27,10 @@ def test_decode_fake_tiles_bytes():
 
 
 def test_decode_unsupported_format_raises():
+    # jpeg graduated to a real codec in round 5; mp4 remains the
+    # documented plug-PIL/ffmpeg-here seam
     with pytest.raises(NotImplementedError):
-        decode_payload(b"\xff\xd8\xff\xe0", "jpeg", 1, 1)
+        decode_payload(b"\x00\x00\x00\x18ftypmp42", "mp4", 1, 1)
 
 
 def test_decode_nonbaseline_png_raises():
@@ -235,3 +237,71 @@ if HAVE_HYPOTHESIS:
         rng = np.random.default_rng(seed)
         samples = rng.integers(-32768, 32768, size=n, dtype=np.int16)
         assert decode_audio(encode_wav(samples), "wav").tolist() == samples.tolist()
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """Block-constant image + DC quant 8 => bit-exact round-trip (the
+    regime the mm07 oracle pins)."""
+    from big_data_bowl_spark.multimodal.media import (
+        decode_payload,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(7)
+    flat8 = [8] + [16] * 63
+    for _ in range(10):
+        bh, bw = int(rng.integers(1, 4)), int(rng.integers(1, 4))
+        vals = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+        img = np.kron(vals, np.ones((8, 8), np.uint8))
+        # crop to non-multiple-of-8 dims: exercises pad + trim
+        h = bh * 8 - int(rng.integers(0, 3))
+        w = bw * 8 - int(rng.integers(0, 3))
+        img = img[:h, :w]
+        dec = decode_payload(encode_jpeg(img, quant=flat8), "jpeg", w, h)
+        assert dec.shape == (h, w)
+        assert np.array_equal(dec, img)
+
+
+def test_jpeg_near_lossless_unit_quant():
+    """All-ones quant table: only float DCT rounding remains; error is
+    bounded by +/-2 per pixel on arbitrary images."""
+    from big_data_bowl_spark.multimodal.media import (
+        decode_payload,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(11)
+    ones = [1] * 64
+    for _ in range(5):
+        h, w = int(rng.integers(5, 40)), int(rng.integers(5, 40))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        dec = decode_payload(encode_jpeg(img, quant=ones), "jpeg", w, h)
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_std_table_lossy_but_close_on_smooth():
+    from big_data_bowl_spark.multimodal.media import (
+        decode_payload,
+        encode_jpeg,
+    )
+
+    y, x = np.mgrid[0:32, 0:48]
+    img = ((np.sin(x / 9) + np.cos(y / 7)) * 50 + 128).astype(np.uint8)
+    dec = decode_payload(encode_jpeg(img), "jpeg", 48, 32)
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) < 30
+
+
+def test_jpeg_unsupported_variants_raise():
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
+
+    with _pytest.raises(ValueError):
+        _decode_jpeg(b"\x00\x01\x02")
+    # flip SOF0 -> SOF2 (progressive): must raise at the seam, and the
+    # marker byte appears exactly once so the patch is unambiguous
+    img = np.zeros((8, 8), np.uint8)
+    payload = encode_jpeg(img)
+    assert payload.count(b"\xff\xc0") == 1
+    with _pytest.raises(NotImplementedError):
+        _decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc2"))
