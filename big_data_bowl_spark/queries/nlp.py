@@ -502,6 +502,84 @@ def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
     )
 
 
+_N16_ORACLE = (
+    _sig_sql()
+    + f", bands AS ({_bands_sql()}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b "
+    "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+    "scored AS (SELECT c.doc_a, c.doc_b, "
+    "len(list_distinct(list_intersect(sa.sh, sb.sh))) AS n_inter, "
+    "len(list_distinct(sa.sh)) AS n_a, "
+    "len(list_distinct(sb.sh)) AS n_b "
+    "FROM cand c "
+    "JOIN sh_t sa ON c.doc_a = sa.doc_id "
+    "JOIN sh_t sb ON c.doc_b = sb.doc_id) "
+    "SELECT doc_a, doc_b, "
+    "round(CAST(n_inter AS DOUBLE) / n_a, 9) AS containment_ab, "
+    "round(CAST(n_inter AS DOUBLE) / n_b, 9) AS containment_ba "
+    "FROM scored "
+    "WHERE greatest(CAST(n_inter AS DOUBLE) / n_a, "
+    "CAST(n_inter AS DOUBLE) / n_b) >= 0.6"
+)
+
+
+@register(
+    "n16_shingle_containment",
+    oracle=_N16_ORACLE,
+    note="N16 asymmetric shingle containment over the LSH candidates: "
+    "C(A,B) = |A \u2229 B| / |A| in both directions, kept when either "
+    "side is >= 0.6-contained. Jaccard (d03) misses SUBSET duplication "
+    "\u2014 a document quoted wholesale inside a much longer one scores "
+    "low Jaccard but high containment \u2014 the signal corpus curation "
+    "uses for quote/boilerplate-inclusion detection. Same bounded "
+    "candidate space and single shingle-table join as d03 (one "
+    "materialized shingle evaluation, pairs reassembled by grouping); "
+    "only the scoring formula differs.",
+)
+def n16_shingle_containment(spark: SparkSession, sf_dir: str):
+    d = tf(spark, sf_dir, "documents")
+    shingle_tbl = (
+        d.select("doc_id", tokenize(F.col("text")).alias("tok"))
+        .select(
+            "doc_id",
+            shingles_from_tokens(F.col("tok"), k=SHINGLE_K).alias("sh"),
+        )
+        .localCheckpoint()
+    )
+    cand = _lsh_pairs_from_shingles(shingle_tbl)
+    members = cand.select(
+        "doc_a",
+        "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    )
+    joined = members.join(shingle_tbl.hint("shuffle_hash"), "doc_id")
+    paired = joined.groupBy("doc_a", "doc_b").agg(
+        F.first(
+            F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
+            ignorenulls=True,
+        ).alias("sh_a"),
+        F.first(
+            F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
+            ignorenulls=True,
+        ).alias("sh_b"),
+    )
+    inter = F.size(
+        F.array_distinct(F.array_intersect("sh_a", "sh_b"))
+    ).cast("double")
+    c_ab = inter / F.size(F.array_distinct("sh_a"))
+    c_ba = inter / F.size(F.array_distinct("sh_b"))
+    # filter on the UNROUNDED scores exactly as the oracle does (a
+    # just-below-threshold value must not survive via round-up), round
+    # only for the emitted columns
+    return paired.filter(F.greatest(c_ab, c_ba) >= 0.6).select(
+        "doc_a",
+        "doc_b",
+        F.round(c_ab, 9).alias("containment_ab"),
+        F.round(c_ba, 9).alias("containment_ba"),
+    )
+
+
 SIMHASH_BITS = 16
 
 

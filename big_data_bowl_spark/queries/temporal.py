@@ -551,3 +551,103 @@ def t14_time_weighted_avg(spark: SparkSession, sf_dir: str):
         ).alias("tw_avg"),
         F.sum("dt_us").alias("span_us"),
     )
+
+
+@register(
+    "t15_funnel_analysis",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN {_TS} END) AS t_view
+      FROM events GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, s1.t_view,
+             MIN(CASE WHEN e.event_type = 'click'
+                      AND {_TS.replace('ts', 'e.ts')} > s1.t_view
+                      THEN {_TS.replace('ts', 'e.ts')} END) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      GROUP BY e.user_id, s1.t_view),
+    s3 AS (
+      SELECT e.user_id, s2.t_view, s2.t_click,
+             MIN(CASE WHEN e.event_type = 'purchase'
+                      AND {_TS.replace('ts', 'e.ts')} > s2.t_click
+                      THEN {_TS.replace('ts', 'e.ts')} END) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      GROUP BY e.user_id, s2.t_view, s2.t_click)
+    SELECT user_id, t_view, t_click, t_purchase,
+           CASE WHEN t_view IS NULL THEN 0
+                WHEN t_click IS NULL THEN 1
+                WHEN t_purchase IS NULL THEN 2
+                ELSE 3 END AS funnel_depth
+    FROM s3
+    """,
+    note="T15 ordered funnel (view -> click -> purchase) per user: each "
+    "stage's timestamp is the earliest qualifying event STRICTLY after "
+    "the previous stage — the product-analytics primitive, implemented "
+    "as the reusable operators/funnel.py ordered_funnel (ONE shuffle "
+    "on user_id, chained Window passes sharing the exchange, same-key "
+    "final aggregation with no second exchange). The oracle spells "
+    "the same cascade as three grouped joins; both engines agree "
+    "because SQL null semantics drop post-NULL stages identically. "
+    "At scale: no self-join explosion — cost is O(steps x events) "
+    "scan work, one row of state per user.",
+)
+def t15_funnel_analysis(spark: SparkSession, sf_dir: str):
+    from ..operators.funnel import ordered_funnel
+
+    ev = t(spark, sf_dir, "events")
+    return ordered_funnel(ev, ["view", "click", "purchase"])
+
+
+@register(
+    "d07_cdc_compaction",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, {_TS} AS ts, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type)
+               AS n_versions,
+             MIN({_TS}) OVER (PARTITION BY user_id, event_type)
+               AS first_seen
+      FROM events)
+    SELECT user_id, event_type, value AS latest_value,
+           ts AS last_seen, first_seen, n_versions
+    FROM ranked WHERE rn = 1
+    """,
+    note="D7 changelog compaction (CDC upsert / SCD type 1): the "
+    "events table read as a change stream keyed by (user_id, "
+    "event_type) — keep each key's NEWEST row plus version lineage "
+    "(first_seen, n_versions). ONE shuffle on the key; both window "
+    "functions and the rank share a single Window sort, and the "
+    "rank filter stops at one row per key. The keep-one-LATEST twin "
+    "of d01's keep-one-MIN exact dedup — the compaction every "
+    "incremental training-data ingest runs before a snapshot export. "
+    "Ties broken by event_id for cross-engine determinism.",
+)
+def d07_cdc_compaction(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    key = Window.partitionBy("user_id", "event_type")
+    ranked = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "value",
+        F.row_number()
+        .over(key.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(key).alias("n_versions"),
+        F.min("ts").over(key).alias("first_seen"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        "event_type",
+        F.col("value").alias("latest_value"),
+        F.col("ts").alias("last_seen"),
+        "first_seen",
+        "n_versions",
+    )

@@ -429,3 +429,116 @@ def test_interval_join_boundary_semantics(spark, tmp_path):
     rows = REGISTRY["t09_interval_join"].fn(spark, str(tmp_path)).collect()
     got = {(r.event_id, r.interval_id) for r in rows}
     assert got == {(100, 0), (101, 0)}, got
+
+
+def test_funnel_planted_depths(spark):
+    """ordered_funnel on a planted changelog covering every depth:
+    the strictly-after rule, out-of-order events, and repeats."""
+    import datetime as dt
+
+    from big_data_bowl_spark.operators.funnel import ordered_funnel
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ts(minute):
+        return t0 + dt.timedelta(minutes=minute)
+
+    rows = [
+        # u1: full funnel, with noise + a click BEFORE the view that
+        # must not count, and the SECOND purchase must not win
+        (1, "click", ts(0)),
+        (1, "view", ts(1)),
+        (1, "error", ts(2)),
+        (1, "click", ts(3)),
+        (1, "purchase", ts(4)),
+        (1, "purchase", ts(9)),
+        # u2: view then purchase but never a click -> depth 1
+        (2, "view", ts(1)),
+        (2, "purchase", ts(2)),
+        # u3: clicks only -> depth 0
+        (3, "click", ts(1)),
+        # u4: view+click simultaneous -> strict 'after' rejects -> depth 1
+        (4, "view", ts(5)),
+        (4, "click", ts(5)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_purchase, r.funnel_depth)
+        for r in ordered_funnel(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got[1] == (ts(1), ts(3), ts(4), 3)
+    assert got[2] == (ts(1), None, None, 1)
+    assert got[3] == (None, None, None, 0)
+    assert got[4] == (ts(5), None, None, 1)
+
+
+def test_funnel_real_data_consistency(spark, sf_dir):
+    """t15 on the real testdata: depth always equals the count of
+    non-null stages, stage times strictly increase, one row per user."""
+    from big_data_bowl_spark.queries.temporal import t15_funnel_analysis
+    from big_data_bowl_spark.sources.io import load_table
+
+    out = t15_funnel_analysis(spark, sf_dir)
+    rows = out.collect()
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert len(rows) == n_users
+    for r in rows:
+        stages = [r.t_view, r.t_click, r.t_purchase]
+        n = sum(s is not None for s in stages)
+        assert r.funnel_depth == n
+        assert all(s is None for s in stages[n:])
+        for a, b in zip(stages, stages[1:]):
+            if a is not None and b is not None:
+                assert a < b
+
+
+def test_cdc_compaction_keeps_newest_and_counts_all(spark, sf_dir):
+    """d07: one row per live key, version counts sum to the full
+    changelog, and the kept value is the max-ts row's value."""
+    from big_data_bowl_spark.queries.temporal import d07_cdc_compaction
+    from big_data_bowl_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = d07_cdc_compaction(spark, sf_dir)
+    assert out.count() == ev.select("user_id", "event_type").distinct().count()
+    total = out.agg(F.sum("n_versions")).collect()[0][0]
+    assert total == ev.count()
+    bad = out.filter(F.col("last_seen") < F.col("first_seen")).count()
+    assert bad == 0
+    # spot-check one key end-to-end
+    k = out.orderBy("user_id", "event_type").first()
+    versions = (
+        ev.filter(
+            (F.col("user_id") == k.user_id)
+            & (F.col("event_type") == k.event_type)
+        )
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .collect()
+    )
+    assert versions[0].value == k.latest_value
+    assert len(versions) == k.n_versions
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """n16 vs d03: for any pair both emit, max containment >= jaccard
+    (the subset-duplication signal Jaccard underestimates)."""
+    from big_data_bowl_spark.queries.nlp import (
+        d03_ngram_jaccard,
+        n16_shingle_containment,
+    )
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in d03_ngram_jaccard(spark, sf_dir).collect()
+    }
+    cont = {
+        (r.doc_a, r.doc_b): max(r.containment_ab, r.containment_ba)
+        for r in n16_shingle_containment(spark, sf_dir).collect()
+    }
+    assert len(cont) > 0
+    shared = set(jac) & set(cont)
+    assert len(shared) > 0
+    for pair in shared:
+        assert cont[pair] >= jac[pair] - 1e-9
