@@ -48,6 +48,13 @@ HEADLINE = [
     "n10_tfidf_top_terms",
     "mm02_image_features",
     "m00_ml_feature_table",
+    # round-5 additions: funnel (chained windows), CDC compaction
+    # (rank+lineage window), containment (LSH + verify join), JPEG
+    # round-trip (Huffman+DCT in mapInPandas)
+    "t15_funnel_analysis",
+    "d07_cdc_compaction",
+    "n16_shingle_containment",
+    "mm07_jpeg_roundtrip_features",
 ]
 
 
