@@ -35,9 +35,11 @@ container, so ``decode_payload`` implements, pure-Python:
 - 'wav' (via ``decode_audio``) — PCM via the stdlib ``wave`` module.
 
 - 'jpeg' — baseline sequential JPEG (ITU T.81): Huffman entropy
-  decode, dequantize, zigzag, float IDCT — grayscale or 4:4:4 YCbCr
-  (Y returned; JPEG's Y IS the BT.601 luma). Encoder emits grayscale
-  baseline with the Annex K standard tables.
+  decode, dequantize, zigzag, float IDCT, restart intervals
+  (DRI/RSTn with DC-predictor reset + sequence verification) —
+  grayscale or 4:4:4 YCbCr (Y returned; JPEG's Y IS the BT.601
+  luma). Encoder emits grayscale baseline with the Annex K standard
+  tables, optionally with restart markers.
 
 Formats needing non-stdlib codecs (mp4, subsampled/progressive JPEG,
 and PNG variants beyond baseline: palette/alpha/16-bit/interlaced)
@@ -363,10 +365,19 @@ class _BitWriter:
             self.nbits -= 8
             self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """1-pad to a byte boundary (before a restart marker)."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-padding per spec
+            self.write((1 << pad) - 1, pad)
+
+    def emit_marker(self, marker: int) -> None:
+        """Append a bare marker (no stuffing applies to markers)."""
+        self.align()
+        self.out += bytes((0xFF, marker))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -391,9 +402,10 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 1
                 else:
-                    raise NotImplementedError(
-                        "JPEG marker inside scan (restart intervals / "
-                        "multi-scan not supported)"
+                    # a bare marker mid-entropy-read means the encoder
+                    # and decoder disagree about where a restart falls
+                    raise ValueError(
+                        "unexpected JPEG marker inside entropy segment"
                     )
             self.acc = byte
             self.nbits = 8
@@ -406,13 +418,30 @@ class _BitReader:
             v = (v << 1) | self.read_bit()
         return v
 
+    def consume_restart(self) -> int:
+        """Byte-align and consume an RSTn marker; returns n (0..7)."""
+        self.nbits = 0  # drop the 1-padding bits before the marker
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected JPEG restart marker")
+        n = self.data[self.pos + 1] & 0x07
+        self.pos += 2
+        return n
+
 
 def _jpeg_category(v: int) -> int:
     """Magnitude category: number of bits to code |v| (0 for v == 0)."""
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
-def encode_jpeg(img: "np.ndarray", quant: list[int] | None = None) -> bytes:
+def encode_jpeg(
+    img: "np.ndarray",
+    quant: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode a (h, w) uint8 array as a baseline sequential grayscale
     JPEG (SOF0, Annex K standard Huffman tables).
 
@@ -420,7 +449,11 @@ def encode_jpeg(img: "np.ndarray", quant: list[int] | None = None) -> bytes:
     to the Annex K luminance table). A flat table of small values gives
     near-lossless output; images constant per 8x8 block with
     quant[0] == 8 round-trip bit-exactly (DC = 8 * level-shifted value,
-    all AC zero — the property mm07's oracle relies on)."""
+    all AC zero — the property mm07's oracle relies on).
+
+    `restart_interval` > 0 emits a DRI segment and an RST0..RST7
+    marker after every that-many MCUs (DC predictor reset) — the
+    resync points real-world encoders insert for error resilience."""
     import struct
 
     import numpy as np
@@ -445,8 +478,19 @@ def encode_jpeg(img: "np.ndarray", quant: list[int] | None = None) -> bytes:
     ac_codes = _huffman_codes(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS)
     bw = _BitWriter()
     prev_dc = 0
+    mcu_idx = 0
+    rst_n = 0
     for by in range(ph // 8):
         for bx in range(pw // 8):
+            if (
+                restart_interval
+                and mcu_idx
+                and mcu_idx % restart_interval == 0
+            ):
+                bw.emit_marker(0xD0 + rst_n)
+                rst_n = (rst_n + 1) % 8
+                prev_dc = 0
+            mcu_idx += 1
             block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             s = block.astype(np.float64) - 128.0
             coef = np.rint((c @ s @ c.T) / qmat).astype(np.int64)
@@ -494,18 +538,24 @@ def encode_jpeg(img: "np.ndarray", quant: list[int] | None = None) -> bytes:
         0xFFC4,
         bytes([0x10]) + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS),
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
     )
 
 
 def _decode_jpeg(payload: bytes) -> "np.ndarray":
     """Baseline sequential JPEG decode (grayscale or 4:4:4 YCbCr; the
     Y plane is returned — JPEG's Y is already the BT.601 luma this
-    pipeline standardizes on). Progressive (SOF2), subsampled chroma,
-    12-bit, arithmetic coding, and restart intervals raise at the
-    documented seam."""
+    pipeline standardizes on). Restart intervals (DRI/RSTn) are
+    honored with DC-predictor reset and marker-sequence verification.
+    Progressive (SOF2), subsampled chroma, 12-bit and arithmetic
+    coding raise at the documented seam."""
     import struct
 
     import numpy as np
@@ -516,6 +566,7 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
+    restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # id, hs, vs, tq
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -572,8 +623,8 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 f"JPEG SOF{marker - 0xC0} (progressive/extended) not "
                 "supported — baseline sequential only"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals not supported")
+        elif marker == 0xDD:  # DRI: restart every N MCUs
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if sof is None:
                 raise ValueError("JPEG SOS before SOF")
@@ -607,8 +658,24 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
             prev_dc = [0] * ns
+            mcu_idx = 0
+            expected_rst = 0
             for yb in range(by):
                 for xb in range(bx):
+                    if (
+                        restart_interval
+                        and mcu_idx
+                        and mcu_idx % restart_interval == 0
+                    ):
+                        n = br.consume_restart()
+                        if n != expected_rst:
+                            raise ValueError(
+                                f"JPEG restart marker out of sequence "
+                                f"(got RST{n}, expected RST{expected_rst})"
+                            )
+                        expected_rst = (expected_rst + 1) % 8
+                        prev_dc = [0] * ns
+                    mcu_idx += 1
                     for ci, (_cs, td, ta) in enumerate(scan_comps):
                         zz = np.zeros(64, np.float64)
                         s = read_symbol(htables[(0, td)])

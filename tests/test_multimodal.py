@@ -305,3 +305,29 @@ def test_jpeg_unsupported_variants_raise():
     assert payload.count(b"\xff\xc0") == 1
     with _pytest.raises(NotImplementedError):
         _decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc2"))
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: restart markers every N MCUs with DC-predictor reset;
+    round-trip accuracy must be unchanged, and an out-of-sequence
+    restart marker must be rejected."""
+    from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(13)
+    ones = [1] * 64
+    for ri in (1, 2, 7):
+        img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+        payload = encode_jpeg(img, quant=ones, restart_interval=ri)
+        dec = _decode_jpeg(payload)
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+    # >8 restarts exercises the RST0..RST7 cyclic sequence
+    img = rng.integers(0, 256, (8, 8 * 20), dtype=np.uint8)
+    payload = encode_jpeg(img, quant=ones, restart_interval=2)
+    assert payload.count(b"\xff\xd0") >= 2  # cycle wrapped
+    dec = _decode_jpeg(payload)
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+    # corrupt the first restart marker: decoder must notice
+    idx = payload.find(b"\xff\xd0")
+    bad = payload[:idx] + b"\xff\xd5" + payload[idx + 2 :]
+    with pytest.raises(ValueError):
+        _decode_jpeg(bad)
