@@ -36,12 +36,14 @@ container, so ``decode_payload`` implements, pure-Python:
 
 - 'jpeg' — baseline sequential JPEG (ITU T.81): Huffman entropy
   decode, dequantize, zigzag, float IDCT, restart intervals
-  (DRI/RSTn with DC-predictor reset + sequence verification) —
-  grayscale or 4:4:4 YCbCr (Y returned; JPEG's Y IS the BT.601
-  luma). Encoder emits grayscale baseline with the Annex K standard
-  tables, optionally with restart markers.
+  (DRI/RSTn with DC-predictor reset + sequence verification), and
+  interleaved MCUs with subsampled chroma (4:2:0/4:2:2/4:4:4 — any
+  1/2/4 sampling factors). The Y plane is returned; JPEG's Y IS the
+  BT.601 luma. Encoder emits grayscale baseline or grayscale-content
+  4:2:0 color with the Annex K standard tables, optionally with
+  restart markers.
 
-Formats needing non-stdlib codecs (mp4, subsampled/progressive JPEG,
+Formats needing non-stdlib codecs (mp4, progressive/arithmetic JPEG,
 and PNG variants beyond baseline: palette/alpha/16-bit/interlaced)
 still raise NotImplementedError at the same seam — plug PIL/ffmpeg
 into ``decode_payload`` where the marked dispatch is.
@@ -441,9 +443,10 @@ def encode_jpeg(
     img: "np.ndarray",
     quant: list[int] | None = None,
     restart_interval: int = 0,
+    color_420: bool = False,
 ) -> bytes:
-    """Encode a (h, w) uint8 array as a baseline sequential grayscale
-    JPEG (SOF0, Annex K standard Huffman tables).
+    """Encode a (h, w) uint8 array as a baseline sequential JPEG
+    (SOF0, Annex K standard Huffman tables).
 
     `quant` is a 64-entry quantization table in ZIGZAG order (defaults
     to the Annex K luminance table). A flat table of small values gives
@@ -453,16 +456,22 @@ def encode_jpeg(
 
     `restart_interval` > 0 emits a DRI segment and an RST0..RST7
     marker after every that-many MCUs (DC predictor reset) — the
-    resync points real-world encoders insert for error resilience."""
+    resync points real-world encoders insert for error resilience.
+
+    `color_420` emits a 3-component YCbCr file with Y at 2x2 and
+    neutral (128) chroma at 1x1 — the ubiquitous 4:2:0 layout, as a
+    grayscale-content color JPEG. Exercises the decoder's interleaved
+    multi-block MCU path end-to-end."""
     import struct
 
     import numpy as np
 
     quant = list(quant) if quant is not None else list(_JPEG_STD_QUANT)
     h, w = img.shape
-    # pad to 8x8 blocks by edge replication (the conventional choice —
-    # minimizes ringing; decoder trims back to (h, w))
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    # pad to the MCU grid by edge replication (the conventional choice
+    # — minimizes ringing; decoder trims back to (h, w))
+    mcu = 16 if color_420 else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
     padded = np.empty((ph, pw), np.uint8)
     padded[:h, :w] = img
     padded[h:, :w] = img[-1:, :]
@@ -477,11 +486,45 @@ def encode_jpeg(
     dc_codes = _huffman_codes(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
     ac_codes = _huffman_codes(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS)
     bw = _BitWriter()
-    prev_dc = 0
+
+    def enc_block(spatial: "np.ndarray", prev_dc: int) -> int:
+        """DCT + quantize + entropy-code one level-shifted 8x8 block;
+        returns the new DC predictor."""
+        coef = np.rint((c @ spatial @ c.T) / qmat).astype(np.int64)
+        zz = coef.reshape(64)[_JPEG_ZIGZAG]
+        diff = int(zz[0]) - prev_dc
+        cat = _jpeg_category(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
+                bw.write(code, ln)
+                run -= 16
+            cat = _jpeg_category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+        return int(zz[0])
+
+    shifted = padded.astype(np.float64) - 128.0
+    chroma = np.zeros((8, 8), np.float64)  # neutral 128 after shift
     mcu_idx = 0
     rst_n = 0
-    for by in range(ph // 8):
-        for bx in range(pw // 8):
+    prev = [0, 0, 0]  # per-component DC predictors
+    for my in range(ph // mcu):
+        for mx in range(pw // mcu):
             if (
                 restart_interval
                 and mcu_idx
@@ -489,48 +532,36 @@ def encode_jpeg(
             ):
                 bw.emit_marker(0xD0 + rst_n)
                 rst_n = (rst_n + 1) % 8
-                prev_dc = 0
+                prev = [0, 0, 0]
             mcu_idx += 1
-            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            s = block.astype(np.float64) - 128.0
-            coef = np.rint((c @ s @ c.T) / qmat).astype(np.int64)
-            zz = coef.reshape(64)[_JPEG_ZIGZAG]
-            # DC: category + offset-coded diff
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            cat = _jpeg_category(diff)
-            code, ln = dc_codes[cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            # AC: (run, size) pairs with ZRL/EOB
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL: 16 zeros
-                    bw.write(code, ln)
-                    run -= 16
-                cat = _jpeg_category(v)
-                code, ln = ac_codes[(run << 4) | cat]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+            if color_420:
+                for v in range(2):
+                    for u in range(2):
+                        y0, x0 = my * 16 + v * 8, mx * 16 + u * 8
+                        prev[0] = enc_block(
+                            shifted[y0 : y0 + 8, x0 : x0 + 8], prev[0]
+                        )
+                prev[1] = enc_block(chroma, prev[1])
+                prev[2] = enc_block(chroma, prev[2])
+            else:
+                y0, x0 = my * 8, mx * 8
+                prev[0] = enc_block(
+                    shifted[y0 : y0 + 8, x0 : x0 + 8], prev[0]
+                )
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     dqt = seg(0xFFDB, bytes([0]) + bytes(quant))
-    sof = seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
-    )
+    if color_420:
+        comp_sof = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        comp_sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
+        nc = 3
+    else:
+        comp_sof = bytes([1, 0x11, 0])
+        comp_sos = bytes([1, 1, 0x00])
+        nc = 1
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, nc) + comp_sof)
     dht = seg(
         0xFFC4,
         bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS),
@@ -543,19 +574,21 @@ def encode_jpeg(
         if restart_interval
         else b""
     )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sos = seg(0xFFDA, comp_sos + bytes([0, 63, 0]))
     return (
         b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
     )
 
 
 def _decode_jpeg(payload: bytes) -> "np.ndarray":
-    """Baseline sequential JPEG decode (grayscale or 4:4:4 YCbCr; the
+    """Baseline sequential JPEG decode. Grayscale or YCbCr with any
+    1/2/4 sampling factors (4:4:4, 4:2:2, 4:2:0 interleaved MCUs); the
     Y plane is returned — JPEG's Y is already the BT.601 luma this
-    pipeline standardizes on). Restart intervals (DRI/RSTn) are
-    honored with DC-predictor reset and marker-sequence verification.
-    Progressive (SOF2), subsampled chroma, 12-bit and arithmetic
-    coding raise at the documented seam."""
+    pipeline standardizes on, so chroma blocks are entropy-decoded to
+    advance the stream but not color-converted. Restart intervals
+    (DRI/RSTn) are honored with DC-predictor reset and
+    marker-sequence verification. Progressive (SOF2), 12-bit and
+    arithmetic coding raise at the documented seam."""
     import struct
 
     import numpy as np
@@ -611,10 +644,12 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-            if any(hs != 1 or vs != 1 for _, hs, vs, _ in comps):
+            if any(
+                hs not in (1, 2, 4) or vs not in (1, 2, 4)
+                for _, hs, vs, _ in comps
+            ):
                 raise NotImplementedError(
-                    "subsampled JPEG (e.g. 4:2:0) not supported — plug "
-                    "PIL into decode_payload for production corpora"
+                    "JPEG sampling factors beyond 1/2/4 not supported"
                 )
             sof = (h, w, nc)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -635,8 +670,18 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 scan_comps.append((cs, tables >> 4, tables & 0x0F))
             h, w, nc = sof
             c = _dct_matrix()
-            by, bx = -(-h // 8), -(-w // 8)
-            planes = [np.zeros((by * 8, bx * 8), np.uint8) for _ in range(ns)]
+            # MCU geometry from the max sampling factors (T.81 A.2.4):
+            # component ci contributes hs*vs blocks per MCU; the Y
+            # plane (the output) has hs_y*8 x vs_y*8 pixels per MCU.
+            hmax = max(hs for _, hs, _, _ in comps)
+            vmax = max(vs for _, _, vs, _ in comps)
+            mcu_x = -(-w // (8 * hmax))
+            mcu_y = -(-h // (8 * vmax))
+            planes = [
+                np.zeros((mcu_y * comps[ci][2] * 8, mcu_x * comps[ci][1] * 8),
+                         np.uint8)
+                for ci in range(ns)
+            ]
             deq = []
             for ci, (_cs, _td, _ta) in enumerate(scan_comps):
                 q = np.empty(64, np.float64)
@@ -660,8 +705,8 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             prev_dc = [0] * ns
             mcu_idx = 0
             expected_rst = 0
-            for yb in range(by):
-                for xb in range(bx):
+            for my in range(mcu_y):
+                for mx in range(mcu_x):
                     if (
                         restart_interval
                         and mcu_idx
@@ -677,31 +722,44 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                         prev_dc = [0] * ns
                     mcu_idx += 1
                     for ci, (_cs, td, ta) in enumerate(scan_comps):
-                        zz = np.zeros(64, np.float64)
-                        s = read_symbol(htables[(0, td)])
-                        diff = extend(br.read_bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            rs = read_symbol(htables[(1, ta)])
-                            run, size = rs >> 4, rs & 0x0F
-                            if size == 0:
-                                if run == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            zz[k] = extend(br.read_bits(size), size)
-                            k += 1
-                        coef = np.zeros(64, np.float64)
-                        coef[_JPEG_ZIGZAG] = zz
-                        block = c.T @ (coef.reshape(8, 8) * deq[ci]) @ c
-                        planes[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
-                            np.clip(np.rint(block) + 128, 0, 255).astype(np.uint8)
-                        )
+                        hs, vs = comps[ci][1], comps[ci][2]
+                        for v in range(vs):
+                            for u in range(hs):
+                                zz = np.zeros(64, np.float64)
+                                s = read_symbol(htables[(0, td)])
+                                diff = (
+                                    extend(br.read_bits(s), s) if s else 0
+                                )
+                                prev_dc[ci] += diff
+                                zz[0] = prev_dc[ci]
+                                k = 1
+                                while k < 64:
+                                    rs = read_symbol(htables[(1, ta)])
+                                    run, size = rs >> 4, rs & 0x0F
+                                    if size == 0:
+                                        if run == 15:  # ZRL
+                                            k += 16
+                                            continue
+                                        break  # EOB
+                                    k += run
+                                    if k > 63:
+                                        raise ValueError(
+                                            "JPEG AC index overflow"
+                                        )
+                                    zz[k] = extend(br.read_bits(size), size)
+                                    k += 1
+                                coef = np.zeros(64, np.float64)
+                                coef[_JPEG_ZIGZAG] = zz
+                                block = (
+                                    c.T @ (coef.reshape(8, 8) * deq[ci]) @ c
+                                )
+                                y0 = (my * vs + v) * 8
+                                x0 = (mx * hs + u) * 8
+                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = (
+                                    np.clip(
+                                        np.rint(block) + 128, 0, 255
+                                    ).astype(np.uint8)
+                                )
             return planes[0][:h, :w]  # Y == BT.601 luma
         # APPn / COM / other: skipped via the length field
     raise ValueError("JPEG has no scan data")

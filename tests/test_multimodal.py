@@ -331,3 +331,23 @@ def test_jpeg_restart_intervals_roundtrip():
     bad = payload[:idx] + b"\xff\xd5" + payload[idx + 2 :]
     with pytest.raises(ValueError):
         _decode_jpeg(bad)
+
+
+def test_jpeg_420_interleaved_mcu_roundtrip():
+    """4:2:0: Y at 2x2 with neutral chroma — the decoder must walk the
+    interleaved 4xY+Cb+Cr MCU layout and reassemble the Y plane,
+    including non-MCU-aligned dimensions and restart markers."""
+    from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    ones = [1] * 64
+    for h, w in ((16, 16), (15, 17), (33, 49), (5, 5)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        dec = _decode_jpeg(encode_jpeg(img, quant=ones, color_420=True))
+        assert dec.shape == (h, w)
+        assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+    img = rng.integers(0, 256, (33, 49), dtype=np.uint8)
+    dec = _decode_jpeg(
+        encode_jpeg(img, quant=ones, color_420=True, restart_interval=2)
+    )
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
