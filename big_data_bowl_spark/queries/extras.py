@@ -982,3 +982,84 @@ def a14_bool_aggs(spark: SparkSession, sf_dir: str):
         F.every(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
     )
+
+
+SKEW_TOPK = 5
+
+
+@register(
+    "dq04_key_skew_profile",
+    oracle=f"""
+    WITH stacked AS (
+      SELECT 'events.event_type' AS key_col, event_type AS key
+      FROM events
+      UNION ALL
+      SELECT 'documents.lang', lang FROM documents
+      UNION ALL
+      SELECT 'documents.source', source FROM documents
+      UNION ALL
+      SELECT 'orders.o_orderpriority', o_orderpriority FROM orders),
+    counts AS (
+      SELECT key_col, key, COUNT(*) AS n
+      FROM stacked GROUP BY key_col, key),
+    ranked AS (
+      SELECT key_col, key, n,
+             round(CAST(n AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY key_col), 9) AS share,
+             ROW_NUMBER() OVER (PARTITION BY key_col
+                                ORDER BY n DESC, key ASC) AS rank
+      FROM counts)
+    SELECT key_col, key, CAST(n AS BIGINT) AS n, share, rank
+    FROM ranked WHERE rank <= {SKEW_TOPK}
+    """,
+    note=f"DQ4 join-key skew profile: top-{SKEW_TOPK} heavy hitters "
+    "with frequency share per candidate join/partition key — the "
+    "measurement that decides WHICH keys need salting (a08/s10) or "
+    "AQE skew-join handling before a 100 TB run, turned into a "
+    "checked query instead of folklore. All candidate columns stack "
+    "into one (key_col, key) relation: ONE aggregation shuffle with "
+    "map-side combine (heavy hitters are exactly the case partial "
+    "aggregation flattens), then a per-column rank window over the "
+    "already-tiny distinct-key set. Ties broken by key for "
+    "cross-engine determinism.",
+)
+def dq04_key_skew_profile(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    parts = [
+        t(spark, sf_dir, "events").select(
+            F.lit("events.event_type").alias("key_col"),
+            F.col("event_type").alias("key"),
+        ),
+        t(spark, sf_dir, "documents").select(
+            F.lit("documents.lang").alias("key_col"),
+            F.col("lang").alias("key"),
+        ),
+        t(spark, sf_dir, "documents").select(
+            F.lit("documents.source").alias("key_col"),
+            F.col("source").alias("key"),
+        ),
+        t(spark, sf_dir, "orders").select(
+            F.lit("orders.o_orderpriority").alias("key_col"),
+            F.col("o_orderpriority").alias("key"),
+        ),
+    ]
+    stacked = parts[0]
+    for p in parts[1:]:
+        stacked = stacked.unionByName(p)
+    counts = stacked.groupBy("key_col", "key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_col = Window.partitionBy("key_col")
+    ranked = counts.select(
+        "key_col",
+        "key",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(per_col), 9
+        ).alias("share"),
+        F.row_number()
+        .over(per_col.orderBy(F.desc("n"), F.asc("key")))
+        .alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= SKEW_TOPK)
