@@ -124,18 +124,25 @@ def sessionize(
                 if timeout_ms is not None:
                     state.setTimeoutDuration(timeout_ms)
 
-        yield pd.DataFrame(
-            [
-                {
-                    "user_id": u,
-                    "session_start": pd.Timestamp(s, unit="us"),
-                    "session_end": pd.Timestamp(e, unit="us"),
-                    "n_events": k,
-                }
-                for u, s, e, k in closed
-            ],
-            columns=["user_id", "session_start", "session_end", "n_events"],
-        )
+        # yield only when sessions closed: an empty frame has object
+        # dtypes that pandas' serializer-side concat warns about (and
+        # does useless work on) — zero yields is the supported "no
+        # output for this group" shape
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": u,
+                        "session_start": pd.Timestamp(s, unit="us"),
+                        "session_end": pd.Timestamp(e, unit="us"),
+                        "n_events": k,
+                    }
+                    for u, s, e, k in closed
+                ],
+                columns=[
+                    "user_id", "session_start", "session_end", "n_events",
+                ],
+            )
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
