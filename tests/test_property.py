@@ -148,3 +148,70 @@ def test_md5_parity_hashlib_spark_duckdb(spark):
     for s in strings:
         (h,) = con.execute("SELECT md5(?)", [s]).fetchone()
         assert h == expected[s], repr(s)
+
+
+def _ref_funnel(events, steps):
+    """Brute-force per-user funnel: earliest step k strictly after the
+    matched step k-1."""
+    by_user: dict[int, list[tuple[str, int]]] = {}
+    for u, et, ts in events:
+        by_user.setdefault(u, []).append((et, ts))
+    out = {}
+    for u, evs in by_user.items():
+        times, prev = [], None
+        for step in steps:
+            cand = [
+                ts for et, ts in evs
+                if et == step and (prev is None or ts > prev)
+            ]
+            if not cand:
+                break
+            prev = min(cand)
+            times.append(prev)
+        out[u] = (
+            tuple(times) + (None,) * (len(steps) - len(times)),
+            len(times),
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 11, 23])
+def test_ordered_funnel_matches_bruteforce(spark, seed):
+    import datetime as dt
+
+    from big_data_bowl_spark.operators.funnel import ordered_funnel
+
+    rng = random.Random(seed)
+    steps = ["a", "b", "c"]
+    t0 = dt.datetime(2026, 1, 1)
+    events = [
+        (
+            rng.randrange(8),
+            rng.choice(["a", "b", "c", "x"]),
+            rng.randrange(50),
+        )
+        for _ in range(120)
+    ]
+    # duplicate timestamps per user exercise the strict inequality
+    expect = _ref_funnel(events, steps)
+
+    df = spark.createDataFrame(
+        [
+            (u, et, t0 + dt.timedelta(minutes=m))
+            for u, et, m in events
+        ],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        r.user_id: (
+            tuple(
+                None
+                if v is None
+                else int((v - t0).total_seconds() // 60)
+                for v in (r.t_a, r.t_b, r.t_c)
+            ),
+            r.funnel_depth,
+        )
+        for r in ordered_funnel(df, steps).collect()
+    }
+    assert got == expect
