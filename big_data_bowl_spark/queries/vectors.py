@@ -543,3 +543,100 @@ def v08_embedding_dedup_components(spark: SparkSession, sf_dir: str):
         )
         .withColumn("is_dup", F.col("canonical_id") != F.col("vec_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# V9: product quantization — the IVF-PQ memory-compression building block
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces
+PQ_K = 8  # sub-centroids per subspace (first PQ_K corpus vectors)
+PQ_SUB = 16  # dims per subspace (64 / PQ_M)
+
+
+@register(
+    "v09_product_quantization",
+    oracle=f"""
+    WITH corp AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, m.m,
+             list_slice(v, m.m * {PQ_SUB} + 1, (m.m + 1) * {PQ_SUB}) AS sv
+      FROM corp CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m),
+    cents AS (
+      SELECT m, vec_id AS cid, sv AS kv FROM subs WHERE vec_id < {PQ_K}),
+    scored AS (
+      SELECT s.vec_id, s.m, c.cid,
+             list_dot_product(s.sv, s.sv)
+               - 2 * list_dot_product(s.sv, c.kv)
+               + list_dot_product(c.kv, c.kv) AS d2,
+             ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY list_dot_product(s.sv, s.sv)
+                        - 2 * list_dot_product(s.sv, c.kv)
+                        + list_dot_product(c.kv, c.kv) ASC,
+                        c.cid ASC) AS rn
+      FROM subs s JOIN cents c ON s.m = c.m),
+    best AS (SELECT vec_id, m, cid, d2 FROM scored WHERE rn = 1)
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), ',' ORDER BY m) AS pq_code,
+           floor(sqrt(greatest(SUM(d2), 0.0)) * 1e9 + 0.5) / 1e9
+             AS recon_err
+    FROM best GROUP BY vec_id
+    """,
+    note=f"V9 product quantization: each 64-d vector splits into "
+    f"{PQ_M} x {PQ_SUB}-d subspaces, each sub-vector snaps to its "
+    f"nearest of {PQ_K} deterministic sub-centroids -> a {PQ_M}-byte "
+    "code (64x memory compression) + reconstruction error. THE "
+    "memory-side companion to IVF (v04): at 100 TB the codes table "
+    "fits in RAM where raw vectors cannot, and ANN rescoring reads "
+    "codes first. Plan: sub-centroids broadcast (PQ_M*PQ_K tiny "
+    "rows), per-(vector, subspace) argmin is min_by — partially "
+    "aggregable, so the map side reduces K candidates to 1 before "
+    "either shuffle; distances use the dot-product identity so both "
+    "engines run bit-identical arithmetic (v01's fold parity). Ties "
+    "broken by centroid id.",
+)
+def v09_product_quantization(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    corp = e.select("vec_id", vec.alias("v"))
+    m_ids = F.array(*[F.lit(m) for m in range(PQ_M)])
+    subs = corp.select(
+        "vec_id",
+        F.explode(m_ids).alias("m"),
+        F.col("v"),
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("v"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv"),
+    )
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("kv")
+    )
+    d2 = (
+        _dot(F.col("sv"), F.col("sv"))
+        - 2 * _dot(F.col("sv"), F.col("kv"))
+        + _dot(F.col("kv"), F.col("kv"))
+    )
+    best = (
+        subs.join(F.broadcast(cents), "m")
+        .select("vec_id", "m", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(
+            F.expr("min_by(cid, struct(d2, cid))").alias("cid"),
+            F.min(F.struct("d2", "cid")).getField("d2").alias("d2"),
+        )
+    )
+    from ..functions.rounding import rhu
+
+    return best.groupBy("vec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "cid"))),
+                lambda s: s.getField("cid").cast("string"),
+            ),
+            ",",
+        ).alias("pq_code"),
+        rhu(F.sqrt(F.greatest(F.sum("d2"), F.lit(0.0)))).alias("recon_err"),
+    )

@@ -542,3 +542,26 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     assert len(shared) > 0
     for pair in shared:
         assert cont[pair] >= jac[pair] - 1e-9
+
+
+def test_product_quantization_invariants(spark, sf_dir):
+    """v09: centroid vectors are their own codes with zero error;
+    every code has M sub-codes in [0, K); recon_err >= 0."""
+    from big_data_bowl_spark.queries.vectors import (
+        PQ_K,
+        PQ_M,
+        v09_product_quantization,
+    )
+
+    rows = {
+        r.vec_id: r
+        for r in v09_product_quantization(spark, sf_dir).collect()
+    }
+    for vid in range(PQ_K):
+        assert rows[vid].pq_code == ",".join([str(vid)] * PQ_M)
+        assert rows[vid].recon_err == 0.0
+    for r in rows.values():
+        codes = [int(c) for c in r.pq_code.split(",")]
+        assert len(codes) == PQ_M
+        assert all(0 <= c < PQ_K for c in codes)
+        assert r.recon_err >= 0.0
