@@ -23,64 +23,69 @@ from . import extras  # noqa: F401,E402
 # bounded prefix of the registry (~50 entries), so emit queries in
 # verification-priority order:
 #   1. anything NEW and not yet ranked below — always first (so a
-#      round-4 addition lands in the verified prefix automatically);
-#   2. the explicit list below. Round-4 policy (VERDICT r3 #2): the
-#      41 queries that have NEVER appeared in a driver CORRECTNESS
-#      file — plus v07, whose output type changed — fill the prefix
-#      this round, so that by end of r4 every oracle query has a
-#      driver-green row. Queries verified in r2/r3 rotate behind them.
+#      round-5 addition lands in the verified prefix automatically);
+#   2. the explicit list below. Round-5 policy (VERDICT r4): the nine
+#      queries that were red in CORRECTNESS_r04 (NTZ crashes, silent
+#      streaming wrong-answers, hash artifacts) were all repaired this
+#      round and MUST earn driver-green rows, so they lead; queries
+#      whose plans changed this round (d03 shingle materialization,
+#      CC init, e2 co-partitioning) come next; flagships fill the
+#      rest. Everything else is driver-green from r2-r4 and rotates
+#      behind.
 # Rows-only (no-oracle) ML queries sit late: their driver check is
 # weaker, so they spend prefix slots last.
 _PRIORITY = [
-    # -- the ~50-slot verified prefix for round 4 ---------------------
-    # changed output type this round: must be driver-re-verified
-    "v07_int8_quantize",
-    # changed plan this round (salt derivation fix): re-verify
-    "s10_salted_skew_join",
-    # never driver-verified (41 queries, VERDICT r3 gap #1)
+    # -- the ~50-slot verified prefix for round 5 ---------------------
+    # red in CORRECTNESS_r04 / the judge's full run — repaired, verify
+    "t04_interevent_gap", "t06_asof_join", "t13_asof_join_forward",
+    "t14_time_weighted_avg",
+    "t07_streaming_tumbling", "t08_streaming_sessionization",
+    "t12_streaming_interval_join",
+    "a13_collect_sorted_array", "s08_shuffled_shards",
+    # plan/operator changed this round — re-verify
+    "d02_dedup_minhash_lsh", "d03_ngram_jaccard_verify",
+    "d05_dedup_components", "v08_embedding_dedup_components",
+    "e02_field_control", "e03_field_control_season",
+    "e04_corpus_curation", "mm02_image_features",
+    "t11_streaming_dedup", "t03_session_window",
+    # flagship + remaining prefix slots: least-recently driver-green
+    "e01_distance_at_anchor",
+    "v07_int8_quantize", "s10_salted_skew_join",
+    "o04_deterministic_sample", "o05_deterministic_split",
+    "w04_global_rowid", "j06_join_rowid", "s03_tsv_scan",
+    "d01_dedup_exact", "d04_simhash", "d06_simhash_neardup",
+    "v01_cosine_topk", "v02_srp_lsh_buckets", "v03_bucketed_cosine_neardup",
+    "v04_ivf_topk", "v05_kmeans_step", "v06_kmeans_two_steps",
+    "mm01_media_metadata", "mm03_frame_sample",
+    "mm04_resize_features", "mm05_audio_roundtrip_features",
+    "mm06_png_roundtrip_features",
+    "m00_ml_feature_table",
+    "r01_pivot_wide", "r02_pivot_wide_multivalue",
+    "u01_groupby_apply", "u02_transform_chain", "u03_pandas_udf_scalar",
+    "t01_tumbling_window", "t09_interval_join",
+    "n01_token_stats", "n02_quality_score", "n03_lang_id",
+    "n08_source_quota", "n12_sequence_packing",
+    "n15_trending_terms", "a14_bool_aggs",
+    # -- past the expected prefix: all driver-green in r2-r4 ----------
     "f06_velocity_decomposition", "f07_sigmoid", "f08_radius_cubic_clamp",
     "f09_clamp_least", "f10_floor_mod_round", "f11_arithmetic_projections",
     "f12_bivariate_gaussian",
     "dq01_column_profile", "dq02_referential_orphans",
     "dq03_distribution_drift",
     "s05_parquet_sink_roundtrip", "s06_bucketed_colocated_join",
-    "s07_partitioned_sink_pruning", "s08_shuffled_shards",
+    "s07_partitioned_sink_pruning",
     "s09_jsonl_scan",
     "a08_salted_grouped_sum", "a09_grouped_quantiles",
     "a10_approx_count_distinct", "a11_rollup_agg", "a12_grouped_corr",
-    "a13_collect_sorted_array",
     "n04_fingerprint", "n05_punct_ratio", "n06_bpe_token_count",
     "n07_rolling_hash_fingerprint", "n09_vocab_topk",
     "n10_tfidf_top_terms", "n11_repetition_score",
     "n13_pii_redaction", "n14_source_mixing",
-    "t02_sliding_window", "t04_interevent_gap", "t05_json_props",
-    "t10_date_parts", "t14_time_weighted_avg",
+    "t02_sliding_window", "t05_json_props",
+    "t10_date_parts",
     "w07_running_total", "w08_ntile_quartiles",
     "p14_fillna_coalesce", "j09_full_outer_join",
     "o08_stratified_sample", "o09_set_ops",
-    # flagship pipelines fill the remaining prefix slots
-    "e01_distance_at_anchor", "e02_field_control",
-    "e03_field_control_season", "e04_corpus_curation",
-    # -- past the expected prefix: all driver-green in r2/r3 ----------
-    "o04_deterministic_sample", "o05_deterministic_split",
-    "w04_global_rowid", "j06_join_rowid", "s03_tsv_scan",
-    "d01_dedup_exact", "d02_dedup_minhash_lsh", "d03_ngram_jaccard_verify",
-    "d04_simhash", "d05_dedup_components", "d06_simhash_neardup",
-    "v01_cosine_topk", "v02_srp_lsh_buckets", "v03_bucketed_cosine_neardup",
-    "v04_ivf_topk", "v05_kmeans_step", "v06_kmeans_two_steps",
-    "v08_embedding_dedup_components",
-    "mm01_media_metadata", "mm02_image_features", "mm03_frame_sample",
-    "mm04_resize_features", "mm05_audio_roundtrip_features",
-    "m00_ml_feature_table",
-    "r01_pivot_wide", "r02_pivot_wide_multivalue",
-    "u01_groupby_apply", "u02_transform_chain", "u03_pandas_udf_scalar",
-    "t01_tumbling_window", "t03_session_window", "t06_asof_join",
-    "t09_interval_join", "t13_asof_join_forward",
-    "t07_streaming_tumbling", "t08_streaming_sessionization",
-    "t11_streaming_dedup", "t12_streaming_interval_join",
-    "n01_token_stats", "n02_quality_score", "n03_lang_id",
-    "n08_source_quota", "n12_sequence_packing",
-    "n15_trending_terms", "a14_bool_aggs",
     # rows-only ML (weakest driver check -> last priority slots)
     "m01_rf_train_confusion", "m02_rf_predict_counts",
     "m04_rf_feature_importances", "m05_random_split_counts",
