@@ -651,3 +651,46 @@ def d07_cdc_compaction(spark: SparkSession, sf_dir: str):
         "first_seen",
         "n_versions",
     )
+
+
+@register(
+    "t16_streaming_cdc_compaction",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, event_type, {_TS} AS ts, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type)
+               AS n_versions,
+             MIN({_TS}) OVER (PARTITION BY user_id, event_type)
+               AS first_seen
+      FROM events)
+    SELECT user_id, event_type, value AS latest_value,
+           ts AS last_seen, first_seen, n_versions
+    FROM ranked WHERE rn = 1
+    """,
+    note="T16 streaming changelog compaction: the streaming twin of "
+    "batch d07 via applyInPandasWithState "
+    "(streaming/stateful.py latest_per_key) — per (user_id, "
+    "event_type) key one fixed-width state tuple folds the newest "
+    "row + version lineage across micro-batches; each batch emits "
+    "the key's current compacted row (a downstream upsert sink "
+    "applies the latest emission idempotently). Oracle: the testdata "
+    "drains in one availableNow batch, so the sink holds exactly the "
+    "batch d07 result — the SAME oracle SQL gates both; pytest "
+    "additionally proves cross-batch state folding on a 2-file "
+    "split.",
+)
+def t16_streaming_cdc_compaction(spark: SparkSession, sf_dir: str):
+    from ..streaming.stateful import latest_per_key
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    run_to_memory(
+        latest_per_key(stream),
+        "t16_streaming_cdc_sink",
+        output_mode="append",
+    )
+    return spark.table("t16_streaming_cdc_sink")

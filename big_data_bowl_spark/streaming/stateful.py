@@ -27,7 +27,9 @@ from typing import TYPE_CHECKING, Any
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -150,4 +152,92 @@ def sessionize(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout_conf,
+    )
+
+
+CDC_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("latest_value", DoubleType()),
+        StructField("last_seen", TimestampType()),
+        StructField("first_seen", TimestampType()),
+        StructField("n_versions", LongType()),
+    ]
+)
+
+CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("last_event_id", LongType()),
+        StructField("latest_value", DoubleType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def latest_per_key(events: DataFrame) -> DataFrame:
+    """Streaming changelog compaction — the streaming twin of the batch
+    d07 query: per (user_id, event_type) key, maintain the NEWEST row
+    (ties broken by event_id) plus version lineage (first_seen,
+    n_versions), folding incrementally across micro-batches.
+
+    State per key is ONE fixed-width tuple — O(live keys), independent
+    of stream length (same bound as sessionize). Each batch a key
+    appears in emits that key's current compacted row (append mode);
+    the latest emission per key IS the compaction, which a downstream
+    upsert sink (Delta MERGE, foreachBatch) applies idempotently.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        user_id, event_type = key
+        if state.exists:
+            first_us, last_us, last_id, latest_value, n = state.get
+        else:
+            first_us, last_us, last_id, latest_value, n = (
+                None, None, None, None, 0,
+            )
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            ids = pdf["event_id"].astype("int64").tolist()
+            vals = pdf["value"].astype("float64").tolist()
+            for t_us, eid, val in zip(ts_us, ids, vals):
+                n += 1
+                if first_us is None or t_us < first_us:
+                    first_us = t_us
+                if last_us is None or (t_us, eid) > (last_us, last_id):
+                    last_us, last_id, latest_value = t_us, eid, val
+        if n == 0:
+            return
+        state.update((first_us, last_us, last_id, latest_value, n))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "event_type": event_type,
+                    "latest_value": latest_value,
+                    "last_seen": pd.Timestamp(last_us, unit="us"),
+                    "first_seen": pd.Timestamp(first_us, unit="us"),
+                    "n_versions": n,
+                }
+            ],
+            columns=[
+                "user_id", "event_type", "latest_value",
+                "last_seen", "first_seen", "n_versions",
+            ],
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=CDC_SCHEMA,
+        stateStructType=CDC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

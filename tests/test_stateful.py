@@ -80,3 +80,67 @@ def test_state_carries_across_microbatches(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_cdc_state_folds_across_microbatches(spark, sf_dir, tmp_path):
+    """latest_per_key must merge state across micro-batches: splitting
+    the changelog in two files and draining file-by-file, the LAST
+    emission per key must equal the batch d07 compaction."""
+    import os
+
+    from big_data_bowl_spark.queries.temporal import d07_cdc_compaction
+    from big_data_bowl_spark.sources.io import load_table
+    from big_data_bowl_spark.streaming.stateful import latest_per_key
+    from big_data_bowl_spark.streaming.windows import run_to_memory
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    median = ev.withColumn("us", F.unix_micros("ts")).approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    early = ev.filter(F.unix_micros("ts") < F.lit(int(median)))
+    late = ev.filter(F.unix_micros("ts") >= F.lit(int(median)))
+
+    src = tmp_path / "cdc_split"
+    early.coalesce(1).write.parquet(str(src / "b1"))
+    late.coalesce(1).write.parquet(str(src / "b2"))
+    for i, sub in enumerate(["b1", "b2"]):
+        for f in (src / sub).glob("*.parquet"):
+            os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, "
+            "value double, event_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    run_to_memory(latest_per_key(stream), "cdc_split_sink", "append")
+    emitted = spark.table("cdc_split_sink").collect()
+    # a key seen in both batches emits twice; the LAST (max n_versions)
+    # emission is the compaction
+    last = {}
+    for r in emitted:
+        k = (r.user_id, r.event_type)
+        if k not in last or r.n_versions > last[k].n_versions:
+            last[k] = r
+    got = {
+        k: (r.latest_value, r.last_seen, r.first_seen, r.n_versions)
+        for k, r in last.items()
+    }
+    want = {
+        (r.user_id, r.event_type): (
+            r.latest_value, r.last_seen, r.first_seen, r.n_versions,
+        )
+        for r in d07_cdc_compaction(spark, sf_dir).collect()
+    }
+    assert got == want
+    # state genuinely folded: at least one key spans both batches
+    assert any(
+        sum(1 for r in emitted if (r.user_id, r.event_type) == k) == 2
+        for k in want
+    )
