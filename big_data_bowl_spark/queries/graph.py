@@ -140,3 +140,83 @@ def g01_pagerank_neardup(spark: SparkSession, sf_dir: str):
     return ranks.select(
         F.col("node").alias("doc_id"), F.col("rank").alias("pagerank")
     )
+
+
+LP_ROUNDS = 3
+
+
+def _lp_oracle() -> str:
+    """Unrolled synchronous label propagation: each round every node
+    adopts its neighborhood's most frequent label (ties -> smallest
+    label). Integer counts + deterministic tie-break = exact parity
+    with no float policy needed."""
+    parts = [
+        f"WITH cand AS ({_D02_ORACLE})",
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM cand "
+        "UNION SELECT doc_b, doc_a FROM cand)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)",
+    ]
+    for i in range(1, LP_ROUNDS + 1):
+        parts.append(
+            f"c{i} AS (SELECT s.v AS node, r.label, COUNT(*) AS n "
+            f"FROM l{i - 1} r JOIN sym s ON s.u = r.node "
+            "GROUP BY s.v, r.label)"
+        )
+        parts.append(
+            f"l{i} AS (SELECT node, label FROM "
+            f"(SELECT node, label, ROW_NUMBER() OVER ("
+            "PARTITION BY node ORDER BY n DESC, label ASC) AS rk "
+            f"FROM c{i}) WHERE rk = 1)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node AS doc_id, label AS community FROM l{LP_ROUNDS}"
+    )
+
+
+@register(
+    "g02_label_propagation",
+    oracle=_lp_oracle(),
+    note=f"G2 synchronous label propagation ({LP_ROUNDS} rounds) on the "
+    "near-dup graph: each node adopts its neighborhood's most frequent "
+    "label, ties to the smallest — community detection, the coarser "
+    "complement to exact connected components (d05). Same edges-"
+    "partitioned-once loop as g01; per-round work is one join + one "
+    "integer count + a min_by pick (both map-side combinable). All "
+    "arithmetic is integer with deterministic tie-breaks, so the "
+    "unrolled-CTE oracle is exact by construction — no float policy "
+    "involved.",
+)
+def g02_label_propagation(spark: SparkSession, sf_dir: str):
+    pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .repartition("u")
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(LP_ROUNDS):
+        counts = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy(F.col("v"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        # most frequent neighborhood label, smallest label on ties:
+        # min over the (-n, label) lexicographic struct — partially
+        # aggregable, unlike a row_number window over all candidates
+        labels = (
+            counts.groupBy(F.col("v").alias("node"))
+            .agg(
+                F.expr("min_by(label, struct(-n, label))").alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    )

@@ -631,3 +631,47 @@ def test_pagerank_star_center_dominates(spark):
     center, leaves = got[0], [got[i] for i in range(1, 6)]
     assert all(center > lv for lv in leaves)
     assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+
+
+def test_label_propagation_planted_communities(spark):
+    """g02's loop on a planted two-cliques-and-a-bridge graph: each
+    clique converges to its min label; the integer tie-break is
+    deterministic."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.queries.graph import LP_ROUNDS
+
+    # clique A: 0-1-2 fully connected; clique B: 10-11-12; bridge 2-10
+    cl = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)]
+    pairs = spark.createDataFrame(cl, "doc_a long, doc_b long")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .repartition("u")
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(LP_ROUNDS):
+        counts = (
+            sym.join(labels, sym["u"] == labels["node"])
+            .groupBy(F.col("v"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        labels = (
+            counts.groupBy(F.col("v").alias("node"))
+            .agg(F.expr("min_by(label, struct(-n, label))").alias("label"))
+            .localCheckpoint()
+        )
+    got = {r.node: r.label for r in labels.collect()}
+    # clique A nodes all land on a common A-side label; clique B's
+    # non-bridge nodes land on a common label distinct from A's
+    assert got[0] == got[1]
+    assert got[11] == got[12]
+    assert got[0] != got[11]
