@@ -427,3 +427,81 @@ def mm07_jpeg_roundtrip_features(spark, sf_dir):
         schema="media_id long, n_pixels long, mean_intensity double, "
         "max_intensity long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MM8: audio spectral features — FFT feature extraction with exact oracle
+# ---------------------------------------------------------------------------
+
+MM8_N = 2048       # samples per clip (integer-cycle window)
+MM8_RATE = 16000   # Hz; bin width 16000/2048 = 7.8125 (exact in binary)
+
+
+@register(
+    "mm08_audio_spectral_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CAST({MM8_N} AS BIGINT) AS n_samples,
+           CAST(doc_id % 160 + 8 AS BIGINT) AS dominant_bin,
+           CAST((doc_id % 160 + 8) * ({MM8_RATE} / {MM8_N}.0) AS DOUBLE)
+             AS dominant_hz,
+           CAST((doc_id % 120 + 100) * 100 AS BIGINT) AS est_amplitude
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+    note="MM8 audio DSP feature extraction: per media row a pure sine "
+    "with an INTEGER number of cycles (frequency bin = media_id-"
+    "derived) is synthesized, encoded through the real RIFF/WAV codec, "
+    "decoded back, and FFT'd inside one mapInPandas pass; the emitted "
+    "features are the dominant rFFT bin, its frequency in Hz, and the "
+    "amplitude recovered from the peak magnitude (2|X[k]|/N). "
+    "Integer-cycle sines concentrate ALL energy in one bin, so the "
+    "oracle states the expected features in closed form — bin "
+    "detection is exact and amplitude recovery rounds to the true "
+    "int16 amplitude (validated error < 0.25 LSB). The audio-side "
+    "companion to mm06/mm07: codec + spectral pipeline both on the "
+    "hot path, zero payload bytes leaving the Python worker.",
+)
+def mm08_audio_spectral_features(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from ..multimodal.media import decode_audio, encode_wav
+
+        n = MM8_N
+        t_idx = np.arange(n)
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                f_bin = mid % 160 + 8
+                amp = (mid % 120 + 100) * 100
+                wave_i16 = np.round(
+                    amp * np.sin(2 * np.pi * f_bin * t_idx / n)
+                ).astype(np.int16)
+                decoded = decode_audio(encode_wav(wave_i16, MM8_RATE), "wav")
+                mag = np.abs(np.fft.rfft(decoded.astype(np.float64)))
+                k = int(np.argmax(mag[1:])) + 1  # skip DC
+                est_amp = int(np.floor(2.0 * mag[k] / n + 0.5))
+                rows.append(
+                    (mid, n, k, k * (MM8_RATE / float(n)), est_amp)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "dominant_bin",
+                    "dominant_hz", "est_amplitude",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, n_samples long, dominant_bin long, "
+        "dominant_hz double, est_amplitude long",
+    )
