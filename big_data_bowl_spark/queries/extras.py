@@ -15,7 +15,6 @@ shape.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
@@ -251,11 +250,10 @@ def s05_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
-    scratch = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch"
-    )
-    os.makedirs(scratch, exist_ok=True)
-    out = tempfile.mkdtemp(prefix="sink_", dir=scratch)
+    # deterministic per-SF path; overwrite replaces it each run (a
+    # mkdtemp here leaked one orphan dir per invocation)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_scratch_dir(), f"sink_{sf_tag}")
     agg.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
@@ -399,7 +397,11 @@ def s07_partitioned_sink_pruning(spark: SparkSession, sf_dir: str):
     ev = t(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", F.to_date("ts").alias("event_date")
     )
-    out = tempfile.mkdtemp(prefix="psink_", dir=_scratch_dir())
+    # deterministic per-SF path (s09 convention): mode("overwrite")
+    # replaces it each run — a mkdtemp here leaked one orphan dir per
+    # invocation (30 accumulated by round 5)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_scratch_dir(), f"psink_{sf_tag}")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     back = spark.read.parquet(out)
     return (
