@@ -138,3 +138,158 @@ def m05_random_split_counts(spark, sf_dir):
         [("train", train.count()), ("test", test.count())],
         "split string, n long",
     )
+
+
+# ---------------------------------------------------------------------------
+# M6: decision stump trained by exhaustive split search — the one model
+# whose TRAINING is deterministic and SQL-expressible, giving the ML
+# family a full value oracle (the RF stages stay rows-only by nature)
+# ---------------------------------------------------------------------------
+
+STUMP_FEATURES = ("l_quantity", "l_discount", "l_extendedprice")
+STUMP_QS = (0.25, 0.5, 0.75)
+
+
+def _stump_oracle() -> str:
+    cand_selects = []
+    for f in STUMP_FEATURES:
+        for q in STUMP_QS:
+            cand_selects.append(
+                f"SELECT '{f}' AS feature, "
+                f"quantile_cont({f}, {q}) AS threshold FROM lineitem"
+            )
+    cands = " UNION ALL ".join(cand_selects)
+    ent = (
+        "CASE WHEN {p} IN (0.0, 1.0) OR isnan({p}) THEN 0.0 "
+        "ELSE -({p}) * ln({p}) - (1.0 - {p}) * ln(1.0 - {p}) END"
+    )
+    feat_val = " ".join(
+        f"WHEN c.feature = '{f}' THEN l.{f}" for f in STUMP_FEATURES
+    )
+    return f"""
+    WITH cands AS ({cands}),
+    scored AS (
+      SELECT c.feature, c.threshold,
+             CASE WHEN (CASE {feat_val} END) <= c.threshold
+                  THEN 1 ELSE 0 END AS side_left,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem l CROSS JOIN cands c),
+    agg AS (
+      SELECT feature, threshold,
+             SUM(side_left) AS n_l,
+             SUM(1 - side_left) AS n_r,
+             SUM(side_left * pos) AS pos_l,
+             SUM((1 - side_left) * pos) AS pos_r,
+             COUNT(*) AS n, SUM(pos) AS pos_all
+      FROM scored GROUP BY feature, threshold),
+    gains AS (
+      SELECT feature, threshold, n_l, n_r,
+             ({ent.format(p="CAST(pos_all AS DOUBLE) / n")})
+             - (CAST(n_l AS DOUBLE) / n)
+               * ({ent.format(p="CAST(pos_l AS DOUBLE) / n_l")})
+             - (CAST(n_r AS DOUBLE) / n)
+               * ({ent.format(p="CAST(pos_r AS DOUBLE) / n_r")}) AS gain
+      FROM agg WHERE n_l > 0 AND n_r > 0)
+    SELECT feature, threshold,
+           floor(gain * 1e9 + 0.5) / 1e9 AS gain,
+           CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right
+    FROM gains
+    QUALIFY ROW_NUMBER() OVER (
+      ORDER BY floor(gain * 1e9 + 0.5) / 1e9 DESC,
+               feature ASC, threshold ASC) = 1
+    """
+
+
+@register(
+    "m06_decision_stump",
+    oracle=_stump_oracle(),
+    note="M6 deterministic ML training with a FULL value oracle: a "
+    "depth-1 decision stump fit by exhaustive split search — "
+    f"candidate thresholds are the {STUMP_QS} quantiles of each of "
+    f"{len(STUMP_FEATURES)} features (percentile parity proven by "
+    "a09), scored by information gain on the l_returnflag='R' label "
+    "from INTEGER class counts (one pass: rows x 9 candidates, "
+    "map-side combined), winner picked on 9-decimal-rounded gain "
+    "with (feature, threshold) tie-breaks so a 1-ulp ln() divergence "
+    "between engines cannot flip the argmax. The training loop of "
+    "every tree ensemble, expressed as one declarative plan — and "
+    "the ML family's only training-stage query the DuckDB oracle "
+    "can verify value-for-value (the RF stages stay rows-only by "
+    "nature).",
+)
+def m06_decision_stump(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..functions.rounding import rhu
+
+    li = t(spark, sf_dir, "lineitem")
+    cands = None
+    for f in STUMP_FEATURES:
+        qs = li.agg(
+            *[
+                F.expr(f"percentile({f}, {q})").alias(f"q{i}")
+                for i, q in enumerate(STUMP_QS)
+            ]
+        ).select(
+            F.lit(f).alias("feature"),
+            F.explode(
+                F.array(*[F.col(f"q{i}") for i in range(len(STUMP_QS))])
+            ).alias("threshold"),
+        )
+        cands = qs if cands is None else cands.unionByName(qs)
+
+    feat_val = F.when(
+        F.col("feature") == STUMP_FEATURES[0], F.col(STUMP_FEATURES[0])
+    )
+    for f in STUMP_FEATURES[1:]:
+        feat_val = feat_val.when(F.col("feature") == f, F.col(f))
+    side_left = F.when(feat_val <= F.col("threshold"), 1).otherwise(0)
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+
+    agg = (
+        li.crossJoin(F.broadcast(cands))
+        .select(
+            "feature",
+            "threshold",
+            side_left.alias("side_left"),
+            pos.alias("pos"),
+        )
+        .groupBy("feature", "threshold")
+        .agg(
+            F.sum("side_left").alias("n_l"),
+            F.sum(1 - F.col("side_left")).alias("n_r"),
+            F.sum(F.col("side_left") * F.col("pos")).alias("pos_l"),
+            F.sum((1 - F.col("side_left")) * F.col("pos")).alias("pos_r"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("pos").alias("pos_all"),
+        )
+    )
+
+    def ent(p):
+        return F.when(
+            p.isin(0.0, 1.0) | F.isnan(p), F.lit(0.0)
+        ).otherwise(-p * F.log(p) - (1.0 - p) * F.log(1.0 - p))
+
+    p_all = F.col("pos_all").cast("double") / F.col("n")
+    p_l = F.col("pos_l").cast("double") / F.col("n_l")
+    p_r = F.col("pos_r").cast("double") / F.col("n_r")
+    gain = (
+        ent(p_all)
+        - (F.col("n_l").cast("double") / F.col("n")) * ent(p_l)
+        - (F.col("n_r").cast("double") / F.col("n")) * ent(p_r)
+    )
+    gains = agg.filter((F.col("n_l") > 0) & (F.col("n_r") > 0)).select(
+        "feature",
+        "threshold",
+        rhu(gain).alias("gain"),
+        F.col("n_l").alias("n_left"),
+        F.col("n_r").alias("n_right"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(
+            F.desc("gain"), F.asc("feature"), F.asc("threshold")
+        )
+    )
+    # 9 candidate rows: the single-partition global-order window is
+    # metadata-sized by construction (cf. operators/rank.py contract)
+    return gains.withColumn("rk", rk).filter(F.col("rk") == 1).drop("rk")
