@@ -675,11 +675,13 @@ def d07_cdc_compaction(spark: SparkSession, sf_dir: str):
     "event_type) key one fixed-width state tuple folds the newest "
     "row + version lineage across micro-batches; each batch emits "
     "the key's current compacted row (a downstream upsert sink "
-    "applies the latest emission idempotently). Oracle: the testdata "
-    "drains in one availableNow batch, so the sink holds exactly the "
-    "batch d07 result — the SAME oracle SQL gates both; pytest "
-    "additionally proves cross-batch state folding on a 2-file "
-    "split.",
+    "applies the latest emission idempotently). The registered query "
+    "applies that upsert itself — keep each key's max-n_versions "
+    "emission — so the result equals batch d07 however many "
+    "micro-batches the source splits into (n_versions strictly "
+    "increases per key across emissions); the SAME oracle SQL gates "
+    "both, and pytest additionally proves cross-batch state folding "
+    "on a 2-file split.",
 )
 def t16_streaming_cdc_compaction(spark: SparkSession, sf_dir: str):
     from ..streaming.stateful import latest_per_key
@@ -693,4 +695,19 @@ def t16_streaming_cdc_compaction(spark: SparkSession, sf_dir: str):
         "t16_streaming_cdc_sink",
         output_mode="append",
     )
-    return spark.table("t16_streaming_cdc_sink")
+    sink = spark.table("t16_streaming_cdc_sink")
+    # the upsert step: one row per key, the latest (max n_versions)
+    # emission wins — idempotent over any micro-batch split
+    latest = sink.groupBy("user_id", "event_type").agg(
+        F.max(
+            F.struct("n_versions", "last_seen", "latest_value", "first_seen")
+        ).alias("s")
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("s.latest_value").alias("latest_value"),
+        F.col("s.last_seen").alias("last_seen"),
+        F.col("s.first_seen").alias("first_seen"),
+        F.col("s.n_versions").alias("n_versions"),
+    )
