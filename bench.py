@@ -50,11 +50,17 @@ HEADLINE = [
     "m00_ml_feature_table",
     # round-5 additions: funnel (chained windows), CDC compaction
     # (rank+lineage window), containment (LSH + verify join), JPEG
-    # round-trip (Huffman+DCT in mapInPandas)
+    # round-trip (Huffman+DCT in mapInPandas), PageRank (iterative
+    # graph loop), product quantization, FFT audio features,
+    # decision-stump training
     "t15_funnel_analysis",
     "d07_cdc_compaction",
     "n16_shingle_containment",
     "mm07_jpeg_roundtrip_features",
+    "g01_pagerank_neardup",
+    "v09_product_quantization",
+    "mm08_audio_spectral_features",
+    "m06_decision_stump",
 ]
 
 
