@@ -121,3 +121,41 @@ def test_monotonic_rowid_alternative_is_shuffle_free(spark):
     assert "Exchange" not in plan
     n = df.count()
     assert df.select("mid").distinct().count() == n
+
+
+def test_e03_window_exchange_is_elided_by_copartition(spark):
+    """r5 optimization guard: the normalize window must NOT exchange
+    the expanded players x grid surface — pre-partitioning the players
+    side satisfies the window's clustering, so the only hash exchanges
+    are the (tiny) players repartition and the final per-cell agg."""
+    plan = _plan(spark, "e03_field_control_season")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 2, f"expected <=2 hash exchanges, got {n_hash}"
+    assert "REPARTITION_BY_COL" in plan  # the players-side partition
+    # the window runs directly over the (sorted) join output: no
+    # ENSURE_REQUIREMENTS exchange keyed on the window partition col
+    # may appear between the BNLJ and the Window
+    bnlj_pos = plan.index("BroadcastNestedLoopJoin")
+    win_pos = plan.index("Window")
+    between = plan[min(win_pos, bnlj_pos): max(win_pos, bnlj_pos)]
+    assert "ENSURE_REQUIREMENTS" not in between
+
+
+def test_funnel_and_cdc_share_one_exchange(spark):
+    """t15/d07: chained windows (and rank+lineage windows) must reuse
+    one key exchange, and the final aggregation must not add another."""
+    for name, max_ex in [
+        ("t15_funnel_analysis", 1),
+        ("d07_cdc_compaction", 1),
+    ]:
+        plan = _plan(spark, name)
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= max_ex, f"{name}: {n} exchanges (max {max_ex})"
+
+
+def test_m06_scores_all_splits_in_one_scan(spark):
+    """r5 optimization guard: stump scoring must stay a single-scan
+    conditional aggregation — no rows x candidates join expansion."""
+    plan = _plan(spark, "m06_decision_stump")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
