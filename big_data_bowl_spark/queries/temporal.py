@@ -711,3 +711,59 @@ def t16_streaming_cdc_compaction(spark: SparkSession, sf_dir: str):
         F.col("s.first_seen").alias("first_seen"),
         F.col("s.n_versions").alias("n_versions"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@register(
+    "t17_ewma_smoothing",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value
+      FROM events ORDER BY user_id, ts, event_id),
+    folded AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, v) -> {EWMA_ALPHA} * v
+                                     + {1.0 - EWMA_ALPHA} * acc)
+               AS ewma_raw
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           floor(ewma_raw * 1e9 + 0.5) / 1e9 AS ewma_value
+    FROM folded
+    """,
+    note=f"T17 exponentially-weighted moving average (alpha = "
+    f"{EWMA_ALPHA}) of each user's telemetry, seeded with the first "
+    "reading — the order-SENSITIVE sequential fold that windowed "
+    "averages (t14's duration weighting, t01's bucketing) cannot "
+    "express. One shuffle groups each user's readings; the fold runs "
+    "element-by-element in (ts, event_id) order in BOTH engines "
+    "(Spark aggregate() over the sorted struct array == DuckDB "
+    "list_reduce over list(ORDER BY)), so every intermediate double "
+    "is bit-identical and only the final value rounds. Like a13/a09, "
+    "the collect_list form buffers one user's history per reducer — "
+    "the documented bounded-group contract; an unbounded stream uses "
+    "the t16-style stateful fold instead.",
+)
+def t17_ewma_smoothing(spark: SparkSession, sf_dir: str):
+    from ..functions.rounding import rhu
+
+    ev = t(spark, sf_dir, "events")
+    xs = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), xs.alias("xs")
+    )
+    # seed with the first reading, fold the rest: exactly DuckDB's
+    # list_reduce semantics (first element is the initial accumulator)
+    fold = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.element_at(F.col("xs"), 1).getField("value"),
+        lambda acc, x: EWMA_ALPHA * x.getField("value")
+        + (1.0 - EWMA_ALPHA) * acc,
+    )
+    return g.select(
+        "user_id", "n_events", rhu(fold).alias("ewma_value")
+    )
