@@ -1065,3 +1065,49 @@ def dq04_key_skew_profile(spark: SparkSession, sf_dir: str):
         .alias("rank"),
     )
     return ranked.filter(F.col("rank") <= SKEW_TOPK)
+
+
+W_SAMPLE_SCALE = 2000.0  # chars at which keep-probability saturates
+
+
+@register(
+    "o10_weighted_sample",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             least(n_chars / {W_SAMPLE_SCALE}, 1.0) AS keep_w,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) / CAST(16 AS DOUBLE) ** 13 AS u
+      FROM documents)
+    SELECT doc_id, source,
+           floor(keep_w * 1e9 + 0.5) / 1e9 AS keep_weight
+    FROM w WHERE u < keep_w
+    """,
+    note="O10 per-row WEIGHTED deterministic sampling: keep-probability "
+    "proportional to document length (length-weighted training mixes), "
+    "decided by comparing an md5-derived uniform in [0,1) against the "
+    "row's weight — the continuous-weight generalization of n14's "
+    "per-source Bernoulli. The 13-hex-digit prefix is 52 bits (exact "
+    "in BIGINT and DOUBLE) divided by a power of two, so the uniform "
+    "and the comparison are bit-identical across engines and across "
+    "partitionings — rand() can be neither. Narrow scan, no shuffle.",
+)
+def o10_weighted_sample(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    keep_w = F.least(F.col("n_chars") / W_SAMPLE_SCALE, F.lit(1.0))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        / float(16**13)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            keep_w.alias("keep_w"),
+            u.alias("u"),
+        )
+        .filter(F.col("u") < F.col("keep_w"))
+        .select("doc_id", "source", rhu(F.col("keep_w")).alias("keep_weight"))
+    )
