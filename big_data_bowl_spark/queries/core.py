@@ -1487,3 +1487,35 @@ def o09_set_ops(spark, sf_dir):
         F.lit("no_orders").alias("tag"), "c_custkey"
     )
     return with_orders.unionByName(no_orders)
+
+
+@register(
+    "r03_unpivot_long",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax
+          FROM lineitem)
+    UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice,
+                                l_discount, l_tax))
+    """,
+    note="R3 unpivot/melt — the inverse of the R1/R2 wide pivot "
+    "(tidyr pivot_longer to the reference's pivot_wider): four "
+    "numeric measures become (metric, val) rows. Spark's native "
+    "unpivot (SQL stack()) expands each row to 4 NARROWLY — a "
+    "generator projection inside codegen, no shuffle, no UDF; the "
+    "long form is what windowed/per-metric aggregation pipelines "
+    "consume. DuckDB's UNPIVOT emits identical (name, value) pairs; "
+    "both engines drop nothing because the measures are non-null.",
+)
+def r03_unpivot_long(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    ).unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
