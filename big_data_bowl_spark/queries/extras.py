@@ -570,25 +570,44 @@ def s08_shuffled_shards(spark: SparkSession, sf_dir: str):
 
 @register(
     "a10_approx_count_distinct",
-    oracle=None,
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS parts_within_5pct,
+           TRUE AS orders_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     note="A10: HyperLogLog++ approximate distinct counts per group "
-    "(rsd 2%). No value oracle: Spark's HLL++ and DuckDB's "
-    "approx_distinct are different sketches, so cross-engine equality "
-    "is impossible BY DESIGN; tests/test_operators.py pins each "
-    "estimate within 5% of the exact count instead. The 100 TB point: "
-    "the sketch is a fixed-size mergeable state aggregated map-side — "
-    "count-distinct at any cardinality with bounded memory, where "
-    "a05's exact form must shuffle every distinct value.",
+    "(rsd 2%). Spark's HLL++ and DuckDB's approx_distinct are "
+    "different sketches, so raw estimates can never hash-match; the "
+    "registered output is the engine-invariant contract instead — the "
+    "exact per-group counts (both engines agree) plus a boolean "
+    "asserting the HLL estimate landed within 5% of exact (2.5 sigma "
+    "at rsd 2%; deterministic, not flaky, because HLL register merges "
+    "are commutative max ops — the estimate is a pure function of the "
+    "value set). The 100 TB point: the sketch is fixed-size mergeable "
+    "state aggregated map-side — count-distinct at any cardinality "
+    "with bounded memory, where a05's exact form must shuffle every "
+    "distinct value.",
 )
 def a10_approx_count_distinct(spark: SparkSession, sf_dir: str):
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias(
-            "approx_parts"
-        ),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias(
-            "approx_orders"
-        ),
+    est = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(a - F.col(e)) <= 0.05 * F.col(e)
+    )
+    return est.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        within(F.col("ap"), "exact_parts").alias("parts_within_5pct"),
+        within(F.col("ao"), "exact_orders").alias("orders_within_5pct"),
     )
 
 

@@ -44,12 +44,19 @@ def test_confusion_matrix_shape(spark, sf_dir):
 def test_m02_predict_class_counts_golden(spark):
     """VERDICT r2 #4: the md5-stable split + seeded forest make the
     held-out predictions deterministic, so per-class counts are
-    pinnable constants (sf0.001, the fixture SF)."""
-    from big_data_bowl_spark.queries import REGISTRY
+    pinnable constants (sf0.001, the fixture SF). Routed through the
+    fitted model directly — the registered m02 query now emits the
+    engine-invariant contract (see test_registered_ml_invariants)."""
+    from pyspark.sql import functions as F
 
-    rows = REGISTRY["m02_rf_predict_counts"].fn(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from big_data_bowl_spark.queries.ml import _fitted
+
+    _model, scored, _acc = _fitted(spark, "/root/testdata/sf0.001")
+    rows = (
+        scored.groupBy(F.col("predicted_label").alias("prediction"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
     assert {(r.prediction, r.n) for r in rows} == {
         ("large", 65),
         ("medium", 187),
@@ -60,29 +67,49 @@ def test_m02_predict_class_counts_golden(spark):
 def test_m04_importance_ordering_golden(spark):
     """sum_qty (the label's sole determinant) must dominate; the full
     ordering is pinned since the fit is deterministic."""
-    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.ml.coverage import feature_importances
+    from big_data_bowl_spark.queries.ml import _fitted
 
-    rows = REGISTRY["m04_rf_feature_importances"].fn(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
-    imps = {r.feature: r.importance for r in rows}
+    model, _scored, _acc = _fitted(spark, "/root/testdata/sf0.001")
+    imps = dict(feature_importances(model, FEATURE_COLS))
     ranked = sorted(imps, key=imps.get, reverse=True)
     assert ranked == ["sum_qty", "n_lines", "n_parts", "sum_price", "max_disc"]
     assert imps["sum_qty"] > 0.5
 
 
 def test_m01_confusion_matrix_golden(spark):
-    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.ml import _fitted
 
-    rows = REGISTRY["m01_rf_train_confusion"].fn(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    _model, scored, _acc = _fitted(spark, "/root/testdata/sf0.001")
+    rows = confusion_matrix(scored, label_col="label").collect()
     assert {(r.label, r.prediction, r.n) for r in rows} == {
         ("large", "large", 65),
         ("large", "medium", 9),
         ("medium", "medium", 178),
         ("small", "small", 127),
     }
+
+
+def test_registered_ml_invariants(spark):
+    """The driver-facing m01/m02/m04 outputs: every boolean invariant
+    must come out TRUE (that is what their oracles pin), and the
+    deterministic counts must match the md5 split."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    m01 = REGISTRY["m01_rf_train_confusion"].fn(spark, sf).collect()
+    assert all(r.recall_ge_half and r.accuracy_ge_floor for r in m01)
+    assert sum(r.n_test for r in m01) == 379  # test side of the md5 split
+
+    (m02,) = REGISTRY["m02_rf_predict_counts"].fn(spark, sf).collect()
+    assert m02.n_scored == 379
+    assert m02.n_pred_classes == 3
+    assert m02.preds_in_label_set
+
+    m04 = REGISTRY["m04_rf_feature_importances"].fn(spark, sf).collect()
+    assert {r.feature for r in m04} == set(FEATURE_COLS)
+    assert all(r.importance_nonneg and r.sums_to_one for r in m04)
+    assert [r.feature for r in m04 if r.is_top_feature] == ["sum_qty"]
 
 
 def test_model_persistence_roundtrip(spark, tmp_path):
@@ -115,16 +142,23 @@ def test_m01_m02_golden_at_driver_sf(spark):
     subsample is seeded per input partition, so these goldens are
     pinned to the conftest session (local[4], shuffle=4) — if the
     fixture config changes, re-collect, don't loosen."""
-    from big_data_bowl_spark.queries import REGISTRY
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.queries.ml import _fitted
 
     sf = "/root/testdata/sf0.01"
-    m02 = REGISTRY["m02_rf_predict_counts"].fn(spark, sf).collect()
+    _model, scored, _acc = _fitted(spark, sf)
+    m02 = (
+        scored.groupBy(F.col("predicted_label").alias("prediction"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
     assert {(r.prediction, r.n) for r in m02} == {
         ("large", 683),
         ("medium", 1702),
         ("small", 1330),
     }
-    m01 = REGISTRY["m01_rf_train_confusion"].fn(spark, sf).collect()
+    m01 = confusion_matrix(scored, label_col="label").collect()
     assert {(r.label, r.prediction, r.n) for r in m01} == {
         ("large", "large", 683),
         ("large", "medium", 41),
