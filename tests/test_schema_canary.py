@@ -30,6 +30,10 @@ pytestmark = pytest.mark.skipif(
 # `timestamp` (session-TZ TimestampType) is the REQUIRED post-loader
 # type for events.ts whatever the parquet stores (int64 nanos,
 # TIMESTAMP_NTZ, ...) — unix_micros/watermarks/as-of joins depend on it.
+# VERDICT r5 #5: the contract is the COMPLETE post-loader schema per
+# table (ordered columns + dtypes), not a spot-checked subset — a new,
+# dropped, renamed or re-typed column in ANY driver table fails here
+# in seconds instead of in the driver sample.
 EXPECTED_DTYPES: dict[str, dict[str, str]] = {
     "events": {
         "event_id": "bigint",
@@ -53,32 +57,94 @@ EXPECTED_DTYPES: dict[str, dict[str, str]] = {
     },
     "lineitem": {
         "l_orderkey": "bigint",
+        "l_partkey": "bigint",
+        "l_suppkey": "bigint",
+        "l_linenumber": "int",
         "l_quantity": "double",
         "l_extendedprice": "double",
+        "l_discount": "double",
+        "l_tax": "double",
         "l_returnflag": "string",
+        "l_linestatus": "string",
+        # NTZ is the CONTRACT for the date columns (naive, matching
+        # DuckDB's timestamp semantics — every date-predicate oracle is
+        # proven against it); only events.ts is normalized to
+        # session-TZ timestamp, because watermarks require it.
+        "l_shipdate": "timestamp_ntz",
     },
     "orders": {
         "o_orderkey": "bigint",
+        "o_custkey": "bigint",
+        "o_orderstatus": "string",
         "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz",
         "o_orderpriority": "string",
     },
-    "customer": {"c_custkey": "bigint", "c_acctbal": "double"},
-    "supplier": {"s_suppkey": "bigint", "s_acctbal": "double"},
-    "part": {"p_partkey": "bigint", "p_size": "int"},
-    "nation": {"n_nationkey": "int", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint",
+        "c_name": "string",
+        "c_nationkey": "int",
+        "c_acctbal": "double",
+        "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint",
+        "s_name": "string",
+        "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint",
+        "p_name": "string",
+        "p_brand": "string",
+        "p_type": "string",
+        "p_size": "int",
+        "p_retailprice": "double",
+    },
+    "nation": {
+        "n_nationkey": "int",
+        "n_name": "string",
+        "n_regionkey": "int",
+    },
     "region": {"r_regionkey": "int", "r_name": "string"},
 }
 
 
 @pytest.mark.parametrize("table", STAR_TABLES)
 def test_loader_dtypes_on_real_testdata(spark, sf_dir, table):
-    got = dict(load_table(spark, sf_dir, table).dtypes)
-    for col, want in EXPECTED_DTYPES[table].items():
-        assert got.get(col) == want, (
-            f"{table}.{col}: loader produced {got.get(col)!r}, engine "
-            f"contract requires {want!r} — the testdata's physical "
-            f"encoding drifted or the loader normalization regressed"
-        )
+    got = load_table(spark, sf_dir, table).dtypes
+    want = list(EXPECTED_DTYPES[table].items())
+    assert got == want, (
+        f"{table}: loader produced {got!r}, engine contract requires "
+        f"{want!r} — the testdata's physical encoding drifted or the "
+        f"loader normalization regressed"
+    )
+
+
+def test_key_columns_nonnull_on_real_testdata(spark, sf_dir):
+    """Operators assume join/dedup keys and document text are non-null
+    (md5 fingerprints, shingling, split hashing all key on them); a
+    drift that introduces nulls must fail loudly, not silently change
+    dedup groups."""
+    from pyspark.sql import functions as F
+
+    checks = {
+        "documents": ["doc_id", "text", "lang"],
+        "embeddings": ["vec_id", "embedding"],
+        "events": ["event_id", "ts", "user_id", "event_type"],
+        "lineitem": ["l_orderkey", "l_partkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+    }
+    for table, cols in checks.items():
+        df = load_table(spark, sf_dir, table)
+        row = df.agg(
+            *[
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c)
+                for c in cols
+            ]
+        ).collect()[0]
+        bad = {c: row[c] for c in cols if row[c]}
+        assert not bad, f"{table}: null keys appeared: {bad}"
 
 
 def test_events_ts_values_survive_normalization(spark, sf_dir):
