@@ -444,6 +444,7 @@ def encode_jpeg(
     quant: list[int] | None = None,
     restart_interval: int = 0,
     color_420: bool = False,
+    scan_order: tuple[int, ...] = (0, 1, 2),
 ) -> bytes:
     """Encode a (h, w) uint8 array as a baseline sequential JPEG
     (SOF0, Annex K standard Huffman tables).
@@ -461,10 +462,19 @@ def encode_jpeg(
     `color_420` emits a 3-component YCbCr file with Y at 2x2 and
     neutral (128) chroma at 1x1 — the ubiquitous 4:2:0 layout, as a
     grayscale-content color JPEG. Exercises the decoder's interleaved
-    multi-block MCU path end-to-end."""
+    multi-block MCU path end-to-end.
+
+    `scan_order` (color_420 only) permutes the components in the SOS
+    header AND the per-MCU data-unit order to match (T.81 A.2.3: data
+    units follow scan-header order) — a spec-valid file whose scan
+    order differs from SOF order, exercising the decoder's Cs-selector
+    binding."""
     import struct
 
     import numpy as np
+
+    if sorted(scan_order) != [0, 1, 2]:
+        raise ValueError("scan_order must be a permutation of (0, 1, 2)")
 
     quant = list(quant) if quant is not None else list(_JPEG_STD_QUANT)
     h, w = img.shape
@@ -535,14 +545,18 @@ def encode_jpeg(
                 prev = [0, 0, 0]
             mcu_idx += 1
             if color_420:
-                for v in range(2):
-                    for u in range(2):
-                        y0, x0 = my * 16 + v * 8, mx * 16 + u * 8
-                        prev[0] = enc_block(
-                            shifted[y0 : y0 + 8, x0 : x0 + 8], prev[0]
-                        )
-                prev[1] = enc_block(chroma, prev[1])
-                prev[2] = enc_block(chroma, prev[2])
+                for comp in scan_order:
+                    if comp == 0:
+                        for v in range(2):
+                            for u in range(2):
+                                y0 = my * 16 + v * 8
+                                x0 = mx * 16 + u * 8
+                                prev[0] = enc_block(
+                                    shifted[y0 : y0 + 8, x0 : x0 + 8],
+                                    prev[0],
+                                )
+                    else:
+                        prev[comp] = enc_block(chroma, prev[comp])
             else:
                 y0, x0 = my * 8, mx * 8
                 prev[0] = enc_block(
@@ -555,7 +569,9 @@ def encode_jpeg(
     dqt = seg(0xFFDB, bytes([0]) + bytes(quant))
     if color_420:
         comp_sof = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
-        comp_sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
+        comp_sos = bytes([3]) + b"".join(
+            bytes([comp + 1, 0x00]) for comp in scan_order
+        )
         nc = 3
     else:
         comp_sof = bytes([1, 0x11, 0])
@@ -669,6 +685,26 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append((cs, tables >> 4, tables & 0x0F))
             h, w, nc = sof
+            if ns != nc:
+                raise NotImplementedError(
+                    "non-interleaved JPEG scans (Ns != Nf) not "
+                    "supported — baseline single interleaved scan only"
+                )
+            # Bind each scan component to its SOF component by the Cs
+            # selector (T.81 B.2.3) — scan order is NOT required to
+            # match SOF order, so positional binding decodes a
+            # spec-valid reordered scan silently wrong (ADVICE r5).
+            cid_to_idx = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+            if len(cid_to_idx) != nc:
+                raise ValueError("JPEG SOF has duplicate component ids")
+            try:
+                sof_idx = [cid_to_idx[cs] for cs, _, _ in scan_comps]
+            except KeyError as e:
+                raise ValueError(
+                    f"JPEG scan selects unknown component id {e}"
+                ) from None
+            if len(set(sof_idx)) != ns:
+                raise ValueError("JPEG scan lists a component twice")
             c = _dct_matrix()
             # MCU geometry from the max sampling factors (T.81 A.2.4):
             # component ci contributes hs*vs blocks per MCU; the Y
@@ -678,14 +714,19 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             mcu_x = -(-w // (8 * hmax))
             mcu_y = -(-h // (8 * vmax))
             planes = [
-                np.zeros((mcu_y * comps[ci][2] * 8, mcu_x * comps[ci][1] * 8),
-                         np.uint8)
+                np.zeros(
+                    (
+                        mcu_y * comps[sof_idx[ci]][2] * 8,
+                        mcu_x * comps[sof_idx[ci]][1] * 8,
+                    ),
+                    np.uint8,
+                )
                 for ci in range(ns)
             ]
             deq = []
             for ci, (_cs, _td, _ta) in enumerate(scan_comps):
                 q = np.empty(64, np.float64)
-                q[_JPEG_ZIGZAG] = qtables[comps[ci][3]]
+                q[_JPEG_ZIGZAG] = qtables[comps[sof_idx[ci]][3]]
                 deq.append(q.reshape(8, 8))
             br = _BitReader(payload, pos)
 
@@ -722,7 +763,7 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                         prev_dc = [0] * ns
                     mcu_idx += 1
                     for ci, (_cs, td, ta) in enumerate(scan_comps):
-                        hs, vs = comps[ci][1], comps[ci][2]
+                        hs, vs = comps[sof_idx[ci]][1], comps[sof_idx[ci]][2]
                         for v in range(vs):
                             for u in range(hs):
                                 zz = np.zeros(64, np.float64)
@@ -760,7 +801,9 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                                         np.rint(block) + 128, 0, 255
                                     ).astype(np.uint8)
                                 )
-            return planes[0][:h, :w]  # Y == BT.601 luma
+            # Y == BT.601 luma == FIRST SOF component, wherever the
+            # scan happened to place it
+            return planes[sof_idx.index(0)][:h, :w]
         # APPn / COM / other: skipped via the length field
     raise ValueError("JPEG has no scan data")
 

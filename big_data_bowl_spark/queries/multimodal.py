@@ -346,7 +346,7 @@ def mm06_png_roundtrip_features(spark, sf_dir):
     oracle="""
     WITH m AS (
       SELECT doc_id AS media_id,
-             CAST(8 * (doc_id % 3 + 1) AS INTEGER) AS width,
+             CAST(8 * (doc_id % 5 + 1) AS INTEGER) AS width,
              CAST(8 * (doc_id % 2 + 1) AS INTEGER) AS height
       FROM documents WHERE doc_id % 3 = 0),
     px AS (
@@ -371,8 +371,11 @@ def mm06_png_roundtrip_features(spark, sf_dir):
     "8x8 block with DC quant step 8 have integer DC coefficients and "
     "zero AC, making the round-trip bit-exact — the DuckDB oracle "
     "recomputes the statistics from the pixel formula and any "
-    "codec bit-error fails the value hash. Narrow mapInPandas plan; "
-    "payloads never leave the Python worker.",
+    "codec bit-error fails the value hash. Width uses doc_id % 5 "
+    "(coprime with the % 3 row filter, ADVICE r5) so the oracle-gated "
+    "query exercises 1..5-block-wide images, not just single-column "
+    "MCUs. Narrow mapInPandas plan; payloads never leave the Python "
+    "worker.",
 )
 def mm07_jpeg_roundtrip_features(spark, sf_dir):
     from collections.abc import Iterator
@@ -381,7 +384,7 @@ def mm07_jpeg_roundtrip_features(spark, sf_dir):
         F.col("doc_id") % 3 == 0
     ).select(
         F.col("doc_id").alias("media_id"),
-        (8 * (F.col("doc_id") % 3 + 1)).cast("int").alias("width"),
+        (8 * (F.col("doc_id") % 5 + 1)).cast("int").alias("width"),
         (8 * (F.col("doc_id") % 2 + 1)).cast("int").alias("height"),
     )
 

@@ -580,7 +580,9 @@ PQ_SUB = 16  # dims per subspace (64 / PQ_M)
     best AS (SELECT vec_id, m, cid, d2 FROM scored WHERE rn = 1)
     SELECT vec_id,
            string_agg(CAST(cid AS VARCHAR), ',' ORDER BY m) AS pq_code,
-           floor(sqrt(greatest(SUM(d2), 0.0)) * 1e9 + 0.5) / 1e9
+           floor(sqrt(greatest(
+             CAST(SUM(CAST(d2 AS DECIMAL(38,12))) AS DOUBLE), 0.0))
+             * 1e9 + 0.5) / 1e9
              AS recon_err
     FROM best GROUP BY vec_id
     """,
@@ -638,5 +640,15 @@ def v09_product_quantization(spark: SparkSession, sf_dir: str):
             ),
             ",",
         ).alias("pq_code"),
-        rhu(F.sqrt(F.greatest(F.sum("d2"), F.lit(0.0)))).alias("recon_err"),
+        # decimal-cast sum (dsum policy, scale 12 for sub-unit
+        # distances): addition order across partitions must not be able
+        # to flip the 1e-9-rounded value vs DuckDB's SUM
+        rhu(
+            F.sqrt(
+                F.greatest(
+                    F.sum(F.col("d2").cast("decimal(38,12)")).cast("double"),
+                    F.lit(0.0),
+                )
+            )
+        ).alias("recon_err"),
     )

@@ -205,9 +205,20 @@ def latest_per_key(events: DataFrame) -> DataFrame:
                 None, None, None, None, 0,
             )
         for pdf in pdfs:
-            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            # unit-aware: normalize whatever datetime64 resolution the
+            # Arrow bridge handed us (ns or us) to micros, instead of
+            # assuming ns and dividing by 1000
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
             ids = pdf["event_id"].astype("int64").tolist()
-            vals = pdf["value"].astype("float64").tolist()
+            # preserve nullness: batch d07 (and the shared oracle) keep
+            # a NULL value as NULL, so track a None sentinel rather
+            # than float-coercing null -> NaN. (The Arrow->pandas
+            # bridge itself conflates NULL and NaN in float64 columns,
+            # so a genuine NaN event value also maps to NULL here.)
+            vals = [
+                None if pd.isna(v) else float(v)
+                for v in pdf["value"].tolist()
+            ]
             for t_us, eid, val in zip(ts_us, ids, vals):
                 n += 1
                 if first_us is None or t_us < first_us:

@@ -351,3 +351,42 @@ def test_jpeg_420_interleaved_mcu_roundtrip():
         encode_jpeg(img, quant=ones, color_420=True, restart_interval=2)
     )
     assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_scan_order_differs_from_sof_order():
+    """T.81 B.2.3: scan components bind by the Cs selector, not by
+    position — a spec-valid file listing (Cb, Y, Cr) in the scan while
+    SOF lists (Y, Cb, Cr) must decode identically to the canonical
+    order (ADVICE r5: positional binding decoded this silently wrong)."""
+    from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(23)
+    ones = [1] * 64
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    canonical = _decode_jpeg(encode_jpeg(img, quant=ones, color_420=True))
+    for order in ((1, 0, 2), (2, 1, 0), (1, 2, 0)):
+        dec = _decode_jpeg(
+            encode_jpeg(img, quant=ones, color_420=True, scan_order=order)
+        )
+        assert np.array_equal(dec, canonical), order
+
+
+def test_jpeg_noninterleaved_scan_raises():
+    """Ns != Nf (multi-scan non-interleaved baseline) is an honest
+    NotImplementedError seam, not a silent misdecode."""
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
+
+    img = np.zeros((16, 16), np.uint8)
+    payload = encode_jpeg(img, quant=[1] * 64, color_420=True)
+    # SOS for the 3-component file: FF DA 00 08 03 ... -> patch Ns to 1
+    # and drop two (Cs, Td/Ta) pairs so the header stays consistent
+    i = payload.index(b"\xff\xda")
+    body = payload[i + 4 : i + 4 + payload[i + 3] - 2]
+    assert body[0] == 3
+    new_body = bytes([1]) + body[1:3] + body[7:]
+    new_seg = b"\xff\xda" + (len(new_body) + 2).to_bytes(2, "big") + new_body
+    patched = payload[:i] + new_seg + payload[i + 4 + len(body) :]
+    with _pytest.raises(NotImplementedError):
+        _decode_jpeg(patched)

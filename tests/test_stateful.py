@@ -144,3 +144,42 @@ def test_cdc_state_folds_across_microbatches(spark, sf_dir, tmp_path):
         sum(1 for r in emitted if (r.user_id, r.event_type) == k) == 2
         for k in want
     )
+
+
+def test_cdc_null_value_preserved(spark, tmp_path):
+    """ADVICE r5: a NULL event value must stay NULL through the
+    stateful compaction (batch d07 and the shared oracle keep it);
+    float-coercing it to NaN silently diverged."""
+    src = tmp_path / "cdc_nulls"
+    rows = [
+        (1, "click", "2024-01-01 00:00:00", 5.0, 10),
+        (1, "click", "2024-01-01 00:01:00", None, 11),  # newest: NULL
+        (2, "view", "2024-01-01 00:00:00", None, 20),
+        (2, "view", "2024-01-01 00:01:00", 7.5, 21),  # newest: value
+    ]
+    spark.createDataFrame(
+        rows,
+        "user_id long, event_type string, ts_s string, "
+        "value double, event_id long",
+    ).select(
+        "user_id", "event_type",
+        F.to_timestamp("ts_s").alias("ts"), "value", "event_id",
+    ).coalesce(1).write.parquet(str(src))
+
+    from big_data_bowl_spark.streaming.stateful import latest_per_key
+    from big_data_bowl_spark.streaming.windows import run_to_memory
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, "
+            "value double, event_id long"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    run_to_memory(latest_per_key(stream), "cdc_nulls_sink", "append")
+    got = {
+        (r.user_id, r.event_type): (r.latest_value, r.n_versions)
+        for r in spark.table("cdc_nulls_sink").collect()
+    }
+    assert got == {(1, "click"): (None, 2), (2, "view"): (7.5, 2)}
