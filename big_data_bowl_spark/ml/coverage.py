@@ -123,3 +123,17 @@ def feature_importances(
     )
     imps = rf_model.featureImportances.toArray().tolist()
     return list(zip(feature_cols, imps))
+
+
+def tree_stats(model: PipelineModel) -> list[tuple[int, int, int]]:
+    """Per-tree introspection: (tree_id, depth, n_nodes) for every
+    member of the forest — the reference's getTree/treesize walk
+    (all coverages.R:217-231), read from the fitted Spark model's
+    `trees` property. Driver-side and tiny (one tuple per tree; the
+    trees themselves stay distributed in the model broadcast)."""
+    rf_model = next(
+        s for s in model.stages if s.__class__.__name__.startswith("RandomForest")
+    )
+    return [
+        (i, t.depth, t.numNodes) for i, t in enumerate(rf_model.trees)
+    ]

@@ -401,3 +401,50 @@ def m06_decision_stump(spark, sf_dir):
     # 9 candidate rows: the single-partition global-order window is
     # metadata-sized by construction (cf. operators/rank.py contract)
     return gains.withColumn("rk", rk).filter(F.col("rk") == 1).drop("rk")
+
+
+# ---------------------------------------------------------------------------
+# M7: RF per-tree introspection — the reference's getTree/treesize walk
+# ---------------------------------------------------------------------------
+
+RF_NUM_TREES = 50  # train_eval default, mirrored here for the oracle
+RF_MAX_DEPTH = 5  # RandomForestClassifier default maxDepth
+
+
+@register(
+    "m07_rf_tree_stats",
+    oracle=f"""
+    SELECT CAST(t.r AS BIGINT) AS tree_id,
+           TRUE AS depth_in_range,
+           TRUE AS nodes_bound_by_depth
+    FROM range({RF_NUM_TREES}) t(r)
+    """,
+    note="M7: per-tree depth/node-count export via model.trees — the "
+    "reference's getTree/treesize/varUsed introspection (all "
+    "coverages.R:217-231), closing SURVEY §2.10's last sliver. "
+    "Registered output is the forest's engine-invariant structural "
+    "contract: exactly RF_NUM_TREES trees (tree_id 0..49 — the oracle "
+    "enumerates them, so a missing/extra tree fails the row count), "
+    "each with 1 <= depth <= maxDepth and a node count inside the "
+    "binary-tree bounds [2*depth+1, 2^(depth+1)-1]. Exact shapes are "
+    "partitioning-dependent (per-tree Poisson bagging seeds by input "
+    "partition), so they're pinned by tests/test_ml.py at the fixture "
+    "parallelism instead. Driver-side cost: one tuple per tree.",
+)
+def m07_rf_tree_stats(spark, sf_dir):
+    from ..ml.coverage import tree_stats
+
+    model, _scored, _acc = _fitted(spark, sf_dir)
+    stats = tree_stats(model)
+    return spark.createDataFrame(
+        [
+            (
+                i,
+                1 <= d <= RF_MAX_DEPTH,
+                2 * d + 1 <= n <= 2 ** (d + 1) - 1,
+            )
+            for i, d, n in stats
+        ],
+        "tree_id long, depth_in_range boolean, "
+        "nodes_bound_by_depth boolean",
+    )

@@ -165,3 +165,28 @@ def test_m01_m02_golden_at_driver_sf(spark):
         ("medium", "medium", 1661),
         ("small", "small", 1330),
     }
+
+
+def test_m07_tree_stats_golden(spark):
+    """M7 introspection (all coverages.R:217-231): deterministic given
+    the seed + the conftest parallelism (per-tree Poisson bagging
+    seeds by input partition — re-collect if the fixture config
+    changes, don't loosen). The registered query's booleans must all
+    hold, and the raw stats match the pinned forest shape."""
+    from big_data_bowl_spark.ml.coverage import tree_stats
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.ml import _fitted
+
+    sf = "/root/testdata/sf0.001"
+    model, _scored, _acc = _fitted(spark, sf)
+    stats = tree_stats(model)
+    assert len(stats) == 50
+    assert [i for i, _, _ in stats] == list(range(50))
+    assert sorted({d for _, d, _ in stats}) == [4, 5]
+    assert sum(d for _, d, _ in stats) == 249
+    assert sum(n for _, _, n in stats) == 1176
+    assert all(2 * d + 1 <= n <= 2 ** (d + 1) - 1 for _, d, n in stats)
+
+    rows = REGISTRY["m07_rf_tree_stats"].fn(spark, sf).collect()
+    assert len(rows) == 50
+    assert all(r.depth_in_range and r.nodes_bound_by_depth for r in rows)
