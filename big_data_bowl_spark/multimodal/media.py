@@ -1037,3 +1037,125 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container metadata (ISO/IEC 14496-12 box structure)
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4_container(
+    duration: int,
+    timescale: int = 1000,
+    n_tracks: int = 1,
+    mdat_size: int = 0,
+) -> bytes:
+    """Build a minimal ISO BMFF metadata skeleton: ftyp + moov(mvhd +
+    n_tracks x trak(tkhd)) + mdat. The media payload is opaque zero
+    bytes — this is the CONTAINER layer (what a lake's metadata
+    extraction pass reads); sample-table/codec decode stays behind the
+    documented NotImplementedError seam like mp4 frame decode.
+    """
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # mvhd version 0 (14496-12 8.2.2): ver/flags, creation, modification,
+    # timescale, duration, rate 1.0, volume 1.0, reserved, unity matrix,
+    # pre_defined, next_track_ID
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">ihhII", 0x10000, 0x0100, 0, 0, 0)
+        + matrix
+        + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1),
+    )
+    traks = b""
+    for tid in range(1, n_tracks + 1):
+        tkhd = box(
+            b"tkhd",
+            struct.pack(">IIIIII", 0x0000_0007, 0, 0, tid, 0, duration)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + matrix
+            + struct.pack(">II", 0, 0),
+        )
+        traks += box(b"trak", tkhd)
+    moov = box(b"moov", mvhd + traks)
+    mdat = box(b"mdat", b"\x00" * mdat_size)
+    return ftyp + moov + mdat
+
+
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """Parse the ISO BMFF box tree and return the container metadata:
+    {major_brand, timescale, duration, n_tracks, mdat_bytes}.
+
+    Handles 32-bit and 64-bit (size==1 largesize) boxes, size==0
+    (to-EOF), and mvhd versions 0 and 1. Fragmented files (moof) raise
+    NotImplementedError at the seam — their duration lives in mehd /
+    per-fragment truns, a different walk.
+    """
+    import struct
+
+    meta = {
+        "major_brand": None,
+        "timescale": None,
+        "duration": None,
+        "n_tracks": 0,
+        "mdat_bytes": 0,
+    }
+
+    def walk(buf: bytes, start: int, end: int, depth: int = 0) -> None:
+        off = start
+        while off < end:
+            if off + 8 > end:
+                raise ValueError("truncated ISO BMFF box header")
+            size, typ = struct.unpack_from(">I4s", buf, off)
+            hdr = 8
+            if size == 1:
+                if off + 16 > end:
+                    raise ValueError("truncated largesize box header")
+                size = struct.unpack_from(">Q", buf, off + 8)[0]
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing container
+                size = end - off
+            if size < hdr or off + size > end:
+                raise ValueError(
+                    f"ISO BMFF box {typ!r} overruns its container"
+                )
+            body_off, body_end = off + hdr, off + size
+            if typ == b"moof":
+                raise NotImplementedError(
+                    "fragmented mp4 (moof) not supported — duration "
+                    "lives in mehd/trun, a different walk"
+                )
+            if typ == b"ftyp":
+                meta["major_brand"] = buf[body_off : body_off + 4].decode(
+                    "latin-1"
+                )
+            elif typ == b"moov":
+                walk(buf, body_off, body_end, depth + 1)
+            elif typ == b"trak":
+                meta["n_tracks"] += 1
+            elif typ == b"mdat":
+                meta["mdat_bytes"] += body_end - body_off
+            elif typ == b"mvhd":
+                ver = buf[body_off]
+                if ver == 0:
+                    ts, dur = struct.unpack_from(">II", buf, body_off + 12)
+                elif ver == 1:
+                    ts = struct.unpack_from(">I", buf, body_off + 20)[0]
+                    dur = struct.unpack_from(">Q", buf, body_off + 24)[0]
+                else:
+                    raise ValueError(f"mvhd version {ver} invalid")
+                meta["timescale"], meta["duration"] = ts, dur
+            off += size
+
+    walk(payload, 0, len(payload))
+    if meta["major_brand"] is None or meta["timescale"] is None:
+        raise ValueError("not an ISO BMFF movie (missing ftyp/mvhd)")
+    return meta

@@ -220,3 +220,129 @@ def g02_label_propagation(spark: SparkSession, sf_dir: str):
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     )
+
+
+# ---------------------------------------------------------------------------
+# G3: HITS hubs/authorities — the directed-graph fixed point
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    """Unrolled K-iteration HITS on the DIRECTED d02 candidate pairs
+    (doc_a -> doc_b, i.e. low id -> high id): same chained-CTE shape
+    as g01, with the per-iteration L1 normalization as a scalar
+    subquery."""
+
+    def rhu12(expr: str) -> str:
+        p = 10.0**PR_SCALE
+        return f"floor(({expr}) * {p!r} + 0.5) / {p!r}"
+
+    dec = f"DECIMAL(38,{PR_SCALE + 3})"
+    parts = [
+        # MATERIALIZED: e is referenced 2x per unrolled iteration, and
+        # DuckDB would otherwise inline (re-execute) the whole MinHash
+        # candidate chain at every reference — measured 172 s vs ~2 s
+        f"WITH cand AS MATERIALIZED ({_D02_ORACLE})",
+        "e AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand)",
+        "nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)",
+        "h0 AS (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(
+            f"ar{i} AS (SELECT e.v AS node, "
+            f"CAST(SUM(CAST(h.hub AS {dec})) AS DOUBLE) AS s "
+            f"FROM h{i - 1} h JOIN e ON e.u = h.node GROUP BY e.v)"
+        )
+        parts.append(
+            f"at{i} AS (SELECT CAST(SUM(CAST(s AS {dec})) AS DOUBLE) "
+            f"AS t FROM ar{i})"
+        )
+        parts.append(
+            f"a{i} AS (SELECT node, "
+            f"{rhu12(f's / (SELECT t FROM at{i})')} AS auth FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT e.u AS node, "
+            f"CAST(SUM(CAST(a.auth AS {dec})) AS DOUBLE) AS s "
+            f"FROM a{i} a JOIN e ON e.v = a.node GROUP BY e.u)"
+        )
+        parts.append(
+            f"ht{i} AS (SELECT CAST(SUM(CAST(s AS {dec})) AS DOUBLE) "
+            f"AS t FROM hr{i})"
+        )
+        parts.append(
+            f"h{i} AS (SELECT node, "
+            f"{rhu12(f's / (SELECT t FROM ht{i})')} AS hub FROM hr{i})"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT n.node AS doc_id, COALESCE(a.auth, 0.0) AS authority, "
+        f"COALESCE(h.hub, 0.0) AS hub_score "
+        f"FROM nodes n LEFT JOIN a{HITS_ITERS} a ON a.node = n.node "
+        f"LEFT JOIN h{HITS_ITERS} h ON h.node = n.node"
+    )
+
+
+@register(
+    "g03_hits_neardup",
+    oracle=_hits_oracle(),
+    note=f"G3 HITS ({HITS_ITERS} iterations, L1-normalized) on the "
+    "DIRECTED near-dup candidate graph (doc_a -> doc_b): authorities "
+    "= documents many earlier documents point at (re-crawled / "
+    "re-shared canonical sources), hubs = documents linking many "
+    "authorities — the directed complement to g01's undirected "
+    "PageRank, reusing the same edges-partitioned-once loop. The edge "
+    "table is materialized twice, hash-partitioned by u AND by v "
+    "(checkpointed once each), so the hub->auth join and the "
+    "auth->hub join BOTH reuse a stable edge partitioning and shuffle "
+    "only the node-sized score table per iteration. Normalization "
+    "totals ride a broadcast 1-row scalar (no single-partition "
+    "exchange, no driver collect); decimal sums + 12-decimal "
+    "half-up rounding per step keep both engines on identical values "
+    "(g01 float policy), so the unrolled-CTE oracle matches exactly.",
+)
+def g03_hits_neardup(spark: SparkSession, sf_dir: str):
+    pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    e_by_u = e.repartition("u").localCheckpoint()
+    e_by_v = e_by_u.repartition("v").localCheckpoint()
+    nodes = (
+        e_by_u.select(F.col("u").alias("node"))
+        .unionByName(e_by_u.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    dec = f"decimal(38,{PR_SCALE + 3})"
+    hubs = nodes.withColumn("hub", F.lit(1.0))
+    auths = None
+    for _ in range(HITS_ITERS):
+        ar = (
+            e_by_u.join(hubs, e_by_u["u"] == hubs["node"])
+            .groupBy(e_by_u["v"])
+            .agg(F.sum(F.col("hub").cast(dec)).cast("double").alias("s"))
+        )
+        at = ar.agg(F.sum(F.col("s").cast(dec)).cast("double").alias("t"))
+        auths = ar.crossJoin(F.broadcast(at)).select(
+            F.col("v").alias("node"),
+            rhu(F.col("s") / F.col("t"), PR_SCALE).alias("auth"),
+        ).localCheckpoint()
+        hr = (
+            e_by_v.join(auths, e_by_v["v"] == auths["node"])
+            .groupBy(e_by_v["u"])
+            .agg(F.sum(F.col("auth").cast(dec)).cast("double").alias("s"))
+        )
+        ht = hr.agg(F.sum(F.col("s").cast(dec)).cast("double").alias("t"))
+        hubs = hr.crossJoin(F.broadcast(ht)).select(
+            F.col("u").alias("node"),
+            rhu(F.col("s") / F.col("t"), PR_SCALE).alias("hub"),
+        ).localCheckpoint()
+    return (
+        nodes.join(auths, "node", "left")
+        .join(hubs, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("auth", F.lit(0.0)).alias("authority"),
+            F.coalesce("hub", F.lit(0.0)).alias("hub_score"),
+        )
+    )

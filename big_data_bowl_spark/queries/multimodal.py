@@ -508,3 +508,84 @@ def mm08_audio_spectral_features(spark, sf_dir):
         schema="media_id long, n_samples long, dominant_bin long, "
         "dominant_hz double, est_amplitude long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MM9: mp4 / ISO BMFF container metadata extraction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm09_mp4_container_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'isom' AS major_brand,
+           CAST(1000 AS BIGINT) AS timescale,
+           CAST((doc_id * 341) % 100000 + 1000 AS BIGINT) AS duration,
+           CAST(doc_id % 3 + 1 AS BIGINT) AS n_tracks,
+           CAST((doc_id * 97) % 2048 AS BIGINT) AS mdat_bytes
+    FROM documents WHERE doc_id % 4 = 1
+    """,
+    note="MM9 mp4 container metadata (ISO/IEC 14496-12): per media row "
+    "a deterministic ISO BMFF skeleton (ftyp + moov(mvhd + N x trak) "
+    "+ mdat) is built and re-parsed by the pure-Python box walker — "
+    "the metadata-extraction pass a media lake runs before any codec "
+    "touches bytes (brand sniffing, duration/track accounting, "
+    "payload sizing). The oracle recomputes every field from the "
+    "generation formulas, so a box-walk bug (size arithmetic, "
+    "largesize, mvhd versioning) fails the value hash; all outputs "
+    "are integers/strings — no float policy needed. Narrow "
+    "mapInPandas; payloads never leave the Python worker; codec-level "
+    "decode (samples, frames) stays behind the documented "
+    "NotImplementedError seam (fragmented moof files raise there "
+    "too).",
+)
+def mm09_mp4_container_metadata(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        from ..multimodal.media import (
+            encode_mp4_container,
+            parse_mp4_metadata,
+        )
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                payload = encode_mp4_container(
+                    duration=(mid * 341) % 100000 + 1000,
+                    timescale=1000,
+                    n_tracks=mid % 3 + 1,
+                    mdat_size=(mid * 97) % 2048,
+                )
+                meta = parse_mp4_metadata(payload)
+                rows.append(
+                    (
+                        mid,
+                        meta["major_brand"],
+                        meta["timescale"],
+                        meta["duration"],
+                        meta["n_tracks"],
+                        meta["mdat_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "major_brand", "timescale",
+                    "duration", "n_tracks", "mdat_bytes",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, major_brand string, timescale long, "
+        "duration long, n_tracks long, mdat_bytes long",
+    )

@@ -390,3 +390,65 @@ def test_jpeg_noninterleaved_scan_raises():
     patched = payload[:i] + new_seg + payload[i + 4 + len(body) :]
     with _pytest.raises(NotImplementedError):
         _decode_jpeg(patched)
+
+
+def test_mp4_container_roundtrip_and_edge_boxes():
+    """ISO BMFF walker: plain round-trip, 64-bit largesize, size==0
+    (to-EOF), and v1 mvhd (64-bit duration) all parse; fragmented and
+    truncated files raise at the seam."""
+    import struct
+
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import (
+        encode_mp4_container,
+        parse_mp4_metadata,
+    )
+
+    p = encode_mp4_container(duration=5000, timescale=1000, n_tracks=2,
+                             mdat_size=77)
+    assert parse_mp4_metadata(p) == {
+        "major_brand": "isom", "timescale": 1000, "duration": 5000,
+        "n_tracks": 2, "mdat_bytes": 77,
+    }
+
+    # rewrite the trailing mdat as a largesize (size==1 + 64-bit) box
+    i = p.index(b"mdat") - 4
+    body = p[i + 8 :]
+    large = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", len(body) + 16)
+        + body
+    )
+    assert parse_mp4_metadata(p[:i] + large)["mdat_bytes"] == 77
+
+    # size==0: mdat extends to end of file
+    zero = struct.pack(">I", 0) + b"mdat" + body
+    assert parse_mp4_metadata(p[:i] + zero)["mdat_bytes"] == 77
+
+    # v1 mvhd: 64-bit creation/modification/duration — build a minimal
+    # file from scratch (patching in place would need moov resizing)
+    def box(typ, b):
+        return struct.pack(">I", len(b) + 8) + typ + b
+
+    mvhd1 = box(
+        b"mvhd",
+        struct.pack(">I", 0x0100_0000)  # version 1, flags 0
+        + struct.pack(">QQIQ", 0, 0, 90000, 1 << 33)
+        + b"\x00" * 80,  # rate..next_track_ID (unread by the walker)
+    )
+    v1 = (
+        box(b"ftyp", b"dash" + struct.pack(">I", 0))
+        + box(b"moov", mvhd1 + box(b"trak", b""))
+    )
+    meta = parse_mp4_metadata(v1)
+    assert (meta["major_brand"], meta["timescale"], meta["duration"]) == (
+        "dash", 90000, 1 << 33,
+    )
+    assert meta["n_tracks"] == 1
+
+    with _pytest.raises(NotImplementedError):
+        parse_mp4_metadata(
+            p + struct.pack(">I", 8) + b"moof"
+        )
+    with _pytest.raises(ValueError):
+        parse_mp4_metadata(p[: len(p) - 3])
