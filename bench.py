@@ -61,6 +61,10 @@ HEADLINE = [
     "v09_product_quantization",
     "mm08_audio_spectral_features",
     "m06_decision_stump",
+    # round-6 additions: HITS (directed fixed-point loop), mp4
+    # container metadata (box walk in mapInPandas)
+    "g03_hits_neardup",
+    "mm09_mp4_container_metadata",
 ]
 
 
