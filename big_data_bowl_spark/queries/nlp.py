@@ -1230,3 +1230,108 @@ def n15_trending_terms(spark: SparkSession, sf_dir: str):
     return counts.select("window_start", "term", "n", rk.alias("rk")).filter(
         F.col("rk") <= TREND_TOPK
     )
+
+
+# ---------------------------------------------------------------------------
+# N17: corpus-wide segment-level dedup (the CCNet/RefinedWeb shape)
+# ---------------------------------------------------------------------------
+
+SEG_TOKENS = 10
+
+
+@register(
+    "n17_segment_dedup",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, u.i AS seg_idx, u.s AS seg
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(
+                   0, CAST(ceil(len(tk) / {SEG_TOKENS}.0) AS BIGINT) - 1),
+                 i -> {{'i': i,
+                       's': array_to_string(
+                         tk[i*{SEG_TOKENS}+1 : i*{SEG_TOKENS}+{SEG_TOKENS}],
+                         ' ')}})) AS u
+        FROM toks)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY md5(seg)
+                                ORDER BY doc_id, seg_idx) AS rn
+      FROM seg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS DOUBLE) / COUNT(*)
+             AS kept_ratio,
+           md5(COALESCE(
+             string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE rn = 1),
+             '')) AS kept_fp
+    FROM ranked GROUP BY doc_id
+    """,
+    note=f"N17 segment-level corpus dedup (the CCNet/RefinedWeb unit: "
+    f"dedup PARTS of documents, not whole documents — boilerplate "
+    f"paragraphs repeat across docs whose full texts differ). Docs "
+    f"split into consecutive {SEG_TOKENS}-token segments; a segment "
+    "survives only in its canonical occurrence (lowest (doc_id, "
+    "seg_idx) — a total order, so keep-one is deterministic under any "
+    "partitioning). Output is per-doc retention stats + an md5 of the "
+    "deduped reassembled text (payload-free driver compare). Plan: "
+    "one narrow posexplode, ONE wide shuffle on the segment hash "
+    "(the dedup shuffle — segments spread uniformly, no hot keys), "
+    "one groupBy(doc_id) to reassemble. At 100 TB the segment-hash "
+    "exchange is the same cardinality as d01's fingerprint shuffle "
+    "scaled by segs/doc; state per reducer is one row_number "
+    "counter. Reassembly sorts seg structs in-array (a13 policy), "
+    "never relying on collect order.",
+)
+def n17_segment_dedup(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    d = tf(spark, sf_dir, "documents")
+    # materialized token array (shingle perf contract: bind before HOF)
+    toks = d.select("doc_id", tokenize(F.col("text")).alias("tk"))
+    n_seg = F.ceil(F.size("tk") / F.lit(float(SEG_TOKENS))).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("tk"), i * SEG_TOKENS + 1, SEG_TOKENS),
+                    " ",
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy(F.md5("seg")).orderBy("doc_id", "seg_idx")
+    )
+    ranked = segs.select("doc_id", "seg_idx", "seg", rn.alias("rn"))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("seg_idx", "seg")
+    )
+    out = ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count(kept_struct).alias("n_kept"),
+        F.array_sort(F.collect_list(kept_struct)).alias("kept"),
+    )
+    return out.select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_segs")).alias(
+            "kept_ratio"
+        ),
+        F.md5(
+            F.array_join(
+                F.transform(F.col("kept"), lambda s: s["seg"]), " "
+            )
+        ).alias("kept_fp"),
+    )

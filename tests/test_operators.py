@@ -679,3 +679,58 @@ def test_label_propagation_planted_communities(spark):
     assert got[0] == got[1]
     assert got[11] == got[12]
     assert got[0] != got[11]
+
+
+def test_n17_segment_dedup_planted(spark, tmp_path):
+    """Planted 10-token segments: the canonical (lowest doc_id,
+    seg_idx) occurrence survives, later copies are cut, a fully-
+    duplicated doc reassembles to the empty-string fingerprint, and a
+    short tail still counts as its own segment."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    seg_a = " ".join(f"a{i}" for i in range(10))
+    seg_b = " ".join(f"b{i}" for i in range(10))
+    seg_c = " ".join(f"c{i}" for i in range(10))
+    seg_d = " ".join(f"d{i}" for i in range(10))
+    tail_e = " ".join(f"e{i}" for i in range(5))
+    texts = {
+        0: f"{seg_a} {seg_b}",   # both canonical
+        1: f"{seg_a} {seg_c}",   # A cut (doc 0 owns it), C kept
+        2: seg_a,                # fully duplicated -> empty doc
+        3: f"{seg_d} {tail_e}",  # 10+5 tokens -> 2 segments, both kept
+    }
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)]),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in sorted(texts)], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["n17_segment_dedup"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert (rows[0].n_segs, rows[0].n_kept) == (2, 2)
+    assert rows[0].kept_fp == md5(f"{seg_a} {seg_b}")
+    assert (rows[1].n_segs, rows[1].n_kept) == (2, 1)
+    assert rows[1].kept_fp == md5(seg_c)
+    assert (rows[2].n_segs, rows[2].n_kept) == (1, 0)
+    assert rows[2].kept_fp == md5("")
+    assert rows[2].kept_ratio == 0.0
+    assert (rows[3].n_segs, rows[3].n_kept) == (2, 2)
+    assert rows[3].kept_fp == md5(f"{seg_d} {tail_e}")
