@@ -1130,3 +1130,43 @@ def o10_weighted_sample(spark: SparkSession, sf_dir: str):
         .filter(F.col("u") < F.col("keep_w"))
         .select("doc_id", "source", rhu(F.col("keep_w")).alias("keep_weight"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S11: ORC sink + re-scan roundtrip (second columnar format)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s11_orc_sink_roundtrip",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           SUM(l_quantity) AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    note="S11 ORC sink + re-scan: the engine's second columnar format "
+    "next to s05's parquet — df.write.orc / spark.read.orc through "
+    "Spark's native vectorized ORC reader. Roundtrip equality of a "
+    "Q1-shaped aggregate (grouped counts + exact decimal-cast price "
+    "sum) proves doubles and longs survive the format bit-for-bit. "
+    "ORC carries the same scale machinery as parquet — min/max "
+    "stripe statistics serve predicate pushdown and column pruning "
+    "(pytest asserts PushedFilters on an ORC scan), so a 100 TB "
+    "lake stored in either format gets identical plans from this "
+    "engine. sum_qty stays a native double sum: l_quantity is "
+    "integral (< 2^53), exact in any accumulation order per the "
+    "base.py float policy.",
+)
+def s11_orc_sink_roundtrip(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_scratch_dir(), f"sink_orc_{sf_tag}")
+    agg.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

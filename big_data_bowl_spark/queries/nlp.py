@@ -1335,3 +1335,130 @@ def n17_segment_dedup(spark: SparkSession, sf_dir: str):
             )
         ).alias("kept_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N18: bigram-LM perplexity scoring (the CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "n18_lm_perplexity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len(tk) - 1),
+                 i -> {'w1': tk[i], 'w2': tk[i+1]})) AS b
+        FROM toks WHERE len(tk) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+    c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS v
+          FROM (SELECT unnest(tk) AS tok FROM toks)),
+    scored AS (
+      SELECT d.doc_id, d.n,
+             floor((-ln((c2.c2 + 1.0) / (c1.c1 + v.v)))
+                   * 1e9 + 0.5) / 1e9 AS nll_q
+      FROM (SELECT doc_id, w1, w2, COUNT(*) AS n
+            FROM pairs GROUP BY 1, 2, 3) d
+      JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+             floor((CAST(SUM(CAST(n * nll_q AS DECIMAL(38,12)))
+                         AS DOUBLE) / CAST(SUM(n) AS DOUBLE))
+                   * 1e9 + 0.5) / 1e9 AS avg_nll
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_nll,
+           floor(exp(avg_nll) * 1e6 + 0.5) / 1e6 AS ppl
+    FROM agg
+    """,
+    note="N18 bigram-LM perplexity scoring — the CCNet-style quality "
+    "filter: train an add-one-smoothed bigram model ON the corpus "
+    "itself, then score every document by average negative "
+    "log-likelihood and perplexity (gibberish and boilerplate score "
+    "high/low vs the corpus norm; CCNet buckets the corpus by LM "
+    "perplexity tertiles). Train and score are ONE plan: bigrams "
+    "explode narrowly (zip_with of two array slices — no index UDF), "
+    "the model is two hash-aggs (bigram counts, then prefix "
+    "marginals), V rides a broadcast scalar, and scoring joins "
+    "per-doc DISTINCT bigrams (pre-aggregated, so the join input is "
+    "bounded by vocab² not corpus size) to the model on the bigram "
+    "key — a shuffle hash join that stays balanced at 100 TB because "
+    "bigram keys are heavy-tailed but the pre-agg collapsed "
+    "per-doc repeats; AQE skew-split covers the head. Floats: "
+    "per-bigram nll rounded to 9 dp, weighted sum via decimal cast "
+    "(order-independent), one division, exp rounded to 6 dp — every "
+    "step engine-deterministic per the base.py policy.",
+)
+def n18_lm_perplexity(spark: SparkSession, sf_dir: str):
+    from ..functions.rounding import rhu
+
+    toks_all = tf(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("tk")
+    )
+    toks = toks_all.filter(F.size("tk") >= 2)
+    k = F.size("tk") - 1
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("tk"), 1, k),
+                F.slice(F.col("tk"), 2, k),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+
+    # the raw bigram stream shuffles ONCE (per-doc pre-aggregation);
+    # corpus counts roll up from that much smaller table, so the model
+    # aggs never re-shuffle the corpus-sized pair stream
+    docb = pairs.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c2 = docb.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # V over ALL docs' tokens (incl. sub-2-token docs that contribute
+    # no bigrams) — matches the oracle's unfiltered vocabulary CTE
+    v = toks_all.select(F.explode("tk").alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    scored = (
+        docb.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "n",
+            rhu(
+                -F.log(
+                    (F.col("c2") + 1.0) / (F.col("c1") + F.col("v"))
+                ),
+                9,
+            ).alias("nll_q"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.sum((F.col("n") * F.col("nll_q")).cast("decimal(38,12)"))
+        .cast("double")
+        .alias("s"),
+    )
+    avg_nll = rhu(
+        F.col("s") / F.col("n_bigrams").cast("double"), 9
+    ).alias("avg_nll")
+    out = agg.select("doc_id", "n_bigrams", avg_nll)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_nll",
+        rhu(F.exp(F.col("avg_nll")), 6).alias("ppl"),
+    )

@@ -767,3 +767,77 @@ def t17_ewma_smoothing(spark: SparkSession, sf_dir: str):
     return g.select(
         "user_id", "n_events", rhu(fold).alias("ewma_value")
     )
+
+
+@register(
+    "d08_scd2_history",
+    oracle=f"""
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER w AS version_num,
+           value,
+           {_TS} AS valid_from,
+           LEAD({_TS}) OVER w AS valid_to,
+           (LEAD(event_id) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type
+                 ORDER BY {_TS}, event_id)
+    """,
+    note="D8 SCD type-2 history build: turn the events changelog into "
+    "validity intervals — every version of a (user_id, event_type) "
+    "key becomes a row with [valid_from, valid_to) where valid_to is "
+    "the NEXT version's timestamp (NULL = still current). The "
+    "warehouse twin of d07: d07 keeps only the newest row (SCD-1 "
+    "overwrite), d08 keeps the full auditable history a "
+    "point-in-time ('as of 2024-03-01') join consumes via t09-style "
+    "interval matching. ONE shuffle on the key; row_number and lead "
+    "share a single Window sort (ts, event_id — total order, so the "
+    "intervals are deterministic under any partitioning). At 100 TB "
+    "this is per-key-sized state in the sort, no buffering beyond "
+    "the window frame; output cardinality == input (each change row "
+    "maps to exactly one interval row).",
+)
+def d08_scd2_history(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("version_num"),
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("event_id").over(w).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "t18_streaming_sliding",
+    oracle=_REGISTRY["t02_sliding_window"].oracle,
+    note="Structured Streaming sliding window (1 hour / 30 min slide, "
+    "availableNow backfill, watermark-bounded state, memory sink in "
+    "complete mode) — identical expressions to batch t02 and checked "
+    "against the SAME DuckDB oracle. Completes the streaming window "
+    "family: tumbling (t07), sliding (t18), session (t08). Each "
+    "event updates exactly window/slide = 2 window states — "
+    "incremental cost is O(2) per event, never a range join — and "
+    "the watermark evicts closed windows so state stays bounded on "
+    "an unbounded feed.",
+)
+def t18_streaming_sliding(spark: SparkSession, sf_dir: str):
+    from ..streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        sliding_sums,
+    )
+
+    stream = sliding_sums(read_events_stream(spark, sf_dir))
+    run_to_memory(
+        stream, "t18_streaming_sliding_sink", output_mode="complete"
+    )
+    return spark.table("t18_streaming_sliding_sink")

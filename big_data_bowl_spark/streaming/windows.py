@@ -128,3 +128,34 @@ def run_to_memory(
         q.awaitTermination()
     finally:
         spark.conf.set(key, old)
+
+def sliding_sums(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time window — the streaming twin of
+    t02_sliding_window (same expressions).
+
+    Each event expands to window/slide (= 2) open buckets before the
+    hash aggregation; watermarked state holds only windows whose end
+    is within the late-data horizon, so state is O(open windows), not
+    O(stream length).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

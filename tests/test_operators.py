@@ -734,3 +734,102 @@ def test_n17_segment_dedup_planted(spark, tmp_path):
     assert rows[2].kept_ratio == 0.0
     assert (rows[3].n_segs, rows[3].n_kept) == (2, 2)
     assert rows[3].kept_fp == md5(f"{seg_d} {tail_e}")
+
+
+def test_d08_scd2_intervals_chain(spark, sf_dir):
+    """SCD-2 invariants on the real events table: per key the version
+    numbers are contiguous from 1, intervals chain exactly
+    (valid_to(n) == valid_from(n+1)), exactly one open (current) row
+    per key, and the current row is the one d07 compaction keeps."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    rows = REGISTRY["d08_scd2_history"].fn(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault((r.user_id, r.event_type), []).append(r)
+    assert by_key
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r.version_num)
+        assert [r.version_num for r in versions] == list(
+            range(1, len(versions) + 1)
+        )
+        for cur, nxt in zip(versions, versions[1:]):
+            assert cur.valid_to == nxt.valid_from
+            assert not cur.is_current
+        assert versions[-1].is_current
+        assert versions[-1].valid_to is None
+
+    d07 = {
+        (r.user_id, r.event_type): r.latest_value
+        for r in REGISTRY["d07_cdc_compaction"].fn(spark, sf_dir).collect()
+    }
+    assert {
+        k: vs[-1].value for k, vs in by_key.items()
+    } == d07
+
+
+def test_n18_lm_perplexity_planted(spark, tmp_path):
+    """Hand-computed add-one bigram LM on a 3-doc corpus: per-doc
+    avg-NLL and perplexity match the closed-form model exactly, and
+    the repeated-bigram doc scores lower (more predictable) than the
+    one holding a corpus-rare bigram."""
+    import math
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    # doc 3 is a single token: it emits no bigrams (absent from the
+    # output) but its token still widens V for everyone's smoothing
+    texts = {0: "a b a b a c", 1: "a b", 2: "x y x y", 3: "z"}
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": pa.array([texts[i] for i in sorted(texts)]),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["s"] * 4),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in sorted(texts)], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    docs = {i: t.split() for i, t in texts.items() if len(t.split()) > 1}
+    c2 = Counter(
+        (w1, w2) for tk in docs.values() for w1, w2 in zip(tk, tk[1:])
+    )
+    c1 = Counter()
+    for (w1, _w2), n in c2.items():
+        c1[w1] += n
+    vocab = len({w for t in texts.values() for w in t.split()})
+    rhu = lambda x, s: math.floor(x * 10**s + 0.5) / 10**s  # noqa: E731
+
+    def expect(tk):
+        grams = Counter(zip(tk, tk[1:]))
+        s = sum(
+            n * rhu(-math.log((c2[g] + 1.0) / (c1[g[0]] + vocab)), 9)
+            for g, n in grams.items()
+        )
+        total = sum(grams.values())
+        avg = rhu(s / float(total), 9)
+        return total, avg, rhu(math.exp(avg), 6)
+
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["n18_lm_perplexity"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    for i, tk in docs.items():
+        n_bigrams, avg_nll, ppl = expect(tk)
+        assert rows[i].n_bigrams == n_bigrams
+        assert rows[i].avg_nll == avg_nll
+        assert rows[i].ppl == ppl
+    # "x y x y" repeats one in-model bigram; doc 0 ends in the rare
+    # (a,c) bigram, so it is strictly more surprising to the model
+    assert rows[2].ppl < rows[0].ppl

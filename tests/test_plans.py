@@ -159,3 +159,24 @@ def test_m06_scores_all_splits_in_one_scan(spark):
     plan = _plan(spark, "m06_decision_stump")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_s11_orc_scan_pushes_filters_and_prunes(spark):
+    """The ORC read path must carry the same scan machinery as
+    parquet: a filter over the re-scanned sink reaches the ORC
+    reader as PushedFilters, and the projection prunes columns."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    rt = REGISTRY["s11_orc_sink_roundtrip"].fn(spark, SF)
+    plan = (
+        rt.filter("n_items > 100")
+        .select("l_returnflag", "n_items")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan = plan[plan.index("Scan orc"):]
+    head = scan.splitlines()[0]
+    assert "PushedFilters: [" in scan
+    assert "GreaterThan(n_items,100)" in scan
+    assert "sum_price" not in head  # pruned from ReadSchema
