@@ -65,6 +65,11 @@ HEADLINE = [
     # container metadata (box walk in mapInPandas)
     "g03_hits_neardup",
     "mm09_mp4_container_metadata",
+    # round-6 additions: segment-level dedup (segment-hash shuffle +
+    # per-doc reassembly), bigram-LM perplexity (train + score in one
+    # plan: two model aggs + a bigram-key scoring join)
+    "n17_segment_dedup",
+    "n18_lm_perplexity",
 ]
 
 
