@@ -67,9 +67,13 @@ HEADLINE = [
     "mm09_mp4_container_metadata",
     # round-6 additions: segment-level dedup (segment-hash shuffle +
     # per-doc reassembly), bigram-LM perplexity (train + score in one
-    # plan: two model aggs + a bigram-key scoring join)
+    # plan: two model aggs + a bigram-key scoring join), benchmark
+    # decontamination (broadcast eval-shingle semi-count), IVF-PQ
+    # combined ANN (coarse probe + ADC + refine)
     "n17_segment_dedup",
     "n18_lm_perplexity",
+    "n19_benchmark_decontamination",
+    "v10_ivfpq_topk",
 ]
 
 

@@ -1170,3 +1170,237 @@ def s11_orc_sink_roundtrip(spark: SparkSession, sf_dir: str):
     out = os.path.join(_scratch_dir(), f"sink_orc_{sf_tag}")
     agg.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+# ---------------------------------------------------------------------------
+# V10: IVF-PQ combined ANN search (coarse probe -> ADC shortlist -> refine)
+# ---------------------------------------------------------------------------
+
+from .vectors import PQ_K, PQ_M, PQ_SUB  # noqa: E402  (codebook lockstep)
+
+REFINE = 3 * IVF_TOPK  # ADC shortlist size before exact re-scoring
+
+_PQ_D2 = (
+    "list_dot_product(s.sv, s.sv) - 2 * list_dot_product(s.sv, c.kv)"
+    " + list_dot_product(c.kv, c.kv)"
+)
+_Q_D2 = (
+    "list_dot_product(q.sv, q.sv) - 2 * list_dot_product(q.sv, c.kv)"
+    " + list_dot_product(c.kv, c.kv)"
+)
+
+
+@register(
+    "v10_ivfpq_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, {_VEC} AS kv FROM embeddings
+      WHERE vec_id < {NLIST}),
+    corp AS (SELECT vec_id, {_VEC} AS cv FROM embeddings),
+    cscore AS (
+      SELECT c.vec_id, k.cid,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                                ORDER BY list_dot_product(c.cv, k.kv) DESC,
+                                         k.cid ASC) AS rn
+      FROM corp c CROSS JOIN cent k),
+    assign AS (SELECT vec_id, cid AS cell FROM cscore WHERE rn = 1),
+    probes AS (
+      SELECT q.vec_id AS query_id, k.cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_dot_product(q.qv, k.kv) DESC,
+                                         k.cid ASC) AS rn
+      FROM (SELECT vec_id, {_VEC} AS qv FROM embeddings
+            WHERE vec_id < {N_QUERIES}) q
+      CROSS JOIN cent k),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assign a ON p.cell = a.cell
+      WHERE p.rn <= {NPROBE} AND a.vec_id <> p.query_id),
+    subs AS (
+      SELECT vec_id, m.m,
+             list_slice(cv, m.m * {PQ_SUB} + 1, (m.m + 1) * {PQ_SUB}) AS sv
+      FROM corp CROSS JOIN (SELECT unnest(range({PQ_M})) AS m) m),
+    cents AS (
+      SELECT m, vec_id AS cid, sv AS kv FROM subs WHERE vec_id < {PQ_K}),
+    cq AS (
+      SELECT s.vec_id, s.m, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {_PQ_D2} ASC, c.cid ASC) AS rn
+      FROM subs s JOIN cents c ON s.m = c.m),
+    codes AS (SELECT vec_id, m, cid AS code FROM cq WHERE rn = 1),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.m, c.cid, {_Q_D2} AS qd2
+      FROM subs q JOIN cents c ON q.m = c.m
+      WHERE q.vec_id < {N_QUERIES}),
+    adc AS (
+      SELECT c.query_id, c.cand_id,
+             CAST(SUM(CAST(l.qd2 AS DECIMAL(38,12))) AS DOUBLE) AS adc2
+      FROM cand c
+      JOIN codes k ON c.cand_id = k.vec_id
+      JOIN lut l ON l.query_id = c.query_id AND l.m = k.m
+                AND l.cid = k.code
+      GROUP BY 1, 2),
+    short AS (
+      SELECT query_id, cand_id, adc2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc2 ASC, cand_id ASC) AS arn
+      FROM adc),
+    rescored AS (
+      SELECT s.query_id, s.cand_id, s.adc2, {_COS} AS cosine
+      FROM short s
+      JOIN (SELECT vec_id, {_VEC} AS qv FROM embeddings) q
+        ON s.query_id = q.vec_id
+      JOIN (SELECT vec_id, {_VEC} AS cv FROM embeddings) e2
+        ON s.cand_id = e2.vec_id
+      WHERE s.arn <= {REFINE}),
+    final AS (
+      SELECT query_id, cand_id, adc2, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id ASC) AS rn
+      FROM rescored)
+    SELECT query_id, cand_id,
+           floor(adc2 * 1e9 + 0.5) / 1e9 AS adc_dist2,
+           floor(cosine * 1e9 + 0.5) / 1e9 AS cosine, rn
+    FROM final WHERE rn <= {IVF_TOPK}
+    """,
+    note=f"V10 IVF-PQ: the combined FAISS-style ANN path — coarse "
+    f"IVF probe ({NLIST} cells, {NPROBE} probed) bounds the "
+    f"candidate set, PQ asymmetric-distance computation (ADC: "
+    f"sum over {PQ_M} subspaces of the query-subvector-to-"
+    f"candidate-codeword distance) ranks candidates from {PQ_M}-byte "
+    f"codes WITHOUT touching raw vectors, and only the top-{REFINE} "
+    f"shortlist is re-scored exactly for the final top-{IVF_TOPK}. "
+    "This is the memory architecture that serves billion-vector "
+    "search: raw vectors stay on disk, the codes table and the "
+    "per-query LUT (N_QUERIES x PQ_M x PQ_K rows — broadcast) live "
+    "in RAM, and exact distance I/O is paid only for the "
+    "shortlist. All distances use the dot-product identity and the "
+    "ADC sum is decimal-cast, so ranking order is bit-identical "
+    "across engines; ties break on cand_id.",
+)
+def v10_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    cent = e.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("cid"), vec.alias("kv")
+    )
+    corp = e.select("vec_id", vec.alias("cv"))
+
+    # coarse cell assignment + probe list: identical shape to v04
+    assign = (
+        corp.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "cid", _dot(F.col("cv"), F.col("kv")).alias("score")
+        )
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cid, struct(score, -cid))").alias("cell"))
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), vec.alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cid")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "cid", _dot(F.col("qv"), F.col("kv")).alias("score")
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= NPROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+
+    # PQ codebook + corpus codes (v09 shape: min_by is map-side
+    # reducible, so K candidate centroids collapse before the shuffle)
+    m_ids = F.array(*[F.lit(m) for m in range(PQ_M)])
+    subs = corp.select(
+        "vec_id", F.explode(m_ids).alias("m"), "cv"
+    ).select(
+        "vec_id",
+        "m",
+        F.slice(F.col("cv"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv"),
+    )
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("ccid"), F.col("sv").alias("ckv")
+    )
+    d2 = (
+        _dot(F.col("sv"), F.col("sv"))
+        - 2 * _dot(F.col("sv"), F.col("ckv"))
+        + _dot(F.col("ckv"), F.col("ckv"))
+    )
+    codes = (
+        subs.join(F.broadcast(cents), "m")
+        .select("vec_id", "m", "ccid", d2.alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.expr("min_by(ccid, struct(d2, ccid))").alias("code"))
+    )
+
+    # per-query ADC lookup table: N_QUERIES * PQ_M * PQ_K rows — tiny
+    # by construction, broadcast to every candidate scorer
+    lut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cents), "m")
+        .select(
+            "query_id",
+            "m",
+            F.col("ccid").alias("cid"),
+            (
+                _dot(F.col("sv"), F.col("sv"))
+                - 2 * _dot(F.col("sv"), F.col("ckv"))
+                + _dot(F.col("ckv"), F.col("ckv"))
+            ).alias("qd2"),
+        )
+    )
+    adc = (
+        cand.join(
+            codes.withColumnRenamed("vec_id", "cand_id"), "cand_id"
+        )
+        .join(F.broadcast(lut), ["query_id", "m"])
+        .filter(F.col("cid") == F.col("code"))
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.sum(F.col("qd2").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("adc2")
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc2"), F.asc("cand_id")
+    )
+    short = (
+        adc.withColumn("arn", F.row_number().over(w_adc))
+        .filter(F.col("arn") <= REFINE)
+        .select("query_id", "cand_id", "adc2")
+    )
+
+    # exact refine of the shortlist only
+    qv = queries.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    cv = e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv")).withColumn(
+        "cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", "adc2", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select(
+            "query_id",
+            "cand_id",
+            rhu(F.col("adc2")).alias("adc_dist2"),
+            rhu(F.col("cosine")).alias("cosine"),
+            "rn",
+        )
+    )

@@ -1462,3 +1462,79 @@ def n18_lm_perplexity(spark: SparkSession, sf_dir: str):
         "avg_nll",
         rhu(F.exp(F.col("avg_nll")), 6).alias("ppl"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N19: benchmark decontamination (train/eval n-gram overlap audit)
+# ---------------------------------------------------------------------------
+
+DECON_K = 5          # 5-token shingles: the usual contamination unit
+EVAL_MOD, EVAL_REM = 20, 7   # doc_id % 20 == 7 -> the held-out set
+
+
+@register(
+    "n19_benchmark_decontamination",
+    oracle=(
+        f"WITH {_sql_shingle_ctes(k=DECON_K)}, "
+        f"ev AS (SELECT DISTINCT s AS sh FROM "
+        f"(SELECT unnest(sh) AS s FROM sh_t "
+        f"WHERE doc_id % {EVAL_MOD} = {EVAL_REM})), "
+        f"corp AS (SELECT doc_id, list_distinct(sh) AS shd FROM sh_t "
+        f"WHERE doc_id % {EVAL_MOD} <> {EVAL_REM}), "
+        f"shared AS (SELECT c.doc_id, COUNT(*) AS n_shared "
+        f"FROM (SELECT doc_id, unnest(shd) AS s FROM corp) c "
+        f"JOIN ev ON c.s = ev.sh GROUP BY 1) "
+        f"SELECT corp.doc_id, len(shd) AS n_shingles, "
+        f"COALESCE(n_shared, 0) AS n_shared, "
+        f"COALESCE(n_shared, 0) >= 1 AS contaminated "
+        f"FROM corp LEFT JOIN shared USING (doc_id)"
+    ),
+    note=f"N19 benchmark decontamination: audit the training corpus "
+    f"for {DECON_K}-token shingle overlap with a held-out eval set "
+    f"(doc_id % {EVAL_MOD} == {EVAL_REM} stands in for the benchmark "
+    "suite) — the leakage check every LLM data pipeline runs before "
+    "training (eval examples that leak into train inflate scores; "
+    "the standard remedy is exactly this n-gram audit, cf. "
+    "GPT-3/PaLM appendix dedup sections). Per training doc: distinct "
+    "shingle count, how many are shared with ANY eval doc, and the "
+    "contamination flag. Scale shape: the eval side is benchmark- "
+    "sized (thousands of docs), so its distinct-shingle set "
+    "BROADCASTS and the corpus side stays a narrow scan + "
+    "broadcast-hash semi-count + one groupBy(doc_id) — no "
+    "corpus-vs-corpus join anywhere; with a huge eval suite the same "
+    "plan degrades gracefully to a shuffle join on the shingle key. "
+    "The shingle table localCheckpoints once (n16 policy) so the "
+    "tokenize->shingle scan isn't evaluated per consumer.",
+)
+def n19_benchmark_decontamination(spark: SparkSession, sf_dir: str):
+    d = tf(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", tokenize(F.col("text")).alias("tok"))
+        .select(
+            "doc_id",
+            F.array_distinct(
+                shingles_from_tokens(F.col("tok"), k=DECON_K)
+            ).alias("shd"),
+        )
+        .localCheckpoint()
+    )
+    is_eval = (F.col("doc_id") % EVAL_MOD) == EVAL_REM
+    ev = sh.filter(is_eval).select(F.explode("shd").alias("sh")).distinct()
+    corp = sh.filter(~is_eval)
+    shared = (
+        corp.select("doc_id", F.explode("shd").alias("sh"))
+        .join(F.broadcast(ev), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n_shared = F.coalesce("n_shared", F.lit(0))
+    return (
+        corp.select("doc_id", F.size("shd").alias("n_shingles"))
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_shared.alias("n_shared"),
+            (n_shared >= 1).alias("contaminated"),
+        )
+    )

@@ -841,3 +841,70 @@ def t18_streaming_sliding(spark: SparkSession, sf_dir: str):
         stream, "t18_streaming_sliding_sink", output_mode="complete"
     )
     return spark.table("t18_streaming_sliding_sink")
+
+
+@register(
+    "t19_cohort_retention",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST(date_trunc('week', {_TS}) AS DATE)
+                 AS wk FROM events),
+    first AS (SELECT user_id, MIN(wk) AS cohort_week
+              FROM e GROUP BY user_id),
+    cohorts AS (SELECT cohort_week, COUNT(*) AS cohort_size
+                FROM first GROUP BY cohort_week),
+    active AS (SELECT DISTINCT e.user_id, f.cohort_week, e.wk
+               FROM e JOIN first f ON e.user_id = f.user_id),
+    m AS (SELECT cohort_week,
+                 CAST(date_diff('day', cohort_week, wk) // 7 AS INT)
+                   AS week_offset,
+                 COUNT(*) AS n_active
+          FROM active GROUP BY 1, 2)
+    SELECT m.cohort_week, m.week_offset, c.cohort_size, m.n_active,
+           floor((CAST(m.n_active AS DOUBLE) / c.cohort_size)
+                 * 1e9 + 0.5) / 1e9 AS retention
+    FROM m JOIN cohorts c ON m.cohort_week = c.cohort_week
+    """,
+    note="T19 cohort retention matrix: users are cohorted by the "
+    "Monday-truncated week of their FIRST event; each later week of "
+    "activity increments that cohort's (week_offset) cell; retention "
+    "= active users / cohort size — the standard product-analytics "
+    "triangle every event warehouse serves. Plan: one agg keys "
+    "first-seen per user, the activity set distincts on (user, "
+    "week), and the attach join is user_id-to-user_id so both sides "
+    "arrive co-partitioned from their own aggs (AQE elides the "
+    "re-exchange); the final matrix agg is (weeks x offsets)-sized "
+    "and the cohort-size attach joins a WEEKS-sized table — "
+    "broadcast by construction at any corpus scale. week_offset is "
+    "an exact multiple-of-7 day difference (both engines truncate "
+    "weeks to Monday), so the integer division is engine-safe.",
+)
+def t19_cohort_retention(spark: SparkSession, sf_dir: str):
+    from ..functions.rounding import rhu
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    cohorts = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = e.join(first, "user_id").distinct()
+    m = (
+        active.select(
+            "cohort_week",
+            F.floor(F.datediff("wk", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return m.join(F.broadcast(cohorts), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        "n_active",
+        rhu(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 9
+        ).alias("retention"),
+    )

@@ -833,3 +833,108 @@ def test_n18_lm_perplexity_planted(spark, tmp_path):
     # "x y x y" repeats one in-model bigram; doc 0 ends in the rare
     # (a,c) bigram, so it is strictly more surprising to the model
     assert rows[2].ppl < rows[0].ppl
+
+
+def test_n19_decontamination_planted(spark, tmp_path):
+    """Planted leakage: a train doc embedding a full 5-token span of
+    an eval doc (doc_id 7 under the %20==7 rule) is flagged with the
+    right shared-shingle count; disjoint train docs stay clean; eval
+    docs never appear in the output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    texts = {
+        7: eval_text,                           # the eval doc
+        1: f"intro {eval_text} outro",          # leaks all its spans
+        2: "one two three four five six seven", # clean
+        3: "alpha beta gamma other words here", # shares no FULL 5-gram
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array(
+                    [len(texts[i]) for i in ids], pa.int64()
+                ),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["n19_benchmark_decontamination"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 3}  # eval doc 7 excluded
+    # eval doc has 2 distinct 5-gram shingles; doc 1 contains both
+    assert rows[1].contaminated and rows[1].n_shared == 2
+    assert not rows[2].contaminated and rows[2].n_shared == 0
+    assert not rows[3].contaminated and rows[3].n_shared == 0
+
+
+def test_t19_cohort_retention_invariants(spark, sf_dir):
+    """Offset 0 always retains 100% (a user is active in their own
+    first week by definition), later offsets never exceed the cohort
+    size, and cohort sizes sum to the distinct-user count."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = REGISTRY["t19_cohort_retention"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.n_active <= r.cohort_size
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size and r.retention == 1.0
+    sizes = {r.cohort_week: r.cohort_size for r in rows}
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(sizes.values()) == n_users
+
+
+def test_v10_ivfpq_refine_returns_true_cosines(spark, sf_dir):
+    """The IVF-PQ shortlist is approximate, but the refine step must
+    emit TRUE cosines: recompute each returned pair with numpy and
+    match at the 1e-9 rounding; ranks are contiguous per query and
+    ADC distances are non-negative."""
+    import math
+
+    import numpy as np
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = REGISTRY["v10_ivfpq_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.cand_id != r.query_id
+        assert r.adc_dist2 >= 0.0
+        q, c = vecs[r.query_id], vecs[r.cand_id]
+        true_cos = float(q @ c) / (
+            math.sqrt(float(q @ q)) * math.sqrt(float(c @ c))
+        )
+        assert abs(r.cosine - true_cos) < 2e-9
+    for q, rs in by_q.items():
+        assert sorted(r.rn for r in rs) == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: r.rn)
+        assert all(
+            a.cosine >= b.cosine for a, b in zip(ordered, ordered[1:])
+        )
