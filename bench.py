@@ -74,6 +74,9 @@ HEADLINE = [
     "n18_lm_perplexity",
     "n19_benchmark_decontamination",
     "v10_ivfpq_topk",
+    # round-6 additions: triangle wedge joins, dense-grid gap-fill
+    "g04_triangle_count",
+    "t20_gapfill_resample",
 ]
 
 

@@ -1404,3 +1404,87 @@ def v10_ivfpq_topk(spark: SparkSession, sf_dir: str):
             "rn",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A15: KMV (k-minimum-values) distinct sketch — exactly oracle-able
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+_KMV_U = "CAST(('0x' || h) AS BIGINT) / CAST(16 AS DOUBLE) ** 13"
+
+
+@register(
+    "a15_kmv_distinct_sketch",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS h
+      FROM events),
+    r AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_exact
+      FROM d),
+    kth AS (SELECT event_type, n_exact, h FROM r
+            WHERE rn = LEAST(n_exact, {KMV_K})),
+    est AS (
+      SELECT event_type, n_exact,
+             CASE WHEN n_exact >= {KMV_K}
+                  THEN ({KMV_K} - 1.0) / ({_KMV_U})
+                  ELSE CAST(n_exact AS DOUBLE) END AS e
+      FROM kth)
+    SELECT event_type, n_exact,
+           floor(e * 1e6 + 0.5) / 1e6 AS kmv_est,
+           floor(abs(e - n_exact) / n_exact * 1e6 + 0.5) / 1e6 AS rel_err
+    FROM est
+    """,
+    note=f"A15 KMV (k-minimum-values) distinct sketch, k={KMV_K}: "
+    "keep each group's k smallest md5 hash values; the estimator "
+    "(k-1)/u_k (u_k = k-th smallest hash as a (0,1) uniform) "
+    "approximates the distinct count, falling back to the exact "
+    "count when the group holds fewer than k values. Unlike HLL "
+    "(a10, whose register layout is engine-private and therefore "
+    "only invariant-checkable), KMV is EXACTLY reproducible from "
+    "public hashes — both engines compute the identical k-th "
+    "order statistic, so the estimate itself hash-matches. The "
+    "sketch is mergeable (union the hash sets, retain k smallest — "
+    "how a 1000-executor rollup combines partials); the DataFrame "
+    "spelling here distincts the (group, hash) pairs (one shuffle, "
+    "map-side combined) and ranks within groups — a typed "
+    "Aggregator with a bounded k-min heap replaces the rank at "
+    "petabyte group sizes. Lexicographic order on fixed-width "
+    "lowercase hex == numeric order (minhash precedent), so the "
+    "rank never converts more than the single k-th hash.",
+)
+def a15_kmv_distinct_sketch(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    hd = ev.distinct().select(
+        "event_type",
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13).alias(
+            "h"
+        ),
+    ).distinct()
+    w_rank = Window.partitionBy("event_type").orderBy("h")
+    w_all = Window.partitionBy("event_type")
+    ranked = hd.select(
+        "event_type",
+        "h",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_exact"),
+    )
+    kth = ranked.filter(
+        F.col("rn") == F.least(F.col("n_exact"), F.lit(KMV_K))
+    )
+    u = F.conv(F.col("h"), 16, 10).cast("double") / float(16**13)
+    e = F.when(
+        F.col("n_exact") >= KMV_K, (KMV_K - 1.0) / u
+    ).otherwise(F.col("n_exact").cast("double"))
+    return kth.select(
+        "event_type",
+        "n_exact",
+        rhu(e, 6).alias("kmv_est"),
+        rhu(
+            F.abs(e - F.col("n_exact")) / F.col("n_exact"), 6
+        ).alias("rel_err"),
+    )

@@ -346,3 +346,95 @@ def g03_hits_neardup(spark: SparkSession, sf_dir: str):
             F.coalesce("hub", F.lit(0.0)).alias("hub_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G4: triangle counting + local clustering coefficient
+# ---------------------------------------------------------------------------
+
+_G04_ORACLE = (
+    f"WITH cand AS ({_D02_ORACLE}), "
+    "e AS (SELECT doc_a AS u, doc_b AS v FROM cand), "
+    "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+    "FROM e e1 JOIN e e2 ON e1.v = e2.u "
+    "JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v), "
+    "corners AS (SELECT a AS node FROM tri "
+    "UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri), "
+    "pernode AS (SELECT node, COUNT(*) AS n_tri FROM corners "
+    "GROUP BY node), "
+    "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), "
+    "deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u) "
+    "SELECT d.u AS doc_id, d.deg, "
+    "COALESCE(p.n_tri, 0) AS n_triangles, "
+    "CASE WHEN d.deg >= 2 THEN "
+    "floor(2.0 * COALESCE(p.n_tri, 0) / (d.deg * (d.deg - 1.0)) "
+    "* 1e9 + 0.5) / 1e9 ELSE 0.0 END AS clustering_coef "
+    "FROM deg d LEFT JOIN pernode p ON p.node = d.u"
+)
+
+
+@register(
+    "g04_triangle_count",
+    oracle=_G04_ORACLE,
+    note="G4 triangle counting + local clustering coefficient on the "
+    "d02 near-dup graph — the density diagnostic for duplicate "
+    "neighborhoods (a clique-like cluster is one boilerplate family; "
+    "a high-degree node with NO triangles is a hub false-positive "
+    "worth re-verifying). Algorithm: the compact-forward node- "
+    "ordering scheme — every edge is directed low-id -> high-id, so "
+    "each triangle is enumerated exactly once as (a<b<c) by one "
+    "wedge join (e1.v = e2.u) closed by one edge semi-check; per- "
+    "node counts explode each triangle to its 3 corners. All joins "
+    "are equi-joins on node keys (no cartesian anywhere); at 100 TB "
+    "the standard refinement is ordering by DEGREE instead of id so "
+    "high-degree nodes never anchor wedges — same plan, different "
+    "comparator, noted not needed at the candidate-graph densities "
+    "dq04 measures. The directed edge table builds once and "
+    "checkpoints (g01 policy: iterative/multi-referenced edges never "
+    "re-derive the LSH chain per consumer).",
+)
+def g04_triangle_count(spark: SparkSession, sf_dir: str):
+    pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .repartition("u")
+        .localCheckpoint()
+    )
+    wedge = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"),
+        F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    tri = wedge.join(
+        e.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        "left_semi",
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    pernode = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    sym = (
+        e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .distinct()
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_tri = F.coalesce("n_tri", F.lit(0))
+    coef = F.when(
+        F.col("deg") >= 2,
+        rhu(
+            2.0 * n_tri / (F.col("deg") * (F.col("deg") - 1.0)), 9
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(pernode, deg["u"] == pernode["node"], "left").select(
+        F.col("u").alias("doc_id"),
+        "deg",
+        n_tri.alias("n_triangles"),
+        coef.alias("clustering_coef"),
+    )

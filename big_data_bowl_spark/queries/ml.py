@@ -448,3 +448,103 @@ def m07_rf_tree_stats(spark, sf_dir):
         "tree_id long, depth_in_range boolean, "
         "nodes_bound_by_depth boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# M8: exact ROC AUC via the Mann-Whitney rank statistic
+# ---------------------------------------------------------------------------
+
+AUC_BINS = 3  # score rounding (decimals) -> <= 1001 distinct bins
+
+
+@register(
+    "m08_roc_auc",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(l_returnflag = 'R' AS INT) AS y,
+             floor(1.0 / (1.0 + exp(-(3.0 * l_discount + 2.0 * l_tax
+                                      - 0.5)))
+                   * 1e{AUC_BINS} + 0.5) / 1e{AUC_BINS} AS s
+      FROM lineitem),
+    bins AS (
+      SELECT s, COUNT(*) AS n, SUM(y) AS n_pos FROM scored GROUP BY s),
+    cum AS (
+      SELECT a.s, a.n, a.n_pos,
+             COALESCE(SUM(b.n), 0) AS n_before
+      FROM bins a LEFT JOIN bins b ON b.s < a.s
+      GROUP BY a.s, a.n, a.n_pos),
+    tot AS (
+      SELECT SUM(n_pos) AS np, SUM(n) - SUM(n_pos) AS nn,
+             SUM(n_pos * (n_before + (n + 1) / 2.0)) AS rank_sum_pos
+      FROM cum)
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           floor((rank_sum_pos - np * (np + 1) / 2.0) / (np * nn)
+                 * 1e9 + 0.5) / 1e9 AS auc
+    FROM tot
+    """,
+    note=f"M8 exact ROC AUC from the Mann-Whitney rank statistic "
+    "with midrank tie handling — the evaluation-stage op every "
+    "classifier pipeline needs, computed WITHOUT a global sort: "
+    f"scores round to {AUC_BINS} decimals (histogram-AUC, the "
+    "standard distributed practice — sklearn-exact on the binned "
+    "scores), so the bin table is <= 1001 rows BY CONSTRUCTION "
+    "however large the scan. One map-side-combined groupBy builds "
+    "the histogram; the cumulative-below-bin counts come from a "
+    "bins-x-bins broadcast range join (dimension-sized, never a "
+    "row-level window — a global ORDER BY window here would funnel "
+    "every row through one task, the w04 anti-pattern); midranks "
+    "(n_before + (n+1)/2) are half-integers, exact in double, so "
+    "only the final AUC division rounds. Label: l_returnflag='R' "
+    "(m06's target); score: a fixed sigmoid of discount/tax — a "
+    "stand-in for any model's calibrated output (m02's RF scores "
+    "plug into the same plan).",
+)
+def m08_roc_auc(spark: SparkSession, sf_dir: str):
+    from ..functions.rounding import rhu
+
+    li = t(spark, sf_dir, "lineitem")
+    s = rhu(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -(3.0 * F.col("l_discount") + 2.0 * F.col("l_tax") - 0.5)
+            )
+        ),
+        AUC_BINS,
+    )
+    scored = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        s.alias("s"),
+    )
+    bins = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    cum = (
+        bins.alias("a")
+        .join(
+            F.broadcast(bins.select(F.col("s").alias("s_b"),
+                                    F.col("n").alias("n_b"))),
+            F.col("s_b") < F.col("a.s"),
+            "left",
+        )
+        .groupBy("a.s", "a.n", "a.n_pos")
+        .agg(F.coalesce(F.sum("n_b"), F.lit(0)).alias("n_before"))
+    )
+    tot = cum.agg(
+        F.sum("n_pos").alias("np"),
+        (F.sum("n") - F.sum("n_pos")).alias("nn"),
+        F.sum(
+            F.col("n_pos")
+            * (F.col("n_before") + (F.col("n") + 1) / 2.0)
+        ).alias("rank_sum_pos"),
+    )
+    return tot.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        rhu(
+            (F.col("rank_sum_pos") - F.col("np") * (F.col("np") + 1) / 2.0)
+            / (F.col("np") * F.col("nn")),
+            9,
+        ).alias("auc"),
+    )

@@ -908,3 +908,86 @@ def t19_cohort_retention(spark: SparkSession, sf_dir: str):
             F.col("n_active").cast("double") / F.col("cohort_size"), 9
         ).alias("retention"),
     )
+
+
+@register(
+    "t20_gapfill_resample",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', {_TS}) AS hour,
+             COUNT(*) AS n, {dsum_sql('value')} AS s
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM b),
+    grid AS (
+      SELECT u.user_id, g.hour
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1,
+                    INTERVAL '1 hour')) AS hour FROM bounds) g),
+    j AS (
+      SELECT g.user_id, g.hour, COALESCE(b.n, 0) AS n_events,
+             floor((b.s / b.n) * 1e9 + 0.5) / 1e9 AS obs_avg
+      FROM grid g LEFT JOIN b USING (user_id, hour))
+    SELECT user_id, hour, n_events,
+           last_value(obs_avg IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hour
+             ROWS UNBOUNDED PRECEDING) AS value_avg,
+           n_events = 0 AS is_gap
+    FROM j
+    """,
+    note="T20 gap-fill / resample (the Timescale-style hypertable "
+    "op): hourly per-user rollup densified onto a COMPLETE hour "
+    "grid — missing cells appear with n_events=0 and the last "
+    "observed hourly mean carried forward (NULL before a user's "
+    "first observation), is_gap marking synthesized rows. This is "
+    "what turns an event stream into the regular time series that "
+    "dashboards and feature windows consume. Plan: one rollup agg, "
+    "a users x hours grid built by exploding one sequence() against "
+    "the user dim (the grid is the OUTPUT size — nothing larger "
+    "exists at any point), a co-partitioned left join back, and one "
+    "carry-forward window per user. The hour bounds ride a "
+    "broadcast 1-row aggregate. Observed means are decimal-sum / "
+    "count with one rounded division (base.py policy), and the "
+    "carry-forward copies those already-rounded doubles, so every "
+    "cell is engine-deterministic.",
+)
+def t20_gapfill_resample(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    from ..functions.rounding import rhu
+
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("s"),
+    )
+    bounds = b.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    users = ev.select("user_id").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("hour"),
+        )
+    )
+    j = grid.join(b, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        rhu(F.col("s") / F.col("n"), 9).alias("obs_avg"),
+    )
+    carry = Window.partitionBy("user_id").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return j.select(
+        "user_id",
+        "hour",
+        "n_events",
+        F.last("obs_avg", ignorenulls=True).over(carry).alias("value_avg"),
+        (F.col("n_events") == 0).alias("is_gap"),
+    )

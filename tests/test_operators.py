@@ -938,3 +938,85 @@ def test_v10_ivfpq_refine_returns_true_cosines(spark, sf_dir):
         assert all(
             a.cosine >= b.cosine for a, b in zip(ordered, ordered[1:])
         )
+
+
+def test_g04_triangles_planted_clique_and_pair(spark, tmp_path):
+    """Three identical docs form an LSH clique -> one triangle, each
+    corner at clustering coefficient 1.0; an identical pair yields an
+    edge but no triangle (coefficient 0); a unique doc never enters
+    the graph."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    dup = ("spark shuffles the hash partitioned rows across every "
+           "executor while the broadcast side stays resident in memory")
+    pair = ("the optimizer prunes parquet row groups using min max "
+            "statistics collected during the columnar write path")
+    texts = {
+        0: dup, 1: dup, 2: dup,           # clique of 3
+        3: pair, 4: pair,                 # single edge
+        5: "completely unrelated words about gardening and weather",
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r.doc_id: r
+        for r in REGISTRY["g04_triangle_count"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(rows) == {0, 1, 2, 3, 4}  # doc 5 has no edges
+    for i in (0, 1, 2):
+        assert rows[i].deg == 2
+        assert rows[i].n_triangles == 1
+        assert rows[i].clustering_coef == 1.0
+    for i in (3, 4):
+        assert rows[i].deg == 1
+        assert rows[i].n_triangles == 0
+        assert rows[i].clustering_coef == 0.0
+
+
+def test_t20_gapfill_grid_complete_and_carries(spark, sf_dir):
+    """Gap-fill output is exactly |users| x |hours| dense, hour steps
+    are contiguous, observed cells match the raw rollup, and every
+    gap cell carries the most recent prior observed mean (NULL only
+    before a user's first observation)."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    rows = REGISTRY["t20_gapfill_resample"].fn(spark, sf_dir).collect()
+    users = {r.user_id for r in rows}
+    hours = sorted({r.hour for r in rows})
+    assert len(rows) == len(users) * len(hours)
+    step = hours[1] - hours[0]
+    assert step.total_seconds() == 3600
+    assert all((b - a) == step for a, b in zip(hours, hours[1:]))
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.hour)):
+        by_user.setdefault(r.user_id, []).append(r)
+    saw_gap = saw_carry = False
+    for seq in by_user.values():
+        last = None
+        for r in seq:
+            assert r.is_gap == (r.n_events == 0)
+            if r.n_events > 0:
+                assert r.value_avg is not None
+                last = r.value_avg
+            else:
+                saw_gap = True
+                assert r.value_avg == last
+                if last is not None:
+                    saw_carry = True
+    assert saw_gap and saw_carry
