@@ -1488,3 +1488,195 @@ def a15_kmv_distinct_sketch(spark: SparkSession, sf_dir: str):
             F.abs(e - F.col("n_exact")) / F.col("n_exact"), 6
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S12: schema-evolution scan (mergeSchema over heterogeneous files)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s12_schema_evolution_scan",
+    oracle=f"""
+    WITH unified AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS sum_price
+    FROM unified GROUP BY o_orderpriority
+    """,
+    note="S12 schema evolution: a lake directory whose older files "
+    "predate a column (half the orders written WITHOUT "
+    "o_orderpriority, half with it) read back as ONE scan via "
+    "mergeSchema — Spark unions the parquet footers into the "
+    "superset schema and back-fills NULL for files missing the "
+    "column, exactly how a production lake absorbs additive schema "
+    "changes without rewriting history. The aggregate shows the "
+    "NULL bucket (legacy rows) next to the evolved values. Footer "
+    "merging is metadata-only (no data scan to infer); at 100 TB "
+    "you set the superset schema explicitly or keep it in a "
+    "catalog, noted in the docstring — mergeSchema=true per query "
+    "pays one footer read per file.",
+)
+def s12_schema_evolution_scan(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_scratch_dir(), f"evo_{sf_tag}")
+    # two generations of the same table: v1 lacks o_orderpriority
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(out, "gen=v1"))
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(out, "gen=v2"))
+    unified = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    return unified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W9: rolling-frame mean (ROWS BETWEEN N PRECEDING AND CURRENT ROW)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w09_rolling_mean",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS rolling_mean,
+           COUNT(*) OVER w AS frame_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    note="W9 rolling mean over a bounded ROW frame (last 3 readings "
+    "per user) — the smoothing window w07's running total and t17's "
+    "EWMA bracket: fixed-width frame, no decay, no unbounded "
+    "history. One shuffle on user_id; the frame is evaluated "
+    "incrementally during the partition sort (add one row, drop "
+    "one), so cost is O(rows), not O(rows x frame). Mean is spelled "
+    "exact-decimal-sum / frame-count — one IEEE division per row on "
+    "identical operands in both engines (base.py avg policy); "
+    "(ts, event_id) is a total order, so frame membership is "
+    "deterministic under any partitioning.",
+)
+def w09_rolling_mean(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    rsum = F.sum(F.col("value").cast("decimal(28,2)")).over(w).cast(
+        "double"
+    )
+    n = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (rsum / n).alias("rolling_mean"),
+        n.alias("frame_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# V11: ANN recall audit — IVF top-k vs exact brute-force ground truth
+# ---------------------------------------------------------------------------
+
+from .base import REGISTRY as _REG  # noqa: E402
+
+
+def _v11_oracle() -> str:
+    return f"""
+    WITH approx AS (SELECT query_id, cand_id FROM (
+      {_REG['v04_ivf_topk'].oracle}
+    )),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC,
+                                           e.vec_id ASC) AS rn
+        FROM (SELECT vec_id, {_VEC} AS qv FROM embeddings
+              WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN (SELECT vec_id, {_VEC} AS cv FROM embeddings) e
+        WHERE e.vec_id <> q.vec_id)
+      WHERE rn <= {IVF_TOPK}),
+    hits AS (
+      SELECT e.query_id, COUNT(a.cand_id) AS n_hit
+      FROM exact e LEFT JOIN approx a
+        ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+      GROUP BY e.query_id)
+    SELECT query_id, {IVF_TOPK} AS k, n_hit,
+           CAST(n_hit AS DOUBLE) / {IVF_TOPK} AS recall
+    FROM hits
+    """
+
+
+@register(
+    "v11_ann_recall_audit",
+    oracle=_v11_oracle(),
+    note=f"V11 recall@{IVF_TOPK} audit: the IVF result (v04) scored "
+    "against exact brute-force ground truth on the same query set — "
+    "the measurement that justifies (or indicts) the nprobe/NLIST "
+    "choice, run on a sampled query set exactly like production ANN "
+    "deployments tune themselves ('measure, don't guess' applied to "
+    "the index itself). The ground-truth side is brute force over "
+    "the corpus for the BOUNDED query sample only (queries "
+    "broadcast, corpus scanned once — v01's shape), so the audit "
+    "costs one corpus scan regardless of index size; the compare "
+    "join is top-k-sized. Counts are integers and recall is one "
+    "IEEE division — exact cross-engine with no rounding needed.",
+)
+def v11_ann_recall_audit(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), vec.alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    corp = e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv")
+                    ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    exact = (
+        corp.crossJoin(F.broadcast(queries))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOPK)
+        .select("query_id", "cand_id")
+    )
+    approx = v04_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("cand_id").alias("a_cand_id"),
+    )
+    hits = (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("cand_id") == F.col("a_cand_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("a_cand_id").alias("n_hit"))
+    )
+    return hits.select(
+        "query_id",
+        F.lit(IVF_TOPK).alias("k"),
+        "n_hit",
+        (F.col("n_hit").cast("double") / IVF_TOPK).alias("recall"),
+    )

@@ -991,3 +991,154 @@ def t20_gapfill_resample(spark: SparkSession, sf_dir: str):
         F.last("obs_avg", ignorenulls=True).over(carry).alias("value_avg"),
         (F.col("n_events") == 0).alias("is_gap"),
     )
+
+
+@register(
+    "t21_streaming_stream_stream_join",
+    oracle=f"""
+    SELECT c.event_id AS click_id, c.user_id,
+           {_TS.replace('ts', 'c.ts')} AS click_ts,
+           p.event_id AS purchase_id,
+           {_TS.replace('ts', 'p.ts')} AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '2 hours'
+    """,
+    note="T21 stream-STREAM interval join (clicks x purchases per "
+    "user within 2 hours) — the attribution join that needs BOTH "
+    "sides buffered in the state store, where t12's stream-static "
+    "join broadcasts one side. Watermarks on both streams plus the "
+    "two-sided event-time bound let the engine evict: a click older "
+    "than watermark+horizon behind the max event time can never "
+    "match a future purchase, so state is O(events inside the "
+    "horizon window), independent of stream length. availableNow "
+    "backfill over the same events lake, checked value-for-value "
+    "against the batch SQL join — inner stream-stream joins emit "
+    "exactly the batch result once both sides drain.",
+)
+def t21_streaming_stream_stream_join(spark: SparkSession, sf_dir: str):
+    from ..streaming.windows import (
+        click_purchase_join,
+        read_events_stream,
+        run_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    joined = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        read_events_stream(spark, sf_dir).filter(
+            F.col("event_type") == "purchase"
+        ),
+        horizon="2 hours",
+    )
+    run_to_memory(
+        joined,
+        "t21_stream_stream_sink",
+        output_mode="append",
+        n_partitions=8,
+    )
+    return spark.table("t21_stream_stream_sink")
+
+
+MERGE_CUTOFF = "2024-01-16 00:00:00"
+TOMBSTONE_BELOW = 1.0
+
+
+@register(
+    "d09_merge_upsert",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, event_type, value, ts FROM (
+        SELECT user_id, event_type, value, {_TS} AS ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}')
+      WHERE rn = 1),
+    changes AS (
+      SELECT user_id, event_type, value, ts FROM (
+        SELECT user_id, event_type, value, {_TS} AS ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}')
+      WHERE rn = 1),
+    merged AS (
+      SELECT COALESCE(c.user_id, b.user_id) AS user_id,
+             COALESCE(c.event_type, b.event_type) AS event_type,
+             COALESCE(c.value, b.value) AS value,
+             COALESCE(c.ts, b.ts) AS last_seen,
+             CASE WHEN c.user_id IS NULL THEN 'keep'
+                  WHEN b.user_id IS NULL THEN 'insert'
+                  ELSE 'update' END AS op,
+             c.value AS c_value
+      FROM base b FULL OUTER JOIN changes c
+        ON b.user_id = c.user_id AND b.event_type = c.event_type)
+    SELECT user_id, event_type, value, last_seen, op
+    FROM merged
+    WHERE NOT (op <> 'keep' AND c_value < {TOMBSTONE_BELOW})
+    """,
+    note="D9 MERGE INTO semantics (the Delta/Iceberg upsert "
+    "statement, expressed engine-natively): the pre-cutoff compacted "
+    "snapshot is the target, the post-cutoff changes (compacted to "
+    "latest per key) are the source, and one FULL OUTER join "
+    "dispatches WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN "
+    "INSERT / WHEN MATCHED AND tombstone THEN DELETE (change value "
+    f"< {TOMBSTONE_BELOW} is the tombstone convention here; a real "
+    "CDC feed carries an op column). Both compactions and the merge "
+    "join key on (user_id, event_type), so all three shuffles are "
+    "co-partitioned — at 100 TB the snapshot would be bucketed on "
+    "the key (s06) making the periodic merge shuffle-free on the "
+    "target side. Output keeps an op audit column (keep / update / "
+    "insert); deleted keys are absent.",
+)
+def d09_merge_upsert(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+    key = Window.partitionBy("user_id", "event_type")
+
+    def compact(df):
+        return (
+            df.select(
+                "user_id",
+                "event_type",
+                "value",
+                "ts",
+                F.row_number()
+                .over(key.orderBy(F.desc("ts"), F.desc("event_id")))
+                .alias("rn"),
+            )
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    base = compact(ev.filter(F.col("ts") < cutoff))
+    changes = compact(ev.filter(F.col("ts") >= cutoff)).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_type").alias("c_event_type"),
+        F.col("value").alias("c_value"),
+        F.col("ts").alias("c_ts"),
+    )
+    merged = base.join(
+        changes,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("event_type") == F.col("c_event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce("c_user_id", "user_id").alias("user_id"),
+        F.coalesce("c_event_type", "event_type").alias("event_type"),
+        F.coalesce("c_value", "value").alias("value"),
+        F.coalesce("c_ts", "ts").alias("last_seen"),
+        F.when(F.col("c_user_id").isNull(), "keep")
+        .when(F.col("user_id").isNull(), "insert")
+        .otherwise("update")
+        .alias("op"),
+        F.col("c_value"),
+    )
+    return merged.filter(
+        ~((F.col("op") != "keep") & (F.col("c_value") < TOMBSTONE_BELOW))
+    ).select("user_id", "event_type", "value", "last_seen", "op")

@@ -97,7 +97,10 @@ def streaming_dedup(
 
 
 def run_to_memory(
-    stream_df: DataFrame, table_name: str, output_mode: str = "append"
+    stream_df: DataFrame,
+    table_name: str,
+    output_mode: str = "append",
+    n_partitions: int | None = None,
 ) -> None:
     """Drain a bounded stream into an in-memory sink (test/demo only;
     production sinks are parquet/Delta/Kafka via the same API).
@@ -113,10 +116,17 @@ def run_to_memory(
     # store partitioning is fixed at its first checkpoint, and each
     # query here starts from a fresh temp checkpoint, so setting it
     # just for the run is safe; the caller's conf is restored after.
+    # n_partitions overrides for queries whose per-batch state work is
+    # dominated by task-launch overhead (e.g. the stream-stream join
+    # keeps state for BOTH sides in every partition — fewer, larger
+    # state partitions drain a bounded backlog faster).
     spark = stream_df.sparkSession
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, max(8, spark.sparkContext.defaultParallelism))
+    spark.conf.set(
+        key,
+        n_partitions or max(8, spark.sparkContext.defaultParallelism),
+    )
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -158,4 +168,48 @@ def sliding_sums(
             "n_events",
             "sum_value",
         )
+    )
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join: each click pairs with every purchase
+    by the same user within [click_ts, click_ts + horizon].
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, so the state store can evict: a buffered
+    click older than (max event time - watermark - horizon) can never
+    match a future purchase and is dropped; same for purchases. This
+    bounded-state contract is what distinguishes a production
+    stream-stream join from an unbounded buffer.
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"interval {horizon}")
+        ),
+    ).select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
     )

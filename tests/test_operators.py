@@ -1020,3 +1020,54 @@ def test_t20_gapfill_grid_complete_and_carries(spark, sf_dir):
                 if last is not None:
                     saw_carry = True
     assert saw_gap and saw_carry
+
+
+def test_d09_merge_dispatch_planted(spark, tmp_path):
+    """MERGE dispatch on a planted changelog: pre-cutoff-only key ->
+    keep, both-sides key -> update with the change's value, new key
+    -> insert, and a tombstone change (value < 1.0) deletes the key
+    whether or not it existed in base."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    before = dt.datetime(2024, 1, 10)
+    after = dt.datetime(2024, 1, 20)
+    rows = [
+        # (event_id, ts, user_id, event_type, value)
+        (1, before, 1, "click", 10.0),   # keep (no change)
+        (2, before, 2, "click", 20.0),   # updated below
+        (3, after, 2, "click", 25.0),
+        (4, after, 3, "click", 30.0),    # insert
+        (5, before, 4, "click", 40.0),   # tombstoned below
+        (6, after, 4, "click", 0.5),
+        (7, after, 5, "click", 0.2),     # insert-then-tombstone: absent
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows],
+                               pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r.user_id: (r.op, r.value)
+        for r in REGISTRY["d09_merge_upsert"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        1: ("keep", 10.0),
+        2: ("update", 25.0),
+        3: ("insert", 30.0),
+    }

@@ -183,3 +183,71 @@ def test_cdc_null_value_preserved(spark, tmp_path):
         for r in spark.table("cdc_nulls_sink").collect()
     }
     assert got == {(1, "click"): (None, 2), (2, "view"): (7.5, 2)}
+
+
+def test_stream_stream_join_matches_across_microbatches(
+    spark, tmp_path
+):
+    """Stream-stream join state must hold across micro-batches: the
+    click arrives in file 1 and its matching purchase in file 2, so
+    the pair can only be emitted if the buffered click survives into
+    the second batch. A purchase outside the horizon and one for a
+    different user must not match."""
+    import datetime as dt
+    import os
+
+    from big_data_bowl_spark.streaming.windows import (
+        click_purchase_join,
+        run_to_memory,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def rows(specs):
+        return spark.createDataFrame(
+            [
+                (eid, t0 + dt.timedelta(minutes=m), uid, et, val)
+                for eid, m, uid, et, val in specs
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+
+    batch1 = rows([(1, 0, 7, "click", 0.0), (2, 0, 8, "click", 0.0)])
+    batch2 = rows(
+        [
+            (3, 10, 7, "purchase", 9.5),   # matches click 1
+            (4, 200, 8, "purchase", 1.0),  # outside the 2h horizon
+            (5, 15, 9, "purchase", 2.0),   # no click for user 9
+        ]
+    )
+    src = tmp_path / "ss_join"
+    batch1.coalesce(1).write.parquet(str(src / "b1"))
+    batch2.coalesce(1).write.parquet(str(src / "b2"))
+    for i, sub in enumerate(["b1", "b2"]):
+        for f in (src / sub).glob("*.parquet"):
+            os.utime(f, (1_000_000 + i * 1000, 1_000_000 + i * 1000))
+
+    def read():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    joined = click_purchase_join(
+        read().filter(F.col("event_type") == "click"),
+        read().filter(F.col("event_type") == "purchase"),
+        horizon="2 hours",
+    )
+    run_to_memory(joined, "ss_join_sink", "append", n_partitions=4)
+    got = [
+        (r.click_id, r.purchase_id, r.user_id, r.purchase_value)
+        for r in spark.table("ss_join_sink").collect()
+    ]
+    assert got == [(1, 3, 7, 9.5)]
