@@ -1680,3 +1680,169 @@ def v11_ann_recall_audit(spark: SparkSession, sf_dir: str):
         "n_hit",
         (F.col("n_hit").cast("double") / IVF_TOPK).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ5: declarative constraint-suite audit (expectations over the lake)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq05_constraint_suite",
+    oracle="""
+    SELECT 'orders_price_positive' AS constraint_name,
+           COUNT(*) AS n_checked,
+           COUNT(*) FILTER (WHERE NOT (o_totalprice > 0))
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_priority_enum', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN
+             ('1-URGENT', '2-HIGH', '3-MEDIUM',
+              '4-NOT SPECIFIED', '5-LOW'))
+    FROM orders
+    UNION ALL
+    SELECT 'orders_key_unique', COUNT(*),
+           COUNT(*) - COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_discount_range', COUNT(*),
+           COUNT(*) FILTER (WHERE NOT (l_discount BETWEEN 0 AND 0.1))
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_tax_le_5pct', COUNT(*),
+           COUNT(*) FILTER (WHERE NOT (l_tax <= 0.05))
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orderkey_references_orders', COUNT(*),
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL)
+    FROM (SELECT l.l_orderkey, o.o_orderkey
+          FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey
+                                     FROM orders) o
+            ON l.l_orderkey = o.o_orderkey)
+    """,
+    note="DQ5 declarative constraint suite (the Great-Expectations/"
+    "Deequ shape): range, enum, uniqueness and referential "
+    "expectations evaluated in one audit pass, each reporting "
+    "checked/violation counts rather than failing fast — the "
+    "pre-ingest gate a training pipeline runs before accepting a "
+    "lake drop. Per-table constraints share ONE scan each "
+    "(conditional aggregation, map-side combined); the referential "
+    "check is a key-pruned join against the distinct parent keys "
+    "(broadcast at dim scale, shuffle at fact scale — AQE decides). "
+    "The tax<=5% expectation intentionally FAILS on this data "
+    "(real max 8%): an audit that can only ever pass measures "
+    "nothing. Violating ROWS are one filter away from the same "
+    "predicates; the audit materializes counts only.",
+)
+def dq05_constraint_suite(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def audit(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(~cond, 1)).alias("n_violations"),
+        )
+
+    enum_vals = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    uniq = o.agg(
+        F.lit("orders_key_unique").alias("constraint_name"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "n_violations"
+        ),
+    )
+    ref = li.select("l_orderkey").join(
+        o.select("o_orderkey").distinct(),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    parts = [
+        audit(o, "orders_price_positive", F.col("o_totalprice") > 0),
+        audit(
+            o,
+            "orders_priority_enum",
+            F.col("o_orderpriority").isin(enum_vals),
+        ),
+        uniq,
+        audit(
+            li,
+            "lineitem_discount_range",
+            F.col("l_discount").between(0, 0.1),
+        ),
+        audit(li, "lineitem_tax_le_5pct", F.col("l_tax") <= 0.05),
+        audit(
+            ref,
+            "lineitem_orderkey_references_orders",
+            F.col("o_orderkey").isNotNull(),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# U4: Python UDTF (table function) — the lateral-join extension API
+# ---------------------------------------------------------------------------
+
+UDTF_CHUNK = 20
+
+
+@register(
+    "u04_python_udtf",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      FROM documents
+    )
+    SELECT doc_id, i AS chunk_idx,
+           CAST(len(tk[i*{UDTF_CHUNK}+1 : i*{UDTF_CHUNK}+{UDTF_CHUNK}])
+                AS BIGINT) AS n_tokens,
+           array_to_string(
+             tk[i*{UDTF_CHUNK}+1 : i*{UDTF_CHUNK}+{UDTF_CHUNK}], ' ')
+             AS chunk_text
+    FROM (
+      SELECT doc_id, tk,
+             unnest(generate_series(
+               0, CAST(ceil(len(tk) / {UDTF_CHUNK}.0) AS BIGINT) - 1))
+               AS i
+      FROM toks) AS s(doc_id, tk, i)
+    """,
+    note=f"U4 Python user-defined TABLE function: each document "
+    f"LATERAL-expands into {UDTF_CHUNK}-token chunks through a "
+    "@udtf class — the Spark 3.5+/4.x extension point for "
+    "one-row-to-many-rows Python logic with a declared schema "
+    "(generators yield typed tuples; Catalyst sees an ordinary "
+    "relation and plans projection/filter pushdown around it). "
+    "Completes the Python-integration surface next to u01 "
+    "(applyInPandas), u03 (@pandas_udf) and the mapInPandas codecs. "
+    "Honest scale framing, as with u03: chunking is expressible "
+    "natively (n17's posexplode spelling IS the hot path); the "
+    "UDTF's niche is logic that genuinely needs per-row Python "
+    "iteration with table-shaped output — tokenizer libraries, "
+    "parser generators — where it replaces collect-and-loop "
+    "anti-patterns with a distributed lateral join.",
+)
+def u04_python_udtf(spark: SparkSession, sf_dir: str):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, n_tokens bigint, chunk_text string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = text.lower().strip().split()
+            for i in range(0, max(len(toks), 1), UDTF_CHUNK):
+                c = toks[i : i + UDTF_CHUNK]
+                yield (i // UDTF_CHUNK, len(c), " ".join(c))
+
+    spark.udtf.register("u04_chunk_doc", ChunkDoc)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("u04_docs")
+    return spark.sql(
+        "SELECT doc_id, s.chunk_idx, s.n_tokens, s.chunk_text "
+        "FROM u04_docs, LATERAL u04_chunk_doc(text) s"
+    )

@@ -215,3 +215,95 @@ def test_ordered_funnel_matches_bruteforce(spark, seed):
         for r in ordered_funnel(df, steps).collect()
     }
     assert got == expect
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_triangle_count_matches_bruteforce(spark, seed):
+    """g04's wedge-join enumeration vs an O(n^3) reference on random
+    graphs, exercised through the reusable shape (direct edge input
+    rather than the LSH chain)."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    n = 14
+    und = {
+        tuple(sorted((rng.randrange(n), rng.randrange(n))))
+        for _ in range(26)
+    }
+    und = {(a, b) for a, b in und if a != b}
+    tri_ref = {v: 0 for e in und for v in e}
+    nodes = sorted(tri_ref)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            for c in nodes[nodes.index(b) + 1:]:
+                if ((a, b) in und and (b, c) in und and (a, c) in und):
+                    tri_ref[a] += 1
+                    tri_ref[b] += 1
+                    tri_ref[c] += 1
+
+    e = spark.createDataFrame(sorted(und), "u long, v long")
+    wedge = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("a"),
+        F.col("e1.v").alias("b"),
+        F.col("e2.v").alias("c"),
+    )
+    tri = wedge.join(
+        e.alias("e3"),
+        (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
+        "left_semi",
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    got = {
+        r.node: r.n
+        for r in corners.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    expect = {v: c for v, c in tri_ref.items() if c > 0}
+    assert got == expect
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_kmv_estimate_matches_order_statistic(spark, seed, tmp_path):
+    """a15's KMV estimate vs the same order statistic computed in
+    pure Python from hashlib md5 — the sketch must be a deterministic
+    function of the key set, not of Spark's execution."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import KMV_K
+
+    rng = random.Random(seed)
+    users = rng.sample(range(100_000), 60)
+    rows = [(i, users[i % len(users)], "x") for i in range(300)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[2] for r in rows]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    hashes = sorted(
+        hashlib.md5(str(u).encode()).hexdigest()[:13] for u in set(users)
+    )
+    u_k = int(hashes[KMV_K - 1], 16) / float(16**13)
+    import math
+    expect = math.floor((KMV_K - 1) / u_k * 1e6 + 0.5) / 1e6
+    got = REGISTRY["a15_kmv_distinct_sketch"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    assert got[0].n_exact == len(set(users))
+    assert got[0].kmv_est == expect
