@@ -74,9 +74,12 @@ HEADLINE = [
     "n18_lm_perplexity",
     "n19_benchmark_decontamination",
     "v10_ivfpq_topk",
-    # round-6 additions: triangle wedge joins, dense-grid gap-fill
+    # round-6 additions: triangle wedge joins, dense-grid gap-fill,
+    # the end-to-end embedding index build (dedup -> quantize ->
+    # assign -> shard in one plan)
     "g04_triangle_count",
     "t20_gapfill_resample",
+    "e05_embedding_index_pipeline",
 ]
 
 

@@ -1846,3 +1846,141 @@ def u04_python_udtf(spark: SparkSession, sf_dir: str):
         "SELECT doc_id, s.chunk_idx, s.n_tokens, s.chunk_text "
         "FROM u04_docs, LATERAL u04_chunk_doc(text) s"
     )
+
+
+# ---------------------------------------------------------------------------
+# E5: end-to-end embedding index build (the vector-side e04)
+# ---------------------------------------------------------------------------
+
+from .vectors import (  # noqa: E402
+    NEARDUP_COS,
+    _sql_bucket,
+    _sql_vec,
+    v03_bucketed_neardup,
+)
+
+
+def _e05_oracle() -> str:
+    return f"""
+    WITH RECURSIVE c AS (
+      SELECT vec_id, {_sql_vec('embedding')} AS v,
+             {_sql_bucket(_sql_vec('embedding'))} AS bucket
+      FROM embeddings),
+    p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))) AS cosine
+          FROM c a JOIN c b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    prs AS (SELECT vec_a, vec_b FROM p WHERE cosine >= {NEARDUP_COS!r}),
+    edges AS (SELECT vec_a AS u, vec_b AS v FROM prs
+              UNION ALL SELECT vec_b AS u, vec_a AS v FROM prs),
+    reach(node, lbl) AS (
+      SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+      UNION
+      SELECT r.node, e.v AS lbl FROM reach r JOIN edges e ON e.u = r.lbl),
+    canon AS (SELECT node AS vec_id, MIN(lbl) AS canonical_id
+              FROM reach GROUP BY node),
+    members AS (SELECT canonical_id, COUNT(*) AS n_members
+                FROM canon GROUP BY canonical_id),
+    keep AS (SELECT k.vec_id, m.n_members, c.v
+             FROM canon k
+             JOIN members m ON k.canonical_id = m.canonical_id
+             JOIN c ON c.vec_id = k.vec_id
+             WHERE k.vec_id = k.canonical_id),
+    cent AS (SELECT vec_id AS cid, v AS kv FROM c
+             WHERE vec_id < {NLIST}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT k.vec_id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY k.vec_id
+                                  ORDER BY list_dot_product(k.v, t.kv)
+                                             DESC, t.cid ASC) AS rn
+        FROM keep k CROSS JOIN cent t)
+      WHERE rn = 1)
+    SELECT k.vec_id, k.n_members, a.cid AS cell,
+           greatest(list_max(list_transform(k.v, x -> abs(x))),
+                    1e-30) AS scale,
+           CAST(('0x' || substr(md5(CAST(k.vec_id AS VARCHAR)), 1, 6))
+                AS BIGINT) % {N_SHARDS} AS shard
+    FROM keep k JOIN assign a ON k.vec_id = a.vec_id
+    """
+
+
+@register(
+    "e05_embedding_index_pipeline",
+    oracle=_e05_oracle(),
+    note="E5 end-to-end embedding index build — the vector-side "
+    "flagship composing the library pieces into ONE declarative "
+    "plan, exactly how a corpus-scale index refresh runs: (1) "
+    "near-dup canonicalization (SRP buckets -> CC keep-one, v08) so "
+    "duplicates never pollute the index, with cluster sizes kept as "
+    "provenance; (2) int8 quantization scale per kept vector (v07) "
+    "— the storage row the serving tier reads; (3) IVF cell "
+    "assignment against the broadcast coarse codebook (v04); (4) "
+    "deterministic md5 shard for the writer (s08). Scale: the only "
+    "corpus-sized exchanges are the SRP bucket groupBy and the CC "
+    "rounds (both bucketed/node-sized); centroids and the cluster- "
+    "size table ride broadcasts; everything downstream of keep-one "
+    "is keyed on vec_id, so dedup -> quantize -> assign -> shard "
+    "chains without re-partitioning. One new query, zero new "
+    "operators — the composition IS the test.",
+)
+def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
+    from ..operators.components import connected_components
+
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    ids = e.select("vec_id", vec.alias("cv"))
+
+    pairs = v03_bucketed_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    labels = connected_components(pairs, src="vec_a", dst="vec_b")
+    canon = ids.join(
+        labels, ids["vec_id"] == labels["node"], "left"
+    ).select(
+        "vec_id",
+        "cv",
+        F.coalesce("comp", "vec_id").alias("canonical_id"),
+    )
+    members = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    keep = canon.filter(
+        F.col("vec_id") == F.col("canonical_id")
+    ).join(F.broadcast(members), "canonical_id")
+
+    cent = e.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("cid"), vec.alias("kv")
+    )
+    assign = (
+        keep.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "cid",
+            _dot(F.col("cv"), F.col("kv")).alias("score"),
+        )
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cid, struct(score, -cid))").alias("cell"))
+    )
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("cv"), lambda x: F.abs(x))),
+        F.lit(1e-30),
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6),
+            16,
+            10,
+        ).cast("bigint")
+        % N_SHARDS
+    )
+    return (
+        keep.join(assign, "vec_id")
+        .select(
+            "vec_id",
+            "n_members",
+            "cell",
+            scale.alias("scale"),
+            shard.alias("shard"),
+        )
+    )
