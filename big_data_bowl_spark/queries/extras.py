@@ -1984,3 +1984,64 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
             shard.alias("shard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J10 / A16: completing the join-type and grouping-sets matrices
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j10_anti_join",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+    """,
+    note="J10 anti join: orders with NO returned line item — the "
+    "correlated NOT EXISTS dispatch as a first-class left_anti join "
+    "(the complement of j08's left_semi; dq02 uses the same "
+    "operator inside its referential audit). The filter on the "
+    "probe side pushes into ITS scan before the anti join, so only "
+    "returned lineitems ever build the hash table; plans as "
+    "broadcast-anti or SMJ-anti by side size, one pass either way "
+    "— never a per-row subquery. ~40% of orders qualify on the "
+    "testdata, so the result is a real set, not a vacuous empty.",
+)
+def j10_anti_join(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    returned = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return o.join(returned, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
+@register(
+    "a16_cube_agg",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    note="A16 CUBE: every subtotal combination over (priority, "
+    "status) — 2^2 grouping sets in ONE hash aggregation, "
+    "completing the grouping-sets family next to a11's ROLLUP "
+    "(hierarchical prefixes only). Each input row expands to 4 "
+    "grouping-set rows BEFORE the map-side combine, so the shuffle "
+    "carries (groups x 4) partials, not (rows x 4) — the reason "
+    "CUBE beats 4 separate aggregations + union at any scale.",
+)
+def a16_cube_agg(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
