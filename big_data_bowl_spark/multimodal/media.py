@@ -1049,12 +1049,19 @@ def encode_mp4_container(
     timescale: int = 1000,
     n_tracks: int = 1,
     mdat_size: int = 0,
+    sample_sizes: "list[list[int]] | None" = None,
 ) -> bytes:
     """Build a minimal ISO BMFF metadata skeleton: ftyp + moov(mvhd +
-    n_tracks x trak(tkhd)) + mdat. The media payload is opaque zero
-    bytes — this is the CONTAINER layer (what a lake's metadata
-    extraction pass reads); sample-table/codec decode stays behind the
+    n_tracks x trak(tkhd [+ mdia/minf/stbl])) + mdat. The media payload
+    is opaque zero bytes — this is the CONTAINER layer (what a lake's
+    metadata extraction pass reads); codec decode stays behind the
     documented NotImplementedError seam like mp4 frame decode.
+
+    ``sample_sizes``: optional per-track lists; when given, each trak
+    carries the spec-shaped sample-table chain mdia(mdhd +
+    minf(stbl(stsz + stco))) (14496-12 8.7.3: stsz sample_size=0 +
+    per-sample entries), which is what seeking/keyframe extraction
+    reads without touching codec bytes.
     """
     import struct
 
@@ -1084,7 +1091,24 @@ def encode_mp4_container(
             + matrix
             + struct.pack(">II", 0, 0),
         )
-        traks += box(b"trak", tkhd)
+        body = tkhd
+        if sample_sizes is not None and tid - 1 < len(sample_sizes):
+            sizes = sample_sizes[tid - 1]
+            mdhd = box(
+                b"mdhd",
+                struct.pack(">IIIII", 0, 0, 0, timescale, duration)
+                + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+            )
+            stsz = box(
+                b"stsz",
+                struct.pack(">III", 0, 0, len(sizes))
+                + b"".join(struct.pack(">I", s) for s in sizes),
+            )
+            stco = box(b"stco", struct.pack(">II", 0, 0))
+            stbl = box(b"stbl", stsz + stco)
+            minf = box(b"minf", stbl)
+            body += box(b"mdia", mdhd + minf)
+        traks += box(b"trak", body)
     moov = box(b"moov", mvhd + traks)
     mdat = box(b"mdat", b"\x00" * mdat_size)
     return ftyp + moov + mdat
@@ -1159,3 +1183,80 @@ def parse_mp4_metadata(payload: bytes) -> dict:
     if meta["major_brand"] is None or meta["timescale"] is None:
         raise ValueError("not an ISO BMFF movie (missing ftyp/mvhd)")
     return meta
+
+
+def parse_mp4_sample_index(payload: bytes) -> list:
+    """Walk the box tree down to each track's sample-size table
+    (moov/trak/mdia/minf/stbl/stsz, 14496-12 8.7.3) and return one
+    dict per track: {track_idx, n_samples, total_bytes, max_bytes,
+    min_bytes}. Handles both stsz forms (constant sample_size != 0,
+    and the per-sample entry table). Tracks without an stbl report
+    n_samples 0. This is the seek/keyframe index a frame-sampling
+    pass reads — no codec bytes are touched.
+    """
+    import struct
+
+    tracks: list = []
+
+    def children(buf: bytes, start: int, end: int):
+        off = start
+        while off < end:
+            size, typ = struct.unpack_from(">I4s", buf, off)
+            hdr = 8
+            if size == 1:
+                size = struct.unpack_from(">Q", buf, off + 8)[0]
+                hdr = 16
+            elif size == 0:
+                size = end - off
+            if size < hdr or off + size > end:
+                raise ValueError(
+                    f"ISO BMFF box {typ!r} overruns its container"
+                )
+            yield typ, off + hdr, off + size
+            off += size
+
+    def find(buf, start, end, typ):
+        for t, b0, b1 in children(buf, start, end):
+            if t == typ:
+                return b0, b1
+        return None
+
+    for typ, b0, b1 in children(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, c0, c1 in children(payload, b0, b1):
+            if t2 != b"trak":
+                continue
+            entry = {
+                "track_idx": len(tracks),
+                "n_samples": 0,
+                "total_bytes": 0,
+                "max_bytes": 0,
+                "min_bytes": 0,
+            }
+            path = (c0, c1)
+            for nested in (b"mdia", b"minf", b"stbl", b"stsz"):
+                nxt = find(payload, path[0], path[1], nested)
+                if nxt is None:
+                    path = None
+                    break
+                path = nxt
+            if path is not None:
+                s0, _s1 = path
+                _vf, fixed, n = struct.unpack_from(">III", payload, s0)
+                if fixed:
+                    sizes = [fixed] * n
+                else:
+                    sizes = [
+                        struct.unpack_from(">I", payload, s0 + 12 + 4 * i)[0]
+                        for i in range(n)
+                    ]
+                if sizes:
+                    entry.update(
+                        n_samples=n,
+                        total_bytes=sum(sizes),
+                        max_bytes=max(sizes),
+                        min_bytes=min(sizes),
+                    )
+            tracks.append(entry)
+    return tracks

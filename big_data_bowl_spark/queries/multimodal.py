@@ -589,3 +589,99 @@ def mm09_mp4_container_metadata(spark, sf_dir):
         schema="media_id long, major_brand string, timescale long, "
         "duration long, n_tracks long, mdat_bytes long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MM10: mp4 sample-table index extraction (stsz — the seek index)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm10_mp4_sample_index",
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id % 2 + 1 AS n_tracks
+               FROM documents WHERE doc_id % 4 = 2),
+    tr AS (SELECT doc_id, unnest(generate_series(0, n_tracks - 1)) AS t
+           FROM m),
+    s AS (SELECT doc_id, t,
+                 list_transform(
+                   generate_series(0, 4 + (doc_id + t) % 5 - 1),
+                   i -> 100 + ((doc_id + t * 7 + i * 3) % 40)) AS sizes
+          FROM tr)
+    SELECT doc_id AS media_id, CAST(t AS BIGINT) AS track_idx,
+           CAST(len(sizes) AS BIGINT) AS n_samples,
+           CAST(list_sum(sizes) AS BIGINT) AS total_bytes,
+           CAST(list_max(sizes) AS BIGINT) AS max_bytes,
+           CAST(list_min(sizes) AS BIGINT) AS min_bytes
+    FROM s
+    """,
+    note="MM10 mp4 sample-table index (ISO 14496-12 8.7.3 stsz): "
+    "walk moov/trak/mdia/minf/stbl per track and read the "
+    "sample-size table — the byte-range index that seeking, "
+    "keyframe extraction and range-request planning consume, read "
+    "WITHOUT touching codec bytes (the container layer mm09 "
+    "started, one level deeper). The encoder embeds spec-shaped "
+    "mdia(mdhd + minf(stbl(stsz + stco))) chains; the parser "
+    "handles both stsz forms (constant sample_size and per-sample "
+    "entries) and reports per-track sample count + byte stats, all "
+    "integers recomputed by the oracle from the generation "
+    "formulas. Narrow mapInPandas; a real lake pass would follow "
+    "with byte-range reads of exactly the samples a frame-sampling "
+    "policy picks (mm03's slice arithmetic at container scale).",
+)
+def mm10_mp4_sample_index(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 2
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        from ..multimodal.media import (
+            encode_mp4_container,
+            parse_mp4_sample_index,
+        )
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                n_tracks = mid % 2 + 1
+                sizes = [
+                    [
+                        100 + ((mid + tk * 7 + i * 3) % 40)
+                        for i in range(4 + (mid + tk) % 5)
+                    ]
+                    for tk in range(n_tracks)
+                ]
+                payload = encode_mp4_container(
+                    duration=(mid * 211) % 50000 + 500,
+                    n_tracks=n_tracks,
+                    sample_sizes=sizes,
+                )
+                for tr in parse_mp4_sample_index(payload):
+                    rows.append(
+                        (
+                            mid,
+                            tr["track_idx"],
+                            tr["n_samples"],
+                            tr["total_bytes"],
+                            tr["max_bytes"],
+                            tr["min_bytes"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "track_idx", "n_samples",
+                    "total_bytes", "max_bytes", "min_bytes",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, track_idx long, n_samples long, "
+        "total_bytes long, max_bytes long, min_bytes long",
+    )

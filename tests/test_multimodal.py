@@ -452,3 +452,51 @@ def test_mp4_container_roundtrip_and_edge_boxes():
         )
     with _pytest.raises(ValueError):
         parse_mp4_metadata(p[: len(p) - 3])
+
+
+def test_mp4_sample_index_roundtrip_and_forms():
+    """stsz parsing: per-sample entry tables round-trip exactly, the
+    constant-sample_size form expands correctly, tracks without a
+    sample table report zero, and metadata parsing is unaffected by
+    the added mdia chain."""
+    import struct
+
+    from big_data_bowl_spark.multimodal.media import (
+        encode_mp4_container,
+        parse_mp4_metadata,
+        parse_mp4_sample_index,
+    )
+
+    p = encode_mp4_container(
+        7000, n_tracks=3, mdat_size=64,
+        sample_sizes=[[100, 120, 90], [55]],  # track 3 has no stbl
+    )
+    meta = parse_mp4_metadata(p)
+    assert meta["n_tracks"] == 3 and meta["duration"] == 7000
+    idx = parse_mp4_sample_index(p)
+    assert [e["n_samples"] for e in idx] == [3, 1, 0]
+    assert idx[0]["total_bytes"] == 310
+    assert idx[0]["max_bytes"] == 120 and idx[0]["min_bytes"] == 90
+    assert idx[1]["total_bytes"] == 55
+
+    # constant-sample_size form (sample_size != 0, no entry table):
+    # hand-patch a minimal stsz into the encoder's output shape
+    def box(typ, payload):
+        return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    stsz = box(b"stsz", struct.pack(">III", 0, 200, 4))
+    stbl = box(b"stbl", stsz + box(b"stco", struct.pack(">II", 0, 0)))
+    mdia = box(b"mdia", box(b"minf", stbl))
+    trak = box(b"trak", mdia)
+    moov = box(b"moov", trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    idx2 = parse_mp4_sample_index(ftyp + moov)
+    assert idx2 == [
+        {
+            "track_idx": 0,
+            "n_samples": 4,
+            "total_bytes": 800,
+            "max_bytes": 200,
+            "min_bytes": 200,
+        }
+    ]

@@ -165,3 +165,38 @@ def test_v04_ivf_recall_vs_brute_force(spark):
     assert recalls, "IVF returned no queries"
     mean_recall = sum(recalls.values()) / len(recalls)
     assert mean_recall >= 0.9, recalls
+
+
+def test_round6_audits_are_nonvacuous(spark):
+    """The round-6 audit/threshold queries must produce REAL signal
+    on the actual testdata, not trivially-empty or trivially-passing
+    results: the recall audit sees at least one imperfect query, the
+    constraint suite has a failing expectation, the anti join is a
+    non-empty proper subset, decontamination flags something, and
+    the triangle count finds at least one triangle."""
+    sf = "/root/testdata/sf0.01"
+
+    recall = REGISTRY["v11_ann_recall_audit"].fn(spark, sf).collect()
+    assert recall and any(r.recall < 1.0 for r in recall)
+    assert any(r.recall > 0.0 for r in recall)
+
+    dq = {
+        r.constraint_name: r
+        for r in REGISTRY["dq05_constraint_suite"].fn(spark, sf).collect()
+    }
+    assert dq["lineitem_tax_le_5pct"].n_violations > 0
+    assert dq["orders_key_unique"].n_violations == 0
+
+    anti = REGISTRY["j10_anti_join"].fn(spark, sf)
+    n_anti = anti.count()
+    from big_data_bowl_spark.sources.io import load_table
+    n_orders = load_table(spark, sf, "orders").count()
+    assert 0 < n_anti < n_orders
+
+    decon = REGISTRY["n19_benchmark_decontamination"].fn(spark, sf)
+    flags = decon.groupBy("contaminated").count().collect()
+    got = {r.contaminated: r['count'] for r in flags}
+    assert got.get(True, 0) > 0 and got.get(False, 0) > 0
+
+    tri = REGISTRY["g04_triangle_count"].fn(spark, sf).collect()
+    assert sum(r.n_triangles for r in tri) > 0
