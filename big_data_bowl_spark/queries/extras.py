@@ -2045,3 +2045,243 @@ def a16_cube_agg(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A17: Count-Min sketch — heavy-hitter counts from a fixed-size grid
+# ---------------------------------------------------------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 8    # buckets per row (small enough that collisions are real)
+
+
+def _cms_bucket_sql(tok_expr: str, r: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({tok_expr}), {r * 4 + 1}, 4)) "
+        f"AS BIGINT) % {CMS_W}"
+    )
+
+
+def _a17_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT tok, n, {r} AS r, {_cms_bucket_sql('tok', r)} AS b "
+        "FROM exact"
+        for r in range(CMS_D)
+    )
+    return f"""
+    WITH exact AS (
+      SELECT tok, COUNT(*) AS n FROM (
+        SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+          AS tok FROM documents)
+      GROUP BY tok),
+    hashed AS ({rows}),
+    cells AS (SELECT r, b, SUM(n) AS cell FROM hashed GROUP BY r, b),
+    est AS (
+      SELECT h.tok, MIN(c.cell) AS cms_est
+      FROM hashed h JOIN cells c ON h.r = c.r AND h.b = c.b
+      GROUP BY h.tok)
+    SELECT e.tok AS token, CAST(e.n AS BIGINT) AS exact_n,
+           CAST(s.cms_est AS BIGINT) AS cms_est,
+           s.cms_est >= e.n AS never_underestimates
+    FROM exact e JOIN est s ON e.tok = s.tok
+    """
+
+
+@register(
+    "a17_count_min_sketch",
+    oracle=_a17_oracle(),
+    note=f"A17 Count-Min sketch ({CMS_D} rows x {CMS_W} buckets): "
+    "corpus token frequencies estimated from a fixed "
+    f"{CMS_D * CMS_W}-cell grid — the mergeable heavy-hitter "
+    "structure streaming frequency caps and trending-term guards "
+    "use when the true key space doesn't fit memory. Like a15's "
+    "KMV (and unlike HLL), the sketch derives from public md5 "
+    "slices, so BOTH engines build the identical grid and the "
+    "estimates hash-match exactly; the CMS guarantee est >= exact "
+    "is emitted per key and must be universally true. Plan: exact "
+    "counts first (one token-explode agg — at true scale you'd "
+    "update cells directly map-side and skip exact), then the "
+    "vocab-sized count table expands x{CMS_D} into cells; "
+    "everything after the first agg is vocabulary-sized. Merge = "
+    "cell-wise addition — how a 1000-executor rollup combines "
+    "partial grids.",
+)
+def a17_count_min_sketch(spark: SparkSession, sf_dir: str):
+    from ..functions.text import tokenize
+
+    d = t(spark, sf_dir, "documents")
+    exact = (
+        d.select(F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    r_ids = F.array(*[F.lit(r) for r in range(CMS_D)])
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("tok")), F.col("r") * 4 + 1, 4),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_W
+    )
+    hashed = exact.select(
+        "tok", "n", F.explode(r_ids).alias("r")
+    ).select("tok", "n", "r", bucket.alias("b"))
+    cells = hashed.groupBy("r", "b").agg(F.sum("n").alias("cell"))
+    est = (
+        hashed.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("tok")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return exact.join(est, "tok").select(
+        F.col("tok").alias("token"),
+        F.col("n").alias("exact_n"),
+        F.col("cms_est"),
+        (F.col("cms_est") >= F.col("n")).alias("never_underestimates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A18: Bloom filter build + probe — the join-pruning structure, audited
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 512  # bits
+BLOOM_K = 3    # hash functions (md5 slices)
+
+
+def _bloom_pos_sql(key_expr: str, j: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), "
+        f"{j * 5 + 1}, 5)) AS BIGINT) % {BLOOM_M}"
+    )
+
+
+def _a18_oracle() -> str:
+    mem_pos = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql('p_partkey', j)} AS pos FROM members"
+        for j in range(BLOOM_K)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT p_partkey, {_bloom_pos_sql('p_partkey', j)} AS pos "
+        "FROM probe"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+    WITH members AS (
+      SELECT DISTINCT l_partkey AS p_partkey FROM lineitem
+      WHERE l_quantity = 1 AND l_discount > 0.09),
+    probe AS (SELECT p_partkey FROM part),
+    bits AS (SELECT DISTINCT pos FROM ({mem_pos})),
+    pp AS ({probe_pos}),
+    hits AS (
+      SELECT p.p_partkey,
+             COUNT(b.pos) = {BLOOM_K} AS bloom_positive
+      FROM pp p LEFT JOIN bits b ON p.pos = b.pos
+      GROUP BY p.p_partkey),
+    truth AS (
+      SELECT h.p_partkey, h.bloom_positive,
+             m.p_partkey IS NOT NULL AS is_member
+      FROM hits h LEFT JOIN members m ON h.p_partkey = m.p_partkey)
+    SELECT CAST(SUM(CAST(is_member AS INT)) AS BIGINT) AS n_members,
+           COUNT(*) AS n_probes,
+           CAST(SUM(CAST(bloom_positive AND NOT is_member AS INT))
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CAST(NOT bloom_positive AND is_member AS INT))
+                AS BIGINT) AS n_false_neg,
+           CAST(SUM(CAST(bloom_positive AND NOT is_member AS INT))
+                AS DOUBLE)
+             / (COUNT(*) - SUM(CAST(is_member AS INT))) AS fp_rate
+    FROM truth
+    """
+
+
+@register(
+    "a18_bloom_filter_audit",
+    oracle=_a18_oracle(),
+    note=f"A18 Bloom filter ({BLOOM_M} bits, {BLOOM_K} md5-slice "
+    "hashes) built over a selective part-key set (single-quantity, "
+    "high-discount lines) and probed with "
+    "the whole part dim — the join-pruning structure Spark's own "
+    "runtime bloom pruning injects on selective joins, here built "
+    "AS data so its guarantees are auditable: false negatives must "
+    "be exactly 0 (the Bloom contract — pruning a true member "
+    "would drop rows), and the measured false-positive rate is the "
+    "price of the m/k sizing (~(1-e^(-kn/m))^k). Everything "
+    "derives from md5 slices, so both engines build the identical "
+    "bit set and the audit hash-matches exactly. Plan: the bit set "
+    "is <= m rows (broadcast); probes expand x{BLOOM_K} narrowly "
+    "and re-group per key — at 100 TB the filter rides the same "
+    "broadcast slot a runtime bloom does, and the probe side stays "
+    "one scan.",
+)
+def a18_bloom_filter_audit(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    members = (
+        li.filter((F.col("l_quantity") == 1) & (F.col("l_discount") > 0.09))
+        .select(F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+
+    j_ids = F.array(*[F.lit(j) for j in range(BLOOM_K)])
+    pos_j = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("p_partkey").cast("string")),
+                F.col("j") * 5 + 1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % BLOOM_M
+    )
+    bits = (
+        members.select(F.explode(j_ids).alias("j"), "p_partkey")
+        .select(pos_j.alias("pos"))
+        .distinct()
+    )
+    pp = part.select("p_partkey", F.explode(j_ids).alias("j")).select(
+        "p_partkey", pos_j.alias("pos")
+    )
+    hits = (
+        pp.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("p_partkey")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    probed = (
+        part.select("p_partkey")
+        .join(hits, "p_partkey", "left")
+        .select(
+            "p_partkey",
+            (F.coalesce("n_hit", F.lit(0)) == BLOOM_K).alias(
+                "bloom_positive"
+            ),
+        )
+    )
+    truth = probed.join(
+        members.withColumn("is_member", F.lit(True)),
+        "p_partkey",
+        "left",
+    ).select(
+        "bloom_positive",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    n_mem = F.sum(F.col("is_member").cast("int"))
+    n_fp = F.sum(
+        (F.col("bloom_positive") & ~F.col("is_member")).cast("int")
+    )
+    return truth.agg(
+        n_mem.cast("long").alias("n_members"),
+        F.count(F.lit(1)).alias("n_probes"),
+        n_fp.cast("long").alias("n_false_pos"),
+        F.sum(
+            (~F.col("bloom_positive") & F.col("is_member")).cast("int")
+        )
+        .cast("long")
+        .alias("n_false_neg"),
+        (
+            n_fp.cast("double")
+            / (F.count(F.lit(1)) - n_mem)
+        ).alias("fp_rate"),
+    )

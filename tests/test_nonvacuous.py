@@ -200,3 +200,22 @@ def test_round6_audits_are_nonvacuous(spark):
 
     tri = REGISTRY["g04_triangle_count"].fn(spark, sf).collect()
     assert sum(r.n_triangles for r in tri) > 0
+
+
+def test_sketches_show_real_behavior(spark):
+    """a17's Count-Min must actually collide (some over-estimates)
+    while never under-estimating; a18's Bloom filter must show a
+    positive false-positive rate with ZERO false negatives (the
+    structural guarantee join pruning depends on)."""
+    sf = "/root/testdata/sf0.01"
+
+    cms = REGISTRY["a17_count_min_sketch"].fn(spark, sf).collect()
+    assert cms
+    assert all(r.never_underestimates for r in cms)
+    assert any(r.cms_est > r.exact_n for r in cms)
+
+    bloom = REGISTRY["a18_bloom_filter_audit"].fn(spark, sf).collect()[0]
+    assert bloom.n_false_neg == 0
+    assert bloom.n_false_pos > 0
+    assert 0.0 < bloom.fp_rate < 0.5
+    assert 0 < bloom.n_members < bloom.n_probes
