@@ -2285,3 +2285,75 @@ def a18_bloom_filter_audit(spark: SparkSession, sf_dir: str):
             / (F.count(F.lit(1)) - n_mem)
         ).alias("fp_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A19: t-digest quantile sketch, invariant-audited (the a10 pattern)
+# ---------------------------------------------------------------------------
+
+TDIGEST_PS = [0.25, 0.5, 0.75]
+TDIGEST_RTOL = 0.02  # within 2% relative of the exact quantile
+
+
+def _a19_oracle() -> str:
+    exacts = ", ".join(
+        f"floor(quantile_cont(l_extendedprice, {p}) * 1e9 + 0.5) / 1e9 "
+        f"AS p{int(p * 100)}_exact"
+        for p in TDIGEST_PS
+    )
+    oks = ", ".join(
+        f"TRUE AS p{int(p * 100)}_within" for p in TDIGEST_PS
+    )
+    return f"""
+    SELECT l_returnflag, {exacts}, {oks}
+    FROM lineitem GROUP BY l_returnflag
+    """
+
+
+@register(
+    "a19_tdigest_quantiles",
+    oracle=_a19_oracle(),
+    note=f"A19 approximate quantiles via percentile_approx (Spark's "
+    "mergeable quantile sketch — bounded-memory map-side partials, "
+    "the documented huge-group fallback from a09's exact "
+    "percentile): the sketch internals are engine-private, so this "
+    "follows the a10 invariant pattern — both engines emit the "
+    "EXACT quantiles (a09 proved cross-engine percentile parity) "
+    "and Spark additionally asserts its t-digest estimate lands "
+    f"within {TDIGEST_RTOL:.0%} relative of each exact value, "
+    "reported as per-quantile booleans the oracle pins to literal "
+    "TRUE. A t-digest drift (accuracy regression, skewed-merge "
+    "bug) flips a boolean and fails the value hash. Completes the "
+    "sketch quartet: KMV (a15, distinct), CMS (a17, frequency), "
+    "Bloom (a18, membership), t-digest (a19, quantiles).",
+)
+def a19_tdigest_quantiles(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    aggs = []
+    for p in TDIGEST_PS:
+        tag = f"p{int(p * 100)}"
+        aggs.append(
+            rhu(F.expr(f"percentile(l_extendedprice, {p})"), 9).alias(
+                f"{tag}_exact"
+            )
+        )
+        aggs.append(
+            F.expr(
+                f"percentile_approx(l_extendedprice, {p}, 1000)"
+            ).alias(f"{tag}_approx")
+        )
+    g = li.groupBy("l_returnflag").agg(*aggs)
+    cols = ["l_returnflag"]
+    for p in TDIGEST_PS:
+        tag = f"p{int(p * 100)}"
+        cols.append(f"{tag}_exact")
+    out = [F.col(c) for c in cols]
+    for p in TDIGEST_PS:
+        tag = f"p{int(p * 100)}"
+        out.append(
+            (
+                F.abs(F.col(f"{tag}_approx") - F.col(f"{tag}_exact"))
+                <= TDIGEST_RTOL * F.abs(F.col(f"{tag}_exact"))
+            ).alias(f"{tag}_within")
+        )
+    return g.select(*out)
