@@ -180,3 +180,52 @@ def test_s11_orc_scan_pushes_filters_and_prunes(spark):
     assert "PushedFilters: [" in scan
     assert "GreaterThan(n_items,100)" in scan
     assert "sum_price" not in head  # pruned from ReadSchema
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark):
+    """The session's AQE config must actually SPLIT a skewed join
+    partition at runtime — the mechanism SCALE.md leans on for
+    residual skew that salting (a08/s10) doesn't cover. Thresholds
+    are lowered so local-scale data exhibits cluster-scale skew; the
+    final adaptive plan must carry a skew=true sort-merge join and
+    still produce exact results."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # 98% of left rows share key 0 -> one monster partition
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 50 != 0, 0)
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 5_000).select(
+            F.col("id").alias("k"), F.lit("r").alias("v")
+        )
+        j = left.join(right.hint("merge"), "k").select(
+            F.length("pad").alias("n")
+        )
+        rows = len(j._jdf.queryExecution().executedPlan().executeCollect())
+        # k=0 rows (392,000 via id%50!=0, plus id=0) all match right's
+        # key 0; of the 7,999 distinct nonzero keys (50,100,...) only
+        # the 99 below 5,000 exist in right -> 392,001 + 99
+        assert rows == 392_100
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
