@@ -438,3 +438,89 @@ def g04_triangle_count(spark: SparkSession, sf_dir: str):
         n_tri.alias("n_triangles"),
         coef.alias("clustering_coef"),
     )
+
+
+# ---------------------------------------------------------------------------
+# G5: k-core decomposition (iterative peeling)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 4  # both engines unroll identically; convergence pinned
+                  # by pytest (one extra round changes nothing)
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"WITH cand AS ({_D02_ORACLE})",
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM cand "
+        "UNION SELECT doc_b, doc_a FROM cand)",
+        "n0 AS (SELECT DISTINCT u AS node FROM sym)",
+    ]
+    for i in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"d{i} AS (SELECT s.u AS node, COUNT(*) AS deg FROM sym s "
+            f"JOIN n{i - 1} a ON s.u = a.node "
+            f"JOIN n{i - 1} b ON s.v = b.node "
+            "GROUP BY s.u)"
+        )
+        parts.append(
+            f"n{i} AS (SELECT node FROM d{i} WHERE deg >= {KCORE_K})"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT d.node AS doc_id, d.deg AS core_deg "
+        f"FROM d{KCORE_ROUNDS} d JOIN n{KCORE_ROUNDS} n "
+        "ON d.node = n.node"
+    )
+
+
+@register(
+    "g05_kcore",
+    oracle=_kcore_oracle(),
+    note=f"G5 k-core decomposition (k={KCORE_K}, {KCORE_ROUNDS} peel "
+    "rounds): repeatedly remove nodes of degree < k until the "
+    "residual graph is stable — the density filter that separates "
+    "genuine duplicate CLUSTERS from chains of borderline pairs "
+    "(a 2-core survivor has at least two independent similarity "
+    "witnesses; pendant nodes hanging off one edge are peeled). "
+    "The fourth instantiation of the edges-partitioned-once loop "
+    "(g01 sum, g02 majority, g03 normalize, g05 PEEL): each round "
+    "is one degree aggregation + one semi-restriction, shuffling "
+    "only node-sized tables; the edge table builds and checkpoints "
+    "once. Both engines unroll the same fixed round count so the "
+    "oracle matches even mid-convergence; pytest proves the real "
+    "graph converges within the unroll (round R+1 == round R).",
+)
+def g05_kcore(spark: SparkSession, sf_dir: str):
+    pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .repartition("u")
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        alive = nodes.select(F.col("node"))
+        deg = (
+            sym.join(alive, sym["u"] == alive["node"], "left_semi")
+            .join(
+                alive.select(F.col("node").alias("vnode")),
+                sym["v"] == F.col("vnode"),
+                "left_semi",
+            )
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nodes = (
+            deg.filter(F.col("deg") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint()
+        )
+    return deg.join(
+        nodes, deg["u"] == nodes["node"], "left_semi"
+    ).select(F.col("u").alias("doc_id"), F.col("deg").alias("core_deg"))

@@ -1071,3 +1071,59 @@ def test_d09_merge_dispatch_planted(spark, tmp_path):
         2: ("update", 25.0),
         3: ("insert", 30.0),
     }
+
+
+def test_g05_kcore_converges_within_unroll(spark, sf_dir, tmp_path):
+    """The fixed unroll must be PAST convergence on the real graph
+    (an extra peel round changes nothing), and on a planted
+    triangle+pendant graph the pendant chain peels away while the
+    triangle survives as the 2-core."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.graph import KCORE_ROUNDS
+
+    rows = {
+        (r.doc_id, r.core_deg)
+        for r in REGISTRY["g05_kcore"].fn(spark, sf_dir).collect()
+    }
+    # one more round over the SAME graph must be a fixed point
+    import big_data_bowl_spark.queries.graph as g
+
+    orig = g.KCORE_ROUNDS
+    try:
+        g.KCORE_ROUNDS = KCORE_ROUNDS + 1
+        rows_plus = {
+            (r.doc_id, r.core_deg)
+            for r in g.g05_kcore(spark, sf_dir).collect()
+        }
+    finally:
+        g.KCORE_ROUNDS = orig
+    assert rows == rows_plus
+
+    dup = ("the broadcast hash join keeps the dimension side resident "
+           "while probe rows stream through every executor core")
+    texts = {0: dup, 1: dup, 2: dup,       # triangle (2-core)
+             3: dup + " extra trailing words here",  # may edge weakly
+             10: "completely different text about rivers and maps"}
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    core = {
+        r.doc_id: r.core_deg
+        for r in REGISTRY["g05_kcore"].fn(spark, str(tmp_path)).collect()
+    }
+    assert {0, 1, 2} <= set(core)
+    assert all(core[i] >= 2 for i in (0, 1, 2))
+    assert 10 not in core
