@@ -2357,3 +2357,64 @@ def a19_tdigest_quantiles(spark: SparkSession, sf_dir: str):
             ).alias(f"{tag}_within")
         )
     return g.select(*out)
+
+
+# ---------------------------------------------------------------------------
+# F13: winsorization — percentile clamping for robust feature prep
+# ---------------------------------------------------------------------------
+
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+@register(
+    "f13_winsorize",
+    oracle=f"""
+    WITH b AS (
+      SELECT floor(quantile_cont(l_extendedprice, {WINSOR_LO})
+                   * 1e9 + 0.5) / 1e9 AS lo,
+             floor(quantile_cont(l_extendedprice, {WINSOR_HI})
+                   * 1e9 + 0.5) / 1e9 AS hi
+      FROM lineitem)
+    SELECT l_orderkey, l_linenumber, l_extendedprice AS raw_price,
+           least(greatest(l_extendedprice, b.lo), b.hi) AS price_w,
+           (l_extendedprice < b.lo OR l_extendedprice > b.hi)
+             AS clipped
+    FROM lineitem CROSS JOIN b
+    """,
+    note=f"F13 winsorization: clamp a numeric feature at its "
+    f"[p{int(WINSOR_LO * 100)}, p{int(WINSOR_HI * 100)}] percentiles "
+    "— the robust-scaling step feature pipelines run so a handful "
+    "of outliers can't dominate gradient scales or quantile-bucket "
+    "edges (m00's feature table is the consumer). Two phases, both "
+    "scan-shaped: ONE percentile aggregate produces a 1-row bounds "
+    "table that broadcasts onto the second scan as a cross join — "
+    "the same scalar-broadcast shape as g03's normalization totals; "
+    "no row ever shuffles. Exact percentile parity comes from a09 "
+    "(percentile == quantile_cont, 9-dp rounded); the clamp itself "
+    "is order-free min/max so every output value is bit-exact "
+    "cross-engine. At 100 TB swap the exact percentile for a19's "
+    "t-digest and keep the identical plan.",
+)
+def f13_winsorize(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        rhu(
+            F.expr(f"percentile(l_extendedprice, {WINSOR_LO})"), 9
+        ).alias("lo"),
+        rhu(
+            F.expr(f"percentile(l_extendedprice, {WINSOR_HI})"), 9
+        ).alias("hi"),
+    )
+    return li.crossJoin(F.broadcast(bounds)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("raw_price"),
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("lo")),
+            F.col("hi"),
+        ).alias("price_w"),
+        (
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi"))
+        ).alias("clipped"),
+    )

@@ -1142,3 +1142,97 @@ def d09_merge_upsert(spark: SparkSession, sf_dir: str):
     return merged.filter(
         ~((F.col("op") != "keep") & (F.col("c_value") < TOMBSTONE_BELOW))
     ).select("user_id", "event_type", "value", "last_seen", "op")
+
+
+@register(
+    "d10_incremental_agg_maintenance",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id, COUNT(*) AS n,
+             {dsum_sql('value')} AS s
+      FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}'
+      GROUP BY user_id),
+    delta AS (
+      SELECT user_id, COUNT(*) AS n,
+             {dsum_sql('value')} AS s
+      FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}'
+      GROUP BY user_id),
+    merged AS (
+      SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+             COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n_events,
+             CAST(COALESCE(CAST(b.s AS DECIMAL(28,2)), 0)
+                  + COALESCE(CAST(d.s AS DECIMAL(28,2)), 0)
+                  AS DOUBLE) AS sum_value,
+             d.user_id IS NOT NULL AS touched_by_delta
+      FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id)
+    SELECT m.user_id, m.n_events, m.sum_value, m.touched_by_delta,
+           (m.n_events = f.n AND m.sum_value = f.s) AS matches_full
+    FROM merged m
+    JOIN (SELECT user_id, COUNT(*) AS n, {dsum_sql('value')} AS s
+          FROM events GROUP BY user_id) f
+      ON m.user_id = f.user_id
+    """,
+    note="D10 incremental aggregate maintenance (materialized-view "
+    "refresh): a per-user count/sum aggregate materialized before "
+    "the cutoff is UPDATED from the post-cutoff delta alone — one "
+    "co-partitioned full-outer merge of two partial aggregates, "
+    "never a rescan of history. This is the contract that makes "
+    "100 TB dashboards affordable: the nightly delta is GB-sized "
+    "while the base is TB-sized, and because count/decimal-sum are "
+    "mergeable (commutative monoids — the same property the "
+    "map-side combine and the sketch family lean on), base ⊕ delta "
+    "is EXACTLY the full recompute. The query proves it: "
+    "matches_full compares the merged result against a from-scratch "
+    "aggregation row-by-row and must be universally true — decimal "
+    "addition order-independence is what makes the doubles "
+    "bit-equal, not approximately equal. All three aggs key on "
+    "user_id, so the merge join inherits co-partitioning.",
+)
+def d10_incremental_agg_maintenance(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("s"),
+        )
+
+    base = agg(ev.filter(F.col("ts") < cutoff))
+    delta = agg(ev.filter(F.col("ts") >= cutoff)).select(
+        F.col("user_id").alias("d_user_id"),
+        F.col("n").alias("d_n"),
+        F.col("s").alias("d_s"),
+    )
+    merged = base.join(
+        delta, base["user_id"] == delta["d_user_id"], "full_outer"
+    ).select(
+        F.coalesce("user_id", "d_user_id").alias("user_id"),
+        (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+            "n_events"
+        ),
+        (
+            F.coalesce(F.col("s").cast("decimal(28,2)"), F.lit(0))
+            + F.coalesce(F.col("d_s").cast("decimal(28,2)"), F.lit(0))
+        )
+        .cast("double")
+        .alias("sum_value"),
+        F.col("d_user_id").isNotNull().alias("touched_by_delta"),
+    )
+    full = agg(ev).select(
+        F.col("user_id").alias("f_user_id"),
+        F.col("n").alias("f_n"),
+        F.col("s").alias("f_s"),
+    )
+    return merged.join(
+        full, merged["user_id"] == full["f_user_id"]
+    ).select(
+        "user_id",
+        "n_events",
+        "sum_value",
+        "touched_by_delta",
+        (
+            (F.col("n_events") == F.col("f_n"))
+            & (F.col("sum_value") == F.col("f_s"))
+        ).alias("matches_full"),
+    )

@@ -1127,3 +1127,18 @@ def test_g05_kcore_converges_within_unroll(spark, sf_dir, tmp_path):
     assert {0, 1, 2} <= set(core)
     assert all(core[i] >= 2 for i in (0, 1, 2))
     assert 10 not in core
+
+
+def test_d10_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """base ⊕ delta must BIT-equal the full aggregation for every
+    user, and the delta must touch a proper subset of users (so the
+    merge path is genuinely exercised from both sides)."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    rows = REGISTRY["d10_incremental_agg_maintenance"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows
+    assert all(r.matches_full for r in rows)
+    touched = sum(1 for r in rows if r.touched_by_delta)
+    assert 0 < touched <= len(rows)
