@@ -1236,3 +1236,102 @@ def d10_incremental_agg_maintenance(spark: SparkSession, sf_dir: str):
             & (F.col("sum_value") == F.col("f_s"))
         ).alias("matches_full"),
     )
+
+
+CUSUM_K = 30.0   # slack per reading
+CUSUM_H = 250.0  # alarm threshold
+
+
+@register(
+    "t23_cusum_changepoint",
+    oracle=f"""
+    WITH RECURSIVE vals AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY {_TS}, event_id) AS i
+      FROM events),
+    tgt AS (
+      SELECT user_id, COUNT(*) AS n,
+             floor(({dsum_sql('value')} / COUNT(*)) * 1e9 + 0.5) / 1e9
+               AS target
+      FROM events GROUP BY user_id),
+    step(user_id, i, s, n_alarms, smax) AS (
+      SELECT user_id, 0, CAST(0 AS DOUBLE), 0, CAST(0 AS DOUBLE) FROM tgt
+      UNION ALL
+      SELECT st.user_id, st.i + 1,
+             greatest(CAST(0 AS DOUBLE), st.s + v.value - t.target - CAST({CUSUM_K!r} AS DOUBLE)),
+             st.n_alarms + CASE WHEN
+               greatest(CAST(0 AS DOUBLE), st.s + v.value - t.target - CAST({CUSUM_K!r} AS DOUBLE))
+                 > CAST({CUSUM_H!r} AS DOUBLE) THEN 1 ELSE 0 END,
+             greatest(st.smax,
+               greatest(CAST(0 AS DOUBLE), st.s + v.value - t.target - CAST({CUSUM_K!r} AS DOUBLE)))
+      FROM step st
+      JOIN tgt t ON t.user_id = st.user_id
+      JOIN vals v ON v.user_id = st.user_id AND v.i = st.i + 1)
+    SELECT s.user_id, t.n AS n_events, s.n_alarms,
+           floor(s.smax * 1e9 + 0.5) / 1e9 AS max_cusum,
+           s.n_alarms > 0 AS drifted
+    FROM step s JOIN tgt t ON s.user_id = t.user_id AND s.i = t.n
+    """,
+    note=f"T23 CUSUM change-point detection (k={CUSUM_K}, "
+    f"h={CUSUM_H}): the classic sequential drift monitor — per user, "
+    "the one-sided cumulative sum s_i = max(0, s_(i-1) + x_i - "
+    "target - k) accumulates only sustained upward excursions from "
+    "the user's own mean and alarms when it crosses h; single "
+    "outliers decay, sustained shifts compound (what a telemetry "
+    "pipeline runs to catch level shifts dq03's distribution-level "
+    "PSI can't localize). Order-SENSITIVE by definition, so it uses "
+    "the t17 contract: one shuffle groups each user's readings, the "
+    "fold runs element-by-element over the (ts, event_id)-sorted "
+    "array with a STRUCT accumulator (state, alarm count, running "
+    "max) — Spark aggregate() and DuckDB's recursive-CTE step "
+    "execute the identical IEEE sequence, so only the final value "
+    "rounds. Bounded-group contract documented (a09/a13/t17 "
+    "family); the unbounded-stream form is a t16-style stateful "
+    "fold.",
+)
+def t23_cusum_changepoint(spark: SparkSession, sf_dir: str):
+    from ..functions.rounding import rhu
+
+    ev = t(spark, sf_dir, "events")
+    xs = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "value"))
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rhu(
+            dsum(F.col("value")) / F.count(F.lit(1)).cast("double"), 9
+        ).alias("target"),
+        xs.alias("xs"),
+    )
+
+    def step(acc, x):
+        s_new = F.greatest(
+            F.lit(0.0),
+            acc.getField("s")
+            + x.getField("value")
+            - F.col("target")
+            - F.lit(CUSUM_K),
+        )
+        return F.struct(
+            s_new.alias("s"),
+            (
+                acc.getField("na")
+                + F.when(s_new > CUSUM_H, 1).otherwise(0)
+            ).alias("na"),
+            F.greatest(acc.getField("smax"), s_new).alias("smax"),
+        )
+
+    zero = F.struct(
+        F.lit(0.0).alias("s"),
+        F.lit(0).alias("na"),
+        F.lit(0.0).alias("smax"),
+    )
+    fold = F.aggregate(F.col("xs"), zero, step)
+    return g.select(
+        "user_id",
+        "n_events",
+        fold.getField("na").alias("n_alarms"),
+        rhu(fold.getField("smax"), 9).alias("max_cusum"),
+        (fold.getField("na") > 0).alias("drifted"),
+    )

@@ -1142,3 +1142,70 @@ def test_d10_incremental_merge_equals_full_recompute(spark, sf_dir):
     assert all(r.matches_full for r in rows)
     touched = sum(1 for r in rows if r.touched_by_delta)
     assert 0 < touched <= len(rows)
+
+
+def test_t23_cusum_detects_level_shift_not_outlier(spark, tmp_path):
+    """CUSUM semantics on planted series: a sustained level shift
+    compounds past the threshold and alarms; an equal-magnitude
+    SINGLE outlier decays back without alarming; a flat series never
+    accumulates. Both drift states must also occur on the real
+    testdata (non-vacuous)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: flat at 50
+    for i in range(40):
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 1, "m", 50.0))
+        eid += 1
+    # user 2: 50 for 20 readings, then shifts to 150 (level shift)
+    for i in range(40):
+        v = 50.0 if i < 20 else 150.0
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 2, "m", v))
+        eid += 1
+    # user 3: flat at 50 with ONE moderate outlier (sub-threshold)
+    for i in range(40):
+        v = 330.0 if i == 10 else 50.0
+        rows.append((eid, t0 + dt.timedelta(minutes=i), 3, "m", v))
+        eid += 1
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows]),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    got = {
+        r.user_id: r
+        for r in REGISTRY["t23_cusum_changepoint"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert not got[1].drifted and got[1].max_cusum == 0.0
+    # user 2: after the shift, each reading adds (150-100)-30 = +20
+    # over its own mean -> compounds past h=250 -> alarms
+    assert got[2].drifted and got[2].n_alarms > 0
+    # user 3: mean = 57.5; the single spike adds ~242 (< h=250) and
+    # then drains at ~-37.5 per flat reading — a lone outlier never
+    # alarms, which is exactly what separates CUSUM from a simple
+    # per-reading threshold
+    assert not got[3].drifted and got[3].n_alarms == 0
+    assert got[3].max_cusum > 0.0
+
+    real = REGISTRY["t23_cusum_changepoint"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    states = {r.drifted for r in real}
+    assert states == {True, False}
