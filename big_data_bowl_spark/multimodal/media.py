@@ -1201,9 +1201,13 @@ def parse_mp4_sample_index(payload: bytes) -> list:
     def children(buf: bytes, start: int, end: int):
         off = start
         while off < end:
+            if off + 8 > end:
+                raise ValueError("truncated ISO BMFF box header")
             size, typ = struct.unpack_from(">I4s", buf, off)
             hdr = 8
             if size == 1:
+                if off + 16 > end:
+                    raise ValueError("truncated largesize box header")
                 size = struct.unpack_from(">Q", buf, off + 8)[0]
                 hdr = 16
             elif size == 0:

@@ -1344,6 +1344,9 @@ def v10_ivfpq_topk(spark: SparkSession, sf_dir: str):
 
     # per-query ADC lookup table: N_QUERIES * PQ_M * PQ_K rows — tiny
     # by construction, broadcast to every candidate scorer
+    # d2 is an unbound Column over (sv, ckv) — the SAME expression
+    # that assigned the codes scores the query subvectors here, so
+    # the distance identity can never diverge between the two paths
     lut = (
         subs.filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "m", "sv")
@@ -1352,11 +1355,7 @@ def v10_ivfpq_topk(spark: SparkSession, sf_dir: str):
             "query_id",
             "m",
             F.col("ccid").alias("cid"),
-            (
-                _dot(F.col("sv"), F.col("sv"))
-                - 2 * _dot(F.col("sv"), F.col("ckv"))
-                + _dot(F.col("ckv"), F.col("ckv"))
-            ).alias("qd2"),
+            d2.alias("qd2"),
         )
     )
     adc = (
@@ -1458,8 +1457,12 @@ _KMV_U = "CAST(('0x' || h) AS BIGINT) / CAST(16 AS DOUBLE) ** 13"
     "rank never converts more than the single k-th hash.",
 )
 def a15_kmv_distinct_sketch(spark: SparkSession, sf_dir: str):
+    # one distinct on (event_type, hash) directly: md5 is a pure
+    # function of user_id, so pre-distincting on (event_type,
+    # user_id) first would just add a second corpus-sized shuffle
+    # for the identical result set
     ev = t(spark, sf_dir, "events").select("event_type", "user_id")
-    hd = ev.distinct().select(
+    hd = ev.select(
         "event_type",
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 13).alias(
             "h"
@@ -1835,7 +1838,16 @@ def u04_python_udtf(spark: SparkSession, sf_dir: str):
     @udtf(returnType="chunk_idx bigint, n_tokens bigint, chunk_text string")
     class ChunkDoc:
         def eval(self, text: str):
-            toks = text.lower().strip().split()
+            # EXACT replica of the engine tokenize() / oracle
+            # spelling: trim strips SPACES only (Spark trim ==
+            # DuckDB trim), and \s+ splitting keeps empty edge
+            # tokens from non-space edge whitespace — a Python
+            # .strip().split() here silently diverges on docs with
+            # leading/trailing newlines (and on empty text, where
+            # both engines tokenize to ['']).
+            import re
+
+            toks = re.split(r"\s+", text.lower().strip(" "))
             for i in range(0, max(len(toks), 1), UDTF_CHUNK):
                 c = toks[i : i + UDTF_CHUNK]
                 yield (i // UDTF_CHUNK, len(c), " ".join(c))
@@ -1919,12 +1931,15 @@ def _e05_oracle() -> str:
     "— the storage row the serving tier reads; (3) IVF cell "
     "assignment against the broadcast coarse codebook (v04); (4) "
     "deterministic md5 shard for the writer (s08). Scale: the only "
-    "corpus-sized exchanges are the SRP bucket groupBy and the CC "
-    "rounds (both bucketed/node-sized); centroids and the cluster- "
-    "size table ride broadcasts; everything downstream of keep-one "
-    "is keyed on vec_id, so dedup -> quantize -> assign -> shard "
-    "chains without re-partitioning. One new query, zero new "
-    "operators — the composition IS the test.",
+    "corpus-sized exchanges are the SRP bucket groupBy, the CC "
+    "rounds (both bucketed/node-sized) and the cluster-size attach "
+    "— which is corpus-cardinality (one row per component) and "
+    "therefore a co-partitioned shuffle join on canonical_id, NOT "
+    "a broadcast; only the genuinely bounded centroid codebook "
+    "broadcasts. Everything downstream of keep-one is keyed on "
+    "vec_id, so dedup -> quantize -> assign -> shard chains "
+    "without re-partitioning. One new query, zero new operators — "
+    "the composition IS the test.",
 )
 def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
     from ..operators.components import connected_components
@@ -1945,9 +1960,12 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
     members = canon.groupBy("canonical_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
+    # members has one row per component — CORPUS-sized on a mostly
+    # duplicate-free corpus, so it must NOT broadcast; both sides key
+    # on canonical_id, so this is a co-partitioned shuffle join
     keep = canon.filter(
         F.col("vec_id") == F.col("canonical_id")
-    ).join(F.broadcast(members), "canonical_id")
+    ).join(members, "canonical_id")
 
     cent = e.filter(F.col("vec_id") < NLIST).select(
         F.col("vec_id").alias("cid"), vec.alias("kv")

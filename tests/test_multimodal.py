@@ -500,3 +500,20 @@ def test_mp4_sample_index_roundtrip_and_forms():
             "min_bytes": 200,
         }
     ]
+
+
+def test_mp4_sample_index_truncated_raises_valueerror():
+    """Truncated containers must fail with the documented ValueError
+    (matching parse_mp4_metadata's contract), never a raw
+    struct.error from an out-of-bounds header read."""
+    import pytest
+
+    from big_data_bowl_spark.multimodal.media import (
+        encode_mp4_container,
+        parse_mp4_sample_index,
+    )
+
+    p = encode_mp4_container(1000, n_tracks=1, sample_sizes=[[10, 20]])
+    for cut in (3, 11, len(p) - 3):
+        with pytest.raises(ValueError):
+            parse_mp4_sample_index(p[:cut] if cut < 12 else p[:-3])

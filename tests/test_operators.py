@@ -1209,3 +1209,45 @@ def test_t23_cusum_detects_level_shift_not_outlier(spark, tmp_path):
     ).collect()
     states = {r.drifted for r in real}
     assert states == {True, False}
+
+
+def test_u04_udtf_matches_oracle_on_edge_whitespace(spark, tmp_path):
+    """The UDTF's Python tokenization must replicate the ORACLE
+    spelling exactly on the cases where .strip().split() diverges:
+    non-space edge whitespace (trim strips spaces ONLY, \\s+ split
+    keeps empty edge tokens) and empty text (both engines tokenize
+    to [''])."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    texts = {0: "\nhello world\n", 1: "", 2: "  padded  ", 3: "plain"}
+    ids = sorted(texts)
+    path = str(tmp_path / "documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        path,
+    )
+    q = REGISTRY["u04_python_udtf"]
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens, r.chunk_text)
+        for r in q.fn(spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert got == want
+    # the divergence cases actually exercise: doc 0 has empty edge
+    # tokens, doc 1 tokenizes to one empty token
+    assert (0, 0, 4, " hello world ") in got
+    assert (1, 0, 1, "") in got
