@@ -548,3 +548,90 @@ def m08_roc_auc(spark: SparkSession, sf_dir: str):
             9,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M9: feature hashing (the hashing trick) — fixed-dim categorical encoding
+# ---------------------------------------------------------------------------
+
+FH_DIM = 8
+
+
+def _fh_sql(fname: str, fval_expr: str) -> str:
+    """(index, sign) of one hashed feature: md5 of 'name=value', first
+    4 hex chars mod D for the bucket, 14th hex char's low range for
+    the sign (independent digest slices, minhash precedent)."""
+    digest = f"md5('{fname}=' || {fval_expr})"
+    return (
+        f"SELECT o_orderkey, "
+        f"CAST(('0x' || substr({digest}, 1, 4)) AS BIGINT) % {FH_DIM} "
+        f"AS idx, "
+        f"CASE WHEN substr({digest}, 14, 1) < '8' THEN 1 ELSE -1 END "
+        f"AS sgn FROM orders"
+    )
+
+
+def _m09_oracle() -> str:
+    feats = " UNION ALL ".join(
+        [
+            _fh_sql("priority", "o_orderpriority"),
+            _fh_sql("status", "o_orderstatus"),
+            _fh_sql("cust", "CAST(o_custkey AS VARCHAR)"),
+        ]
+    )
+    cols = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN idx = {d} THEN sgn END), 0) "
+        f"AS BIGINT) AS h{d}"
+        for d in range(FH_DIM)
+    )
+    return f"WITH f AS ({feats}) SELECT o_orderkey, {cols} FROM f GROUP BY o_orderkey"
+
+
+@register(
+    "m09_feature_hashing",
+    oracle=_m09_oracle(),
+    note=f"M9 feature hashing (the hashing trick): categorical "
+    f"features — including the HIGH-cardinality customer key, the "
+    "case one-hot/StringIndexer cannot handle without an unbounded "
+    f"vocabulary — map into a fixed {FH_DIM}-dim signed vector via "
+    "md5(name=value): bucket from one digest slice, ±1 sign from "
+    "another (the sign trick keeps collision noise zero-mean, "
+    "Weinberger et al. 2009). No fitted dictionary, no vocabulary "
+    "shuffle, no train/serve skew: the encoding is a pure row-local "
+    "function, so train and inference compute it independently and "
+    "identically — THE property that makes it the default encoder "
+    "for web-scale sparse models. Plan: 3 narrow per-row hash "
+    "projections union'd, one groupBy(o_orderkey) conditional "
+    "aggregation (map-side combined); everything integer and "
+    "md5-derived, so the vectors hash-match the oracle exactly.",
+)
+def m09_feature_hashing(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders")
+
+    def feat(fname, col):
+        digest = F.md5(F.concat(F.lit(f"{fname}="), col))
+        idx = (
+            F.conv(F.substring(digest, 1, 4), 16, 10).cast("bigint")
+            % FH_DIM
+        )
+        sgn = F.when(F.substring(digest, 14, 1) < "8", 1).otherwise(-1)
+        return o.select(
+            "o_orderkey", idx.alias("idx"), sgn.alias("sgn")
+        )
+
+    f = (
+        feat("priority", F.col("o_orderpriority"))
+        .unionByName(feat("status", F.col("o_orderstatus")))
+        .unionByName(feat("cust", F.col("o_custkey").cast("string")))
+    )
+    return f.groupBy("o_orderkey").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("idx") == d, F.col("sgn"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"h{d}")
+            for d in range(FH_DIM)
+        ]
+    )

@@ -258,3 +258,37 @@ def test_m08_auc_separates_planted_signal(spark, tmp_path):
     got = REGISTRY["m08_roc_auc"].fn(spark, str(tmp_path)).collect()[0]
     assert got.n_pos == 30 and got.n_neg == 60
     assert got.auc > 0.95  # 0.08+ discounts outrank 0.00-0.02 ones
+
+
+def test_m09_feature_hashing_row_local_and_conserves_mass(spark):
+    """Every order deposits exactly 3 signed units (sum of |h_d| <= 3
+    with odd signed total — collisions cancel in pairs), and the
+    encoding is row-LOCAL: hashing a 1-row slice of the table yields
+    the same vector as the full run — the no-train/serve-skew
+    property that makes the hashing trick deployable."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["m09_feature_hashing"].fn(spark, sf).collect()
+    assert rows
+    dims = [c for c in rows[0].asDict() if c.startswith("h")]
+    for r in rows[:200]:
+        vec = [r[d] for d in dims]
+        assert sum(abs(v) for v in vec) <= 3
+        assert sum(vec) % 2 == 1
+
+    import tempfile
+
+    from big_data_bowl_spark.sources.io import load_table
+
+    one = load_table(spark, sf, "orders").limit(1)
+    key = one.collect()[0].o_orderkey
+    with tempfile.TemporaryDirectory() as td:
+        one.write.parquet(f"{td}/orders.parquet")
+        solo = REGISTRY["m09_feature_hashing"].fn(spark, td).collect()
+    assert len(solo) == 1
+    full = next(r for r in rows if r.o_orderkey == key)
+    assert [solo[0][d] for d in dims] == [full[d] for d in dims]
