@@ -1335,3 +1335,72 @@ def t23_cusum_changepoint(spark: SparkSession, sf_dir: str):
         rhu(fold.getField("smax"), 9).alias("max_cusum"),
         (fold.getField("na") > 0).alias("drifted"),
     )
+
+
+@register(
+    "e06_streaming_pipeline",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, event_type,
+             time_bucket(INTERVAL '1 hour', {_TS}) AS hr
+      FROM events WHERE value > 5.0),
+    kept AS (SELECT DISTINCT user_id, event_type, hr FROM f),
+    agg AS (
+      SELECT time_bucket(INTERVAL '6 hours', hr) AS window_start,
+             event_type, COUNT(*) AS n_active
+      FROM kept GROUP BY 1, 2),
+    wm AS (SELECT MAX(hr) - INTERVAL '2 hours' AS cutoff FROM f)
+    SELECT window_start,
+           window_start + INTERVAL '6 hours' AS window_end,
+           event_type, n_active
+    FROM agg, wm
+    WHERE window_start + INTERVAL '6 hours' < cutoff
+    """,
+    note="E6 streaming flagship: TWO stateful operators chained in "
+    "ONE incremental query — filter -> per-(user, type, hour) "
+    "event coalescing (watermarked dropDuplicates: the rate-limit/"
+    "retry-collapse step every ingest runs) -> 6-hour tumbling "
+    "active-event counts in APPEND mode, so only watermark-"
+    "finalized windows ever reach the sink (the exactly-once "
+    "contract downstream writers rely on; complete-mode t07 re-"
+    "emits everything). Determinism under ANY duplicate-arrival "
+    "order: the dedup key includes the hour-truncated timestamp "
+    "that the window also consumes, so whichever representative "
+    "wins lands in the same window — counts are pure functions of "
+    "the distinct key set. The oracle replays the same pipeline in "
+    "SQL and keeps windows strictly before the final watermark "
+    "(max event hour - 2h): append mode emits a window only once "
+    "the watermark EXCEEDS its end. Bounded-backfill determinism "
+    "note: the testdata events lake is a single file, so the "
+    "availableNow drain sees one data batch and no mid-stream "
+    "watermark can drop late rows; a multi-file lake replays with "
+    "per-file batches and the same oracle holds only when files "
+    "are time-ordered (the production layout).",
+)
+def e06_streaming_pipeline(spark: SparkSession, sf_dir: str):
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("value") > 5.0)
+    hr = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    dd = hr.withWatermark("hr", "2 hours").dropDuplicates(
+        ["user_id", "event_type", "hr"]
+    )
+    agg = (
+        dd.groupBy(F.window("hr", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_active",
+        )
+    )
+    run_to_memory(
+        agg,
+        "e06_streaming_pipeline_sink",
+        output_mode="append",
+        n_partitions=8,
+    )
+    return spark.table("e06_streaming_pipeline_sink")

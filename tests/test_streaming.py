@@ -60,3 +60,46 @@ def test_stream_matches_batch_sliding(spark, sf_dir):
     n_events = sum(n for _ws, _we, n, _s in want)
     from big_data_bowl_spark.sources.io import load_table
     assert n_events == 2 * load_table(spark, sf_dir, "events").count()
+
+
+def test_e06_append_withholds_unfinalized_windows(spark, sf_dir):
+    """The streaming pipeline's append-mode output must be a strict
+    subset of the batch computation: every emitted window matches
+    the batch count exactly, and the trailing windows not yet past
+    the watermark are withheld (the exactly-once contract — a
+    downstream writer never sees a count that could still grow)."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    got = {
+        (r.window_start, r.event_type): r.n_active
+        for r in REGISTRY["e06_streaming_pipeline"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert got
+    full = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value") > 5.0)
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+        )
+        .distinct()
+        .groupBy(F.window("hr", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n")
+        .collect()
+    )
+    batch = {(r.ws, r.event_type): r.n for r in full}
+    assert set(got) < set(batch)  # strictly withheld tail
+    for k, n in got.items():
+        assert batch[k] == n
+    withheld = {ws for ws, _t in set(batch) - set(got)}
+    emitted = {ws for ws, _t in got}
+    # only the TRAILING windows (those the watermark has not passed)
+    # are withheld — nothing mid-stream goes missing
+    assert min(withheld) >= max(emitted)
