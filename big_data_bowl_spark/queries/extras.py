@@ -2436,3 +2436,211 @@ def f13_winsorize(spark: SparkSession, sf_dir: str):
             | (F.col("l_extendedprice") > F.col("hi"))
         ).alias("clipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V12: maximal marginal relevance — diversity-aware top-k re-ranking
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 10   # relevance candidates per query (exact top-N pool)
+MMR_K = 3       # diversified picks
+MMR_LAMBDA = 0.7
+
+
+def _v12_oracle() -> str:
+    lam, om = MMR_LAMBDA, 1.0 - MMR_LAMBDA
+    r9 = "floor(({x}) * 1e9 + 0.5) / 1e9"
+    base = f"""
+    WITH qv AS (SELECT vec_id AS query_id, {_VEC} AS qv FROM embeddings
+                WHERE vec_id < {N_QUERIES}),
+    cv AS (SELECT vec_id AS cand_id, {_VEC} AS cv FROM embeddings),
+    qc AS (
+      SELECT query_id, cand_id, cosine FROM (
+        SELECT q.query_id, c.cand_id, {_COS} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_COS} DESC,
+                                           c.cand_id ASC) AS rn
+        FROM qv q CROSS JOIN cv c WHERE c.cand_id <> q.query_id)
+      WHERE rn <= {MMR_POOL}),
+    cc AS (
+      SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+             list_dot_product(x.cv, y.cv)
+               / (sqrt(list_dot_product(x.cv, x.cv))
+                  * sqrt(list_dot_product(y.cv, y.cv))) AS ccos
+      FROM qc a JOIN qc b
+        ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+      JOIN cv x ON x.cand_id = a.cand_id
+      JOIN cv y ON y.cand_id = b.cand_id),
+    p1 AS (
+      SELECT query_id, cand_id,
+             {r9.format(x='cosine')} AS mmr_score, 1 AS pick_rank
+      FROM (SELECT query_id, cand_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY {r9.format(x='cosine')}
+                                        DESC, cand_id ASC) AS rn
+            FROM qc) WHERE rn = 1)"""
+    prev = ["p1"]
+    for i in range(2, MMR_K + 1):
+        picked_union = " UNION ALL ".join(
+            f"SELECT query_id, cand_id FROM {p}" for p in prev
+        )
+        base += f""",
+    s{i} AS (
+      SELECT q.query_id, q.cand_id,
+             {lam!r} * q.cosine - {om!r} * MAX(c.ccos) AS raw
+      FROM qc q
+      JOIN ({picked_union}) pk
+        ON pk.query_id = q.query_id
+      JOIN cc c ON c.query_id = q.query_id
+               AND c.ca = q.cand_id AND c.cb = pk.cand_id
+      WHERE q.cand_id NOT IN (SELECT cand_id FROM ({picked_union}) x
+                              WHERE x.query_id = q.query_id)
+      GROUP BY q.query_id, q.cand_id, q.cosine),
+    p{i} AS (
+      SELECT query_id, cand_id, {r9.format(x='raw')} AS mmr_score,
+             {i} AS pick_rank
+      FROM (SELECT query_id, cand_id, raw,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY {r9.format(x='raw')}
+                                        DESC, cand_id ASC) AS rn
+            FROM s{i}) WHERE rn = 1)"""
+        prev.append(f"p{i}")
+    sel = " UNION ALL ".join(
+        f"SELECT query_id, pick_rank, cand_id, mmr_score FROM {p}"
+        for p in prev
+    )
+    return base + f" {sel}"
+
+
+@register(
+    "v12_mmr_diversified_topk",
+    oracle=_v12_oracle(),
+    note=f"V12 maximal marginal relevance (lambda={MMR_LAMBDA}, "
+    f"{MMR_K} picks from an exact top-{MMR_POOL} pool): the "
+    "diversity-aware re-ranking between ANN retrieval and "
+    "consumption — pick_i = argmax over remaining candidates of "
+    "lambda*sim(query, d) - (1-lambda)*max_(s in picked) sim(d, s), "
+    "so near-duplicate candidates (which this corpus's LSH family "
+    "exists to find) can't crowd the slate; RAG-style training-data "
+    "selection uses exactly this to avoid feeding k copies of one "
+    "boilerplate page. Scale shape: the POOL is per-query bounded "
+    "(ANN output), so the candidate-pair cosine table is "
+    f"O({MMR_POOL}^2) rows per query and every greedy step is a "
+    "candidate-sized join + max_by — the corpus is touched only by "
+    "the pooling scan. Scores round to 9 dp before each argmax with "
+    "cand_id ties (m06 policy), so selection order is "
+    "engine-deterministic; the oracle unrolls the greedy loop as "
+    "chained CTEs.",
+)
+def v12_mmr_diversified_topk(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), vec.alias("qv")
+    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    cvt = e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv")
+                   ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    qc = (
+        cvt.crossJoin(F.broadcast(qv))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_POOL)
+        .select("query_id", "cand_id", "cosine")
+        .localCheckpoint()  # candidate-pool-sized; reused every step
+    )
+    pool_vecs = qc.join(cvt, "cand_id").select(
+        "query_id", "cand_id", "cv", "cn"
+    )
+    a = pool_vecs.select(
+        "query_id",
+        F.col("cand_id").alias("ca"),
+        F.col("cv").alias("av"),
+        F.col("cn").alias("an"),
+    )
+    b = pool_vecs.select(
+        F.col("query_id").alias("q2"),
+        F.col("cand_id").alias("cb"),
+        F.col("cv").alias("bv"),
+        F.col("cn").alias("bn"),
+    )
+    ccos = _dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    cc = (
+        a.join(
+            F.broadcast(b),
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("ca") != F.col("cb")),
+        )
+        .select("query_id", "ca", "cb", ccos.alias("ccos"))
+        .localCheckpoint()
+    )
+
+    first = (
+        qc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc(rhu(F.col("cosine"), 9)), F.asc("cand_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("pick_rank"),
+            "cand_id",
+            rhu(F.col("cosine"), 9).alias("mmr_score"),
+        )
+    )
+    picked = first
+    for i in range(2, MMR_K + 1):
+        pk = picked.select("query_id", F.col("cand_id").alias("pcand"))
+        remaining = qc.join(
+            pk.withColumnRenamed("pcand", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        scored = (
+            remaining.join(
+                pk,
+                "query_id",
+            )
+            .join(cc, ["query_id"])
+            .filter(
+                (F.col("ca") == F.col("cand_id"))
+                & (F.col("cb") == F.col("pcand"))
+            )
+            .groupBy("query_id", "cand_id", "cosine")
+            .agg(F.max("ccos").alias("max_sim"))
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    MMR_LAMBDA * F.col("cosine")
+                    - (1.0 - MMR_LAMBDA) * F.col("max_sim")
+                ).alias("raw"),
+            )
+        )
+        nxt = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.desc(rhu(F.col("raw"), 9)), F.asc("cand_id")
+                    )
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                F.lit(i).alias("pick_rank"),
+                "cand_id",
+                rhu(F.col("raw"), 9).alias("mmr_score"),
+            )
+        )
+        picked = picked.unionByName(nxt).localCheckpoint()
+    return picked

@@ -1251,3 +1251,64 @@ def test_u04_udtf_matches_oracle_on_edge_whitespace(spark, tmp_path):
     # tokens, doc 1 tokenizes to one empty token
     assert (0, 0, 4, " hello world ") in got
     assert (1, 0, 1, "") in got
+
+
+def test_v12_mmr_prefers_diversity_over_redundancy(spark, tmp_path):
+    """Planted slate: two near-identical high-relevance candidates
+    and one distinct medium-relevance candidate. Pure relevance
+    ranks the twins 1-2; MMR must pick one twin first, then JUMP to
+    the distinct candidate because the second twin's redundancy
+    penalty (max-sim to the picked twin ~ 1.0) crushes its score."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import MMR_POOL, N_QUERIES
+
+    rng = np.random.default_rng(7)
+    dim = 64
+    # queries are mutually orthogonal so they never crowd each
+    # other's slates; the planted slate targets query 0 (axis e0)
+    vecs = {}
+    for i in range(N_QUERIES):
+        v = np.zeros(dim); v[10 + i if i else 0] = 1.0
+        vecs[i] = v
+    # query 0 = (e0+e1)/sqrt(2); twins lie on e0 (cos ~ 0.707 to the
+    # query, ~1.0 to each other); distinct lies on e1 (same 0.707
+    # relevance, ZERO similarity to the twins) — so relevance alone
+    # cannot separate them but diversity decisively can
+    vecs[0] = np.zeros(dim); vecs[0][0] = vecs[0][1] = 1 / np.sqrt(2)
+    twin_a = np.zeros(dim); twin_a[0] = 1.0
+    twin_b = np.zeros(dim); twin_b[0] = 1.0; twin_b[5] = 0.001
+    distinct = np.zeros(dim); distinct[1] = 1.0
+    vecs[100], vecs[101], vecs[102] = twin_a, twin_b, distinct
+    # filler: low-relevance noise to pad the pool
+    for i in range(200, 200 + MMR_POOL):
+        v = rng.normal(0, 1, dim); v[0] = 0.0
+        vecs[i] = v / np.linalg.norm(v) * 0.1
+    ids = sorted(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in vecs[i]] for i in ids],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    picks = {}
+    for r in REGISTRY["v12_mmr_diversified_topk"].fn(
+        spark, str(tmp_path)
+    ).collect():
+        picks.setdefault(r.query_id, {})[r.pick_rank] = r.cand_id
+    by_rank = picks[0]  # the slate was planted for query 0
+    # twin_a wins rank 1 (relevance ties with distinct at ~0.707,
+    # lowest cand_id breaks it); rank 2 MUST be the distinct
+    # candidate: twin_b's redundancy penalty (max-sim ~ 1.0 to the
+    # picked twin) crushes its score while distinct pays none
+    assert by_rank[1] == 100
+    assert by_rank[2] == 102
