@@ -121,11 +121,31 @@ _PRIORITY = [
 ]
 
 
+# Absolute head of the verified prefix, ahead even of unranked new
+# names: the r5-verdict #1 queries (re-registered with invariant
+# oracles in r6, so they have NEVER had a green driver row) must be
+# sampled even if the driver's prefix is shorter than expected.
+_FIRST = [
+    "a10_approx_count_distinct",
+    "m01_rf_train_confusion", "m02_rf_predict_counts",
+    "m04_rf_feature_importances", "m05_random_split_counts",
+]
+
+
 def _ordered_names():
+    first = {n: i for i, n in enumerate(_FIRST)}
     rank = {n: i for i, n in enumerate(_PRIORITY)}
-    # unknown (new) names keep registration order but sort before all
-    # ranked ones
-    return sorted(REGISTRY, key=lambda n: (n in rank, rank.get(n, 0)))
+    # _FIRST, then unknown (new) names in registration order, then the
+    # explicit rotation
+    return sorted(
+        REGISTRY,
+        key=lambda n: (
+            n not in first,
+            first.get(n, 0),
+            n in rank,
+            rank.get(n, 0),
+        ),
+    )
 
 
 def queries():
