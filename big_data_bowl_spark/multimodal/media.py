@@ -1013,9 +1013,19 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video rows: emit every n-th frame as its own
     (media_id, frame_idx, frame_payload) row.
 
-    The fake codec treats the payload as n_frames equal slices. Output
-    fan-out is bounded (n_frames/every_n per video); the frame payload
-    is a slice, so bytes are copied once, still with no shuffle.
+    Two container paths, sniffed per row:
+    - ISO BMFF (payload[4:8] == b'ftyp'): REAL byte-range reads — the
+      track-0 sample ranges from the seek layer (stsz x stsc x
+      stco/co64, parse_mp4_sample_ranges) pick every n-th sample and
+      slice exactly those bytes, never touching skipped samples. This
+      is the plan shape that turns into ranged GETs against object
+      storage at 100 TB: the moov footer is read once, then only the
+      picked frames' byte ranges move.
+    - fake codec (everything else): payload is n_frames equal slices.
+
+    Output fan-out is bounded (n_frames/every_n per video); the frame
+    payload is a slice, so bytes are copied once, still with no
+    shuffle.
     """
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1024,7 +1034,21 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
         for pdf in it:
             rows = []
             for r in pdf.itertuples(index=False):
-                if r.media_type != "video" or r.n_frames <= 0:
+                if r.media_type != "video":
+                    continue
+                if len(r.payload) >= 8 and r.payload[4:8] == b"ftyp":
+                    for s in parse_mp4_sample_ranges(r.payload):
+                        if s["track_idx"] != 0:
+                            break
+                        if s["sample_idx"] % every_n:
+                            continue
+                        o, n = s["offset"], s["size"]
+                        rows.append(
+                            (r.media_id, s["sample_idx"],
+                             r.payload[o:o + n])
+                        )
+                    continue
+                if r.n_frames <= 0:
                     continue
                 frame_len = max(len(r.payload) // r.n_frames, 1)
                 for i in range(0, r.n_frames, every_n):
@@ -1050,6 +1074,9 @@ def encode_mp4_container(
     n_tracks: int = 1,
     mdat_size: int = 0,
     sample_sizes: "list[list[int]] | None" = None,
+    samples_per_chunk: "int | None" = None,
+    sample_data: "list[list[bytes]] | None" = None,
+    use_co64: bool = False,
 ) -> bytes:
     """Build a minimal ISO BMFF metadata skeleton: ftyp + moov(mvhd +
     n_tracks x trak(tkhd [+ mdia/minf/stbl])) + mdat. The media payload
@@ -1062,11 +1089,27 @@ def encode_mp4_container(
     minf(stbl(stsz + stco))) (14496-12 8.7.3: stsz sample_size=0 +
     per-sample entries), which is what seeking/keyframe extraction
     reads without touching codec bytes.
+
+    ``samples_per_chunk``: when also given, the sample table is a FULL
+    seek layer: stsc (8.7.4 sample-to-chunk runs) + stco / co64
+    (8.7.5 chunk offsets, 32- or 64-bit per ``use_co64``) carry REAL
+    absolute file offsets, and mdat holds the actual sample bytes —
+    ``sample_data`` (must match ``sample_sizes`` shape) or
+    deterministic filler. Layout is sequential: all of track 0's
+    chunks, then track 1's, each chunk holding ``samples_per_chunk``
+    samples (last chunk may be short → a second stsc run). Offsets
+    are computed after sizing moov (stco entry count is known before
+    the offsets are), the standard muxer two-pass.
     """
     import struct
 
     def box(typ: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", len(payload) + 8) + typ + payload
+
+    if sample_data is not None:
+        got_shape = [[len(b) for b in tk] for tk in sample_data]
+        if sample_sizes is None or got_shape != sample_sizes:
+            raise ValueError("sample_data must match sample_sizes shape")
 
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     # mvhd version 0 (14496-12 8.2.2): ver/flags, creation, modification,
@@ -1081,36 +1124,122 @@ def encode_mp4_container(
         + b"\x00" * 24
         + struct.pack(">I", n_tracks + 1),
     )
-    traks = b""
-    for tid in range(1, n_tracks + 1):
-        tkhd = box(
-            b"tkhd",
-            struct.pack(">IIIIII", 0x0000_0007, 0, 0, tid, 0, duration)
-            + b"\x00" * 8
-            + struct.pack(">hhhh", 0, 0, 0, 0)
-            + matrix
-            + struct.pack(">II", 0, 0),
-        )
-        body = tkhd
-        if sample_sizes is not None and tid - 1 < len(sample_sizes):
-            sizes = sample_sizes[tid - 1]
-            mdhd = box(
-                b"mdhd",
-                struct.pack(">IIIII", 0, 0, 0, timescale, duration)
-                + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+    # chunk plan per track (chunked layout only): list of
+    # (first_sample_idx, n_samples_in_chunk), spc-sized runs with a
+    # possibly-short tail — known BEFORE offsets, so moov's size is
+    # fixed on the first pass and offsets can be assigned on the second
+    chunk_plans = None
+    if sample_sizes is not None and samples_per_chunk is not None:
+        if samples_per_chunk < 1:
+            raise ValueError("samples_per_chunk must be >= 1")
+        chunk_plans = [
+            [
+                (i, min(samples_per_chunk, len(sizes) - i))
+                for i in range(0, len(sizes), samples_per_chunk)
+            ]
+            for sizes in sample_sizes
+        ]
+
+    def build_moov(chunk_offsets: "list[list[int]] | None") -> bytes:
+        traks = b""
+        for tid in range(1, n_tracks + 1):
+            tkhd = box(
+                b"tkhd",
+                struct.pack(">IIIIII", 0x0000_0007, 0, 0, tid, 0, duration)
+                + b"\x00" * 8
+                + struct.pack(">hhhh", 0, 0, 0, 0)
+                + matrix
+                + struct.pack(">II", 0, 0),
             )
-            stsz = box(
-                b"stsz",
-                struct.pack(">III", 0, 0, len(sizes))
-                + b"".join(struct.pack(">I", s) for s in sizes),
-            )
-            stco = box(b"stco", struct.pack(">II", 0, 0))
-            stbl = box(b"stbl", stsz + stco)
-            minf = box(b"minf", stbl)
-            body += box(b"mdia", mdhd + minf)
-        traks += box(b"trak", body)
-    moov = box(b"moov", mvhd + traks)
-    mdat = box(b"mdat", b"\x00" * mdat_size)
+            body = tkhd
+            if sample_sizes is not None and tid - 1 < len(sample_sizes):
+                sizes = sample_sizes[tid - 1]
+                mdhd = box(
+                    b"mdhd",
+                    struct.pack(">IIIII", 0, 0, 0, timescale, duration)
+                    + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+                )
+                stsz = box(
+                    b"stsz",
+                    struct.pack(">III", 0, 0, len(sizes))
+                    + b"".join(struct.pack(">I", s) for s in sizes),
+                )
+                if chunk_plans is None:
+                    # legacy metadata-only skeleton: no chunk layout,
+                    # stco declares zero entries
+                    stbl_body = stsz + box(
+                        b"stco", struct.pack(">II", 0, 0)
+                    )
+                else:
+                    plan = chunk_plans[tid - 1]
+                    # stsc: run-length compress consecutive chunks
+                    # with equal sample counts (8.7.4)
+                    runs: list = []
+                    for ci, (_f, cnt) in enumerate(plan, start=1):
+                        if not runs or runs[-1][1] != cnt:
+                            runs.append((ci, cnt))
+                    stsc = box(
+                        b"stsc",
+                        struct.pack(">II", 0, len(runs))
+                        + b"".join(
+                            struct.pack(">III", fc, cnt, 1)
+                            for fc, cnt in runs
+                        ),
+                    )
+                    offs = (
+                        chunk_offsets[tid - 1]
+                        if chunk_offsets is not None
+                        else [0] * len(plan)
+                    )
+                    if use_co64:
+                        co = box(
+                            b"co64",
+                            struct.pack(">II", 0, len(plan))
+                            + b"".join(
+                                struct.pack(">Q", o) for o in offs
+                            ),
+                        )
+                    else:
+                        co = box(
+                            b"stco",
+                            struct.pack(">II", 0, len(plan))
+                            + b"".join(
+                                struct.pack(">I", o) for o in offs
+                            ),
+                        )
+                    stbl_body = stsz + stsc + co
+                stbl = box(b"stbl", stbl_body)
+                minf = box(b"minf", stbl)
+                body += box(b"mdia", mdhd + minf)
+            traks += box(b"trak", body)
+        return box(b"moov", mvhd + traks)
+
+    if chunk_plans is None:
+        moov = build_moov(None)
+        mdat = box(b"mdat", b"\x00" * mdat_size)
+        return ftyp + moov + mdat
+
+    # pass 1: size moov with placeholder offsets (entry COUNTS are
+    # already final, so the byte length is); pass 2: assign absolute
+    # file offsets — sequential layout, track-major then chunk order
+    data_start = len(ftyp) + len(build_moov(None)) + 8
+    cur = data_start
+    chunk_offsets: list = []
+    mdat_body = bytearray()
+    for tk, plan in enumerate(chunk_plans):
+        sizes = sample_sizes[tk]
+        offs = []
+        for first, cnt in plan:
+            offs.append(cur)
+            for si in range(first, first + cnt):
+                if sample_data is not None:
+                    mdat_body += sample_data[tk][si]
+                else:
+                    mdat_body += b"\x00" * sizes[si]
+                cur += sizes[si]
+        chunk_offsets.append(offs)
+    moov = build_moov(chunk_offsets)
+    mdat = box(b"mdat", bytes(mdat_body))
     return ftyp + moov + mdat
 
 
@@ -1185,6 +1314,40 @@ def parse_mp4_metadata(payload: bytes) -> dict:
     return meta
 
 
+def _mp4_children(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each child box in
+    buf[start:end], handling 32-bit, largesize (size==1) and
+    to-end-of-container (size==0) headers, with overrun checks."""
+    import struct
+
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("truncated ISO BMFF box header")
+        size, typ = struct.unpack_from(">I4s", buf, off)
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError(
+                f"ISO BMFF box {typ!r} overruns its container"
+            )
+        yield typ, off + hdr, off + size
+        off += size
+
+
+def _mp4_find(buf: bytes, start: int, end: int, typ: bytes):
+    for t, b0, b1 in _mp4_children(buf, start, end):
+        if t == typ:
+            return b0, b1
+    return None
+
+
 def parse_mp4_sample_index(payload: bytes) -> list:
     """Walk the box tree down to each track's sample-size table
     (moov/trak/mdia/minf/stbl/stsz, 14496-12 8.7.3) and return one
@@ -1197,33 +1360,7 @@ def parse_mp4_sample_index(payload: bytes) -> list:
     import struct
 
     tracks: list = []
-
-    def children(buf: bytes, start: int, end: int):
-        off = start
-        while off < end:
-            if off + 8 > end:
-                raise ValueError("truncated ISO BMFF box header")
-            size, typ = struct.unpack_from(">I4s", buf, off)
-            hdr = 8
-            if size == 1:
-                if off + 16 > end:
-                    raise ValueError("truncated largesize box header")
-                size = struct.unpack_from(">Q", buf, off + 8)[0]
-                hdr = 16
-            elif size == 0:
-                size = end - off
-            if size < hdr or off + size > end:
-                raise ValueError(
-                    f"ISO BMFF box {typ!r} overruns its container"
-                )
-            yield typ, off + hdr, off + size
-            off += size
-
-    def find(buf, start, end, typ):
-        for t, b0, b1 in children(buf, start, end):
-            if t == typ:
-                return b0, b1
-        return None
+    children, find = _mp4_children, _mp4_find
 
     for typ, b0, b1 in children(payload, 0, len(payload)):
         if typ != b"moov":
@@ -1247,10 +1384,16 @@ def parse_mp4_sample_index(payload: bytes) -> list:
                 path = nxt
             if path is not None:
                 s0, _s1 = path
+                if s0 + 12 > _s1:
+                    raise ValueError("stsz box too short for its header")
                 _vf, fixed, n = struct.unpack_from(">III", payload, s0)
                 if fixed:
                     sizes = [fixed] * n
                 else:
+                    if s0 + 12 + 4 * n > _s1:
+                        raise ValueError(
+                            "stsz sample_count overruns the stsz box"
+                        )
                     sizes = [
                         struct.unpack_from(">I", payload, s0 + 12 + 4 * i)[0]
                         for i in range(n)
@@ -1264,3 +1407,149 @@ def parse_mp4_sample_index(payload: bytes) -> list:
                     )
             tracks.append(entry)
     return tracks
+
+
+def _read_stsz_sizes(payload: bytes, s0: int, s1: int) -> list:
+    """Decode an stsz body (14496-12 8.7.3) into a per-sample size
+    list, bounds-checked against the box end."""
+    import struct
+
+    if s0 + 12 > s1:
+        raise ValueError("stsz box too short for its header")
+    _vf, fixed, n = struct.unpack_from(">III", payload, s0)
+    if fixed:
+        return [fixed] * n
+    if s0 + 12 + 4 * n > s1:
+        raise ValueError("stsz sample_count overruns the stsz box")
+    return [
+        struct.unpack_from(">I", payload, s0 + 12 + 4 * i)[0]
+        for i in range(n)
+    ]
+
+
+def parse_mp4_sample_ranges(payload: bytes) -> list:
+    """The FULL seek layer: join each track's three sample tables —
+    stsz (sizes, 8.7.3), stsc (sample-to-chunk runs, 8.7.4) and
+    stco/co64 (chunk offsets, 8.7.5) — into absolute per-sample byte
+    ranges, the spec's sample-lookup algorithm. Returns one dict per
+    sample: {track_idx, sample_idx, chunk_idx, offset, size};
+    ``payload[offset:offset+size]`` IS the sample's bytes, so a
+    frame-sampling pass can range-read exactly the samples it wants
+    without decoding anything.
+
+    Mechanics: stsc entries are (first_chunk, samples_per_chunk,
+    sdi) runs — each run applies from its first_chunk (1-based)
+    until the next run's; samples are assigned to chunks in order,
+    the final chunk taking whatever remains. Within a chunk, a
+    sample's offset is the chunk offset plus the sizes of the
+    samples before it in that chunk.
+
+    Tracks without a complete (stsz, stsc, stco|co64) chain — e.g.
+    the metadata-only skeletons whose stco declares zero entries —
+    contribute no rows: there is nothing to seek to. Inconsistent
+    tables (more samples than the chunk list can hold, offsets past
+    the file end) raise ValueError like the rest of the box layer.
+    Fragmented files (moof) are out of scope here and raise in
+    parse_mp4_metadata already.
+    """
+    import struct
+
+    out: list = []
+    track_idx = -1
+    for typ, b0, b1 in _mp4_children(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, c0, c1 in _mp4_children(payload, b0, b1):
+            if t2 != b"trak":
+                continue
+            track_idx += 1
+            path = (c0, c1)
+            for nested in (b"mdia", b"minf", b"stbl"):
+                nxt = _mp4_find(payload, path[0], path[1], nested)
+                if nxt is None:
+                    path = None
+                    break
+                path = nxt
+            if path is None:
+                continue
+            stbl0, stbl1 = path
+            stsz = _mp4_find(payload, stbl0, stbl1, b"stsz")
+            stsc = _mp4_find(payload, stbl0, stbl1, b"stsc")
+            co = _mp4_find(payload, stbl0, stbl1, b"stco")
+            wide = False
+            if co is None:
+                co = _mp4_find(payload, stbl0, stbl1, b"co64")
+                wide = co is not None
+            if stsz is None or stsc is None or co is None:
+                continue
+            sizes = _read_stsz_sizes(payload, *stsz)
+
+            sc0, sc1 = stsc
+            if sc0 + 8 > sc1:
+                raise ValueError("stsc box too short for its header")
+            n_runs = struct.unpack_from(">II", payload, sc0)[1]
+            if sc0 + 8 + 12 * n_runs > sc1:
+                raise ValueError("stsc entry_count overruns the stsc box")
+            runs = [
+                struct.unpack_from(">III", payload, sc0 + 8 + 12 * i)[:2]
+                for i in range(n_runs)
+            ]
+
+            o0, o1 = co
+            width = 8 if wide else 4
+            if o0 + 8 > o1:
+                raise ValueError("chunk-offset box too short")
+            n_chunks = struct.unpack_from(">II", payload, o0)[1]
+            if o0 + 8 + width * n_chunks > o1:
+                raise ValueError(
+                    "chunk offset entry_count overruns its box"
+                )
+            fmt = ">Q" if wide else ">I"
+            offsets = [
+                struct.unpack_from(fmt, payload, o0 + 8 + width * i)[0]
+                for i in range(n_chunks)
+            ]
+
+            if not sizes:
+                continue
+            if not runs or not offsets:
+                raise ValueError(
+                    "track has samples but no usable chunk layout"
+                )
+            if runs[0][0] != 1:
+                raise ValueError("stsc first run must start at chunk 1")
+            # spc for chunk ci (1-based): the last run whose
+            # first_chunk <= ci
+            si = 0
+            for ci in range(1, n_chunks + 1):
+                spc = next(
+                    cnt
+                    for fc, cnt in reversed(runs)
+                    if fc <= ci
+                )
+                take = min(spc, len(sizes) - si)
+                within = 0
+                for k in range(take):
+                    off = offsets[ci - 1] + within
+                    if off + sizes[si] > len(payload):
+                        raise ValueError(
+                            "sample byte range overruns the file"
+                        )
+                    out.append(
+                        {
+                            "track_idx": track_idx,
+                            "sample_idx": si,
+                            "chunk_idx": ci - 1,
+                            "offset": off,
+                            "size": sizes[si],
+                        }
+                    )
+                    within += sizes[si]
+                    si += 1
+                if si >= len(sizes):
+                    break
+            if si < len(sizes):
+                raise ValueError(
+                    "stsc/stco chunk layout holds fewer samples than stsz"
+                )
+    return out

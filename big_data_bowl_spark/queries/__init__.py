@@ -24,35 +24,57 @@ from . import graph  # noqa: F401,E402
 # bounded prefix of the registry (~50 entries), so emit queries in
 # verification-priority order:
 #   1. anything NEW and not yet ranked below — always first (so a
-#      round-5 addition lands in the verified prefix automatically);
-#   2. the explicit list below. Round-5 policy (VERDICT r4): the nine
-#      queries that were red in CORRECTNESS_r04 (NTZ crashes, silent
-#      streaming wrong-answers, hash artifacts) were all repaired this
-#      round and MUST earn driver-green rows, so they lead; queries
-#      whose plans changed this round (d03 shingle materialization,
-#      CC init, e2 co-partitioning) come next; flagships fill the
-#      rest. Everything else is driver-green from r2-r4 and rotates
-#      behind.
-# Rows-only (no-oracle) ML queries sit late: their driver check is
-# weaker, so they spend prefix slots last.
+#      round-7 addition lands in the verified prefix automatically);
+#   2. the explicit list below. Round-7 policy (VERDICT r6 item 1):
+#      every query is locally sweep-green, so the prefix is spent on
+#      the queries whose *driver* green row is oldest — the r2-era
+#      relational core (p/j/a/w/o/f/s families, last hard-signal
+#      green in CORRECTNESS_r02) plus the two operators whose
+#      oracles changed this round (e06 watermark boundary, d09
+#      tie-break — ADVICE r6). Everything else was driver-green in
+#      r4-r6 and rotates behind in least-recently-green order.
 _PRIORITY = [
-    # -- the ~50-slot verified prefix for round 6 ---------------------
-    # re-registered with full oracles this round (previously rows-only,
-    # so they have NEVER had a green driver row) — verify first
-    "a10_approx_count_distinct",
-    "m01_rf_train_confusion", "m02_rf_predict_counts",
-    "m04_rf_feature_importances", "m05_random_split_counts",
-    # operator changed this round (r5 advice fixes) — re-verify
-    "v09_product_quantization", "mm07_jpeg_roundtrip_features",
-    "t16_streaming_cdc_compaction", "d07_cdc_compaction",
-    # new in round 5 (green there via the new-name rule); hold in the
-    # verified prefix one more round before joining the rotation
-    "t15_funnel_analysis", "n16_shingle_containment",
-    "dq04_key_skew_profile", "g01_pagerank_neardup",
-    "g02_label_propagation", "mm08_audio_spectral_features",
-    "m06_decision_stump", "t17_ewma_smoothing",
-    "o10_weighted_sample", "r03_unpivot_long",
-    # least-recently driver-green rotation (r4-repair set, then r5's)
+    # -- the ~50-slot verified prefix for round 7 ---------------------
+    # oracle changed this round (ADVICE r6 fixes) — re-verify first
+    "e06_streaming_pipeline", "d09_merge_upsert",
+    # the r2-era relational core: last driver-green in r2, four
+    # rounds stale in the hard signal — rotate the whole family in
+    "s01_csv_scan_inferred", "s02_csv_multifile_union", "s04_generated_grid",
+    "p01_project", "p02_drop_columns", "p03_rename", "p04_computed_projection",
+    "p05_filter_conjunctive", "p06_filter_inlist", "p07_filter_or_chain",
+    "p08_filter_between", "p09_filter_regex", "p10_null_nan_filters",
+    "p11_filter_modulo", "p12_case_multiway", "p13_case_boolean_combo",
+    "j01_inner_join_1key", "j02_inner_join_2keys", "j03_selfjoin_anchor_attach",
+    "j04_left_outer_join", "j05_crossjoin_grid", "j07_inner_join_merge",
+    "j08_semijoin_scalar_subquery",
+    "a01_grouped_sum", "a02_grouped_count_mean", "a03_grouped_mode",
+    "a04_global_minmax", "a05_count_distinct", "a06_row_count",
+    "a07_contingency_table",
+    "w01_group_flag", "w02_group_broadcast_value", "w03_rownum_in_group",
+    "w05_group_min_filter", "w06_normalize_by_group_max",
+    "o01_sort_desc_topk", "o02_offset_limit", "o03_limit",
+    "o06_union_append", "o07_scalar_extraction",
+    "f01_substring_cast", "f02_regex_replace_trim", "f03_regex_match",
+    "f04_string_concat", "f05_euclidean_distance",
+    # r3-era driver-green (next least recent)
+    "f06_velocity_decomposition", "f07_sigmoid", "f08_radius_cubic_clamp",
+    "f09_clamp_least", "f10_floor_mod_round", "f11_arithmetic_projections",
+    "f12_bivariate_gaussian",
+    "s05_parquet_sink_roundtrip", "s06_bucketed_colocated_join",
+    "s07_partitioned_sink_pruning", "s09_jsonl_scan",
+    "a08_salted_grouped_sum", "a09_grouped_quantiles",
+    "a11_rollup_agg", "a12_grouped_corr",
+    "n04_fingerprint", "n05_punct_ratio", "n06_bpe_token_count",
+    "n07_rolling_hash_fingerprint", "n09_vocab_topk",
+    "n10_tfidf_top_terms", "n11_repetition_score",
+    "n13_pii_redaction", "n14_source_mixing",
+    "t02_sliding_window", "t05_json_props", "t10_date_parts",
+    "w07_running_total", "w08_ntile_quartiles",
+    "p14_fillna_coalesce", "j09_full_outer_join",
+    "o08_stratified_sample", "o09_set_ops",
+    "dq01_column_profile", "dq02_referential_orphans",
+    "dq03_distribution_drift",
+    # -- past the expected prefix: driver-green in r4-r6 --------------
     "t04_interevent_gap", "t06_asof_join", "t13_asof_join_forward",
     "t14_time_weighted_avg",
     "t07_streaming_tumbling", "t08_streaming_sessionization",
@@ -80,55 +102,26 @@ _PRIORITY = [
     "n01_token_stats", "n02_quality_score", "n03_lang_id",
     "n08_source_quota", "n12_sequence_packing",
     "n15_trending_terms", "a14_bool_aggs",
-    # -- past the expected prefix: all driver-green in r2-r4 ----------
-    "f06_velocity_decomposition", "f07_sigmoid", "f08_radius_cubic_clamp",
-    "f09_clamp_least", "f10_floor_mod_round", "f11_arithmetic_projections",
-    "f12_bivariate_gaussian",
-    "dq01_column_profile", "dq02_referential_orphans",
-    "dq03_distribution_drift",
-    "s05_parquet_sink_roundtrip", "s06_bucketed_colocated_join",
-    "s07_partitioned_sink_pruning",
-    "s09_jsonl_scan",
-    "a08_salted_grouped_sum", "a09_grouped_quantiles",
-    "a11_rollup_agg", "a12_grouped_corr",
-    "n04_fingerprint", "n05_punct_ratio", "n06_bpe_token_count",
-    "n07_rolling_hash_fingerprint", "n09_vocab_topk",
-    "n10_tfidf_top_terms", "n11_repetition_score",
-    "n13_pii_redaction", "n14_source_mixing",
-    "t02_sliding_window", "t05_json_props",
-    "t10_date_parts",
-    "w07_running_total", "w08_ntile_quartiles",
-    "p14_fillna_coalesce", "j09_full_outer_join",
-    "o08_stratified_sample", "o09_set_ops",
-    # unchanged and already green in CORRECTNESS_r02
-    "s01_csv_scan_inferred", "s02_csv_multifile_union", "s04_generated_grid",
-    "p01_project", "p02_drop_columns", "p03_rename", "p04_computed_projection",
-    "p05_filter_conjunctive", "p06_filter_inlist", "p07_filter_or_chain",
-    "p08_filter_between", "p09_filter_regex", "p10_null_nan_filters",
-    "p11_filter_modulo", "p12_case_multiway", "p13_case_boolean_combo",
-    "j01_inner_join_1key", "j02_inner_join_2keys", "j03_selfjoin_anchor_attach",
-    "j04_left_outer_join", "j05_crossjoin_grid", "j07_inner_join_merge",
-    "j08_semijoin_scalar_subquery",
-    "a01_grouped_sum", "a02_grouped_count_mean", "a03_grouped_mode",
-    "a04_global_minmax", "a05_count_distinct", "a06_row_count",
-    "a07_contingency_table",
-    "w01_group_flag", "w02_group_broadcast_value", "w03_rownum_in_group",
-    "w05_group_min_filter", "w06_normalize_by_group_max",
-    "o01_sort_desc_topk", "o02_offset_limit", "o03_limit",
-    "o06_union_append", "o07_scalar_extraction",
-    "f01_substring_cast", "f02_regex_replace_trim", "f03_regex_match",
-    "f04_string_concat", "f05_euclidean_distance",
+    "t15_funnel_analysis", "n16_shingle_containment",
+    "dq04_key_skew_profile", "g01_pagerank_neardup",
+    "g02_label_propagation", "mm08_audio_spectral_features",
+    "m06_decision_stump", "t17_ewma_smoothing",
+    "o10_weighted_sample", "r03_unpivot_long",
+    # driver-green in r6 (most recent — rotate last)
+    "a10_approx_count_distinct",
+    "m01_rf_train_confusion", "m02_rf_predict_counts",
+    "m04_rf_feature_importances", "m05_random_split_counts",
+    "v09_product_quantization", "mm07_jpeg_roundtrip_features",
+    "t16_streaming_cdc_compaction", "d07_cdc_compaction",
 ]
 
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: the r5-verdict #1 queries (re-registered with invariant
-# oracles in r6, so they have NEVER had a green driver row) must be
-# sampled even if the driver's prefix is shorter than expected.
+# names: the two queries whose ORACLES changed this round (ADVICE r6
+# boundary/tie-break fixes) must be re-sampled even if the driver's
+# prefix is shorter than expected.
 _FIRST = [
-    "a10_approx_count_distinct",
-    "m01_rf_train_confusion", "m02_rf_predict_counts",
-    "m04_rf_feature_importances", "m05_random_split_counts",
+    "e06_streaming_pipeline", "d09_merge_upsert",
 ]
 
 

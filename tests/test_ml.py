@@ -292,3 +292,32 @@ def test_m09_feature_hashing_row_local_and_conserves_mass(spark):
     assert len(solo) == 1
     full = next(r for r in rows if r.o_orderkey == key)
     assert [solo[0][d] for d in dims] == [full[d] for d in dims]
+
+
+def test_m10_depth2_tree_refines_the_stump(spark, sf_dir):
+    """m10's 4 leaves must partition lineitem exactly, and its level-0
+    split must BE m06's stump winner (same candidates, same rounded-
+    gain argmax) with the stump's left/right row counts preserved —
+    the cross-check that makes the depth-2 chain's confusion cells
+    trustworthy without a second engine."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = REGISTRY["m10_depth2_tree"].fn(spark, sf_dir).collect()
+    assert {r.leaf for r in rows} <= {"LL", "LR", "RL", "RR"}
+    assert len({(r.root_feature, r.root_threshold) for r in rows}) == 1
+
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_rows for r in rows) == n_li
+    assert all(0 <= r.n_pos <= r.n_rows for r in rows)
+    assert all(
+        r.predicted == ("R" if 2 * r.n_pos >= r.n_rows else "N")
+        for r in rows
+    )
+
+    (stump,) = REGISTRY["m06_decision_stump"].fn(spark, sf_dir).collect()
+    assert rows[0].root_feature == stump.feature
+    assert rows[0].root_threshold == stump.threshold
+    n_left = sum(r.n_rows for r in rows if r.leaf.startswith("L"))
+    n_right = sum(r.n_rows for r in rows if r.leaf.startswith("R"))
+    assert (n_left, n_right) == (stump.n_left, stump.n_right)

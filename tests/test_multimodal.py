@@ -517,3 +517,124 @@ def test_mp4_sample_index_truncated_raises_valueerror():
     for cut in (3, 11, len(p) - 3):
         with pytest.raises(ValueError):
             parse_mp4_sample_index(p[:cut] if cut < 12 else p[:-3])
+
+
+def test_mp4_stsz_count_overrun_raises_valueerror():
+    """ADVICE r6: a malformed stsz whose sample_count points past the
+    stsz box end must raise ValueError — neither silently reading
+    sibling-box bytes as sizes nor surfacing a raw struct.error."""
+    import struct
+
+    import pytest
+
+    from big_data_bowl_spark.multimodal.media import (
+        encode_mp4_container,
+        parse_mp4_sample_index,
+        parse_mp4_sample_ranges,
+    )
+
+    p = encode_mp4_container(1000, n_tracks=1, sample_sizes=[[10, 20]])
+    # patch the stsz sample_count (offset +8 hdr +8 ver/flags+fixed)
+    # from 2 to 1000: entries would run far past the box (and file)
+    i = p.index(b"stsz") + 4 + 8
+    bad = p[:i] + struct.pack(">I", 1000) + p[i + 4:]
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4_sample_index(bad)
+    # count 9: overruns the box but stays inside the file — the
+    # silently-wrong-stats case; must also raise
+    bad9 = p[:i] + struct.pack(">I", 9) + p[i + 4:]
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4_sample_index(bad9)
+    # stsz shorter than its own 12-byte header
+    j = p.index(b"stsz") - 4
+    short = p[:j] + struct.pack(">I", 14) + p[j + 4:]
+    with pytest.raises(ValueError):
+        parse_mp4_sample_index(short)
+    # the seek layer shares the same bounds checks
+    chunked = encode_mp4_container(
+        1000, n_tracks=1, sample_sizes=[[10, 20]], samples_per_chunk=2
+    )
+    k = chunked.index(b"stsz") + 4 + 8
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp4_sample_ranges(
+            chunked[:k] + struct.pack(">I", 1000) + chunked[k + 4:]
+        )
+
+
+def test_mp4_seek_layer_slices_real_samples():
+    """The full stsz x stsc x stco join: every parsed byte range,
+    sliced out of the synthesized file, is bit-exactly the sample
+    that went in — short tail chunks, multi-track sequential layout,
+    and the 64-bit co64 path included (VERDICT r6 item 2)."""
+    from big_data_bowl_spark.multimodal.media import (
+        encode_mp4_container,
+        parse_mp4_metadata,
+        parse_mp4_sample_ranges,
+    )
+
+    sizes = [[10, 20, 30, 40, 50], [7, 8, 9]]
+    data = [
+        [bytes([0x40 + t * 8 + i]) * s for i, s in enumerate(tk)]
+        for t, tk in enumerate(sizes)
+    ]
+    for spc, co64 in ((2, False), (3, True), (1, False), (100, False)):
+        p = encode_mp4_container(
+            5000, n_tracks=2, sample_sizes=sizes,
+            samples_per_chunk=spc, sample_data=data, use_co64=co64,
+        )
+        got = parse_mp4_sample_ranges(p)
+        assert len(got) == 8
+        for s in got:
+            assert s["chunk_idx"] == s["sample_idx"] // spc
+            assert (
+                p[s["offset"]:s["offset"] + s["size"]]
+                == data[s["track_idx"]][s["sample_idx"]]
+            )
+        # the mdat carries exactly the sample bytes, metadata intact
+        meta = parse_mp4_metadata(p)
+        assert meta["mdat_bytes"] == sum(map(sum, sizes))
+        assert meta["n_tracks"] == 2
+
+    # metadata-only skeleton (no chunk layout): nothing to seek to
+    legacy = encode_mp4_container(1000, n_tracks=1, sample_sizes=[[10]])
+    assert parse_mp4_sample_ranges(legacy) == []
+
+
+def test_sample_frames_range_reads_real_mp4(spark):
+    """mm03's frame sampler, pointed at a REAL mp4 row: the emitted
+    frames are the track-0 samples picked by stride, each sliced via
+    the seek layer's byte ranges — not equal-width payload slices."""
+    from big_data_bowl_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_mp4_container,
+        sample_frames,
+    )
+
+    sizes = [[11, 22, 33, 44, 55], [5, 6]]
+    data = [
+        [bytes([0x60 + t * 16 + i]) * s for i, s in enumerate(tk)]
+        for t, tk in enumerate(sizes)
+    ]
+    payload = encode_mp4_container(
+        9000, n_tracks=2, sample_sizes=sizes,
+        samples_per_chunk=2, sample_data=data,
+    )
+    media = spark.createDataFrame(
+        [
+            (1, "video", "mp4", 16, 9, 5, payload),
+            # a fake-codec video row still takes the legacy path
+            (2, "video", "fake", 4, 2, 2, b"abcdef"),
+            (3, "image", "fake", 4, 2, 0, b"xx"),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        (r.media_id, r.frame_idx, bytes(r.frame_payload))
+        for r in sample_frames(media, every_n=2).collect()
+    )
+    assert rows == [
+        (1, 0, data[0][0]),
+        (1, 2, data[0][2]),
+        (1, 4, data[0][4]),
+        (2, 0, b"abc"),
+    ]

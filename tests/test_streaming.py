@@ -103,3 +103,59 @@ def test_e06_append_withholds_unfinalized_windows(spark, sf_dir):
     # only the TRAILING windows (those the watermark has not passed)
     # are withheld — nothing mid-stream goes missing
     assert min(withheld) >= max(emitted)
+
+
+def test_e06_watermark_boundary_window_is_emitted(spark, tmp_path):
+    """Planted boundary case (ADVICE r6): when the max event hour is
+    exactly 2h past a 6-hour window boundary, the final watermark
+    EQUALS that window's end — and Spark append mode DOES emit a
+    window whose end equals the watermark. The oracle must therefore
+    keep windows with window_end <= cutoff (not strictly <), or it
+    spuriously fails whenever max_hr ≡ 2h (mod 6h). This pins both
+    the Spark behavior and the oracle on the same planted lake."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    # hours 00:00..08:00 on one day: max hr = 08:00 -> watermark
+    # 06:00, which is EXACTLY the end of window [00:00, 06:00)
+    hours = list(range(9))
+    tbl = pa.table(
+        {
+            "user_id": pa.array([100 + h for h in hours], pa.int64()),
+            "event_type": pa.array(["click"] * len(hours)),
+            "ts": pa.array(
+                [datetime(2024, 1, 1, h, 15, 0) for h in hours],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([10.0] * len(hours), pa.float64()),
+        }
+    )
+    path = tmp_path / "events.parquet"
+    pq.write_table(tbl, str(path))
+
+    q = REGISTRY["e06_streaming_pipeline"]
+    got = sorted(
+        (r.window_start, r.window_end, r.event_type, r.n_active)
+        for r in q.fn(spark, str(tmp_path)).collect()
+    )
+    # the boundary window [00:00, 06:00) (6 distinct user-hours) IS
+    # emitted; [06:00, 12:00) is still open and withheld
+    assert got == [
+        (
+            datetime(2024, 1, 1, 0, 0),
+            datetime(2024, 1, 1, 6, 0),
+            "click",
+            6,
+        )
+    ]
+    # and the oracle, replayed on the same planted lake, agrees
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')"
+    )
+    want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+    assert want == got
