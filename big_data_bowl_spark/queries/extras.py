@@ -90,7 +90,18 @@ def n06_bpe_token_count(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 NLIST = 8  # coarse cells
-NPROBE = 2  # cells searched per query
+# Cells searched per query. Tuned by measurement (VERDICT r6 item 3):
+# the synthetic embeddings are near-uniform (no cluster structure), so
+# a query's true top-5 spreads across cells — nprobe=2 left one sf0.01
+# query at recall 0.6 and nothing short of probing half the cells
+# recovers it (a one-step Lloyd refinement of the seed centroids was
+# ALSO measured and only balances cell sizes, recall unchanged — kept
+# out since it adds a corpus shuffle for nothing on this data).
+# nprobe=4 clears per-query recall >= 0.8 and mean >= 0.93 at every
+# local SF (asserted by tests/test_nonvacuous.py); on clustered
+# production embeddings the probe FRACTION drops by raising NLIST with
+# corpus size, same plan.
+NPROBE = 4
 IVF_TOPK = 5
 N_QUERIES = 3
 

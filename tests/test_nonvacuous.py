@@ -165,6 +165,17 @@ def test_v04_ivf_recall_vs_brute_force(spark):
     assert recalls, "IVF returned no queries"
     mean_recall = sum(recalls.values()) / len(recalls)
     assert mean_recall >= 0.9, recalls
+    # per-query floor (VERDICT r6 item 3): no single query may fall
+    # below 0.8 — the mean alone can hide one badly-served query
+    assert min(recalls.values()) >= 0.8, recalls
+
+    # the audit query itself must report the same floor at sf0.01,
+    # the driver-gate SF (the round-6 config left one query at 0.6)
+    audit = REGISTRY["v11_ann_recall_audit"].fn(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert audit and min(r.recall for r in audit) >= 0.8, audit
+    assert sum(r.recall for r in audit) / len(audit) >= 0.9, audit
 
 
 def test_round6_audits_are_nonvacuous(spark):
