@@ -445,6 +445,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     color_420: bool = False,
     scan_order: tuple[int, ...] = (0, 1, 2),
+    interleaved: bool = True,
 ) -> bytes:
     """Encode a (h, w) uint8 array as a baseline sequential JPEG
     (SOF0, Annex K standard Huffman tables).
@@ -468,7 +469,14 @@ def encode_jpeg(
     header AND the per-MCU data-unit order to match (T.81 A.2.3: data
     units follow scan-header order) — a spec-valid file whose scan
     order differs from SOF order, exercising the decoder's Cs-selector
-    binding."""
+    binding.
+
+    `interleaved=False` (color_420 only) writes ONE SCAN PER
+    COMPONENT in `scan_order` order — the T.81 non-interleaved
+    layout libjpeg emits: each scan is Ns=1 over the component's own
+    ceil(comp_dim/8) block grid (Y pads to 8, not the 16-pixel frame
+    MCU), with its own entropy segment and restart numbering reset
+    at each scan start."""
     import struct
 
     import numpy as np
@@ -530,38 +538,69 @@ def encode_jpeg(
 
     shifted = padded.astype(np.float64) - 128.0
     chroma = np.zeros((8, 8), np.float64)  # neutral 128 after shift
-    mcu_idx = 0
-    rst_n = 0
-    prev = [0, 0, 0]  # per-component DC predictors
-    for my in range(ph // mcu):
-        for mx in range(pw // mcu):
-            if (
-                restart_interval
-                and mcu_idx
-                and mcu_idx % restart_interval == 0
-            ):
-                bw.emit_marker(0xD0 + rst_n)
-                rst_n = (rst_n + 1) % 8
-                prev = [0, 0, 0]
-            mcu_idx += 1
-            if color_420:
-                for comp in scan_order:
+    scan_payloads: list = []  # non-interleaved: (comp, entropy bytes)
+    if color_420 and not interleaved:
+        for comp in scan_order:
+            bw = _BitWriter()  # fresh entropy segment per scan
+            prev_c = 0
+            rst_n = 0
+            blk_idx = 0
+            if comp == 0:
+                by, bx = -(-h // 8), -(-w // 8)
+            else:  # chroma plane is ceil(dim/2), then blocked by 8
+                by, bx = -(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8)
+            for my in range(by):
+                for mx in range(bx):
+                    if (
+                        restart_interval
+                        and blk_idx
+                        and blk_idx % restart_interval == 0
+                    ):
+                        bw.emit_marker(0xD0 + rst_n)
+                        rst_n = (rst_n + 1) % 8
+                        prev_c = 0
+                    blk_idx += 1
                     if comp == 0:
-                        for v in range(2):
-                            for u in range(2):
-                                y0 = my * 16 + v * 8
-                                x0 = mx * 16 + u * 8
-                                prev[0] = enc_block(
-                                    shifted[y0 : y0 + 8, x0 : x0 + 8],
-                                    prev[0],
-                                )
+                        y0, x0 = my * 8, mx * 8
+                        prev_c = enc_block(
+                            shifted[y0 : y0 + 8, x0 : x0 + 8], prev_c
+                        )
                     else:
-                        prev[comp] = enc_block(chroma, prev[comp])
-            else:
-                y0, x0 = my * 8, mx * 8
-                prev[0] = enc_block(
-                    shifted[y0 : y0 + 8, x0 : x0 + 8], prev[0]
-                )
+                        prev_c = enc_block(chroma, prev_c)
+            scan_payloads.append((comp, bw.flush()))
+    else:
+        mcu_idx = 0
+        rst_n = 0
+        prev = [0, 0, 0]  # per-component DC predictors
+        for my in range(ph // mcu):
+            for mx in range(pw // mcu):
+                if (
+                    restart_interval
+                    and mcu_idx
+                    and mcu_idx % restart_interval == 0
+                ):
+                    bw.emit_marker(0xD0 + rst_n)
+                    rst_n = (rst_n + 1) % 8
+                    prev = [0, 0, 0]
+                mcu_idx += 1
+                if color_420:
+                    for comp in scan_order:
+                        if comp == 0:
+                            for v in range(2):
+                                for u in range(2):
+                                    y0 = my * 16 + v * 8
+                                    x0 = mx * 16 + u * 8
+                                    prev[0] = enc_block(
+                                        shifted[y0 : y0 + 8, x0 : x0 + 8],
+                                        prev[0],
+                                    )
+                        else:
+                            prev[comp] = enc_block(chroma, prev[comp])
+                else:
+                    y0, x0 = my * 8, mx * 8
+                    prev[0] = enc_block(
+                        shifted[y0 : y0 + 8, x0 : x0 + 8], prev[0]
+                    )
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -590,21 +629,30 @@ def encode_jpeg(
         if restart_interval
         else b""
     )
-    sos = seg(0xFFDA, comp_sos + bytes([0, 63, 0]))
-    return (
-        b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
-    )
+    if color_420 and not interleaved:
+        scans = b"".join(
+            seg(0xFFDA, bytes([1, comp + 1, 0x00, 0, 63, 0])) + data
+            for comp, data in scan_payloads
+        )
+    else:
+        scans = seg(0xFFDA, comp_sos + bytes([0, 63, 0])) + bw.flush()
+    return b"\xff\xd8" + dqt + sof + dht + dri + scans + b"\xff\xd9"
 
 
 def _decode_jpeg(payload: bytes) -> "np.ndarray":
     """Baseline sequential JPEG decode. Grayscale or YCbCr with any
-    1/2/4 sampling factors (4:4:4, 4:2:2, 4:2:0 interleaved MCUs); the
-    Y plane is returned — JPEG's Y is already the BT.601 luma this
-    pipeline standardizes on, so chroma blocks are entropy-decoded to
-    advance the stream but not color-converted. Restart intervals
-    (DRI/RSTn) are honored with DC-predictor reset and
-    marker-sequence verification. Progressive (SOF2), 12-bit and
-    arithmetic coding raise at the documented seam."""
+    1/2/4 sampling factors (4:4:4, 4:2:2, 4:2:0), both scan layouts:
+    one fully-interleaved scan (MCUs over the frame grid) or one
+    component per scan (T.81 non-interleaved — MCU = one block over
+    the component's own block grid, the libjpeg non-interleaved
+    form). The Y plane is returned — JPEG's Y is already the BT.601
+    luma this pipeline standardizes on, so chroma blocks are
+    entropy-decoded to advance the stream but not color-converted.
+    Restart intervals (DRI/RSTn) are honored with DC-predictor reset
+    and marker-sequence verification; RST numbering restarts each
+    scan. Progressive (SOF2), 12-bit, arithmetic coding and
+    partially-interleaved scans (1 < Ns < Nf) raise at the
+    documented seam."""
     import struct
 
     import numpy as np
@@ -617,6 +665,7 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     sof = None
     restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # id, hs, vs, tq
+    comp_planes: dict[int, "np.ndarray"] = {}  # SOF comp idx -> plane
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -685,10 +734,11 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append((cs, tables >> 4, tables & 0x0F))
             h, w, nc = sof
-            if ns != nc:
+            if ns != nc and ns != 1:
                 raise NotImplementedError(
-                    "non-interleaved JPEG scans (Ns != Nf) not "
-                    "supported — baseline single interleaved scan only"
+                    "partially-interleaved JPEG scans (1 < Ns < Nf) "
+                    "not supported — fully interleaved or one "
+                    "component per scan only"
                 )
             # Bind each scan component to its SOF component by the Cs
             # selector (T.81 B.2.3) — scan order is NOT required to
@@ -713,16 +763,17 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             vmax = max(vs for _, _, vs, _ in comps)
             mcu_x = -(-w // (8 * hmax))
             mcu_y = -(-h // (8 * vmax))
-            planes = [
-                np.zeros(
-                    (
-                        mcu_y * comps[sof_idx[ci]][2] * 8,
-                        mcu_x * comps[sof_idx[ci]][1] * 8,
-                    ),
-                    np.uint8,
-                )
-                for ci in range(ns)
-            ]
+            # per-component planes persist ACROSS scans: a
+            # non-interleaved file fills them one scan at a time
+            for idx in sof_idx:
+                if idx not in comp_planes:
+                    comp_planes[idx] = np.zeros(
+                        (
+                            mcu_y * comps[idx][2] * 8,
+                            mcu_x * comps[idx][1] * 8,
+                        ),
+                        np.uint8,
+                    )
             deq = []
             for ci, (_cs, _td, _ta) in enumerate(scan_comps):
                 q = np.empty(64, np.float64)
@@ -743,68 +794,114 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             def extend(v: int, s: int) -> int:
                 return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
+            def decode_block(td, ta, dq, dc_in):
+                """Entropy-decode + dequantize + IDCT one 8x8 block;
+                returns (uint8 block, new DC predictor)."""
+                zz = np.zeros(64, np.float64)
+                s = read_symbol(htables[(0, td)])
+                diff = extend(br.read_bits(s), s) if s else 0
+                dc = dc_in + diff
+                zz[0] = dc
+                k = 1
+                while k < 64:
+                    rs = read_symbol(htables[(1, ta)])
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    zz[k] = extend(br.read_bits(size), size)
+                    k += 1
+                coef = np.zeros(64, np.float64)
+                coef[_JPEG_ZIGZAG] = zz
+                block = c.T @ (coef.reshape(8, 8) * dq) @ c
+                return (
+                    np.clip(np.rint(block) + 128, 0, 255).astype(np.uint8),
+                    dc,
+                )
+
+            def check_restart(unit_idx, expected_rst, prev_dc):
+                """Consume + verify an RSTn if the interval says one is
+                due before decoding unit `unit_idx`; returns the
+                updated (expected_rst, prev_dc)."""
+                if (
+                    restart_interval
+                    and unit_idx
+                    and unit_idx % restart_interval == 0
+                ):
+                    n = br.consume_restart()
+                    if n != expected_rst:
+                        raise ValueError(
+                            f"JPEG restart marker out of sequence "
+                            f"(got RST{n}, expected RST{expected_rst})"
+                        )
+                    return (expected_rst + 1) % 8, [0] * len(prev_dc)
+                return expected_rst, prev_dc
+
             prev_dc = [0] * ns
-            mcu_idx = 0
             expected_rst = 0
-            for my in range(mcu_y):
-                for mx in range(mcu_x):
-                    if (
-                        restart_interval
-                        and mcu_idx
-                        and mcu_idx % restart_interval == 0
-                    ):
-                        n = br.consume_restart()
-                        if n != expected_rst:
-                            raise ValueError(
-                                f"JPEG restart marker out of sequence "
-                                f"(got RST{n}, expected RST{expected_rst})"
-                            )
-                        expected_rst = (expected_rst + 1) % 8
-                        prev_dc = [0] * ns
-                    mcu_idx += 1
-                    for ci, (_cs, td, ta) in enumerate(scan_comps):
-                        hs, vs = comps[sof_idx[ci]][1], comps[sof_idx[ci]][2]
-                        for v in range(vs):
-                            for u in range(hs):
-                                zz = np.zeros(64, np.float64)
-                                s = read_symbol(htables[(0, td)])
-                                diff = (
-                                    extend(br.read_bits(s), s) if s else 0
-                                )
-                                prev_dc[ci] += diff
-                                zz[0] = prev_dc[ci]
-                                k = 1
-                                while k < 64:
-                                    rs = read_symbol(htables[(1, ta)])
-                                    run, size = rs >> 4, rs & 0x0F
-                                    if size == 0:
-                                        if run == 15:  # ZRL
-                                            k += 16
-                                            continue
-                                        break  # EOB
-                                    k += run
-                                    if k > 63:
-                                        raise ValueError(
-                                            "JPEG AC index overflow"
-                                        )
-                                    zz[k] = extend(br.read_bits(size), size)
-                                    k += 1
-                                coef = np.zeros(64, np.float64)
-                                coef[_JPEG_ZIGZAG] = zz
-                                block = (
-                                    c.T @ (coef.reshape(8, 8) * deq[ci]) @ c
-                                )
-                                y0 = (my * vs + v) * 8
-                                x0 = (mx * hs + u) * 8
-                                planes[ci][y0 : y0 + 8, x0 : x0 + 8] = (
-                                    np.clip(
-                                        np.rint(block) + 128, 0, 255
-                                    ).astype(np.uint8)
-                                )
-            # Y == BT.601 luma == FIRST SOF component, wherever the
-            # scan happened to place it
-            return planes[sof_idx.index(0)][:h, :w]
+            if ns == nc:
+                # interleaved: one pass over the frame MCU grid
+                mcu_idx = 0
+                for my in range(mcu_y):
+                    for mx in range(mcu_x):
+                        expected_rst, prev_dc = check_restart(
+                            mcu_idx, expected_rst, prev_dc
+                        )
+                        mcu_idx += 1
+                        for ci, (_cs, td, ta) in enumerate(scan_comps):
+                            hs = comps[sof_idx[ci]][1]
+                            vs = comps[sof_idx[ci]][2]
+                            for v in range(vs):
+                                for u in range(hs):
+                                    blk, prev_dc[ci] = decode_block(
+                                        td, ta, deq[ci], prev_dc[ci]
+                                    )
+                                    y0 = (my * vs + v) * 8
+                                    x0 = (mx * hs + u) * 8
+                                    comp_planes[sof_idx[ci]][
+                                        y0 : y0 + 8, x0 : x0 + 8
+                                    ] = blk
+            else:
+                # non-interleaved (Ns == 1, T.81 A.2.2): the MCU is a
+                # single data unit and the scan covers the COMPONENT'S
+                # own block grid — ceil(comp_dim / 8) per axis with
+                # comp_dim = ceil(frame_dim * sampling / max_sampling)
+                # — row-major; the restart interval counts blocks and
+                # RST numbering restarts at 0 each scan
+                idx = sof_idx[0]
+                _cs0, td0, ta0 = scan_comps[0]
+                hs, vs = comps[idx][1], comps[idx][2]
+                comp_w = -(-(w * hs) // hmax)
+                comp_h = -(-(h * vs) // vmax)
+                blocks_x = -(-comp_w // 8)
+                blocks_y = -(-comp_h // 8)
+                blk_idx = 0
+                for my in range(blocks_y):
+                    for mx in range(blocks_x):
+                        expected_rst, prev_dc = check_restart(
+                            blk_idx, expected_rst, prev_dc
+                        )
+                        blk_idx += 1
+                        blk, prev_dc[0] = decode_block(
+                            td0, ta0, deq[0], prev_dc[0]
+                        )
+                        comp_planes[idx][
+                            my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8
+                        ] = blk
+            # resume marker parsing after this scan's entropy data (a
+            # non-interleaved file has nc scans; interleaved has one)
+            pos = br.pos
         # APPn / COM / other: skipped via the length field
+    if sof is not None and 0 in comp_planes:
+        # Y == BT.601 luma == FIRST SOF component, wherever the scans
+        # happened to place it
+        h, w, _nc = sof
+        return comp_planes[0][:h, :w]
     raise ValueError("JPEG has no scan data")
 
 
