@@ -1337,9 +1337,7 @@ def t23_cusum_changepoint(spark: SparkSession, sf_dir: str):
     )
 
 
-@register(
-    "e06_streaming_pipeline",
-    oracle=f"""
+_E06_ORACLE = f"""
     WITH f AS (
       SELECT user_id, event_type,
              time_bucket(INTERVAL '1 hour', {_TS}) AS hr
@@ -1355,7 +1353,37 @@ def t23_cusum_changepoint(spark: SparkSession, sf_dir: str):
            event_type, n_active
     FROM agg, wm
     WHERE window_start + INTERVAL '6 hours' <= cutoff
-    """,
+    """
+
+
+def _e06_agg(spark: SparkSession, sf_dir: str):
+    """The e06 incremental plan (filter -> watermarked dedup -> 6h
+    tumbling counts in append mode), shared by the memory-sink (e06)
+    and MERGE-snapshot (t24) drains."""
+    from ..streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("value") > 5.0)
+    hr = ev.select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    dd = hr.withWatermark("hr", "2 hours").dropDuplicates(
+        ["user_id", "event_type", "hr"]
+    )
+    return (
+        dd.groupBy(F.window("hr", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_active",
+        )
+    )
+
+
+@register(
+    "e06_streaming_pipeline",
+    oracle=_E06_ORACLE,
     note="E6 streaming flagship: TWO stateful operators chained in "
     "ONE incremental query — filter -> per-(user, type, hour) "
     "event coalescing (watermarked dropDuplicates: the rate-limit/"
@@ -1381,29 +1409,52 @@ def t23_cusum_changepoint(spark: SparkSession, sf_dir: str):
     "are time-ordered (the production layout).",
 )
 def e06_streaming_pipeline(spark: SparkSession, sf_dir: str):
-    from ..streaming.windows import read_events_stream, run_to_memory
+    from ..streaming.windows import run_to_memory
 
-    ev = read_events_stream(spark, sf_dir).filter(F.col("value") > 5.0)
-    hr = ev.select(
-        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hr")
-    )
-    dd = hr.withWatermark("hr", "2 hours").dropDuplicates(
-        ["user_id", "event_type", "hr"]
-    )
-    agg = (
-        dd.groupBy(F.window("hr", "6 hours").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_active"))
-        .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
-            "event_type",
-            "n_active",
-        )
-    )
     run_to_memory(
-        agg,
+        _e06_agg(spark, sf_dir),
         "e06_streaming_pipeline_sink",
         output_mode="append",
         n_partitions=8,
     )
     return spark.table("e06_streaming_pipeline_sink")
+
+
+@register(
+    "t24_streaming_merge_sink",
+    oracle=_E06_ORACLE,
+    note="T24 idempotent foreachBatch MERGE sink — the missing last "
+    "meter of the streaming story: e06's append-mode output drained "
+    "through a foreachBatch that MERGEs each micro-batch into a "
+    "parquet snapshot keyed on (window_start, event_type), with the "
+    "last-committed batchId recorded so a re-delivered batch is a "
+    "no-op (Structured Streaming delivers batches at-least-once; "
+    "exactly-once downstream is the SINK's idempotency, proven for "
+    "re-delivery in tests/test_streaming.py). The registered result "
+    "is the SNAPSHOT read back from parquet, and the oracle is the "
+    "batch replay of the whole pipeline (e06's SQL == a batch MERGE "
+    "of all finalized windows, the d09 shape) — so a MERGE bug "
+    "(dropped keys, double-applied rows, lost unmatched target rows) "
+    "fails the value hash. Per-batch cost: one co-partitioned "
+    "anti-join on the key + the batch insert; at 100 TB the snapshot "
+    "is bucketed on the key (s06) and the swap is a table-format "
+    "transactional commit (documented seam in streaming/sinks.py).",
+)
+def t24_streaming_merge_sink(spark: SparkSession, sf_dir: str):
+    import os
+    import tempfile
+
+    from ..streaming.sinks import run_to_merge_snapshot
+
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="t24_merge_"), "snapshot"
+    )
+    run_to_merge_snapshot(
+        _e06_agg(spark, sf_dir),
+        path,
+        keys=["window_start", "event_type"],
+        n_partitions=8,
+    )
+    return spark.read.parquet(path).select(
+        "window_start", "window_end", "event_type", "n_active"
+    )

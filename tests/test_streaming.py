@@ -159,3 +159,65 @@ def test_e06_watermark_boundary_window_is_emitted(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert want == got
+
+
+def test_merge_sink_idempotent_under_redelivery(spark, tmp_path):
+    """The foreachBatch MERGE sink must make at-least-once delivery
+    exactly-once downstream: re-applying a committed batchId is a
+    no-op (batchId guard), a NEW batch with overlapping keys REPLACES
+    them and inserts the rest while keeping untouched target rows
+    (MERGE semantics), and a stale batchId arriving after a newer one
+    never regresses the snapshot."""
+    from big_data_bowl_spark.streaming.sinks import (
+        last_committed_batch,
+        merge_batch_into_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    read = lambda: {  # noqa: E731
+        (r.k, r.g): r.v for r in spark.read.parquet(path).collect()
+    }
+    b0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0)], "k long, g string, v double"
+    )
+    assert merge_batch_into_snapshot(spark, b0, path, ["k", "g"], 0)
+    assert read() == {(1, "a"): 10.0, (2, "a"): 20.0}
+    assert last_committed_batch(path) == 0
+
+    # re-delivery of batch 0 (crash before checkpoint commit): no-op
+    b0_again = spark.createDataFrame(
+        [(1, "a", 99.0)], "k long, g string, v double"
+    )
+    assert not merge_batch_into_snapshot(spark, b0_again, path, ["k", "g"], 0)
+    assert read() == {(1, "a"): 10.0, (2, "a"): 20.0}
+
+    # batch 1: update key (2,a), insert (3,b), keep (1,a) untouched
+    b1 = spark.createDataFrame(
+        [(2, "a", 25.0), (3, "b", 30.0)], "k long, g string, v double"
+    )
+    assert merge_batch_into_snapshot(spark, b1, path, ["k", "g"], 1)
+    assert read() == {(1, "a"): 10.0, (2, "a"): 25.0, (3, "b"): 30.0}
+
+    # stale batch 0 after batch 1: must not regress
+    assert not merge_batch_into_snapshot(spark, b0, path, ["k", "g"], 0)
+    assert read() == {(1, "a"): 10.0, (2, "a"): 25.0, (3, "b"): 30.0}
+    assert last_committed_batch(path) == 1
+
+
+def test_t24_snapshot_equals_e06_append_output(spark, sf_dir):
+    """End-to-end: draining e06 through the MERGE sink must land the
+    exact same finalized-window rows in the parquet snapshot that the
+    append-mode memory sink emits."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    canon3 = lambda rows: sorted(  # noqa: E731
+        (r.window_start, r.window_end, r.event_type, r.n_active)
+        for r in rows
+    )
+    snap = canon3(
+        REGISTRY["t24_streaming_merge_sink"].fn(spark, sf_dir).collect()
+    )
+    mem = canon3(
+        REGISTRY["e06_streaming_pipeline"].fn(spark, sf_dir).collect()
+    )
+    assert snap == mem and snap
