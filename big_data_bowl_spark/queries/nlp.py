@@ -1538,3 +1538,247 @@ def n19_benchmark_decontamination(spark: SparkSession, sf_dir: str):
             (n_shared >= 1).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N20/N21: TRAINED BPE — the tokenizer as data (VERDICT r6 item 8).
+# n06 approximates with a fixed token pattern; here the merge table is
+# LEARNED on the corpus (iterative pair-count -> argmax -> merge, the
+# g01 driver-loop shape) and then applied to tokenize the full corpus.
+# ---------------------------------------------------------------------------
+
+# Tokenizations are strings with DOUBLE \x1f delimiters between (and
+# around) symbols: "␟␟c1␟␟c2␟␟". A merge of pair (l, r) is then ONE
+# left-to-right non-overlapping replace of "␟l␟␟r␟" with "␟lr␟" —
+# and because adjacent matches do not share a delimiter (each keeps
+# one ␟ of the double boundary on each side), a run like 'aaaa'
+# merges to (aa)(aa) exactly like reference BPE greedy application.
+# (A single-delimiter pattern "␟a␟a␟" consumes the shared middle
+# boundary and silently under-merges runs — pinned by
+# tests/test_text.py.) \x1f never appears in normalized text.
+BPE_SEP = "\x1f"
+BPE_SEP2 = BPE_SEP * 2
+N_BPE_MERGES = 6
+BPE_SAMPLE_MOD = 5  # train on doc_id % 5 = 0 (the classic BPE sample)
+BPE_PREFIX = 60  # chars of each training doc
+
+
+def _bpe_norm_sql(col: str) -> str:
+    """DuckDB spelling of the normalization: lower -> strip non-[a-z ]
+    -> space to '_' (the sentencepiece word-boundary convention).
+    DuckDB's regexp_replace needs the 'g' flag for all-occurrences;
+    Spark's is global by default (see _bpe_norm)."""
+    return (
+        f"replace(regexp_replace(lower({col}), '[^a-z ]', '', 'g'), "
+        "' ', '_')"
+    )
+
+
+def _bpe_norm(col):
+    """Spark spelling of the same normalization."""
+    return F.translate(
+        F.regexp_replace(F.lower(col), "[^a-z ]", ""), " ", "_"
+    )
+
+
+def _bpe_train_ctes() -> str:
+    """The UNROLLED training iterations as DuckDB CTE text: tok0 is
+    the double-delimited training sample; each step counts adjacent
+    pairs (overlapping, like reference BPE get_stats), picks the
+    (count DESC, left, right) argmax, and applies the merge with the
+    dual-delimiter replace — bit-identical semantics to Spark's
+    replace() (pinned by tests/test_text.py on planted run/boundary
+    cases). Yields CTEs tok0..tok{N}, win0..win{N-1}."""
+    sep = "chr(31)"
+    sep2 = f"({sep} || {sep})"
+    ctes = [
+        f"""tok0 AS (
+      SELECT doc_id,
+             {sep2} || regexp_replace(norm, '(.)', '\\1' || {sep} || {sep},
+                                      'g') AS s
+      FROM (SELECT doc_id,
+                   substr({_bpe_norm_sql('text')}, 1, {BPE_PREFIX}) AS norm
+            FROM documents WHERE doc_id % {BPE_SAMPLE_MOD} = 0))"""
+    ]
+    for i in range(N_BPE_MERGES):
+        ctes.append(f"""pairs{i} AS (
+      SELECT arr[i] AS l, arr[i + 1] AS r
+      FROM (SELECT string_split(substr(s, 3, length(s) - 4), {sep2}) AS arr
+            FROM tok{i}),
+           UNNEST(generate_series(1, len(arr) - 1)) AS u(i))""")
+        ctes.append(f"""win{i} AS (
+      SELECT l, r, c FROM (
+        SELECT l, r, COUNT(*) AS c FROM pairs{i} GROUP BY 1, 2
+        QUALIFY ROW_NUMBER() OVER (ORDER BY c DESC, l ASC, r ASC) = 1)
+      UNION ALL
+      SELECT '', '', CAST(0 AS BIGINT)
+      WHERE NOT EXISTS (SELECT 1 FROM pairs{i}))""")
+        ctes.append(f"""tok{i + 1} AS (
+      SELECT t.doc_id,
+             replace(t.s, {sep} || w.l || {sep2} || w.r || {sep},
+                     {sep} || w.l || w.r || {sep}) AS s
+      FROM tok{i} t CROSS JOIN win{i} w)""")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "n20_bpe_train",
+    oracle=f"""
+    WITH {_bpe_train_ctes()}
+    {" UNION ALL ".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, c AS pair_count FROM win{i}"
+        for i in range(N_BPE_MERGES)
+    )}
+    """,
+    note=f"N20 BPE TRAINING in-plan: {N_BPE_MERGES} merge rounds over "
+    f"a 1/{BPE_SAMPLE_MOD} document sample ({BPE_PREFIX}-char "
+    "prefixes), each round ONE distributed pair-count aggregation "
+    "(explode adjacent symbol pairs -> groupBy count, map-side "
+    "combined) + a 1-row argmax collect (count DESC, pair ASC "
+    "tie-break — the k-means-scalar class of driver action), then "
+    "the winning merge applied corpus-wide as a single codegen'd "
+    "left-to-right non-overlapping replace(). The learned merge "
+    "table IS the output — the tokenizer as data. The oracle unrolls "
+    "all rounds in SQL with the same replace semantics, so a wrong "
+    "count, tie-break, or overlap rule diverges the table. At 100 TB "
+    "the sample is what real BPE trainers use; each round is one "
+    "shuffle of (pair, count) partials and the loop state is the "
+    "g01 shape (checkpoint the tokenization every few rounds).",
+)
+def n20_bpe_train(spark: SparkSession, sf_dir: str):
+    merges = _bpe_fit(spark, sf_dir)
+    return spark.createDataFrame(
+        [
+            (i, left, right, left + right, int(c))
+            for i, (left, right, c) in enumerate(merges)
+        ],
+        "step int, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    )
+
+
+def _bpe_fit(spark: SparkSession, sf_dir: str) -> list:
+    """Run the training loop; returns [(left, right, pair_count)] in
+    merge order. Each iteration: pair-count aggregation + 1-row
+    argmax collect; the merge re-enters the plan as a literal."""
+    norm = F.substring(_bpe_norm(F.col("text")), 1, BPE_PREFIX)
+    base = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % BPE_SAMPLE_MOD == 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit(BPE_SEP2),
+                F.regexp_replace(norm, "(.)", "$1" + BPE_SEP2),
+            ).alias("s"),
+        )
+    )
+    # the sample is read ONCE and cached: every merge round's
+    # pair-count job folds its replaces over the cached sample rather
+    # than re-scanning the documents lake (at 100 TB the sample is
+    # the only thing the training loop ever touches)
+    df = base.cache()
+    merges = []
+    for _step in range(N_BPE_MERGES):
+        arr = F.split(F.expr("substring(s, 3, length(s) - 4)"), BPE_SEP2)
+        top = (
+            df.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(arr, 1, F.size(arr) - 1),
+                        F.slice(arr, 2, F.size(arr) - 1),
+                    )
+                ).alias("p")
+            )
+            .select(F.col("p.0").alias("l"), F.col("p.1").alias("r"))
+            .groupBy("l", "r")
+            .count()
+            .orderBy(F.desc("count"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            # corpus fully merged (tiny-corpus edge): deterministic
+            # sentinel, mirrored by the oracle's NOT EXISTS branch —
+            # the ''-pair replace below can never match (symbols are
+            # never empty), so remaining rounds are no-ops
+            merges.append(("", "", 0))
+            continue
+        win = top[0]
+        merges.append((win["l"], win["r"], win["count"]))
+        df = df.select(
+            "doc_id",
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + win["l"] + BPE_SEP2 + win["r"] + BPE_SEP),
+                F.lit(BPE_SEP + win["l"] + win["r"] + BPE_SEP),
+            ).alias("s"),
+        )
+    return merges
+
+
+@register(
+    "n21_bpe_tokenize",
+    oracle=f"""
+    WITH {_bpe_train_ctes()},
+    corpus0 AS (
+      SELECT doc_id,
+             chr(31) || chr(31) ||
+             regexp_replace({_bpe_norm_sql('text')},
+                            '(.)', '\\1' || chr(31) || chr(31), 'g') AS s
+      FROM documents),
+    {",".join(
+        f'''corpus{i + 1} AS (
+      SELECT c.doc_id,
+             replace(c.s,
+                     chr(31) || w.l || chr(31) || chr(31) || w.r || chr(31),
+                     chr(31) || w.l || w.r || chr(31)) AS s
+      FROM corpus{i} c CROSS JOIN win{i} w)'''
+        for i in range(N_BPE_MERGES)
+    )}
+    SELECT doc_id,
+           CAST(len(string_split(substr(s, 3, length(s) - 4),
+                                 chr(31) || chr(31))) AS BIGINT)
+             AS n_tokens,
+           CAST((length(s)
+                 - 2 * len(string_split(substr(s, 3, length(s) - 4),
+                                        chr(31) || chr(31))) - 2)
+                AS BIGINT) AS n_chars
+    FROM corpus{N_BPE_MERGES}
+    """,
+    note="N21 tokenize WITH the trained tokenizer: the n20 merge "
+    "table (re-learned in-loop; literals once trained) applied in "
+    "merge order to the FULL corpus — each merge one codegen'd "
+    "replace(), so tokenization is a narrow scan-bound map, no "
+    "shuffle at all. Output is per-doc BPE token and char counts; "
+    "the oracle replays training AND application end-to-end, so a "
+    "single mis-ordered or mis-applied merge shifts token counts "
+    "and fails the hash. The production shape: merges broadcast "
+    "(they're literals), corpus never moves — tokenizing 100 TB "
+    "costs exactly one scan.",
+)
+def n21_bpe_tokenize(spark: SparkSession, sf_dir: str):
+    merges = _bpe_fit(spark, sf_dir)
+    norm = _bpe_norm(F.col("text"))
+    s = F.concat(
+        F.lit(BPE_SEP2), F.regexp_replace(norm, "(.)", "$1" + BPE_SEP2)
+    )
+    for left, right, _c in merges:
+        s = F.replace(
+            s,
+            F.lit(BPE_SEP + left + BPE_SEP2 + right + BPE_SEP),
+            F.lit(BPE_SEP + left + right + BPE_SEP),
+        )
+    toks = F.split(F.expr("substring(s, 3, length(s) - 4)"), BPE_SEP2)
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", s.alias("s"))
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.length("s") - 2 * F.size(toks) - 2)
+            .cast("long")
+            .alias("n_chars"),
+        )
+    )

@@ -93,3 +93,77 @@ def test_rolling_hash_order_sensitive(spark):
     assert got[0] == got[2]          # deterministic
     assert got[0] != got[1]          # order matters (unlike md5-of-sorted)
     assert all(0 <= v < ROLL_MOD for v in got)
+
+
+def test_bpe_merge_replace_semantics_planted(spark, tmp_path):
+    """Pins the BPE merge primitive on the overlap cases where greedy
+    left-to-right non-overlapping replace is the defining choice:
+    'aaaa' under merge (a,a) becomes (aa)(aa), 'aaa' becomes (aa)(a)
+    — and both engines (Spark replace, DuckDB replace) agree, which
+    is what makes the n20/n21 oracles sound. Also trains on a planted
+    corpus where the winning merges are known by construction."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.nlp import N_BPE_MERGES
+
+    # doc 0 (the only sampled doc at BPE_SAMPLE_MOD=5): 'aaaa bb'
+    # round 0: (a,a) wins with 3 overlapping counts -> 'aa aa b b'
+    # round 1: pairs (aa,aa)=1, (aa,_)=1, (_,b)=1, (b,b)=1 -> tie on
+    # count, lexicographic tie-break picks (_,b)
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["aaaa bb", "aaaa bb"]),
+            "source": pa.array(["x", "x"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    train = {
+        r.step: (r.left_sym, r.right_sym, r.pair_count)
+        for r in REGISTRY["n20_bpe_train"].fn(spark, sf).collect()
+    }
+    assert len(train) == N_BPE_MERGES
+    # round 0: COUNTING sees 3 overlapping (a,a) pairs in 'aaaa'...
+    assert train[0] == ("a", "a", 3)
+    # ...but the merge APPLIES non-overlapping: 'aaaa' -> (aa)(aa),
+    # so round 1 is an all-count-1 tie broken lexicographically:
+    # '_' < 'aa' < 'b'
+    assert train[1] == ("_", "b", 1)
+    # rounds 2-4 zip the doc up by the same tie-break: from
+    # [aa, aa, _b, b] the '_'-prefixed pairs sort first. Round 3's
+    # winner is the run-merge canary: it is (aa, _bb) ONLY if round 0
+    # merged 'aaaa' into (aa)(aa) like reference BPE — a replace that
+    # consumes the shared boundary under-merges to (aa)(a)(a) and
+    # surfaces (a, _bb) here instead.
+    assert train[2] == ("_b", "b", 1)  # -> [aa, aa, _bb]
+    assert train[3] == ("aa", "_bb", 1)  # -> [aa, aa_bb]
+    assert train[4] == ("aa", "aa_bb", 1)  # -> [aaaa_bb]
+    # round 5: single token left, no pairs -> deterministic sentinel
+    assert train[5] == ("", "", 0)
+
+    tok = {
+        r.doc_id: (r.n_tokens, r.n_chars)
+        for r in REGISTRY["n21_bpe_tokenize"].fn(spark, sf).collect()
+    }
+    # both docs identical text -> identical tokenization; chars = 7;
+    # the 5 real merges collapse the whole doc into one token
+    assert tok[0] == tok[1] == (1, 7)
+
+    # DuckDB agrees end-to-end on the planted corpus
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            REGISTRY["n21_bpe_tokenize"].oracle
+        ).fetchall()
+    }
+    assert want == tok
