@@ -1,0 +1,136 @@
+"""10x scale probe for the three most expensive pipelines (VERDICT r6
+item 6): guard against local[32]-only tuning by MEASURING how e03
+(field control), e04 (corpus curation) and e05 (embedding index)
+behave when their input grows 10x.
+
+Method: explode sf0.1's events/documents/embeddings by --factor with
+id offsets (replica r shifts ids by r * 10^9, so keys stay unique
+while low-order modular structure — selectivities, feature formulas —
+is preserved in expectation), write the exploded lake to a temp dir,
+then run each pipeline at 1x and Nx through full materialization
+(count(), the bench.py convention) and compare:
+
+- wall_ratio vs factor: sub-linear => fixed overheads amortize; the
+  interesting red flag is wall_ratio >> factor (a super-linear stage).
+- exchanges at 1x vs Nx: the plan SHAPE must be scale-invariant —
+  the same number of shuffles, no new single-partition exchange
+  smuggled in by a size-triggered strategy change.
+
+Usage: python tools/scale_probe.py [--factor 10] [--sf DIR] [--md]
+(--md prints the SCALE.md table block). Results land on stdout; the
+probe lake lives in a TemporaryDirectory and is deleted on exit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+ID_OFFSET = 10**9
+TABLES = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+PIPELINES = [
+    "e03_field_control_season",
+    "e04_corpus_curation",
+    "e05_embedding_index_pipeline",
+]
+
+
+def build_probe_lake(spark, sf_dir: str, out_dir: str, factor: int):
+    from pyspark.sql import functions as F
+
+    for table, key in TABLES.items():
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        exploded = (
+            df.withColumn(
+                "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            )
+            .withColumn(
+                key,
+                F.col(key).cast("long")
+                + F.col("_rep").cast("long") * F.lit(ID_OFFSET),
+            )
+            .drop("_rep")
+        )
+        exploded.write.mode("overwrite").parquet(
+            f"{out_dir}/{table}.parquet"
+        )
+
+
+def n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange ") + plan.count("Exchange\n")
+
+
+def run_one(spark, name: str, sf_dir: str):
+    from big_data_bowl_spark.queries import REGISTRY
+
+    t0 = time.time()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    rows = df.count()
+    wall = time.time() - t0
+    return wall, rows, n_exchanges(df)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--md", action="store_true")
+    args = ap.parse_args()
+
+    from big_data_bowl_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = []
+    with tempfile.TemporaryDirectory(prefix="scale_probe_") as probe:
+        build_probe_lake(spark, args.sf, probe, args.factor)
+        for name in PIPELINES:
+            w1, r1, x1 = run_one(spark, name, args.sf)
+            wN, rN, xN = run_one(spark, name, probe)
+            results.append(
+                {
+                    "query": name,
+                    "wall_1x_s": round(w1, 2),
+                    f"wall_{args.factor}x_s": round(wN, 2),
+                    "wall_ratio": round(wN / w1, 2),
+                    "rows_1x": r1,
+                    f"rows_{args.factor}x": rN,
+                    "exchanges_1x": x1,
+                    f"exchanges_{args.factor}x": xN,
+                    "plan_shape_stable": x1 == xN,
+                }
+            )
+            print(json.dumps(results[-1]))
+    if args.md:
+        f = args.factor
+        print()
+        print(
+            f"| query | 1x wall | {f}x wall | ratio "
+            f"| exchanges 1x/{f}x | plan stable |"
+        )
+        print("|---|---|---|---|---|---|")
+        for r in results:
+            print(
+                f"| {r['query']} | {r['wall_1x_s']} s "
+                f"| {r[f'wall_{f}x_s']} s | {r['wall_ratio']}x "
+                f"| {r['exchanges_1x']}/{r[f'exchanges_{f}x']} "
+                f"| {'yes' if r['plan_shape_stable'] else 'NO'} |"
+            )
+
+
+if __name__ == "__main__":
+    main()
