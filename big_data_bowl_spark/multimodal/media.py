@@ -439,6 +439,165 @@ def _jpeg_category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
 
 
+_PROG_BANDS = ((1, 5), (6, 63))  # AC spectral bands per component
+
+# Progressive AC scans need EOBn symbols (0x10..0xE0) that the Annex K
+# baseline AC table does not define — progressive files always carry
+# their own tables. This one is deliberately trivial: every symbol we
+# may emit (the 162 baseline run/size symbols + EOB1..EOB14) as a flat
+# 9-bit canonical code (176 codes < 510, all-ones code unused).
+_PROG_AC_VALS = list(_JPEG_STD_AC_VALS) + [r << 4 for r in range(1, 15)]
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7
+
+
+def _encode_progressive(
+    shape,
+    ph,
+    pw,
+    shifted,
+    chroma,
+    quant,
+    qmat,
+    c,
+    dc_codes,
+    color_420,
+) -> bytes:
+    """SOF2 spectral-selection progressive assembly for encode_jpeg:
+    quantized zigzag coefficients are computed once per block, then
+    emitted as one interleaved DC scan + _PROG_BANDS AC scans per
+    component (Ns=1, EOB-run coding per T.81 G.1.2.2)."""
+    import struct
+
+    import numpy as np
+
+    h, w = shape
+    ac_codes = _huffman_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    def qzz(spatial):
+        coef = np.rint((c @ spatial @ c.T) / qmat).astype(np.int64)
+        return coef.reshape(64)[_JPEG_ZIGZAG]
+
+    yby, ybx = ph // 8, pw // 8
+    yzz = [
+        [
+            qzz(shifted[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
+            for bx in range(ybx)
+        ]
+        for by in range(yby)
+    ]
+    czz = qzz(chroma)  # neutral chroma: all-zero coefficients
+
+    def write_dc(bw, dcval, prev):
+        diff = dcval - prev
+        cat = _jpeg_category(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        return dcval
+
+    def flush_eobrun(bw, n):
+        # EOBn symbols: run length in [2^r, 2^(r+1)-1], r extra bits
+        while n > 0:
+            r = min(14, n.bit_length() - 1)
+            take = min(n, (1 << (r + 1)) - 1)
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(take - (1 << r), r)
+            n -= take
+
+    def write_band(bw, zz, bs, be, eob_pending):
+        """Emit one block's [bs, be] band; returns the updated
+        pending-EOB block count (flushed lazily so runs collapse)."""
+        nzk = max(
+            (k for k in range(bs, be + 1) if zz[k] != 0), default=None
+        )
+        if nzk is None:
+            return eob_pending + 1
+        if eob_pending:
+            flush_eobrun(bw, eob_pending)
+        run = 0
+        for k in range(bs, nzk + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat = _jpeg_category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
+            run = 0
+        # trailing zeros: this block's terminator joins the next run
+        return 1 if nzk < be else 0
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    # --- DC scan: all components interleaved over the MCU grid ------
+    bw = _BitWriter()
+    if color_420:
+        prev = [0, 0, 0]
+        for my in range(ph // 16):
+            for mx in range(pw // 16):
+                for v in range(2):
+                    for u in range(2):
+                        prev[0] = write_dc(
+                            bw,
+                            int(yzz[my * 2 + v][mx * 2 + u][0]),
+                            prev[0],
+                        )
+                prev[1] = write_dc(bw, int(czz[0]), prev[1])
+                prev[2] = write_dc(bw, int(czz[0]), prev[2])
+        dc_sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
+        nc = 3
+    else:
+        prev0 = 0
+        for by in range(yby):
+            for bx in range(ybx):
+                prev0 = write_dc(bw, int(yzz[by][bx][0]), prev0)
+        dc_sos = bytes([1, 1, 0x00, 0, 0, 0])
+        nc = 1
+    scans = seg(0xFFDA, dc_sos) + bw.flush()
+
+    # --- AC band scans: Ns=1 per component, SOF order ---------------
+    comp_grids = [(-(-h // 8), -(-w // 8))]
+    if color_420:
+        cg = (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8))
+        comp_grids += [cg, cg]
+    for comp, (gby, gbx) in enumerate(comp_grids):
+        for bs, be in _PROG_BANDS:
+            bw = _BitWriter()
+            eob_pending = 0
+            for by in range(gby):
+                for bx in range(gbx):
+                    zz = yzz[by][bx] if comp == 0 else czz
+                    eob_pending = write_band(bw, zz, bs, be, eob_pending)
+            if eob_pending:
+                flush_eobrun(bw, eob_pending)
+            ac_sos = bytes([1, comp + 1, 0x00, bs, be, 0])
+            scans += seg(0xFFDA, ac_sos) + bw.flush()
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(quant))
+    if color_420:
+        comp_sof = bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    else:
+        comp_sof = bytes([1, 0x11, 0])
+    sof = seg(0xFFC2, struct.pack(">BHHB", 8, h, w, nc) + comp_sof)
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS),
+    ) + seg(
+        0xFFC4,
+        bytes([0x10]) + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS),
+    )
+    return b"\xff\xd8" + dqt + sof + dht + scans + b"\xff\xd9"
+
+
 def encode_jpeg(
     img: "np.ndarray",
     quant: list[int] | None = None,
@@ -446,6 +605,7 @@ def encode_jpeg(
     color_420: bool = False,
     scan_order: tuple[int, ...] = (0, 1, 2),
     interleaved: bool = True,
+    progressive: bool = False,
 ) -> bytes:
     """Encode a (h, w) uint8 array as a baseline sequential JPEG
     (SOF0, Annex K standard Huffman tables).
@@ -476,7 +636,16 @@ def encode_jpeg(
     layout libjpeg emits: each scan is Ns=1 over the component's own
     ceil(comp_dim/8) block grid (Y pads to 8, not the 16-pixel frame
     MCU), with its own entropy segment and restart numbering reset
-    at each scan start."""
+    at each scan start.
+
+    `progressive=True` writes SOF2 spectral-selection progressive:
+    one interleaved DC scan (Ss=Se=0) followed by TWO AC band scans
+    per component (Ss..Se = 1..5 then 6..63, SOF order, Ns=1 over
+    the component block grid) using EOB-run codes — runs of blocks
+    whose band is entirely zero collapse into EOBn symbols, the
+    coding progressive exists for. Successive approximation is not
+    emitted (decode seam likewise); incompatible with
+    restart_interval / interleaved=False / scan_order here."""
     import struct
 
     import numpy as np
@@ -538,6 +707,18 @@ def encode_jpeg(
 
     shifted = padded.astype(np.float64) - 128.0
     chroma = np.zeros((8, 8), np.float64)  # neutral 128 after shift
+
+    if progressive:
+        if restart_interval or not interleaved or scan_order != (0, 1, 2):
+            raise ValueError(
+                "progressive encoding does not combine with "
+                "restart_interval / interleaved=False / scan_order"
+            )
+        return _encode_progressive(
+            img.shape, ph, pw, shifted, chroma, quant, qmat, c,
+            dc_codes, color_420,
+        )
+
     scan_payloads: list = []  # non-interleaved: (comp, entropy bytes)
     if color_420 and not interleaved:
         for comp in scan_order:
@@ -639,19 +820,167 @@ def encode_jpeg(
     return b"\xff\xd8" + dqt + sof + dht + dri + scans + b"\xff\xd9"
 
 
+def _decode_progressive_scan(
+    br,
+    comps,
+    sof_idx,
+    scan_comps,
+    htables,
+    comp_coefs,
+    ss,
+    se,
+    ah,
+    al,
+    mcu_x,
+    mcu_y,
+    restart_interval,
+    read_symbol,
+    extend,
+    comp_blocks,
+) -> None:
+    """Decode ONE progressive (SOF2) scan into the accumulating
+    per-component coefficient grids — spectral selection only
+    (T.81 Annex G): a DC scan (Ss=Se=0, interleaved over the frame
+    MCU grid or Ns=1 over the component grid) or an AC band scan
+    (Ns=1, band [Ss, Se], with EOB-run codes: RRRR|0 encodes a run
+    of 2^RRRR + extra-bits blocks whose remaining band is all zero).
+    Successive approximation (Ah/Al != 0) raises at the documented
+    seam. Restart intervals reset the DC predictors / the EOB run
+    with per-scan RST numbering, same as baseline.
+    """
+    import numpy as np
+
+    ns = len(scan_comps)
+    if ah or al:
+        raise NotImplementedError(
+            "progressive JPEG successive approximation (Ah/Al != 0) "
+            "not supported — spectral-selection scans only"
+        )
+    # zigzag-indexed coefficient grids persist across scans
+    for idx in set(sof_idx):
+        if idx not in comp_coefs:
+            comp_coefs[idx] = np.zeros(
+                (mcu_y * comps[idx][2], mcu_x * comps[idx][1], 64),
+                np.int32,
+            )
+
+    state = {"rst": 0}
+
+    def restart_due(unit_idx: int) -> bool:
+        if (
+            restart_interval
+            and unit_idx
+            and unit_idx % restart_interval == 0
+        ):
+            n = br.consume_restart()
+            if n != state["rst"]:
+                raise ValueError(
+                    f"JPEG restart marker out of sequence "
+                    f"(got RST{n}, expected RST{state['rst']})"
+                )
+            state["rst"] = (state["rst"] + 1) % 8
+            return True
+        return False
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError(
+                "progressive DC scan must have Se=0 (T.81 G.1.1.1.1)"
+            )
+        prev_dc = [0] * ns
+        if ns == len(comps):  # interleaved over the frame MCU grid
+            mcu_idx = 0
+            for my in range(mcu_y):
+                for mx in range(mcu_x):
+                    if restart_due(mcu_idx):
+                        prev_dc = [0] * ns
+                    mcu_idx += 1
+                    for ci, (_cs, td, _ta) in enumerate(scan_comps):
+                        idx = sof_idx[ci]
+                        hs, vs = comps[idx][1], comps[idx][2]
+                        for v in range(vs):
+                            for u in range(hs):
+                                s = read_symbol(htables[(0, td)])
+                                diff = (
+                                    extend(br.read_bits(s), s) if s else 0
+                                )
+                                prev_dc[ci] += diff
+                                comp_coefs[idx][
+                                    my * vs + v, mx * hs + u, 0
+                                ] = prev_dc[ci]
+        else:  # Ns=1: the component's own block grid
+            idx = sof_idx[0]
+            td = scan_comps[0][1]
+            by, bx = comp_blocks(idx)
+            blk = 0
+            for my in range(by):
+                for mx in range(bx):
+                    if restart_due(blk):
+                        prev_dc = [0]
+                    blk += 1
+                    s = read_symbol(htables[(0, td)])
+                    diff = extend(br.read_bits(s), s) if s else 0
+                    prev_dc[0] += diff
+                    comp_coefs[idx][my, mx, 0] = prev_dc[0]
+        return
+
+    # AC band scan
+    if ns != 1:
+        raise ValueError(
+            "progressive AC scan must have Ns=1 (T.81 G.1.1.1.1)"
+        )
+    idx = sof_idx[0]
+    ta = scan_comps[0][2]
+    by, bx = comp_blocks(idx)
+    coefs = comp_coefs[idx]
+    eobrun = 0
+    blk = 0
+    for my in range(by):
+        for mx in range(bx):
+            if restart_due(blk):
+                eobrun = 0  # EOB runs cannot cross a restart
+            blk += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = read_symbol(htables[(1, ta)])
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL: 16 zeros within the band
+                        k += 16
+                        continue
+                    eobrun = (1 << run) - 1  # EOBn: this block + more
+                    if run:
+                        eobrun += br.read_bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError(
+                        "JPEG AC index overflows the scan band"
+                    )
+                coefs[my, mx, k] = extend(br.read_bits(size), size)
+                k += 1
+
+
 def _decode_jpeg(payload: bytes) -> "np.ndarray":
-    """Baseline sequential JPEG decode. Grayscale or YCbCr with any
-    1/2/4 sampling factors (4:4:4, 4:2:2, 4:2:0), both scan layouts:
-    one fully-interleaved scan (MCUs over the frame grid) or one
+    """JPEG decode: baseline sequential (SOF0) and spectral-selection
+    progressive (SOF2). Grayscale or YCbCr with any 1/2/4 sampling
+    factors (4:4:4, 4:2:2, 4:2:0). Baseline scan layouts: one
+    fully-interleaved scan (MCUs over the frame grid) or one
     component per scan (T.81 non-interleaved — MCU = one block over
     the component's own block grid, the libjpeg non-interleaved
-    form). The Y plane is returned — JPEG's Y is already the BT.601
-    luma this pipeline standardizes on, so chroma blocks are
-    entropy-decoded to advance the stream but not color-converted.
-    Restart intervals (DRI/RSTn) are honored with DC-predictor reset
-    and marker-sequence verification; RST numbering restarts each
-    scan. Progressive (SOF2), 12-bit, arithmetic coding and
-    partially-interleaved scans (1 < Ns < Nf) raise at the
+    form). Progressive: an interleaved (or Ns=1) DC scan plus
+    per-component AC band scans with EOB-run codes; coefficients
+    accumulate across scans and are IDCT'd once at EOI. The Y plane
+    is returned — JPEG's Y is already the BT.601 luma this pipeline
+    standardizes on, so chroma blocks are entropy-decoded to advance
+    the stream but not color-converted. Restart intervals (DRI/RSTn)
+    are honored with DC-predictor / EOB-run reset and
+    marker-sequence verification; RST numbering restarts each scan.
+    Successive approximation (Ah/Al != 0), 12-bit, arithmetic coding
+    and partially-interleaved scans (1 < Ns < Nf) raise at the
     documented seam."""
     import struct
 
@@ -663,9 +992,13 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
+    progressive = False
     restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # id, hs, vs, tq
     comp_planes: dict[int, "np.ndarray"] = {}  # SOF comp idx -> plane
+    # progressive: per-component DCT coefficients accumulate across
+    # scans (natural zigzag index per block), IDCT'd only at EOI
+    comp_coefs: dict[int, "np.ndarray"] = {}  # idx -> (by, bx, 64)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -701,7 +1034,7 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                     code <<= 1
                 htables[(tc, th)] = table
                 off += 17 + n
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -717,11 +1050,13 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                     "JPEG sampling factors beyond 1/2/4 not supported"
                 )
             sof = (h, w, nc)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (progressive/extended) not "
-                "supported — baseline sequential only"
+                f"JPEG SOF{marker - 0xC0} (extended/lossless/"
+                "arithmetic) not supported — baseline sequential and "
+                "progressive (SOF0/SOF2) only"
             )
         elif marker == 0xDD:  # DRI: restart every N MCUs
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -755,7 +1090,11 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 ) from None
             if len(set(sof_idx)) != ns:
                 raise ValueError("JPEG scan lists a component twice")
-            c = _dct_matrix()
+            # scan parameters (T.81 B.2.3): spectral band [Ss, Se] and
+            # successive-approximation bit positions Ah/Al — baseline
+            # always (0, 63, 0, 0); progressive scans carve the band
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
             # MCU geometry from the max sampling factors (T.81 A.2.4):
             # component ci contributes hs*vs blocks per MCU; the Y
             # plane (the output) has hs_y*8 x vs_y*8 pixels per MCU.
@@ -763,6 +1102,44 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             vmax = max(vs for _, _, vs, _ in comps)
             mcu_x = -(-w // (8 * hmax))
             mcu_y = -(-h // (8 * vmax))
+            br = _BitReader(payload, pos)
+
+            def read_symbol(table: dict[tuple[int, int], int]) -> int:
+                code, ln = 0, 0
+                while ln < 16:
+                    code = (code << 1) | br.read_bit()
+                    ln += 1
+                    sym = table.get((ln, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid JPEG Huffman code")
+
+            def extend(v: int, s: int) -> int:
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            def comp_blocks(idx: int) -> tuple:
+                """Non-interleaved block-grid dims for component idx
+                (T.81 A.2.2): ceil(ceil(dim * samp / max_samp) / 8)."""
+                _cid, hs, vs, _tq = comps[idx]
+                return (
+                    -(-(-(-h * vs // vmax)) // 8),
+                    -(-(-(-w * hs // hmax)) // 8),
+                )
+
+            if progressive:
+                _decode_progressive_scan(
+                    br, comps, sof_idx, scan_comps, htables,
+                    comp_coefs, ss, se, ah, al, mcu_x, mcu_y,
+                    restart_interval, read_symbol, extend, comp_blocks,
+                )
+                pos = br.pos
+                continue
+            if (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError(
+                    "baseline JPEG scan must cover the full band "
+                    "(Ss=0, Se=63, Ah=Al=0)"
+                )
+            c = _dct_matrix()
             # per-component planes persist ACROSS scans: a
             # non-interleaved file fills them one scan at a time
             for idx in sof_idx:
@@ -779,20 +1156,6 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 q = np.empty(64, np.float64)
                 q[_JPEG_ZIGZAG] = qtables[comps[sof_idx[ci]][3]]
                 deq.append(q.reshape(8, 8))
-            br = _BitReader(payload, pos)
-
-            def read_symbol(table: dict[tuple[int, int], int]) -> int:
-                code, ln = 0, 0
-                while ln < 16:
-                    code = (code << 1) | br.read_bit()
-                    ln += 1
-                    sym = table.get((ln, code))
-                    if sym is not None:
-                        return sym
-                raise ValueError("invalid JPEG Huffman code")
-
-            def extend(v: int, s: int) -> int:
-                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
             def decode_block(td, ta, dq, dc_in):
                 """Entropy-decode + dequantize + IDCT one 8x8 block;
@@ -897,6 +1260,28 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             # non-interleaved file has nc scans; interleaved has one)
             pos = br.pos
         # APPn / COM / other: skipped via the length field
+    if sof is not None and progressive and 0 in comp_coefs:
+        # progressive: all scans accumulated coefficients — one
+        # vectorized dequantize + IDCT over the Y grid at the end
+        h, w, _nc = sof
+        coefs = comp_coefs[0]
+        q = np.empty(64, np.float64)
+        q[_JPEG_ZIGZAG] = qtables[comps[0][3]]
+        q = q.reshape(8, 8)
+        by, bx, _ = coefs.shape
+        nat = np.zeros((by, bx, 64), np.float64)
+        nat[:, :, _JPEG_ZIGZAG] = coefs
+        c = _dct_matrix()
+        blocks = np.einsum(
+            "ji,yxjk,kl->yxil", c, nat.reshape(by, bx, 8, 8) * q, c
+        )
+        plane = (
+            np.clip(np.rint(blocks) + 128, 0, 255)
+            .astype(np.uint8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        return plane[:h, :w]
     if sof is not None and 0 in comp_planes:
         # Y == BT.601 luma == FIRST SOF component, wherever the scans
         # happened to place it

@@ -374,8 +374,12 @@ def mm06_png_roundtrip_features(spark, sf_dir):
     "codec bit-error fails the value hash. Width uses doc_id % 5 "
     "(coprime with the % 3 row filter, ADVICE r5) so the oracle-gated "
     "query exercises 1..5-block-wide images, not just single-column "
-    "MCUs. Narrow mapInPandas plan; payloads never leave the Python "
-    "worker.",
+    "MCUs. Round 7: rows ROTATE through the three scan layouts the "
+    "codec speaks — baseline interleaved, SOF2 spectral-selection "
+    "progressive (DC scan + AC band scans with EOB runs), and "
+    "non-interleaved 4:2:0 (one component per scan) — all bit-exact "
+    "in this regime, so the same oracle gates every layout. Narrow "
+    "mapInPandas plan; payloads never leave the Python worker.",
 )
 def mm07_jpeg_roundtrip_features(spark, sf_dir):
     from collections.abc import Iterator
@@ -408,7 +412,15 @@ def mm07_jpeg_roundtrip_features(spark, sf_dir):
                     + np.arange(w // 8)[None, :] * 29
                 ) % 256
                 img = np.kron(bvals, np.ones((8, 8), np.int64)).astype(np.uint8)
-                payload = encode_jpeg(img, quant=flat_quant)
+                variant = (mid // 3) % 3
+                kw = (
+                    {}
+                    if variant == 0
+                    else {"progressive": True}
+                    if variant == 1
+                    else {"color_420": True, "interleaved": False}
+                )
+                payload = encode_jpeg(img, quant=flat_quant, **kw)
                 decoded = decode_payload(payload, "jpeg", w, h)
                 rows.append(
                     (

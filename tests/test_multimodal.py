@@ -298,12 +298,16 @@ def test_jpeg_unsupported_variants_raise():
 
     with _pytest.raises(ValueError):
         _decode_jpeg(b"\x00\x01\x02")
-    # flip SOF0 -> SOF2 (progressive): must raise at the seam, and the
-    # marker byte appears exactly once so the patch is unambiguous
     img = np.zeros((8, 8), np.uint8)
     payload = encode_jpeg(img)
     assert payload.count(b"\xff\xc0") == 1
+    # SOF1 (extended sequential) stays an honest seam
     with _pytest.raises(NotImplementedError):
+        _decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc1"))
+    # SOF2 is now SUPPORTED — but flipping the marker on a BASELINE
+    # single full-band scan yields an inconsistent progressive header
+    # (a DC scan with Se=63), which must be rejected, not misdecoded
+    with _pytest.raises(ValueError, match="Se=0"):
         _decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc2"))
 
 
@@ -414,6 +418,67 @@ def test_jpeg_noninterleaved_scans_roundtrip():
         encode_jpeg(exact, quant=flat, color_420=True, interleaved=False)
     )
     assert np.array_equal(dec, exact)
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """SOF2 spectral-selection progressive (VERDICT r6 'what's
+    missing' #2 — the most common real-lake JPEG after baseline):
+    a DC scan + two AC band scans per component, with EOB-run coded
+    zero blocks, must decode IDENTICALLY to the same image's
+    baseline encoding — grayscale and 4:2:0, aligned and non-aligned
+    sizes, dense (noise) and sparse (EOBRUN-heavy) content."""
+    from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(41)
+    ones = [1] * 64
+    for h, w in ((16, 16), (15, 17), (33, 49), (5, 5)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for kw in (dict(), dict(color_420=True)):
+            base = _decode_jpeg(encode_jpeg(img, quant=ones, **kw))
+            prog = _decode_jpeg(
+                encode_jpeg(img, quant=ones, progressive=True, **kw)
+            )
+            assert prog.shape == (h, w)
+            assert np.array_equal(prog, base), (h, w, kw)
+    # block-constant + flat-8 quant: bit-exact through the EOBRUN-
+    # heavy path (every AC band of every block is a zero run)
+    grid = rng.integers(0, 32, size=(4, 6), dtype=np.uint8) * 8
+    exact = np.kron(grid, np.ones((8, 8), np.uint8))[:27, :41]
+    flat = [8] + [255] * 63
+    assert np.array_equal(
+        _decode_jpeg(encode_jpeg(exact, quant=flat, progressive=True)),
+        exact,
+    )
+    # sparse: one bright pixel -> a lone nonzero block interrupting
+    # long EOB runs on both sides
+    img = np.zeros((40, 72), np.uint8)
+    img[20, 40] = 255
+    assert np.array_equal(
+        _decode_jpeg(encode_jpeg(img, quant=ones, progressive=True)),
+        _decode_jpeg(encode_jpeg(img, quant=ones)),
+    )
+
+
+def test_jpeg_progressive_successive_approximation_raises():
+    """Ah/Al != 0 (successive approximation) stays an honest seam:
+    patch the DC scan header's AhAl byte and expect the documented
+    NotImplementedError, never a silent misdecode."""
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
+
+    payload = encode_jpeg(
+        np.zeros((16, 16), np.uint8), quant=[1] * 64, progressive=True
+    )
+    # first SOS is the DC scan: FF DA len(2) ns=1 (cid, TdTa) Ss Se AhAl
+    i = payload.index(b"\xff\xda")
+    ahal = i + 4 + 1 + 2 + 2  # -> the AhAl byte
+    assert payload[ahal] == 0
+    for bad in (0x10, 0x01, 0x21):  # Ah, Al, both
+        with _pytest.raises(NotImplementedError, match="successive"):
+            _decode_jpeg(
+                payload[:ahal] + bytes([bad]) + payload[ahal + 1 :]
+            )
 
 
 def test_jpeg_partially_interleaved_scan_raises():
