@@ -80,6 +80,13 @@ HEADLINE = [
     "g04_triangle_count",
     "t20_gapfill_resample",
     "e05_embedding_index_pipeline",
+    # round-7 additions: depth-2 tree training (2 conditional-agg
+    # scans + quantiles + confusion scan), trained-BPE tokenize
+    # (6-round pair-count/argmax loop + full-corpus replace chain),
+    # mp4 seek layer (stsz x stsc x stco join in mapInPandas)
+    "m10_depth2_tree",
+    "n21_bpe_tokenize",
+    "mm11_mp4_sample_ranges",
 ]
 
 
