@@ -1782,3 +1782,97 @@ def n21_bpe_tokenize(spark: SparkSession, sf_dir: str):
             .alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N22: RAG chunking — fixed token windows with overlap, the retrieval
+# ingestion step between curation (e04) and embedding/indexing (e05)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+@register(
+    "n22_rag_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+                          ' ') AS tok
+      FROM documents),
+    sized AS (SELECT doc_id, tok, len(tok) AS n FROM toks),
+    chunks AS (
+      SELECT doc_id, tok, n,
+             unnest(generate_series(
+               0,
+               GREATEST(CAST(ceil((n - {CHUNK_TOKENS})
+                             / {CHUNK_STRIDE}.0) AS BIGINT), 0)))
+               AS chunk_idx
+      FROM sized),
+    sliced AS (
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             list_slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
+                        LEAST(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS},
+                              n)) AS ctok
+      FROM chunks)
+    SELECT doc_id, chunk_idx,
+           CAST(len(ctok) AS BIGINT) AS n_tokens,
+           ctok[1] AS first_token,
+           ctok[len(ctok)] AS last_token,
+           md5(array_to_string(ctok, ' ')) AS chunk_hash
+    FROM sliced
+    """,
+    note=f"N22 RAG chunking: every document split into "
+    f"{CHUNK_TOKENS}-token windows advancing by {CHUNK_STRIDE} "
+    f"({CHUNK_OVERLAP}-token overlap so a retrieval hit never loses "
+    "its sentence boundary to a chunk edge) — the ingestion step "
+    "between corpus curation (e04) and embedding + indexing (e05) in "
+    "every retrieval pipeline. Pure column algebra: tokenize once, "
+    "explode a per-doc chunk-index sequence, slice — a narrow "
+    "scan-bound plan with NO shuffle (the explode is bounded fan-out "
+    "~n_tokens/stride per doc), so chunking 100 TB costs one scan, "
+    "embarrassingly parallel. chunk_hash (md5 of the joined window) "
+    "is the downstream dedup/lineage key; the oracle recomputes "
+    "every window, so an off-by-one in stride, tail handling, or "
+    "overlap fails the hash.",
+)
+def n22_rag_chunking(spark: SparkSession, sf_dir: str):
+    tok = F.split(
+        F.regexp_replace(F.trim(F.col("text")), r"\s+", " "), " "
+    )
+    n = F.size("tok")
+    n_last = F.greatest(
+        F.ceil((n - CHUNK_TOKENS) / float(CHUNK_STRIDE)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    ctok = F.slice(
+        F.col("tok"),
+        F.col("chunk_idx").cast("int") * CHUNK_STRIDE + 1,
+        CHUNK_TOKENS,
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tok.alias("tok"))
+        .select(
+            "doc_id",
+            "tok",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_last)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            ctok.alias("ctok"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("ctok").cast("long").alias("n_tokens"),
+            F.element_at("ctok", 1).alias("first_token"),
+            F.element_at("ctok", -1).alias("last_token"),
+            F.md5(F.concat_ws(" ", "ctok")).alias("chunk_hash"),
+        )
+    )
