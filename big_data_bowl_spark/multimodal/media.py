@@ -1521,7 +1521,7 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 if len(r.payload) >= 8 and r.payload[4:8] == b"ftyp":
                     for s in parse_mp4_sample_ranges(r.payload):
                         if s["track_idx"] != 0:
-                            break
+                            continue  # fMP4 may interleave tracks
                         if s["sample_idx"] % every_n:
                             continue
                         o, n = s["offset"], s["size"]
@@ -1559,6 +1559,7 @@ def encode_mp4_container(
     samples_per_chunk: "int | None" = None,
     sample_data: "list[list[bytes]] | None" = None,
     use_co64: bool = False,
+    fragment_samples: "int | None" = None,
 ) -> bytes:
     """Build a minimal ISO BMFF metadata skeleton: ftyp + moov(mvhd +
     n_tracks x trak(tkhd [+ mdia/minf/stbl])) + mdat. The media payload
@@ -1582,6 +1583,15 @@ def encode_mp4_container(
     samples (last chunk may be short → a second stsc run). Offsets
     are computed after sizing moov (stco entry count is known before
     the offsets are), the standard muxer two-pass.
+
+    ``fragment_samples``: fMP4 / DASH layout instead (14496-12 8.8):
+    moov carries EMPTY sample tables + mvex(mehd + per-track trex),
+    media arrives as moof(mfhd + traf(tfhd + trun)) + mdat pairs of
+    ``fragment_samples`` samples each (track-major order), with
+    per-sample sizes in the trun, default-base-is-moof addressing
+    and an explicit trun data_offset. mvhd duration is 0 with the
+    total in mehd, the streaming convention. Mutually exclusive with
+    the stco chunk options.
     """
     import struct
 
@@ -1598,14 +1608,106 @@ def encode_mp4_container(
     # timescale, duration, rate 1.0, volume 1.0, reserved, unity matrix,
     # pre_defined, next_track_ID
     matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-    mvhd = box(
-        b"mvhd",
-        struct.pack(">IIIII", 0, 0, 0, timescale, duration)
-        + struct.pack(">ihhII", 0x10000, 0x0100, 0, 0, 0)
-        + matrix
-        + b"\x00" * 24
-        + struct.pack(">I", n_tracks + 1),
-    )
+
+    def mk_mvhd(dur: int) -> bytes:
+        return box(
+            b"mvhd",
+            struct.pack(">IIIII", 0, 0, 0, timescale, dur)
+            + struct.pack(">ihhII", 0x10000, 0x0100, 0, 0, 0)
+            + matrix
+            + b"\x00" * 24
+            + struct.pack(">I", n_tracks + 1),
+        )
+
+    mvhd = mk_mvhd(duration)
+
+    def mk_tkhd(tid: int) -> bytes:
+        return box(
+            b"tkhd",
+            struct.pack(">IIIIII", 0x0000_0007, 0, 0, tid, 0, duration)
+            + b"\x00" * 8
+            + struct.pack(">hhhh", 0, 0, 0, 0)
+            + matrix
+            + struct.pack(">II", 0, 0),
+        )
+
+    def mk_mdhd() -> bytes:
+        return box(
+            b"mdhd",
+            struct.pack(">IIIII", 0, 0, 0, timescale, duration)
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+
+    if fragment_samples is not None:
+        if sample_sizes is None or fragment_samples < 1:
+            raise ValueError(
+                "fragment_samples requires sample_sizes and >= 1"
+            )
+        if samples_per_chunk is not None or use_co64:
+            raise ValueError(
+                "fragmented layout excludes the stco/co64 chunk options"
+            )
+        traks = b""
+        for tid in range(1, n_tracks + 1):
+            empty_stbl = box(
+                b"stbl",
+                box(b"stsz", struct.pack(">III", 0, 0, 0))
+                + box(b"stsc", struct.pack(">II", 0, 0))
+                + box(b"stco", struct.pack(">II", 0, 0)),
+            )
+            traks += box(
+                b"trak",
+                mk_tkhd(tid)
+                + box(b"mdia", mk_mdhd() + box(b"minf", empty_stbl)),
+            )
+        mehd = box(b"mehd", struct.pack(">II", 0, duration))
+        trexes = b"".join(
+            box(b"trex", struct.pack(">IIIIII", 0, tid, 1, 0, 0, 0))
+            for tid in range(1, n_tracks + 1)
+        )
+        moov = box(
+            b"moov", mk_mvhd(0) + traks + box(b"mvex", mehd + trexes)
+        )
+        frags = b""
+        seq = 0
+        for tk in range(n_tracks):
+            sizes = (
+                sample_sizes[tk] if tk < len(sample_sizes) else []
+            )
+            for f0 in range(0, len(sizes), fragment_samples):
+                seq += 1
+                fs = sizes[f0 : f0 + fragment_samples]
+                mfhd = box(b"mfhd", struct.pack(">II", 0, seq))
+                # tfhd: default-base-is-moof (0x020000), track_ID only
+                tfhd = box(
+                    b"tfhd", struct.pack(">II", 0x0002_0000, tk + 1)
+                )
+
+                def mk_trun(data_offset: int) -> bytes:
+                    # flags: data-offset-present | sample-size-present
+                    return box(
+                        b"trun",
+                        struct.pack(">IIi", 0x0201, len(fs), data_offset)
+                        + b"".join(struct.pack(">I", s) for s in fs),
+                    )
+
+                # two-pass: trun's size is offset-independent, so size
+                # the moof with a placeholder then write the real
+                # moof-relative offset of the first sample byte
+                moof = box(b"moof", mfhd + box(b"traf", tfhd + mk_trun(0)))
+                moof = box(
+                    b"moof",
+                    mfhd + box(b"traf", tfhd + mk_trun(len(moof) + 8)),
+                )
+                if sample_data is not None:
+                    mdat_body = b"".join(
+                        sample_data[tk][f0 : f0 + fragment_samples]
+                    )
+                else:
+                    mdat_body = b"\x00" * sum(fs)
+                frags += moof + box(b"mdat", mdat_body)
+        return ftyp + moov + frags
+
     # chunk plan per track (chunked layout only): list of
     # (first_sample_idx, n_samples_in_chunk), spc-sized runs with a
     # possibly-short tail — known BEFORE offsets, so moov's size is
@@ -1625,22 +1727,10 @@ def encode_mp4_container(
     def build_moov(chunk_offsets: "list[list[int]] | None") -> bytes:
         traks = b""
         for tid in range(1, n_tracks + 1):
-            tkhd = box(
-                b"tkhd",
-                struct.pack(">IIIIII", 0x0000_0007, 0, 0, tid, 0, duration)
-                + b"\x00" * 8
-                + struct.pack(">hhhh", 0, 0, 0, 0)
-                + matrix
-                + struct.pack(">II", 0, 0),
-            )
-            body = tkhd
+            body = mk_tkhd(tid)
             if sample_sizes is not None and tid - 1 < len(sample_sizes):
                 sizes = sample_sizes[tid - 1]
-                mdhd = box(
-                    b"mdhd",
-                    struct.pack(">IIIII", 0, 0, 0, timescale, duration)
-                    + struct.pack(">HH", 0x55C4, 0),  # language 'und'
-                )
+                mdhd = mk_mdhd()
                 stsz = box(
                     b"stsz",
                     struct.pack(">III", 0, 0, len(sizes))
@@ -1730,9 +1820,11 @@ def parse_mp4_metadata(payload: bytes) -> dict:
     {major_brand, timescale, duration, n_tracks, mdat_bytes}.
 
     Handles 32-bit and 64-bit (size==1 largesize) boxes, size==0
-    (to-EOF), and mvhd versions 0 and 1. Fragmented files (moof) raise
-    NotImplementedError at the seam — their duration lives in mehd /
-    per-fragment truns, a different walk.
+    (to-EOF), and mvhd versions 0 and 1. Fragmented movies (fMP4 /
+    DASH: moov carries mvex, media arrives as moof+mdat pairs) are
+    counted via ``n_fragments`` and, when the movie-level mvhd
+    duration is 0 (the streaming convention), the total duration is
+    taken from mvex/mehd when present.
     """
     import struct
 
@@ -1742,7 +1834,9 @@ def parse_mp4_metadata(payload: bytes) -> dict:
         "duration": None,
         "n_tracks": 0,
         "mdat_bytes": 0,
+        "n_fragments": 0,
     }
+    mehd_duration = [None]
 
     def walk(buf: bytes, start: int, end: int, depth: int = 0) -> None:
         off = start
@@ -1764,10 +1858,19 @@ def parse_mp4_metadata(payload: bytes) -> dict:
                 )
             body_off, body_end = off + hdr, off + size
             if typ == b"moof":
-                raise NotImplementedError(
-                    "fragmented mp4 (moof) not supported — duration "
-                    "lives in mehd/trun, a different walk"
-                )
+                meta["n_fragments"] += 1
+            elif typ == b"mvex":
+                walk(buf, body_off, body_end, depth + 1)
+            elif typ == b"mehd":  # movie extends header: total duration
+                ver = buf[body_off]
+                if ver == 0:
+                    mehd_duration[0] = struct.unpack_from(
+                        ">I", buf, body_off + 4
+                    )[0]
+                else:
+                    mehd_duration[0] = struct.unpack_from(
+                        ">Q", buf, body_off + 4
+                    )[0]
             if typ == b"ftyp":
                 meta["major_brand"] = buf[body_off : body_off + 4].decode(
                     "latin-1"
@@ -1793,6 +1896,8 @@ def parse_mp4_metadata(payload: bytes) -> dict:
     walk(payload, 0, len(payload))
     if meta["major_brand"] is None or meta["timescale"] is None:
         raise ValueError("not an ISO BMFF movie (missing ftyp/mvhd)")
+    if not meta["duration"] and mehd_duration[0] is not None:
+        meta["duration"] = mehd_duration[0]
     return meta
 
 
@@ -1828,6 +1933,31 @@ def _mp4_find(buf: bytes, start: int, end: int, typ: bytes):
         if t == typ:
             return b0, b1
     return None
+
+
+def _mp4_children_spans(buf: bytes, start: int, end: int):
+    """_mp4_children plus each box's own START offset (needed for
+    default-base-is-moof addressing, which is relative to the first
+    byte of the enclosing moof box)."""
+    import struct
+
+    off = start
+    while off < end:
+        if off + 8 > end:
+            raise ValueError("truncated ISO BMFF box header")
+        size, typ = struct.unpack_from(">I4s", buf, off)
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                raise ValueError("truncated largesize box header")
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            raise ValueError(f"ISO BMFF box {typ!r} overruns its container")
+        yield typ, off + hdr, off + size, off
+        off += size
 
 
 def parse_mp4_sample_index(payload: bytes) -> list:
@@ -1931,13 +2061,22 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
     contribute no rows: there is nothing to seek to. Inconsistent
     tables (more samples than the chunk list can hold, offsets past
     the file end) raise ValueError like the rest of the box layer.
-    Fragmented files (moof) are out of scope here and raise in
-    parse_mp4_metadata already.
+
+    Fragmented movies (fMP4/DASH, 14496-12 8.8) are the OTHER seek
+    layer and are handled too: moov's tables are empty and each
+    moof(traf(tfhd + trun)) fragment carries its own sample sizes and
+    a data offset — default-base-is-moof or an explicit
+    base_data_offset, plus the trun's (mandatory here) data_offset.
+    chunk_idx then numbers the track's fragments, and sample_idx
+    keeps counting across them. Fragment features beyond that
+    (offset-less truns, trex-default sizes) raise at the documented
+    seam.
     """
     import struct
 
     out: list = []
     track_idx = -1
+    tid_to_idx: dict = {}  # tkhd track_ID -> positional track index
     for typ, b0, b1 in _mp4_children(payload, 0, len(payload)):
         if typ != b"moov":
             continue
@@ -1945,6 +2084,14 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
             if t2 != b"trak":
                 continue
             track_idx += 1
+            tkhd = _mp4_find(payload, c0, c1, b"tkhd")
+            if tkhd is not None:
+                t0, _t1 = tkhd
+                ver = payload[t0]
+                tid_off = t0 + (20 if ver == 1 else 12)
+                tid_to_idx[
+                    struct.unpack_from(">I", payload, tid_off)[0]
+                ] = track_idx
             path = (c0, c1)
             for nested in (b"mdia", b"minf", b"stbl"):
                 nxt = _mp4_find(payload, path[0], path[1], nested)
@@ -2034,4 +2181,100 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
                 raise ValueError(
                     "stsc/stco chunk layout holds fewer samples than stsz"
                 )
+
+    # --- fragmented movies: moof(traf(tfhd + trun)) ------------------
+    next_sample: dict = {}  # track_idx -> running sample ordinal
+    frag_count: dict = {}  # track_idx -> fragments seen so far
+    for typ, b0, b1, moof_start in _mp4_children_spans(
+        payload, 0, len(payload)
+    ):
+        if typ != b"moof":
+            continue
+        for t2, c0, c1 in _mp4_children(payload, b0, b1):
+            if t2 != b"traf":
+                continue
+            tfhd = _mp4_find(payload, c0, c1, b"tfhd")
+            if tfhd is None:
+                raise ValueError("traf without tfhd")
+            t0, _t1 = tfhd
+            tf_flags = struct.unpack_from(">I", payload, t0)[0] & 0xFFFFFF
+            trk_id = struct.unpack_from(">I", payload, t0 + 4)[0]
+            off = t0 + 8
+            base_data_offset = None
+            if tf_flags & 0x1:
+                base_data_offset = struct.unpack_from(">Q", payload, off)[0]
+                off += 8
+            if tf_flags & 0x2:
+                off += 4  # sample_description_index
+            if tf_flags & 0x8:
+                off += 4  # default_sample_duration
+            default_size = None
+            if tf_flags & 0x10:
+                default_size = struct.unpack_from(">I", payload, off)[0]
+                off += 4
+            if base_data_offset is not None:
+                base = base_data_offset
+            elif tf_flags & 0x020000:  # default-base-is-moof
+                base = moof_start
+            else:
+                raise NotImplementedError(
+                    "tfhd without base_data_offset or "
+                    "default-base-is-moof addressing not supported"
+                )
+            idx = tid_to_idx.get(trk_id)
+            if idx is None:
+                raise ValueError(
+                    f"traf references unknown track_ID {trk_id}"
+                )
+            fi = frag_count.get(idx, 0)
+            frag_count[idx] = fi + 1
+            for t3, d0, _d1 in _mp4_children(payload, c0, c1):
+                if t3 != b"trun":
+                    continue
+                tr_flags = (
+                    struct.unpack_from(">I", payload, d0)[0] & 0xFFFFFF
+                )
+                count = struct.unpack_from(">I", payload, d0 + 4)[0]
+                off = d0 + 8
+                if not tr_flags & 0x1:
+                    raise NotImplementedError(
+                        "trun without data_offset not supported"
+                    )
+                data_offset = struct.unpack_from(">i", payload, off)[0]
+                off += 4
+                if tr_flags & 0x4:
+                    off += 4  # first_sample_flags
+                cur = base + data_offset
+                for _ in range(count):
+                    size = default_size
+                    if tr_flags & 0x100:
+                        off += 4  # sample_duration
+                    if tr_flags & 0x200:
+                        size = struct.unpack_from(">I", payload, off)[0]
+                        off += 4
+                    if tr_flags & 0x400:
+                        off += 4  # sample_flags
+                    if tr_flags & 0x800:
+                        off += 4  # composition time offset
+                    if size is None:
+                        raise NotImplementedError(
+                            "sample size neither in trun nor tfhd "
+                            "defaults (trex defaults not consulted)"
+                        )
+                    if cur + size > len(payload):
+                        raise ValueError(
+                            "fragment sample byte range overruns the file"
+                        )
+                    si = next_sample.get(idx, 0)
+                    next_sample[idx] = si + 1
+                    out.append(
+                        {
+                            "track_idx": idx,
+                            "sample_idx": si,
+                            "chunk_idx": fi,
+                            "offset": cur,
+                            "size": size,
+                        }
+                    )
+                    cur += size
     return out

@@ -816,3 +816,132 @@ def mm11_mp4_sample_ranges(spark, sf_dir):
         schema="media_id long, track_idx long, sample_idx long, "
         "chunk_idx long, sample_bytes long, sample_offset long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MM12: fMP4 / DASH seek layer — per-sample byte ranges from fragments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm12_fmp4_sample_ranges",
+    oracle="""
+    WITH m AS (SELECT doc_id, doc_id % 2 + 1 AS n_tracks
+               FROM documents WHERE doc_id % 4 = 0),
+    tr AS (SELECT doc_id, n_tracks,
+                  unnest(generate_series(0, n_tracks - 1)) AS t
+           FROM m),
+    s AS (SELECT doc_id, n_tracks, t, 4 + (doc_id + t) % 5 AS n FROM tr),
+    samp AS (SELECT doc_id, n_tracks, t,
+                    unnest(generate_series(0, n - 1)) AS i
+             FROM s),
+    sz AS (SELECT doc_id, n_tracks, t, i,
+                  100 + ((doc_id + t * 7 + i * 3) % 40) AS size
+           FROM samp),
+    -- fragments of 2 samples, track-major; per-fragment sample count
+    -- k and payload bytes feed both the moof size (68 + 4k) and the
+    -- running fragment-start offsets
+    fr AS (SELECT doc_id, t, i // 2 AS f,
+                  COUNT(*) AS k, SUM(size) AS bytes
+           FROM sz GROUP BY 1, 2, 3),
+    frag_ord AS (
+      SELECT doc_id, t, f, k,
+             SUM(68 + 4 * k + 8 + bytes) OVER (
+               PARTITION BY doc_id ORDER BY t, f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_frags
+      FROM fr),
+    ofs AS (
+      SELECT z.doc_id, z.n_tracks, z.t, z.i, z.size, fo.k, fo.prior_frags,
+             SUM(z.size) OVER (
+               PARTITION BY z.doc_id, z.t, z.i // 2 ORDER BY z.i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prior_in_frag
+      FROM sz z JOIN frag_ord fo
+        ON z.doc_id = fo.doc_id AND z.t = fo.t AND z.i // 2 = fo.f)
+    SELECT doc_id AS media_id,
+           CAST(t AS BIGINT) AS track_idx,
+           CAST(i AS BIGINT) AS sample_idx,
+           CAST(i // 2 AS BIGINT) AS chunk_idx,
+           CAST(size AS BIGINT) AS sample_bytes,
+           -- ftyp 28 + moov (140 + 240/track with empty stbl + mvex)
+           -- + prior fragments + this moof (68 + 4k) + mdat hdr 8
+           -- + prior samples in this fragment
+           CAST(28 + 140 + 240 * n_tracks + COALESCE(prior_frags, 0)
+                + 68 + 4 * k + 8 + COALESCE(prior_in_frag, 0)
+                AS BIGINT) AS sample_offset
+    FROM ofs
+    """,
+    note="MM12 fMP4/DASH seek layer (14496-12 8.8) — the fragmented "
+    "twin of mm11 and what a streaming-video lake actually stores: "
+    "moov carries EMPTY sample tables + mvex, and every "
+    "moof(traf(tfhd + trun)) fragment carries its own sample sizes "
+    "with default-base-is-moof addressing. The parser resolves "
+    "absolute per-sample byte ranges from the trun walk (chunk_idx "
+    "= fragment ordinal, sample ordinals continue across "
+    "fragments); the oracle recomputes every offset closed-form "
+    "from the box grammar — fragment-start running sums over "
+    "(68 + 4k) moof sizes — so one wrong box length anywhere in "
+    "the moof chain shifts every later offset and fails the hash. "
+    "tests/test_multimodal.py slices fragment samples back out "
+    "bit-exactly and drives frame sampling off fMP4 rows. Narrow "
+    "mapInPandas; at scale these ranges are the byte-range GET "
+    "index for DASH segment reads.",
+)
+def mm12_fmp4_sample_ranges(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 0
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        from ..multimodal.media import (
+            encode_mp4_container,
+            parse_mp4_sample_ranges,
+        )
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                n_tracks = mid % 2 + 1
+                sizes = [
+                    [
+                        100 + ((mid + tk * 7 + i * 3) % 40)
+                        for i in range(4 + (mid + tk) % 5)
+                    ]
+                    for tk in range(n_tracks)
+                ]
+                payload = encode_mp4_container(
+                    duration=(mid * 211) % 50000 + 500,
+                    n_tracks=n_tracks,
+                    sample_sizes=sizes,
+                    fragment_samples=2,
+                )
+                for s in parse_mp4_sample_ranges(payload):
+                    rows.append(
+                        (
+                            mid,
+                            s["track_idx"],
+                            s["sample_idx"],
+                            s["chunk_idx"],
+                            s["size"],
+                            s["offset"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "track_idx", "sample_idx",
+                    "chunk_idx", "sample_bytes", "sample_offset",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, track_idx long, sample_idx long, "
+        "chunk_idx long, sample_bytes long, sample_offset long",
+    )

@@ -519,7 +519,7 @@ def test_mp4_container_roundtrip_and_edge_boxes():
                              mdat_size=77)
     assert parse_mp4_metadata(p) == {
         "major_brand": "isom", "timescale": 1000, "duration": 5000,
-        "n_tracks": 2, "mdat_bytes": 77,
+        "n_tracks": 2, "mdat_bytes": 77, "n_fragments": 0,
     }
 
     # rewrite the trailing mdat as a largesize (size==1 + 64-bit) box
@@ -556,12 +556,95 @@ def test_mp4_container_roundtrip_and_edge_boxes():
     )
     assert meta["n_tracks"] == 1
 
-    with _pytest.raises(NotImplementedError):
-        parse_mp4_metadata(
-            p + struct.pack(">I", 8) + b"moof"
-        )
+    # a trailing (empty) moof no longer raises: fragments are counted
+    assert parse_mp4_metadata(
+        p + struct.pack(">I", 8) + b"moof"
+    )["n_fragments"] == 1
     with _pytest.raises(ValueError):
         parse_mp4_metadata(p[: len(p) - 3])
+
+
+def test_fmp4_fragmented_seek_layer():
+    """fMP4 / DASH (14496-12 8.8): empty moov tables + mvex, media in
+    moof(traf(tfhd + trun)) + mdat fragments. The seek layer must
+    resolve per-sample byte ranges from trun sizes + default-base-is-
+    moof addressing, numbering chunks by fragment and continuing
+    sample ordinals across fragments; metadata takes the total
+    duration from mehd (mvhd is 0, the streaming convention) and
+    counts fragments."""
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_mp4_container,
+        parse_mp4_metadata,
+        parse_mp4_sample_ranges,
+    )
+
+    sizes = [[10, 20, 30, 40, 50], [7, 8, 9]]
+    data = [
+        [bytes([0x20 + t * 16 + i]) * s for i, s in enumerate(tk)]
+        for t, tk in enumerate(sizes)
+    ]
+    p = encode_mp4_container(
+        5000, n_tracks=2, sample_sizes=sizes, sample_data=data,
+        fragment_samples=2,
+    )
+    meta = parse_mp4_metadata(p)
+    assert meta["n_fragments"] == 5  # ceil(5/2) + ceil(3/2)
+    assert meta["duration"] == 5000  # mvhd 0 -> mehd
+    assert meta["mdat_bytes"] == sum(map(sum, sizes))
+
+    rr = parse_mp4_sample_ranges(p)
+    assert len(rr) == 8
+    for s in rr:
+        assert (
+            p[s["offset"]:s["offset"] + s["size"]]
+            == data[s["track_idx"]][s["sample_idx"]]
+        )
+        assert s["chunk_idx"] == s["sample_idx"] // 2
+    # per-track ordinals are contiguous from 0
+    for tk, n in ((0, 5), (1, 3)):
+        assert sorted(
+            s["sample_idx"] for s in rr if s["track_idx"] == tk
+        ) == list(range(n))
+
+    # a trun without data_offset is an honest seam, not a misparse
+    i = p.index(b"trun") - 4
+    import struct
+
+    noflag = p[:i + 8] + struct.pack(">I", 0x0200) + p[i + 12:]
+    with _pytest.raises(NotImplementedError, match="data_offset"):
+        parse_mp4_sample_ranges(noflag)
+
+
+def test_sample_frames_range_reads_fmp4(spark):
+    """Frame sampling must range-read fragmented mp4 payloads too —
+    the DASH/streaming layout a video lake actually contains."""
+    from big_data_bowl_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        encode_mp4_container,
+        sample_frames,
+    )
+
+    sizes = [[11, 22, 33, 44, 55]]
+    data = [[bytes([0x70 + i]) * s for i, s in enumerate(sizes[0])]]
+    payload = encode_mp4_container(
+        9000, n_tracks=1, sample_sizes=sizes, sample_data=data,
+        fragment_samples=2,
+    )
+    media = spark.createDataFrame(
+        [(9, "video", "mp4", 16, 9, 5, payload)], schema=MEDIA_SCHEMA
+    )
+    rows = sorted(
+        (r.media_id, r.frame_idx, bytes(r.frame_payload))
+        for r in sample_frames(media, every_n=2).collect()
+    )
+    assert rows == [
+        (9, 0, data[0][0]),
+        (9, 2, data[0][2]),
+        (9, 4, data[0][4]),
+    ]
 
 
 def test_mp4_sample_index_roundtrip_and_forms():
