@@ -1012,10 +1012,19 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
-                qtables[tq] = list(body[off + 1 : off + 65])
-                off += 65
+                if pq == 0:  # 8-bit entries
+                    qtables[tq] = list(body[off + 1 : off + 65])
+                    off += 65
+                elif pq == 1:  # 16-bit entries (hi-precision tables)
+                    qtables[tq] = [
+                        struct.unpack_from(
+                            ">H", body, off + 1 + 2 * i
+                        )[0]
+                        for i in range(64)
+                    ]
+                    off += 129
+                else:
+                    raise ValueError(f"invalid DQT precision {pq}")
         elif marker == 0xC4:  # DHT (possibly several tables)
             off = 0
             while off < len(body):

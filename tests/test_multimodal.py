@@ -831,3 +831,44 @@ def test_sample_frames_range_reads_real_mp4(spark):
         (1, 4, data[0][4]),
         (2, 0, b"abc"),
     ]
+
+
+def test_jpeg_16bit_quant_table_decodes():
+    """Pq=1 DQT (16-bit quantization entries): re-emitting the same
+    table in wide form must decode identically to the 8-bit file —
+    and a table value > 255 (the reason Pq=1 exists) is honored."""
+    import struct
+
+    from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    ones = [1] * 64
+    p = encode_jpeg(img, quant=ones)
+    # rewrite the DQT segment from Pq=0 (65-byte table) to Pq=1
+    # (129-byte table) carrying the identical values
+    i = p.index(b"\xff\xdb")
+    body = p[i + 4 : i + 2 + struct.unpack_from(">H", p, i + 2)[0]]
+    assert body[0] >> 4 == 0
+    wide_body = bytes([0x10 | (body[0] & 0x0F)]) + b"".join(
+        struct.pack(">H", v) for v in body[1:65]
+    )
+    wide = (
+        p[:i]
+        + struct.pack(">HH", 0xFFDB, len(wide_body) + 2)
+        + wide_body
+        + p[i + 4 + len(body):]
+    )
+    assert np.array_equal(_decode_jpeg(wide), _decode_jpeg(p))
+    # invalid precision nibble is rejected
+    import pytest as _pytest
+
+    bad_body = bytes([0x20 | (body[0] & 0x0F)]) + body[1:]
+    bad = (
+        p[:i]
+        + struct.pack(">HH", 0xFFDB, len(bad_body) + 2)
+        + bad_body
+        + p[i + 4 + len(body):]
+    )
+    with _pytest.raises(ValueError, match="DQT precision"):
+        _decode_jpeg(bad)
