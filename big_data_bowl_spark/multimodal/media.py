@@ -461,11 +461,18 @@ def _encode_progressive(
     c,
     dc_codes,
     color_420,
+    successive=False,
 ) -> bytes:
-    """SOF2 spectral-selection progressive assembly for encode_jpeg:
-    quantized zigzag coefficients are computed once per block, then
-    emitted as one interleaved DC scan + _PROG_BANDS AC scans per
-    component (Ns=1, EOB-run coding per T.81 G.1.2.2)."""
+    """SOF2 progressive assembly for encode_jpeg: quantized zigzag
+    coefficients are computed once per block, then emitted as one
+    interleaved DC scan + _PROG_BANDS AC scans per component (Ns=1,
+    EOB-run coding per T.81 G.1.2.2). With ``successive``, every
+    scan is split into a point-transformed first pass (Al=1) and a
+    refinement pass (Ah=1, Al=0): DC refinement is one raw bit per
+    block; AC refinement runs the libjpeg correction-bit algorithm
+    (newly-significant coefficients as run/size s=1 codes with a
+    sign bit, already-significant ones as buffered correction bits
+    flushed after the EOBn/ZRL symbol that covers their span)."""
     import struct
 
     import numpy as np
@@ -538,49 +545,143 @@ def _encode_progressive(
     def seg(marker, body):
         return struct.pack(">HH", marker, len(body) + 2) + body
 
-    # --- DC scan: all components interleaved over the MCU grid ------
+    AL = 1 if successive else 0
+    nc = 3 if color_420 else 1
+
+    def dc_values():
+        """(component, DC coefficient) in interleaved MCU order."""
+        if color_420:
+            for my in range(ph // 16):
+                for mx in range(pw // 16):
+                    for v in range(2):
+                        for u in range(2):
+                            yield 0, int(yzz[my * 2 + v][mx * 2 + u][0])
+                    yield 1, int(czz[0])
+                    yield 2, int(czz[0])
+        else:
+            for by in range(yby):
+                for bx in range(ybx):
+                    yield 0, int(yzz[by][bx][0])
+
+    def dc_hdr(ah_: int, al_: int) -> bytes:
+        comps_part = (
+            bytes([3, 1, 0x00, 2, 0x00, 3, 0x00])
+            if color_420
+            else bytes([1, 1, 0x00])
+        )
+        return comps_part + bytes([0, 0, (ah_ << 4) | al_])
+
+    # --- DC first scan: diffs of the arithmetic-shifted values ------
     bw = _BitWriter()
-    if color_420:
-        prev = [0, 0, 0]
-        for my in range(ph // 16):
-            for mx in range(pw // 16):
-                for v in range(2):
-                    for u in range(2):
-                        prev[0] = write_dc(
-                            bw,
-                            int(yzz[my * 2 + v][mx * 2 + u][0]),
-                            prev[0],
-                        )
-                prev[1] = write_dc(bw, int(czz[0]), prev[1])
-                prev[2] = write_dc(bw, int(czz[0]), prev[2])
-        dc_sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0])
-        nc = 3
-    else:
-        prev0 = 0
-        for by in range(yby):
-            for bx in range(ybx):
-                prev0 = write_dc(bw, int(yzz[by][bx][0]), prev0)
-        dc_sos = bytes([1, 1, 0x00, 0, 0, 0])
-        nc = 1
-    scans = seg(0xFFDA, dc_sos) + bw.flush()
+    prev = [0, 0, 0]
+    for comp, dc in dc_values():
+        prev[comp] = write_dc(bw, dc >> AL, prev[comp])
+    scans = seg(0xFFDA, dc_hdr(0, AL)) + bw.flush()
 
     # --- AC band scans: Ns=1 per component, SOF order ---------------
     comp_grids = [(-(-h // 8), -(-w // 8))]
     if color_420:
         cg = (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8))
         comp_grids += [cg, cg]
+
+    def block_zz(comp, by, bx):
+        return yzz[by][bx] if comp == 0 else czz
+
     for comp, (gby, gbx) in enumerate(comp_grids):
         for bs, be in _PROG_BANDS:
             bw = _BitWriter()
             eob_pending = 0
             for by in range(gby):
                 for bx in range(gbx):
-                    zz = yzz[by][bx] if comp == 0 else czz
+                    zz = block_zz(comp, by, bx)
+                    if AL:
+                        # AC point transform: sign * (|v| >> Al)
+                        zz = [
+                            (1 if int(v) > 0 else -1)
+                            * (abs(int(v)) >> AL)
+                            for v in zz
+                        ]
                     eob_pending = write_band(bw, zz, bs, be, eob_pending)
             if eob_pending:
                 flush_eobrun(bw, eob_pending)
-            ac_sos = bytes([1, comp + 1, 0x00, bs, be, 0])
+            ac_sos = bytes([1, comp + 1, 0x00, bs, be, AL])
             scans += seg(0xFFDA, ac_sos) + bw.flush()
+
+    if successive:
+        # --- DC refinement: one raw bit (bit Al-1=0) per block ------
+        bw = _BitWriter()
+        for _comp, dc in dc_values():
+            bw.write(dc & 1, 1)
+        scans += seg(0xFFDA, dc_hdr(1, 0)) + bw.flush()
+
+        # --- AC refinement scans (libjpeg encode_mcu_AC_refine) -----
+        for comp, (gby, gbx) in enumerate(comp_grids):
+            for bs, be in _PROG_BANDS:
+                bw = _BitWriter()
+                state = {"eobrun": 0, "be_bits": []}
+
+                def emit_eobrun():
+                    n = state["eobrun"]
+                    if n > 0:
+                        rr = n.bit_length() - 1
+                        code, ln = ac_codes[rr << 4]
+                        bw.write(code, ln)
+                        if rr:
+                            bw.write(n - (1 << rr), rr)
+                        state["eobrun"] = 0
+                        for bbit in state["be_bits"]:
+                            bw.write(bbit, 1)
+                        state["be_bits"] = []
+
+                for by in range(gby):
+                    for bx in range(gbx):
+                        zz = block_zz(comp, by, bx)
+                        absv = [abs(int(v)) for v in zz]
+                        eobpos = 0
+                        for k in range(bs, be + 1):
+                            if absv[k]:
+                                eobpos = k
+                        br_bits: list = []
+                        r = 0
+                        for k in range(bs, be + 1):
+                            temp = absv[k]
+                            if temp == 0:
+                                r += 1
+                                continue
+                            # ZRLs (never past the block's last
+                            # nonzero — the tail folds into the EOB);
+                            # runs this at EVERY nonzero arrival so a
+                            # buffered bit's position always falls
+                            # inside the 16-zero span being emitted
+                            while r > 15 and k <= eobpos:
+                                emit_eobrun()
+                                code, ln = ac_codes[0xF0]
+                                bw.write(code, ln)
+                                r -= 16
+                                for bbit in br_bits:
+                                    bw.write(bbit, 1)
+                                br_bits = []
+                            if temp > 1:
+                                # already significant: correction bit
+                                br_bits.append(temp & 1)
+                                continue
+                            # newly significant: run/size s=1 + sign
+                            emit_eobrun()
+                            code, ln = ac_codes[(r << 4) | 1]
+                            bw.write(code, ln)
+                            bw.write(1 if int(zz[k]) > 0 else 0, 1)
+                            r = 0
+                            for bbit in br_bits:
+                                bw.write(bbit, 1)
+                            br_bits = []
+                        if r > 0 or br_bits:
+                            state["eobrun"] += 1
+                            state["be_bits"].extend(br_bits)
+                            if state["eobrun"] == 0x7FFF:
+                                emit_eobrun()
+                emit_eobrun()
+                ac_sos = bytes([1, comp + 1, 0x00, bs, be, 0x10])
+                scans += seg(0xFFDA, ac_sos) + bw.flush()
 
     dqt = seg(0xFFDB, bytes([0]) + bytes(quant))
     if color_420:
@@ -606,6 +707,7 @@ def encode_jpeg(
     scan_order: tuple[int, ...] = (0, 1, 2),
     interleaved: bool = True,
     progressive: bool = False,
+    successive: bool = False,
 ) -> bytes:
     """Encode a (h, w) uint8 array as a baseline sequential JPEG
     (SOF0, Annex K standard Huffman tables).
@@ -643,8 +745,10 @@ def encode_jpeg(
     per component (Ss..Se = 1..5 then 6..63, SOF order, Ns=1 over
     the component block grid) using EOB-run codes — runs of blocks
     whose band is entirely zero collapse into EOBn symbols, the
-    coding progressive exists for. Successive approximation is not
-    emitted (decode seam likewise); incompatible with
+    coding progressive exists for. `successive=True` additionally
+    splits every scan into a point-transformed first pass (Al=1)
+    and a refinement pass (Ah=1, Al=0) — the full two-dimensional
+    progression real libjpeg files use. Incompatible with
     restart_interval / interleaved=False / scan_order here."""
     import struct
 
@@ -716,7 +820,7 @@ def encode_jpeg(
             )
         return _encode_progressive(
             img.shape, ph, pw, shifted, chroma, quant, qmat, c,
-            dc_codes, color_420,
+            dc_codes, color_420, successive,
         )
 
     scan_payloads: list = []  # non-interleaved: (comp, entropy bytes)
@@ -839,22 +943,32 @@ def _decode_progressive_scan(
     comp_blocks,
 ) -> None:
     """Decode ONE progressive (SOF2) scan into the accumulating
-    per-component coefficient grids — spectral selection only
-    (T.81 Annex G): a DC scan (Ss=Se=0, interleaved over the frame
-    MCU grid or Ns=1 over the component grid) or an AC band scan
-    (Ns=1, band [Ss, Se], with EOB-run codes: RRRR|0 encodes a run
-    of 2^RRRR + extra-bits blocks whose remaining band is all zero).
-    Successive approximation (Ah/Al != 0) raises at the documented
-    seam. Restart intervals reset the DC predictors / the EOB run
-    with per-scan RST numbering, same as baseline.
+    per-component coefficient grids (T.81 Annex G) — both progressive
+    dimensions:
+
+    - Spectral selection: a DC scan (Ss=Se=0, interleaved over the
+      frame MCU grid or Ns=1 over the component grid) or an AC band
+      scan (Ns=1, band [Ss, Se], with EOB-run codes: RRRR|0 encodes
+      a run of 2^RRRR + extra-bits blocks whose remaining band is
+      all zero).
+    - Successive approximation: first scans (Ah=0, Al>0) deliver
+      point-transformed coefficients (stored << Al); refinement
+      scans (Ah=Al+1) deliver one more magnitude bit each — DC: one
+      raw bit per block ORed into bit Al; AC: the correction-bit
+      algorithm (newly-significant coefficients arrive as ±1<<Al
+      via run/size codes with s=1, already-nonzero coefficients
+      consume one appended correction bit each, and EOB runs STILL
+      carry correction bits for their nonzero history).
+
+    Restart intervals reset the DC predictors / the EOB run with
+    per-scan RST numbering, same as baseline.
     """
     import numpy as np
 
     ns = len(scan_comps)
-    if ah or al:
-        raise NotImplementedError(
-            "progressive JPEG successive approximation (Ah/Al != 0) "
-            "not supported — spectral-selection scans only"
+    if ah and al != ah - 1:
+        raise ValueError(
+            "successive-approximation refinement must have Al = Ah - 1"
         )
     # zigzag-indexed coefficient grids persist across scans
     for idx in set(sof_idx):
@@ -888,6 +1002,17 @@ def _decode_progressive_scan(
                 "progressive DC scan must have Se=0 (T.81 G.1.1.1.1)"
             )
         prev_dc = [0] * ns
+
+        def dc_block(ci: int, td: int, cell) -> None:
+            if ah:  # refinement: one raw bit, ORed into bit Al
+                if br.read_bit():
+                    cell[0] = int(cell[0]) | (1 << al)
+                return
+            s = read_symbol(htables[(0, td)])
+            diff = extend(br.read_bits(s), s) if s else 0
+            prev_dc[ci] += diff
+            cell[0] = prev_dc[ci] << al
+
         if ns == len(comps):  # interleaved over the frame MCU grid
             mcu_idx = 0
             for my in range(mcu_y):
@@ -900,14 +1025,13 @@ def _decode_progressive_scan(
                         hs, vs = comps[idx][1], comps[idx][2]
                         for v in range(vs):
                             for u in range(hs):
-                                s = read_symbol(htables[(0, td)])
-                                diff = (
-                                    extend(br.read_bits(s), s) if s else 0
+                                dc_block(
+                                    ci,
+                                    td,
+                                    comp_coefs[idx][
+                                        my * vs + v, mx * hs + u
+                                    ],
                                 )
-                                prev_dc[ci] += diff
-                                comp_coefs[idx][
-                                    my * vs + v, mx * hs + u, 0
-                                ] = prev_dc[ci]
         else:  # Ns=1: the component's own block grid
             idx = sof_idx[0]
             td = scan_comps[0][1]
@@ -918,10 +1042,7 @@ def _decode_progressive_scan(
                     if restart_due(blk):
                         prev_dc = [0]
                     blk += 1
-                    s = read_symbol(htables[(0, td)])
-                    diff = extend(br.read_bits(s), s) if s else 0
-                    prev_dc[0] += diff
-                    comp_coefs[idx][my, mx, 0] = prev_dc[0]
+                    dc_block(0, td, comp_coefs[idx][my, mx])
         return
 
     # AC band scan
@@ -935,33 +1056,102 @@ def _decode_progressive_scan(
     coefs = comp_coefs[idx]
     eobrun = 0
     blk = 0
-    for my in range(by):
-        for mx in range(bx):
-            if restart_due(blk):
-                eobrun = 0  # EOB runs cannot cross a restart
-            blk += 1
-            if eobrun:
-                eobrun -= 1
-                continue
-            k = ss
-            while k <= se:
-                rs = read_symbol(htables[(1, ta)])
-                run, size = rs >> 4, rs & 0x0F
-                if size == 0:
-                    if run == 15:  # ZRL: 16 zeros within the band
-                        k += 16
-                        continue
-                    eobrun = (1 << run) - 1  # EOBn: this block + more
-                    if run:
-                        eobrun += br.read_bits(run)
-                    break
-                k += run
-                if k > se:
-                    raise ValueError(
-                        "JPEG AC index overflows the scan band"
+    p1, m1 = 1 << al, -(1 << al)
+
+    def refine_nonzero(cell, k: int) -> None:
+        """One appended correction bit for a coefficient that was
+        already nonzero before this scan: a 1-bit grows the magnitude
+        by 1 << Al if that bit is not already set."""
+        v = int(cell[k])
+        if br.read_bit() and (abs(v) & p1) == 0:
+            cell[k] = v + (p1 if v > 0 else m1)
+
+    if ah == 0:
+        # first scan of the band: run/size coding with EOB runs,
+        # values stored point-transformed (<< Al)
+        for my in range(by):
+            for mx in range(bx):
+                if restart_due(blk):
+                    eobrun = 0  # EOB runs cannot cross a restart
+                blk += 1
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = read_symbol(htables[(1, ta)])
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run == 15:  # ZRL: 16 zeros within the band
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1  # this block + more
+                        if run:
+                            eobrun += br.read_bits(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError(
+                            "JPEG AC index overflows the scan band"
+                        )
+                    coefs[my, mx, k] = (
+                        extend(br.read_bits(size), size) << al
                     )
-                coefs[my, mx, k] = extend(br.read_bits(size), size)
-                k += 1
+                    k += 1
+    else:
+        # refinement scan (G.1.2.3, the libjpeg AC-refine algorithm):
+        # newly-significant coefficients arrive as run/size codes with
+        # s=1 (sign bit follows); every already-nonzero coefficient
+        # passed over — including inside ZRL runs and EOB runs —
+        # consumes one correction bit
+        for my in range(by):
+            for mx in range(bx):
+                if restart_due(blk):
+                    eobrun = 0
+                blk += 1
+                cell = coefs[my, mx]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = read_symbol(htables[(1, ta)])
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                # EOBn INCLUDES this block; its tail
+                                # still refines below
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += br.read_bits(run)
+                                break
+                            newval = 0  # ZRL: skip 16 zero-history
+                        else:
+                            if size != 1:
+                                raise ValueError(
+                                    "AC refinement run/size must have "
+                                    "s=1"
+                                )
+                            newval = p1 if br.read_bit() else m1
+                        # advance over `run` zero-history positions,
+                        # refining nonzero-history ones in passing
+                        while k <= se:
+                            if int(cell[k]) != 0:
+                                refine_nonzero(cell, k)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if newval and k <= se:
+                            cell[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    # inside an EOB run: only correction bits for the
+                    # remaining nonzero history of this block's band
+                    while k <= se:
+                        if int(cell[k]) != 0:
+                            refine_nonzero(cell, k)
+                        k += 1
+                    eobrun -= 1
 
 
 def _decode_jpeg(payload: bytes) -> "np.ndarray":
@@ -972,16 +1162,17 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     component per scan (T.81 non-interleaved — MCU = one block over
     the component's own block grid, the libjpeg non-interleaved
     form). Progressive: an interleaved (or Ns=1) DC scan plus
-    per-component AC band scans with EOB-run codes; coefficients
+    per-component AC band scans with EOB-run codes — including
+    successive approximation (point-transformed first scans and
+    Ah=Al+1 refinement scans with correction bits); coefficients
     accumulate across scans and are IDCT'd once at EOI. The Y plane
     is returned — JPEG's Y is already the BT.601 luma this pipeline
     standardizes on, so chroma blocks are entropy-decoded to advance
     the stream but not color-converted. Restart intervals (DRI/RSTn)
     are honored with DC-predictor / EOB-run reset and
     marker-sequence verification; RST numbering restarts each scan.
-    Successive approximation (Ah/Al != 0), 12-bit, arithmetic coding
-    and partially-interleaved scans (1 < Ns < Nf) raise at the
-    documented seam."""
+    12-bit precision, arithmetic coding and partially-interleaved
+    scans (1 < Ns < Nf) raise at the documented seam."""
     import struct
 
     import numpy as np

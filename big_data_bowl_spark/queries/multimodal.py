@@ -374,11 +374,14 @@ def mm06_png_roundtrip_features(spark, sf_dir):
     "codec bit-error fails the value hash. Width uses doc_id % 5 "
     "(coprime with the % 3 row filter, ADVICE r5) so the oracle-gated "
     "query exercises 1..5-block-wide images, not just single-column "
-    "MCUs. Round 7: rows ROTATE through the three scan layouts the "
+    "MCUs. Round 7: rows ROTATE through the four scan layouts the "
     "codec speaks — baseline interleaved, SOF2 spectral-selection "
-    "progressive (DC scan + AC band scans with EOB runs), and "
-    "non-interleaved 4:2:0 (one component per scan) — all bit-exact "
-    "in this regime, so the same oracle gates every layout. Narrow "
+    "progressive (DC scan + AC band scans with EOB runs), "
+    "non-interleaved 4:2:0 (one component per scan), and FULL "
+    "two-dimensional progressive (spectral selection x successive "
+    "approximation: Al=1 first scans + correction-bit refinement, "
+    "the libjpeg default script shape) — all bit-exact in this "
+    "regime, so the same oracle gates every layout. Narrow "
     "mapInPandas plan; payloads never leave the Python worker.",
 )
 def mm07_jpeg_roundtrip_features(spark, sf_dir):
@@ -412,14 +415,13 @@ def mm07_jpeg_roundtrip_features(spark, sf_dir):
                     + np.arange(w // 8)[None, :] * 29
                 ) % 256
                 img = np.kron(bvals, np.ones((8, 8), np.int64)).astype(np.uint8)
-                variant = (mid // 3) % 3
-                kw = (
-                    {}
-                    if variant == 0
-                    else {"progressive": True}
-                    if variant == 1
-                    else {"color_420": True, "interleaved": False}
-                )
+                variant = (mid // 3) % 4
+                kw = [
+                    {},
+                    {"progressive": True},
+                    {"color_420": True, "interleaved": False},
+                    {"progressive": True, "successive": True},
+                ][variant]
                 payload = encode_jpeg(img, quant=flat_quant, **kw)
                 decoded = decode_payload(payload, "jpeg", w, h)
                 rows.append(

@@ -459,10 +459,47 @@ def test_jpeg_progressive_roundtrip_matches_baseline():
     )
 
 
-def test_jpeg_progressive_successive_approximation_raises():
-    """Ah/Al != 0 (successive approximation) stays an honest seam:
-    patch the DC scan header's AhAl byte and expect the documented
-    NotImplementedError, never a silent misdecode."""
+def test_jpeg_progressive_successive_approximation_roundtrip():
+    """Full two-dimensional progression (spectral selection AND
+    successive approximation — the libjpeg default script shape):
+    Al=1 first scans + Ah=1/Al=0 refinement scans must reconstruct
+    the EXACT coefficients, so decode equals the baseline decode
+    bit-for-bit. Exercises DC arithmetic-shift + raw refinement
+    bits, AC truncated point transform, newly-significant s=1
+    codes, buffered correction bits, and EOB runs that still carry
+    correction bits for their nonzero history."""
+    from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(43)
+    ones = [1] * 64
+    for h, w in ((16, 16), (15, 17), (33, 49), (5, 5)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for kw in (dict(), dict(color_420=True)):
+            base = _decode_jpeg(encode_jpeg(img, quant=ones, **kw))
+            sa = _decode_jpeg(
+                encode_jpeg(
+                    img, quant=ones, progressive=True,
+                    successive=True, **kw,
+                )
+            )
+            assert np.array_equal(sa, base), (h, w, kw)
+    # sparse content: long EOB runs whose covered blocks still carry
+    # correction bits once the first scan made neighbors significant
+    img = np.zeros((40, 72), np.uint8)
+    img[20, 40] = 255
+    assert np.array_equal(
+        _decode_jpeg(
+            encode_jpeg(
+                img, quant=ones, progressive=True, successive=True
+            )
+        ),
+        _decode_jpeg(encode_jpeg(img, quant=ones)),
+    )
+
+
+def test_jpeg_progressive_invalid_sa_header_rejected():
+    """A refinement scan must declare Al = Ah - 1 (T.81 G.1.1.1.1);
+    anything else is a malformed header, rejected not misdecoded."""
     import pytest as _pytest
 
     from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
@@ -474,8 +511,8 @@ def test_jpeg_progressive_successive_approximation_raises():
     i = payload.index(b"\xff\xda")
     ahal = i + 4 + 1 + 2 + 2  # -> the AhAl byte
     assert payload[ahal] == 0
-    for bad in (0x10, 0x01, 0x21):  # Ah, Al, both
-        with _pytest.raises(NotImplementedError, match="successive"):
+    for bad in (0x20, 0x31, 0x12):  # Ah with Al != Ah - 1
+        with _pytest.raises(ValueError, match="Al = Ah - 1"):
             _decode_jpeg(
                 payload[:ahal] + bytes([bad]) + payload[ahal + 1 :]
             )
