@@ -193,52 +193,33 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
     return img[::-1] if bottom_up else img
 
 
-def _decode_png(payload: bytes) -> "np.ndarray":
-    """Baseline PNG via stdlib zlib: 8-bit grayscale (color type 0) or
-    truecolor (2, -> BT.601 luma), all five row filters, non-interlaced.
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass
+_PNG_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Filters Sub/Average/Paeth predict from the RECONSTRUCTED left
-    neighbor, so those rows unfilter serially per byte; None/Up stay
-    vectorized. CRCs are not verified (decode, don't validate)."""
-    import struct
-    import zlib
 
+def _png_unfilter(raw: bytes, off: int, w: int, h: int,
+                  depth: int, channels: int):
+    """Unfilter one (sub-)raster of h rows starting at raw[off];
+    returns (rows as a (h, stride) uint8 array of PACKED bytes, bytes
+    consumed). Filters predict at bpp-byte distance on the packed
+    stream (PNG 3.0 §9: for depths < 8, bpp rounds up to 1)."""
     import numpy as np
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
-    while pos + 8 <= len(payload):
-        length, ctype = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # data + 4-byte CRC
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or color not in (0, 2) or interlace != 0:
-        raise NotImplementedError(
-            f"PNG depth={depth} color_type={color} interlace={interlace} "
-            "not supported (baseline: 8-bit gray/truecolor, "
-            "non-interlaced); plug PIL in at decode_payload for the rest"
-        )
-    ch = 1 if color == 0 else 3
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    bpp = max(1, (depth * channels) // 8)
+    stride = -(-(w * depth * channels) // 8)
+    need = h * (stride + 1)
+    if off + need > len(raw):
         raise ValueError("PNG raster size mismatch")
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.int32)
     for y in range(h):
-        off = y * (stride + 1)
-        ftype = raw[off]
+        o = off + y * (stride + 1)
+        ftype = raw[o]
         row = np.frombuffer(
-            raw, np.uint8, count=stride, offset=off + 1
+            raw, np.uint8, count=stride, offset=o + 1
         ).astype(np.int32)
         if ftype == 0:
             cur = row
@@ -247,9 +228,9 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         elif ftype in (1, 3, 4):
             cur = np.zeros(stride, np.int32)
             for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
@@ -257,15 +238,113 @@ def _decode_png(payload: bytes) -> "np.ndarray":
                 else:  # Paeth
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                    pred = (
+                        a if pa <= pb and pa <= pc else b if pb <= pc else c
+                    )
                 cur[x] = (int(row[x]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    if ch == 1:
-        return out
-    rgb = out.reshape(h, w, 3).astype(np.float64)
+    return out, need
+
+
+def _png_unpack(rows, w: int, depth: int, channels: int):
+    """Packed filter-output rows -> (h, w, channels) uint8 SAMPLES
+    (palette indices / gray values unscaled)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    # depths 1/2/4: MSB-first bit fields, one channel by PNG rules
+    bits = np.unpackbits(rows, axis=1)
+    per = bits[:, : w * depth].reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (per * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :, None]
+
+
+def _decode_png(payload: bytes) -> "np.ndarray":
+    """PNG via stdlib zlib: grayscale (color 0, depths 1/2/4/8),
+    truecolor (2), palette (3, PLTE, depths 1/2/4/8), gray+alpha (4)
+    and RGBA (6), all five row filters, non-interlaced AND Adam7
+    interlaced (each pass an independently-filtered sub-raster
+    scattered back onto the pixel grid). Color reduces to BT.601
+    luma; alpha is dropped (decode, don't composite). 16-bit depth
+    raises at the seam. CRCs are not verified (decode, don't
+    validate)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # data + 4-byte CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"invalid PNG color type {color}")
+    if depth == 16:
+        raise NotImplementedError(
+            "16-bit PNG not supported; plug PIL in at decode_payload"
+        )
+    if depth not in (1, 2, 4, 8) or (depth != 8 and color not in (0, 3)):
+        raise ValueError(
+            f"invalid PNG depth {depth} for color type {color}"
+        )
+    if color == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing a valid PLTE")
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    raw = zlib.decompress(bytes(idat))
+
+    samples = np.zeros((h, w, channels), np.uint8)
+    if interlace == 0:
+        rows, used = _png_unfilter(raw, 0, w, h, depth, channels)
+        if used != len(raw):
+            raise ValueError("PNG raster size mismatch")
+        samples = _png_unpack(rows, w, depth, channels)
+    elif interlace == 1:  # Adam7
+        off = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, used = _png_unfilter(raw, off, pw, ph, depth, channels)
+            off += used
+            sub = _png_unpack(rows, pw, depth, channels)
+            samples[y0::dy, x0::dx] = sub
+        if off != len(raw):
+            raise ValueError("PNG raster size mismatch")
+    else:
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+
+    if color == 3:
+        rgb = palette[samples[:, :, 0]].astype(np.float64)
+    elif color in (2, 6):
+        rgb = samples[:, :, :3].astype(np.float64)
+    else:  # gray / gray+alpha
+        g = samples[:, :, 0].astype(np.float64)
+        if depth < 8:  # scale 1/2/4-bit gray to the 8-bit range
+            g = g * (255.0 / ((1 << depth) - 1))
+        return np.rint(g).astype(np.uint8)
     luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     return luma.astype(np.uint8)
 

@@ -34,18 +34,24 @@ def test_decode_unsupported_format_raises():
 
 
 def test_decode_nonbaseline_png_raises():
-    # palette PNG (color type 3) is past the baseline codec's seam
+    # 16-bit depth is past the codec's seam (palette/interlace/alpha
+    # all decode since round 7); a palette file without PLTE is a
+    # hard error, not a seam
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
-    payload = (
-        b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
-        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
-    )
+    def png(ihdr_fields):
+        ihdr = struct.pack(">IIBBBBB", *ihdr_fields)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+
     with pytest.raises(NotImplementedError):
-        decode_payload(payload, "png", 1, 1)
+        decode_payload(png((1, 1, 16, 0, 0, 0, 0)), "png", 1, 1)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_payload(png((1, 1, 8, 3, 0, 0, 0)), "png", 1, 1)
 
 
 def test_decode_empty_payload_zero_fills():
@@ -909,3 +915,130 @@ def test_jpeg_16bit_quant_table_decodes():
     )
     with _pytest.raises(ValueError, match="DQT precision"):
         _decode_jpeg(bad)
+
+
+def _png_chunks(*chunks):
+    import struct
+    import zlib
+
+    out = b"\x89PNG\r\n\x1a\n"
+    for ctype, data in chunks:
+        out += (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+    return out
+
+
+def test_png_palette_and_subbyte_depths():
+    """Color type 3 (PLTE-indexed) at depths 8/4/2/1 and sub-byte
+    grayscale: indices unpack MSB-first from packed bytes, map
+    through the palette to BT.601 luma; 1-bit gray scales 0/1 to
+    0/255."""
+    import struct
+    import zlib
+
+    # palette: idx0 = red (luma 76), idx1 = green (149), idx2 = blue (29)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+
+    # depth 8: 3 pixels, one per palette entry
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0)
+    raster = b"\x00" + bytes([0, 1, 2])
+    p = _png_chunks(
+        (b"IHDR", ihdr), (b"PLTE", plte),
+        (b"IDAT", zlib.compress(raster)), (b"IEND", b""),
+    )
+    assert decode_payload(p, "png", 3, 1).tolist() == [[76, 149, 29]]
+
+    # depth 4: indices 0,1,2 pack two-per-byte MSB-first
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)
+    raster = b"\x00" + bytes([0x01, 0x20])  # (0,1), (2,pad)
+    p = _png_chunks(
+        (b"IHDR", ihdr), (b"PLTE", plte),
+        (b"IDAT", zlib.compress(raster)), (b"IEND", b""),
+    )
+    assert decode_payload(p, "png", 3, 1).tolist() == [[76, 149, 29]]
+
+    # depth 1 palette: 8 pixels alternating 0,1
+    ihdr = struct.pack(">IIBBBBB", 8, 1, 1, 3, 0, 0, 0)
+    raster = b"\x00" + bytes([0b01010101])
+    p = _png_chunks(
+        (b"IHDR", ihdr), (b"PLTE", plte),
+        (b"IDAT", zlib.compress(raster)), (b"IEND", b""),
+    )
+    assert decode_payload(p, "png", 8, 1).tolist() == [[76, 149] * 4]
+
+    # depth 1 GRAYSCALE: bits scale to 0/255
+    ihdr = struct.pack(">IIBBBBB", 8, 1, 1, 0, 0, 0, 0)
+    raster = b"\x00" + bytes([0b10110001])
+    p = _png_chunks(
+        (b"IHDR", ihdr), (b"IDAT", zlib.compress(raster)), (b"IEND", b""),
+    )
+    assert decode_payload(p, "png", 8, 1).tolist() == [
+        [255, 0, 255, 255, 0, 0, 0, 255]
+    ]
+
+
+def test_png_alpha_channels_dropped():
+    """Gray+alpha (4) and RGBA (6): the alpha byte advances the
+    filter stride but is dropped in the output."""
+    import struct
+    import zlib
+
+    # RGBA 2x1: red@50%, green@0% -> luma ignores alpha
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+    raster = b"\x00" + bytes([255, 0, 0, 128, 0, 255, 0, 0])
+    p = _png_chunks(
+        (b"IHDR", ihdr), (b"IDAT", zlib.compress(raster)), (b"IEND", b""),
+    )
+    assert decode_payload(p, "png", 2, 1).tolist() == [[76, 149]]
+
+    # gray+alpha with a Sub filter: bpp=2, so Sub predicts from the
+    # value two bytes back (the previous PIXEL's gray, not its alpha)
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 4, 0, 0, 0)
+    # pixels (10, a=1), (+5 -> 15, a+0=1), (+7 -> 22, a+9=10)
+    raster = b"\x01" + bytes([10, 1, 5, 0, 7, 9])
+    p = _png_chunks(
+        (b"IHDR", ihdr), (b"IDAT", zlib.compress(raster)), (b"IEND", b""),
+    )
+    assert decode_payload(p, "png", 3, 1).tolist() == [[10, 15, 22]]
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7: seven independently-filtered sub-rasters scatter back
+    to the pixel grid — the de-interlaced image must equal the same
+    pixels decoded from a non-interlaced file, for sizes that leave
+    several passes empty."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(53)
+    for h, w in ((8, 8), (9, 13), (3, 3), (1, 1), (2, 5)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        # non-interlaced reference file
+        ihdr0 = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        plain = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+        ref = _png_chunks(
+            (b"IHDR", ihdr0), (b"IDAT", zlib.compress(plain)),
+            (b"IEND", b""),
+        )
+        # Adam7 file: passes in spec order, filter 0 rows
+        passes = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        inter = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                inter += b"\x00" + row.tobytes()
+        ihdr1 = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)
+        lace = _png_chunks(
+            (b"IHDR", ihdr1), (b"IDAT", zlib.compress(bytes(inter))),
+            (b"IEND", b""),
+        )
+        got = decode_payload(lace, "png", w, h)
+        want = decode_payload(ref, "png", w, h)
+        assert np.array_equal(got, want) and np.array_equal(want, img)
