@@ -1601,7 +1601,11 @@ def decode_payload(
 
 
 def decode_audio(payload: bytes, fmt: str) -> "np.ndarray":
-    """Decode an audio payload to int16 samples (stdlib `wave`)."""
+    """Decode an audio payload to MONO int16 samples (stdlib `wave`):
+    8-bit unsigned PCM is re-centered and scaled to int16; multi-
+    channel audio downmixes by per-frame mean — the standardization
+    every audio-feature pass (mm05/mm08) assumes. 24/32-bit PCM
+    raise at the seam."""
     import io
     import wave
 
@@ -1610,10 +1614,28 @@ def decode_audio(payload: bytes, fmt: str) -> "np.ndarray":
     if fmt != "wav":
         raise NotImplementedError(f"audio codec for {fmt!r} not available")
     with wave.open(io.BytesIO(payload), "rb") as wf:
-        if wf.getsampwidth() != 2:
-            raise NotImplementedError("only 16-bit PCM WAV supported")
+        width = wf.getsampwidth()
+        nch = wf.getnchannels()
         frames = wf.readframes(wf.getnframes())
-    return np.frombuffer(frames, dtype="<i2")
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2")
+    elif width == 1:
+        # 8-bit WAV is UNSIGNED; center then scale to the 16-bit range
+        samples = (
+            (np.frombuffer(frames, np.uint8).astype(np.int16) - 128) << 8
+        )
+    else:
+        raise NotImplementedError(
+            f"{8 * width}-bit PCM WAV not supported (8/16-bit only)"
+        )
+    if nch > 1:
+        samples = (
+            samples.reshape(-1, nch)
+            .mean(axis=1)
+            .round()
+            .astype(np.int16)
+        )
+    return samples
 
 
 def encode_pgm(img: "np.ndarray") -> bytes:

@@ -1042,3 +1042,35 @@ def test_png_adam7_interlace_roundtrip():
         got = decode_payload(lace, "png", w, h)
         want = decode_payload(ref, "png", w, h)
         assert np.array_equal(got, want) and np.array_equal(want, img)
+
+
+def test_wav_8bit_and_stereo_variants():
+    """8-bit unsigned PCM recenters/scales to int16; stereo downmixes
+    by per-frame mean; 24-bit stays an honest seam."""
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import decode_audio
+
+    def wav(width, nch, frames_bytes, rate=16000):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(nch)
+            wf.setsampwidth(width)
+            wf.setframerate(rate)
+            wf.writeframes(frames_bytes)
+        return buf.getvalue()
+
+    # 8-bit: 128 is silence, 0 / 255 are the rails
+    got = decode_audio(wav(1, 1, bytes([128, 0, 255, 192])), "wav")
+    assert got.tolist() == [0, -32768, 32512, 16384]
+
+    # stereo 16-bit: per-frame mean
+    frames = np.array([100, 300, -50, 50, 7, 8], "<i2").tobytes()
+    got = decode_audio(wav(2, 2, frames), "wav")
+    assert got.tolist() == [200, 0, 8]  # (7+8)/2 rounds half-even -> 8
+
+    with _pytest.raises(NotImplementedError, match="24-bit"):
+        decode_audio(wav(3, 1, b"\x00" * 6), "wav")
