@@ -252,3 +252,81 @@ def latest_per_key(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running aggregates via ``transformWithStateInPandas``
+    — Spark 4's arbitrary-stateful API and the successor to
+    ``applyInPandasWithState`` (which latest_per_key/sessionize use):
+    named TYPED state handles with an explicit lifecycle (init /
+    handleInputRows / close) instead of one opaque state tuple, so an
+    operator can compose ValueState/ListState/MapState and timers.
+
+    Here: one ValueState holding (n_events, n_high, last_event_us)
+    per user, folded across micro-batches and emitted per batch in
+    Update mode — O(1) state per key, the same bound as the legacy
+    API. Output is exactly the batch per-user aggregate however the
+    source splits into batches (each emission supersedes the last;
+    n_events strictly increases, so a downstream upsert keeps the
+    final one).
+
+    ENVIRONMENT GATE: transformWithState's Python state server
+    speaks protobuf, so this operator needs the ``google.protobuf``
+    package at RUNTIME (the build's only stateful API with an extra
+    dependency). The test container has no protobuf, so there is no
+    registered driver query; tests/test_stateful.py runs the
+    operator end-to-end when protobuf is importable and skips
+    otherwise. The legacy applyInPandasWithState operators
+    (latest_per_key, sessionize) cover the same semantics with no
+    extra dependency.
+    """
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n LONG, nh LONG, last_us LONG"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator["pd.DataFrame"], timerValues
+        ) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            n, nh, last_us = (
+                self._agg.get() if self._agg.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                # NaN > 5.0 is False, matching SQL's NULL handling in
+                # a filtered count
+                nh += int((pdf["value"] > 5.0).sum())
+                ts_us = (
+                    pdf["ts"].astype("datetime64[us]").astype("int64")
+                )
+                mx = int(ts_us.max())
+                if last_us is None or mx > last_us:
+                    last_us = mx
+            self._agg.update((n, nh, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_high": [nh],
+                    "last_ts": [pd.Timestamp(last_us, unit="us")],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType="user_id long, n_events long, n_high long, "
+        "last_ts timestamp",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -251,3 +251,57 @@ def test_stream_stream_join_matches_across_microbatches(
         for r in spark.table("ss_join_sink").collect()
     ]
     assert got == [(1, 3, 7, 9.5)]
+
+
+def test_transform_with_state_running_stats(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas operator: per-user running
+    stats must equal the batch aggregate. Requires google.protobuf
+    (the API's state-server protocol) — skipped where absent."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf")
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.sources.io import load_table
+    from big_data_bowl_spark.streaming.stateful import running_user_stats
+    from big_data_bowl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "value"
+    )
+    run_to_memory(
+        running_user_stats(stream), "tws_stats", output_mode="update"
+    )
+    sink = spark.table("tws_stats")
+    got = {
+        (r.user_id): (r.n_events, r.n_high, r.last_ts)
+        for r in sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "n_high", "last_ts"), "n_events"
+            ).alias("s")
+        )
+        .select("user_id", "s.*")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.nh, r.mx)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") > 5.0, 1).otherwise(0))
+            .cast("long")
+            .alias("nh"),
+            F.max("ts").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
