@@ -2655,3 +2655,61 @@ def v12_mmr_diversified_topk(spark: SparkSession, sf_dir: str):
         )
         picked = picked.unionByName(nxt).localCheckpoint()
     return picked
+
+
+# ---------------------------------------------------------------------------
+# S13: Python Data Source API — a custom fixed-width reader end-to-end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s13_python_datasource",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+    note="S13 Python Data Source API (Spark 4, SPARK-44076) — the "
+    "sources family's EXTENSIBILITY surface, proven end-to-end on "
+    "the classic format Spark lacks a built-in reader for: "
+    "fixed-width text (the mainframe/COBOL export). The pipeline "
+    "round-trips through the custom source: a distributed text sink "
+    "writes format_string('%12d%-25s%12.2f') rows, then "
+    "spark.read.format('fixedwidth') — a pure-Python DataSource "
+    "registered on the session — scans them back with ONE "
+    "InputPartition PER PART FILE (the built-in text source's "
+    "parallelism contract: N files = N tasks, each opening only its "
+    "file, nothing driver-side) and byte-slice parsing per the "
+    "explicit schema. The oracle reads the original table, so a "
+    "formatting/slicing/trim/cast bug anywhere in the round trip "
+    "fails the value hash (%.2f + strtod is exact for 2dp money). "
+    "Per-row Python is the API's honest cost; the class docstring "
+    "marks the swap-in-a-JVM-reader seam for 100 TB.",
+)
+def s13_python_datasource(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from ..sources.fixedwidth import FixedWidthDataSource
+
+    out = tempfile.mkdtemp(prefix="s13_fixedwidth_")
+    (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            F.format_string(
+                "%12d%-25s%12.2f",
+                F.col("c_custkey"),
+                F.col("c_name"),
+                F.col("c_acctbal"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(out)
+    )
+    spark.dataSource.register(FixedWidthDataSource)
+    return (
+        spark.read.format("fixedwidth")
+        .schema("c_custkey long, c_name string, c_acctbal double")
+        .option("widths", "12,25,12")
+        .option("path", out)
+        .load()
+    )
