@@ -1796,15 +1796,19 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video rows: emit every n-th frame as its own
     (media_id, frame_idx, frame_payload) row.
 
-    Two container paths, sniffed per row:
-    - ISO BMFF (payload[4:8] == b'ftyp'): REAL byte-range reads — the
-      track-0 sample ranges from the seek layer (stsz x stsc x
-      stco/co64, parse_mp4_sample_ranges) pick every n-th sample and
-      slice exactly those bytes, never touching skipped samples. This
-      is the plan shape that turns into ranged GETs against object
+    Two container paths, dispatched on the media table's typed
+    `format` column (never a content sniff — a text payload that
+    happens to contain 'ftyp' bytes must not be routed into the box
+    parser):
+    - format == 'mp4' (ISO BMFF, classic or fragmented): REAL
+      byte-range reads — the track-0 sample ranges from the seek
+      layer (stsz x stsc x stco/co64 or moof/trun,
+      parse_mp4_sample_ranges) pick every n-th sample and slice
+      exactly those bytes, never touching skipped samples. This is
+      the plan shape that turns into ranged GETs against object
       storage at 100 TB: the moov footer is read once, then only the
       picked frames' byte ranges move.
-    - fake codec (everything else): payload is n_frames equal slices.
+    - everything else (fake codec): payload is n_frames equal slices.
 
     Output fan-out is bounded (n_frames/every_n per video); the frame
     payload is a slice, so bytes are copied once, still with no
@@ -1819,7 +1823,7 @@ def sample_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 if r.media_type != "video":
                     continue
-                if len(r.payload) >= 8 and r.payload[4:8] == b"ftyp":
+                if r.format == "mp4":
                     for s in parse_mp4_sample_ranges(r.payload):
                         if s["track_idx"] != 0:
                             continue  # fMP4 may interleave tracks
@@ -2204,29 +2208,9 @@ def parse_mp4_metadata(payload: bytes) -> dict:
 
 def _mp4_children(buf: bytes, start: int, end: int):
     """Yield (type, body_start, body_end) for each child box in
-    buf[start:end], handling 32-bit, largesize (size==1) and
-    to-end-of-container (size==0) headers, with overrun checks."""
-    import struct
-
-    off = start
-    while off < end:
-        if off + 8 > end:
-            raise ValueError("truncated ISO BMFF box header")
-        size, typ = struct.unpack_from(">I4s", buf, off)
-        hdr = 8
-        if size == 1:
-            if off + 16 > end:
-                raise ValueError("truncated largesize box header")
-            size = struct.unpack_from(">Q", buf, off + 8)[0]
-            hdr = 16
-        elif size == 0:
-            size = end - off
-        if size < hdr or off + size > end:
-            raise ValueError(
-                f"ISO BMFF box {typ!r} overruns its container"
-            )
-        yield typ, off + hdr, off + size
-        off += size
+    buf[start:end] — _mp4_children_spans without the start offset."""
+    for typ, b0, b1, _off in _mp4_children_spans(buf, start, end):
+        yield typ, b0, b1
 
 
 def _mp4_find(buf: bytes, start: int, end: int, typ: bytes):
@@ -2270,8 +2254,6 @@ def parse_mp4_sample_index(payload: bytes) -> list:
     n_samples 0. This is the seek/keyframe index a frame-sampling
     pass reads — no codec bytes are touched.
     """
-    import struct
-
     tracks: list = []
     children, find = _mp4_children, _mp4_find
 
@@ -2296,24 +2278,10 @@ def parse_mp4_sample_index(payload: bytes) -> list:
                     break
                 path = nxt
             if path is not None:
-                s0, _s1 = path
-                if s0 + 12 > _s1:
-                    raise ValueError("stsz box too short for its header")
-                _vf, fixed, n = struct.unpack_from(">III", payload, s0)
-                if fixed:
-                    sizes = [fixed] * n
-                else:
-                    if s0 + 12 + 4 * n > _s1:
-                        raise ValueError(
-                            "stsz sample_count overruns the stsz box"
-                        )
-                    sizes = [
-                        struct.unpack_from(">I", payload, s0 + 12 + 4 * i)[0]
-                        for i in range(n)
-                    ]
+                sizes = _read_stsz_sizes(payload, *path)
                 if sizes:
                     entry.update(
-                        n_samples=n,
+                        n_samples=len(sizes),
                         total_bytes=sum(sizes),
                         max_bytes=max(sizes),
                         min_bytes=min(sizes),

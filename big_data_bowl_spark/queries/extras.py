@@ -2686,11 +2686,13 @@ def v12_mmr_diversified_topk(spark: SparkSession, sf_dir: str):
     "marks the swap-in-a-JVM-reader seam for 100 TB.",
 )
 def s13_python_datasource(spark: SparkSession, sf_dir: str):
-    import tempfile
-
     from ..sources.fixedwidth import FixedWidthDataSource
 
-    out = tempfile.mkdtemp(prefix="s13_fixedwidth_")
+    # deterministic per-SF path; overwrite replaces it each run (the
+    # repo's sink convention — a mkdtemp here would leak one orphan
+    # dir per invocation)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(_scratch_dir(), f"fixedwidth_{sf_tag}")
     (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") % 7 == 0)

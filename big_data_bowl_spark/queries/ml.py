@@ -674,9 +674,14 @@ def _tree_oracle() -> str:
     )
     return f"""
     WITH cands AS ({cand_selects}),
-    root AS (SELECT feature, threshold FROM ({_stump_oracle()})),
+    root AS (
+      SELECT feature, threshold FROM ({_stump_oracle()})
+      UNION ALL
+      SELECT 'none', {TREE_FALLBACK_TH}
+      WHERE NOT EXISTS (SELECT 1 FROM ({_stump_oracle()}))),
     sides AS (
-      SELECT CASE WHEN {_feat_case('l', 'r')} <= r.threshold
+      SELECT CASE WHEN r.feature = 'none' THEN 'L'
+                  WHEN {_feat_case('l', 'r')} <= r.threshold
                   THEN 'L' ELSE 'R' END AS side,
              l.l_quantity, l.l_discount, l.l_extendedprice,
              CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
@@ -753,10 +758,6 @@ def _tree_oracle() -> str:
 def m10_depth2_tree(spark, sf_dir):
     import math
 
-    from pyspark.sql import Window
-
-    from ..functions.rounding import rhu
-
     li = t(spark, sf_dir, "lineitem")
     thresholds = _collect_thresholds(li)
     pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
@@ -798,7 +799,7 @@ def m10_depth2_tree(spark, sf_dir):
         return best[1] if best else None
 
     n_all, pos_all = row["n"], row["pos_all"]
-    root_f, root_th = pick(
+    root = pick(
         [
             (
                 f,
@@ -813,9 +814,16 @@ def m10_depth2_tree(spark, sf_dir):
             for i, (f, th) in enumerate(thresholds)
         ]
     )
+    # degenerate data (no candidate splits both ways): single-leaf
+    # fallback, mirrored by the oracle's NOT EXISTS sentinel root
+    root_f, root_th = root if root else ("none", TREE_FALLBACK_TH)
 
     # -- level 1: BOTH children searched in one conditional-agg scan --
-    in_left = F.col(root_f) <= F.lit(root_th)
+    in_left = (
+        F.lit(True)
+        if root_f == "none"
+        else F.col(root_f) <= F.lit(root_th)
+    )
     side_ind = {
         "L": F.when(in_left, 1).otherwise(0),
         "R": F.when(in_left, 0).otherwise(1),

@@ -1603,7 +1603,8 @@ def _bpe_train_ctes() -> str:
     for i in range(N_BPE_MERGES):
         ctes.append(f"""pairs{i} AS (
       SELECT arr[i] AS l, arr[i + 1] AS r
-      FROM (SELECT string_split(substr(s, 3, length(s) - 4), {sep2}) AS arr
+      FROM (SELECT string_split(
+              substr(s, 3, GREATEST(length(s) - 4, 0)), {sep2}) AS arr
             FROM tok{i}),
            UNNEST(generate_series(1, len(arr) - 1)) AS u(i))""")
         ctes.append(f"""win{i} AS (
@@ -1677,8 +1678,17 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> list:
     # the sample is read ONCE and cached: every merge round's
     # pair-count job folds its replaces over the cached sample rather
     # than re-scanning the documents lake (at 100 TB the sample is
-    # the only thing the training loop ever touches)
+    # the only thing the training loop ever touches); unpersisted in
+    # the finally below so repeated driver calls don't accumulate
+    # cached blocks for the session's lifetime
     df = base.cache()
+    try:
+        return _bpe_merge_loop(df)
+    finally:
+        base.unpersist()
+
+
+def _bpe_merge_loop(df) -> list:
     merges = []
     for _step in range(N_BPE_MERGES):
         arr = F.split(F.expr("substring(s, 3, length(s) - 4)"), BPE_SEP2)
@@ -1738,12 +1748,14 @@ def _bpe_fit(spark: SparkSession, sf_dir: str) -> list:
         for i in range(N_BPE_MERGES)
     )}
     SELECT doc_id,
-           CAST(len(string_split(substr(s, 3, length(s) - 4),
-                                 chr(31) || chr(31))) AS BIGINT)
+           CAST(len(string_split(
+                  substr(s, 3, GREATEST(length(s) - 4, 0)),
+                  chr(31) || chr(31))) AS BIGINT)
              AS n_tokens,
            CAST((length(s)
-                 - 2 * len(string_split(substr(s, 3, length(s) - 4),
-                                        chr(31) || chr(31))) - 2)
+                 - 2 * len(string_split(
+                     substr(s, 3, GREATEST(length(s) - 4, 0)),
+                     chr(31) || chr(31))) - 2)
                 AS BIGINT) AS n_chars
     FROM corpus{N_BPE_MERGES}
     """,

@@ -1442,13 +1442,23 @@ def e06_streaming_pipeline(spark: SparkSession, sf_dir: str):
 )
 def t24_streaming_merge_sink(spark: SparkSession, sf_dir: str):
     import os
-    import tempfile
+    import shutil
 
     from ..streaming.sinks import run_to_merge_snapshot
+    from .extras import _scratch_dir
 
-    path = os.path.join(
-        tempfile.mkdtemp(prefix="t24_merge_"), "snapshot"
-    )
+    # deterministic per-SF path (the repo's sink convention — mkdtemp
+    # leaks an orphan dir per invocation); reset snapshot AND batchId
+    # metadata so each invocation is a fresh stream, not a replay
+    # skipped by the idempotency guard
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(_scratch_dir(), f"t24_snapshot_{sf_tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path + ".tmp", ignore_errors=True)
+    try:
+        os.remove(path + ".meta.json")
+    except OSError:
+        pass
     run_to_merge_snapshot(
         _e06_agg(spark, sf_dir),
         path,

@@ -167,3 +167,57 @@ def test_bpe_merge_replace_semantics_planted(spark, tmp_path):
         ).fetchall()
     }
     assert want == tok
+
+
+def test_bpe_letterless_documents_cross_engine(spark, tmp_path):
+    """A document whose normalized text is EMPTY (digits/punctuation
+    only) must tokenize identically in Spark and DuckDB: Spark's
+    substring with a negative length yields '' while DuckDB's substr
+    would yield the whole string unless clamped — the oracle clamps
+    with GREATEST, and this planted corpus pins the agreement."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            # doc 0 trains (BPE_SAMPLE_MOD); doc 1 is LETTERLESS
+            "text": pa.array(["abab abab", "1234 !?", "abab"]),
+            "source": pa.array(["x", "x", "x"]),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    tok = {
+        r.doc_id: (r.n_tokens, r.n_chars)
+        for r in REGISTRY["n21_bpe_tokenize"].fn(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            REGISTRY["n21_bpe_tokenize"].oracle
+        ).fetchall()
+    }
+    assert want == tok
+    # the letterless doc is present and agreed on in both engines
+    assert 1 in tok
+
+    train_spark = {
+        r.step: (r.left_sym, r.right_sym, r.pair_count)
+        for r in REGISTRY["n20_bpe_train"].fn(spark, sf).collect()
+    }
+    # align columns: oracle rows are (step, left, right, merged, count)
+    train_duck = {
+        r[0]: (r[1], r[2], r[4])
+        for r in con.execute(REGISTRY["n20_bpe_train"].oracle).fetchall()
+    }
+    assert train_duck == train_spark
