@@ -2715,3 +2715,96 @@ def s13_python_datasource(spark: SparkSession, sf_dir: str):
         .option("path", out)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# A20: explicit GROUPING SETS + grouping() markers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a20_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+           COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+    note="A20 explicit GROUPING SETS (the general form a11's ROLLUP "
+    "and a16's CUBE are sugar for) via Spark 4's "
+    "DataFrame.groupingSets API, including BOTH cross-grains the "
+    "hierarchy forms can't express together, plus the grouping() "
+    "markers that disambiguate a NULL group VALUE from a subtotal "
+    "row — the correctness detail naive NULL-checking gets wrong. "
+    "All four grains expand inside ONE hash aggregation (one "
+    "shuffle), not four scans + union. sum(l_quantity) is "
+    "integral-exact (base.py policy).",
+)
+def a20_grouping_sets(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [
+            ["l_returnflag", "l_linestatus"],
+            ["l_returnflag"],
+            ["l_linestatus"],
+            [],
+        ],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W10: offset + distribution analytic functions (lag/lead/nth/cume_dist)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w10_offset_windows",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           nth_value(value, 2) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS second_value,
+           cume_dist() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+    note="W10 offset + distribution analytics — the window-function "
+    "families w01-w09 don't cover: lag/lead (physical offsets, the "
+    "basis of t04's gaps and t15's funnels, here exposed raw), "
+    "nth_value with an explicit ROWS frame (both engines default "
+    "that frame differently, so it's pinned), and cume_dist "
+    "(rank-family running fraction; event_id tie-break makes the "
+    "ordering total, so k/n is an exact IEEE division in both "
+    "engines). One shuffle on user_id serves all four functions "
+    "through a single shared WINDOW clause; nulls pass through "
+    "lag/lead untouched (the SQL contract).",
+)
+def w10_offset_windows(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.nth_value("value", 2).over(wf).alias("second_value"),
+        F.cume_dist().over(w).alias("cume"),
+    )
