@@ -307,3 +307,126 @@ def test_kmv_estimate_matches_order_statistic(spark, seed, tmp_path):
     assert len(got) == 1
     assert got[0].n_exact == len(set(users))
     assert got[0].kmv_est == expect
+
+
+def test_bpe_oracle_matches_reference_bpe_fuzz():
+    """The n20/n21 DuckDB oracles vs a direct reference BPE
+    implementation (Sennrich-style: overlapping pair counts, greedy
+    left-to-right non-overlapping merge application) over random
+    tiny corpora — runs, ties, empties, and letterless docs
+    included. The Spark side is hash-matched to the oracle by the
+    driver gate, so oracle == reference closes the triangle without
+    a Spark session."""
+    import random
+    import re
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.nlp import (
+        BPE_PREFIX,
+        BPE_SAMPLE_MOD,
+        N_BPE_MERGES,
+    )
+
+    def norm(text):
+        return re.sub(r"[^a-z ]", "", text.lower()).replace(" ", "_")
+
+    def ref_train(texts):
+        docs = [list(norm(t)[:BPE_PREFIX]) for t in texts]
+        merges = []
+        for _ in range(N_BPE_MERGES):
+            counts = {}
+            for d in docs:
+                for a, b in zip(d, d[1:]):  # overlapping counts
+                    counts[(a, b)] = counts.get((a, b), 0) + 1
+            if not counts:
+                merges.append(("", "", 0))
+                continue
+            (left, right), c = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0])
+            )
+            merges.append((left, right, c))
+            docs = [ref_apply(d, left, right) for d in docs]
+        return merges
+
+    def ref_apply(d, left, right):
+        out, i = [], 0
+        while i < len(d):  # greedy left-to-right, non-overlapping
+            if i + 1 < len(d) and d[i] == left and d[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(d[i])
+                i += 1
+        return out
+
+    rng = random.Random(97)
+    import tempfile
+
+    # ~6 s/trial (the unrolled merge-round SQL is planning-heavy in
+    # DuckDB), so the trial count trades coverage for suite latency;
+    # the seeded mix hits empties, letterless docs, runs and count
+    # ties within the first few trials
+    for trial in range(8):
+        n_docs = rng.randint(1, 8)
+        texts = []
+        for _ in range(n_docs):
+            kind = rng.random()
+            if kind < 0.15:
+                texts.append("")  # empty
+            elif kind < 0.3:
+                texts.append("123 !?")  # letterless
+            else:
+                # small alphabet maximizes runs and count ties
+                texts.append(
+                    " ".join(
+                        "".join(
+                            rng.choice("aab") for _ in range(rng.randint(1, 6))
+                        )
+                        for _ in range(rng.randint(1, 5))
+                    )
+                )
+        with tempfile.TemporaryDirectory() as td:
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(range(n_docs), pa.int64()),
+                        "text": pa.array(texts),
+                        "source": pa.array(["x"] * n_docs),
+                    }
+                ),
+                f"{td}/documents.parquet",
+            )
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{td}/documents.parquet')"
+            )
+            # training: oracle merge table == reference merge table
+            got = {
+                r[0]: (r[1], r[2], r[4])
+                for r in con.execute(
+                    REGISTRY["n20_bpe_train"].oracle
+                ).fetchall()
+            }
+            sampled = [
+                t for i, t in enumerate(texts) if i % BPE_SAMPLE_MOD == 0
+            ]
+            want = dict(enumerate(ref_train(sampled)))
+            assert got == want, (trial, texts, got, want)
+            # tokenization: oracle token counts == reference apply
+            merges = [m for m in want.values() if m[0] or m[1]]
+            tok_got = {
+                r[0]: r[1]
+                for r in con.execute(
+                    REGISTRY["n21_bpe_tokenize"].oracle
+                ).fetchall()
+            }
+            for i, t in enumerate(texts):
+                d = list(norm(t))
+                for left, right, _c in merges:
+                    d = ref_apply(d, left, right)
+                assert tok_got[i] == max(len(d), 1), (trial, i, t, d)
