@@ -29,17 +29,29 @@ _SEP = "\x1f"
 def md5_of(*cols: Column, salt: str = "") -> Column:
     """md5 hex digest of the 0x1f-joined columns (with optional salt).
 
-    DuckDB mirror: md5(concat_ws(chr(31), 'salt', CAST(c AS VARCHAR), ...)).
+    NULL columns map to a chr(0) sentinel BEFORE joining: concat_ws
+    silently drops NULL arguments, so without the sentinel ('a',
+    NULL), (NULL, 'a') and ('a',) would all hash identically — a
+    deterministic key collision for any nullable key column (review
+    r7). chr(0) cannot appear in a cast-to-string value, so the
+    sentinel is unambiguous.
+
+    DuckDB mirror: md5(concat_ws(chr(31), 'salt',
+    COALESCE(CAST(c AS VARCHAR), chr(0)), ...)).
     """
     parts = [F.lit(salt)] if salt else []
-    parts += [c.cast("string") for c in cols]
+    parts += [
+        F.coalesce(c.cast("string"), F.lit("\x00")) for c in cols
+    ]
     return F.md5(F.concat_ws(_SEP, *parts))
 
 
 def md5_sql(*exprs: str, salt: str = "") -> str:
     """The DuckDB SQL string mirroring md5_of over the same exprs."""
     parts = [f"'{salt}'"] if salt else []
-    parts += [f"CAST({e} AS VARCHAR)" for e in exprs]
+    parts += [
+        f"COALESCE(CAST({e} AS VARCHAR), chr(0))" for e in exprs
+    ]
     return f"md5(concat_ws(chr(31), {', '.join(parts)}))"
 
 

@@ -59,9 +59,12 @@ def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
     lowered = F.lower(text)
     total = F.lit(0)
     for w in words:
-        # re.escape keeps words with regex metacharacters ('c++', 'a.b')
-        # from miscounting or throwing; the SQL mirror escapes the same
-        # way (queries/nlp.py _lang_hits_sql).
+        # re.escape keeps words with regex metacharacters ('c++',
+        # 'a.b') from THROWING; the SQL mirror escapes the same way
+        # (queries/nlp.py _lang_hits_sql). Note the \b contract:
+        # words must start AND end with word characters, or the
+        # boundary can't match ('c++' counts 0 — \b between '+' and
+        # space never fires). Current stopword lists are alphabetic.
         total = total + F.regexp_count(lowered, F.lit(rf"\b{re.escape(w)}\b"))
     return total
 

@@ -77,6 +77,7 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    stepped = None
     for _ in range(max_rounds):
         # pointer-jumping edges: node <-> its current label
         ptr = labels.select(
@@ -95,6 +96,7 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("ucomp").alias("nbr"))
         )
+        prev_ckpt = stepped
         stepped = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -107,7 +109,12 @@ def connected_components(
             .localCheckpoint()
         )
         labels = stepped.select("node", "comp")
-        if stepped.where(F.col("comp") != F.col("old")).isEmpty():
+        done = stepped.where(F.col("comp") != F.col("old")).isEmpty()
+        # release the SUPERSEDED round's checkpointed blocks: without
+        # this, a long run pins O(rounds x nodes) storage (review r7)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        if done:
             break
     else:
         # exhausting max_rounds with labels still moving means the

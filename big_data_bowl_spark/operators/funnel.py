@@ -32,6 +32,12 @@ def ordered_funnel(
     breaks) and funnel_depth = number of completed steps."""
     if not steps:
         raise ValueError("ordered_funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        # repeated step types would silently overwrite each other's
+        # t_<step> column (withColumn replaces); re-entry funnels need
+        # positional naming and a different matching rule — refuse
+        # loudly rather than corrupt the depth computation
+        raise ValueError("ordered_funnel steps must be unique")
     w = Window.partitionBy(user_col)
     out_cols = []
     df = events.select(user_col, type_col, ts_col)

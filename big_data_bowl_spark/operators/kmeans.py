@@ -130,7 +130,15 @@ def kmeans_fit(
             .localCheckpoint()
         )
         max_move = stepped.agg(F.max("moved")).collect()[0][0]
+        prev_cent = cent
         cent = stepped.select("cid", "kv", "n_members").localCheckpoint()
+        # release superseded checkpoints (stepped fed cent, which is
+        # now materialized; prev_cent fed stepped): without this a
+        # long run pins O(iters x k x dim) storage (review r7). The
+        # INITIAL cent may not be a checkpoint — unpersist is a no-op
+        # on non-persisted frames.
+        stepped.unpersist()
+        prev_cent.unpersist()
         if max_move is not None and max_move <= tol:
             break
     return cent

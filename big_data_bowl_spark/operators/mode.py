@@ -39,9 +39,11 @@ def grouped_mode(
     """
     counted = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("cnt"))
     # min over (-cnt, value) == ORDER BY cnt DESC, value ASC LIMIT 1,
-    # but as a partially-aggregable aggregate instead of a sort window
+    # but as a partially-aggregable aggregate instead of a sort window;
+    # backtick-quoted so names with spaces/reserved words parse (same
+    # rule pivot.py applies)
     return counted.groupBy(*group_cols).agg(
-        F.expr(f"min_by({value_col}, struct(-cnt, {value_col}))").alias(
-            out_col
-        )
+        F.expr(
+            f"min_by(`{value_col}`, struct(-cnt, `{value_col}`))"
+        ).alias(out_col)
     )

@@ -60,5 +60,18 @@ def pivot_wide_multi(
     for old, new in renames.items():
         wide = wide.withColumnRenamed(old, new)
     if fill_value is not None:
-        wide = wide.fillna(fill_value, subset=list(renames.values()))
+        # per-column coalesce rather than fillna: DataFrame.fillna
+        # with a numeric silently SKIPS non-numeric columns, so a
+        # string value column under agg='first' would keep its NULLs
+        # despite the documented values_fill parity (review r7); the
+        # cast surfaces a type-incompatible fill at analysis time
+        # instead of ignoring it
+        for c in renames.values():
+            wide = wide.withColumn(
+                c,
+                F.coalesce(
+                    F.col(c),
+                    F.lit(fill_value).cast(wide.schema[c].dataType),
+                ),
+            )
     return wide

@@ -47,11 +47,19 @@ def with_global_row_number(
     order_col: str,
     out_col: str = "row_num",
     num_buckets: int | None = None,
+    boundaries: "list[float] | None" = None,
 ) -> DataFrame:
     """Attach a contiguous 1-based global ordinal over `order_col`.
 
     Equivalent to ``ROW_NUMBER() OVER (ORDER BY order_col)`` but with
     no single-partition exchange anywhere in the plan.
+
+    ``boundaries``: optional explicit sorted cut points (the skew
+    escape hatch the module docstring promises): bucket(key) = number
+    of boundaries <= key, giving len(boundaries)+1 buckets however
+    the data is distributed — pass sampled quantiles for
+    pathologically skewed keys instead of the default equal-width
+    grid.
     """
     spark = df.sparkSession
     n = num_buckets or 4 * spark.sparkContext.defaultParallelism
@@ -70,7 +78,13 @@ def with_global_row_number(
             "key must be numeric, non-null, non-NaN (nulls/NaNs would "
             "silently drop at the bucket join)"
         )
-    if lo is None or hi is None or hi <= lo:
+    if boundaries is not None:
+        cuts = sorted(float(b) for b in boundaries)
+        bucket = F.lit(0)
+        for b in cuts:
+            bucket = bucket + (key >= F.lit(b)).cast("int")
+        bucket = bucket.cast("int")
+    elif lo is None or hi is None or hi <= lo:
         # empty input or a single key value: one bucket is exact
         bucket = F.lit(0)
     else:

@@ -95,18 +95,14 @@ def run_to_merge_snapshot(
     ``keys``, skipping already-committed batchIds. availableNow
     processes the backlog and stops (same contract as run_to_memory).
     """
+    from .windows import batch_shuffle_partitions
+
     spark = stream_df.sparkSession
-    conf_key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(
-        conf_key,
-        n_partitions or max(8, spark.sparkContext.defaultParallelism),
-    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         merge_batch_into_snapshot(spark, batch_df, path, keys, batch_id)
 
-    try:
+    with batch_shuffle_partitions(spark, n_partitions):
         q = (
             stream_df.writeStream.foreachBatch(apply_batch)
             .outputMode("append")
@@ -114,5 +110,3 @@ def run_to_merge_snapshot(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(conf_key, old)

@@ -100,9 +100,15 @@ def sessionize(
         else:
             ts_us: list[int] = []
             for pdf in pdfs:
+                # unit-aware like latest_per_key (the Arrow bridge may
+                # hand datetime64[ns] OR [us]; assuming ns and
+                # dividing by 1000 silently collapses every gap 1000x
+                # on a us bridge)
                 ts_us.extend(
-                    int(v) // 1000
-                    for v in pdf["ts"].astype("int64").tolist()
+                    pdf["ts"]
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                    .tolist()
                 )
             ts_us.sort()
             if state.exists:

@@ -20,6 +20,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -88,12 +90,58 @@ def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,
     watermark: str = "2 hours",
+    within_watermark: bool = False,
 ) -> DataFrame:
-    """Exact dedup on a stream: first arrival per key wins, state
-    bounded by the watermark horizon (the streaming face of d01).
+    """Exact dedup on a stream: first arrival per key wins (the
+    streaming face of d01).
+
+    State honesty (review r7): plain ``dropDuplicates`` on keys that
+    EXCLUDE the event-time column keeps one state row per distinct
+    key FOREVER — the watermark only evicts dedup state when the
+    event-time column is part of the key. That unbounded growth is
+    inherent to the global-dedup semantics, not a bug, but on a live
+    unbounded stream you almost always want
+    ``within_watermark=True``: ``dropDuplicatesWithinWatermark``
+    guarantees dedup only for duplicates arriving within the
+    watermark delay of each other and evicts state past it — bounded
+    state, the production trade (retries/replays cluster in time).
+    The default stays exact global dedup, which every bounded
+    backfill (and the t11 oracle) wants.
     """
     keys = keys or ["event_id"]
-    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+    wm = events.withWatermark("ts", watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(keys)
+    return wm.dropDuplicates(keys)
+
+
+@contextmanager
+def batch_shuffle_partitions(spark, n_partitions: int | None = None):
+    """Size the micro-batch shuffles to the machine, not the global
+    default, for the duration of one bounded streaming drain: a
+    caller session with shuffle.partitions=200 (the Spark default —
+    e.g. the driver's bare session) would run EVERY micro-batch's
+    stateful shuffle as 200 tiny tasks (measured 27s vs ~5s for the
+    availableNow backfill at sf0.01). The stream's state store
+    partitioning is fixed at its first checkpoint, and each query
+    here starts from a fresh temp checkpoint, so setting it just for
+    the run is safe; the caller's conf is restored after.
+    n_partitions overrides for queries whose per-batch state work is
+    dominated by task-launch overhead (e.g. the stream-stream join
+    keeps state for BOTH sides in every partition — fewer, larger
+    state partitions drain a bounded backlog faster). Shared by
+    run_to_memory and sinks.run_to_merge_snapshot.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        n_partitions or max(8, spark.sparkContext.defaultParallelism),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def run_to_memory(
@@ -108,26 +156,7 @@ def run_to_memory(
     Uses trigger(availableNow=True): processes everything currently in
     the source in rate-limited batches, then stops.
     """
-    # Size the micro-batch shuffles to the machine, not the global
-    # default: a caller session with shuffle.partitions=200 (the Spark
-    # default — e.g. the driver's bare session) would run EVERY
-    # micro-batch's stateful shuffle as 200 tiny tasks (measured 27s vs
-    # ~5s for the availableNow backfill at sf0.01). The stream's state
-    # store partitioning is fixed at its first checkpoint, and each
-    # query here starts from a fresh temp checkpoint, so setting it
-    # just for the run is safe; the caller's conf is restored after.
-    # n_partitions overrides for queries whose per-batch state work is
-    # dominated by task-launch overhead (e.g. the stream-stream join
-    # keeps state for BOTH sides in every partition — fewer, larger
-    # state partitions drain a bounded backlog faster).
-    spark = stream_df.sparkSession
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(
-        key,
-        n_partitions or max(8, spark.sparkContext.defaultParallelism),
-    )
-    try:
+    with batch_shuffle_partitions(stream_df.sparkSession, n_partitions):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(table_name)
@@ -136,8 +165,6 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set(key, old)
 
 def sliding_sums(
     events: DataFrame,

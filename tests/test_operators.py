@@ -1312,3 +1312,37 @@ def test_v12_mmr_prefers_diversity_over_redundancy(spark, tmp_path):
     # picked twin) crushes its score while distinct pays none
     assert by_rank[1] == 100
     assert by_rank[2] == 102
+
+
+def test_md5_of_null_columns_do_not_collide(spark):
+    """concat_ws silently drops NULL arguments, so without the chr(0)
+    sentinel ('a', NULL), (NULL, 'a') and ('a', absent) would all
+    hash identically — a deterministic key collision for nullable
+    multi-column keys (review r7). The sentinel keeps them distinct
+    and matches the md5_sql mirror."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.functions.hashing import md5_of, md5_sql
+
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", "x")], "c1 string, c2 string"
+    )
+    got = [
+        r.h
+        for r in df.select(
+            md5_of(F.col("c1"), F.col("c2")).alias("h")
+        ).collect()
+    ]
+    assert len(set(got)) == 3  # all distinct
+
+    con = duckdb.connect()
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {md5_sql('c1', 'c2')} FROM (VALUES "
+            "('a', NULL), (NULL, 'a'), ('a', 'x')) t(c1, c2)"
+        ).fetchall()
+    ]
+    assert want == got  # cross-engine parity including the sentinel
