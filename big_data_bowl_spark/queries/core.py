@@ -113,6 +113,10 @@ def s02_csv_multifile(spark: SparkSession, sf_dir: str):
 )
 def s03_tsv_scan(spark: SparkSession, sf_dir: str):
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    # pandas' to_csv does NOT create parent dirs (Spark writers do,
+    # which masks this when an s01/s02 run came first); on a fresh
+    # checkout .scratch is git-ignored and absent (review r7)
+    os.makedirs(SCRATCH, exist_ok=True)
     path = os.path.join(SCRATCH, f"s03_region_{sf_tag}.tsv")
     t(spark, sf_dir, "region").select("r_regionkey", "r_name").toPandas().to_csv(
         path, sep="\t", index=False
@@ -1329,7 +1333,13 @@ def u01_groupby_apply(spark, sf_dir):
 
     def normalize(pdf: "pd.DataFrame") -> "pd.DataFrame":
         out = pdf[["event_id", "user_id"]].copy()
-        out["value_norm"] = pdf["value"] / pdf["value"].max()
+        norm = pdf["value"] / pdf["value"].max()
+        # preserve nullness: the Arrow bridge hands NULL values as
+        # float NaN, and a float NaN written back stays NaN in the
+        # Spark column — diverging from the SQL window oracle's NULL.
+        # The object-dtype detour carries a true None through Arrow
+        # (review r7; same convention as the d07/t16 stateful path).
+        out["value_norm"] = norm.astype(object).where(norm.notna(), None)
         return out
 
     return ev.groupBy("user_id").applyInPandas(

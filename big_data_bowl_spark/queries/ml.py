@@ -273,7 +273,16 @@ def _stump_oracle() -> str:
                 f"SELECT '{f}' AS feature, "
                 f"quantile_cont({f}, {q}) AS threshold FROM lineitem"
             )
-    cands = " UNION ALL ".join(cand_selects)
+    # DISTINCT (review r7): if two quantiles of one feature coincide
+    # (heavily discretized columns), the duplicate candidate would
+    # otherwise double every count in the cross-join aggregation —
+    # the Spark side's identical duplicate candidates produce
+    # identical single-count rows that the argmax dedups naturally
+    cands = (
+        "SELECT DISTINCT feature, threshold FROM ("
+        + " UNION ALL ".join(cand_selects)
+        + ")"
+    )
     ent = (
         "CASE WHEN {p} IN (0.0, 1.0) OR isnan({p}) THEN 0.0 "
         "ELSE -({p}) * ln({p}) - (1.0 - {p}) * ln(1.0 - {p}) END"
@@ -520,9 +529,13 @@ def m08_roc_auc(spark: SparkSession, sf_dir: str):
         (F.col("l_returnflag") == "R").cast("int").alias("y"),
         s.alias("s"),
     )
+    # materialize the histogram before the self-join: Catalyst does
+    # not reuse self-referenced subtrees across join sides (the d03
+    # pattern), so without this the full lineitem scan + groupBy ran
+    # TWICE (review r7). <= 1001 bins — the checkpoint is tiny.
     bins = scored.groupBy("s").agg(
         F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
-    )
+    ).localCheckpoint()
     cum = (
         bins.alias("a")
         .join(
@@ -662,11 +675,16 @@ def _feat_case(row_alias: str, cand_alias: str) -> str:
 
 
 def _tree_oracle() -> str:
-    cand_selects = " UNION ALL ".join(
-        f"SELECT '{f}' AS feature, "
-        f"quantile_cont({f}, {q}) AS threshold FROM lineitem"
-        for f in STUMP_FEATURES
-        for q in STUMP_QS
+    # DISTINCT for the same duplicate-quantile reason as _stump_oracle
+    cand_selects = (
+        "SELECT DISTINCT feature, threshold FROM ("
+        + " UNION ALL ".join(
+            f"SELECT '{f}' AS feature, "
+            f"quantile_cont({f}, {q}) AS threshold FROM lineitem"
+            for f in STUMP_FEATURES
+            for q in STUMP_QS
+        )
+        + ")"
     )
     ent = (
         "CASE WHEN {p} IN (0.0, 1.0) OR isnan({p}) THEN 0.0 "

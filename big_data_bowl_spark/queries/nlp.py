@@ -52,7 +52,13 @@ SHINGLE_K = 3
 # DuckDB mirrors of functions/text.py expressions -----------------------
 
 _SQL_TOKENS = r"regexp_split_to_array(trim(lower(text)), '\s+')"
-_SQL_NTOK = r"len(regexp_split_to_array(trim(text), '\s+'))"
+# Empty-doc guard (review r7): DuckDB's split of a trimmed empty
+# string has length 1, but Spark token_count('') is 0 — guard the SQL
+# side so empty/whitespace-only documents agree cross-engine.
+_SQL_NTOK = (
+    r"CASE WHEN length(trim(text)) = 0 THEN 0 "
+    r"ELSE len(regexp_split_to_array(trim(text), '\s+')) END"
+)
 
 
 def _sql_shingle_ctes(k: int = SHINGLE_K) -> str:
@@ -101,8 +107,9 @@ def _spark_minhash(hashed_shingles, i: int):
     oracle=f"""
     SELECT doc_id, {_SQL_NTOK} AS n_tokens,
            length(text) AS n_chars_text,
-           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-             / {_SQL_NTOK} AS mean_word_len
+           CASE WHEN {_SQL_NTOK} = 0 THEN NULL
+                ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+                          AS DOUBLE) / {_SQL_NTOK} END AS mean_word_len
     FROM documents
     """,
     note="Token counting (whitespace tokenizer) + char stats — "
@@ -111,8 +118,11 @@ def _spark_minhash(hashed_shingles, i: int):
 def n01_token_stats(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents")
     n_tok = token_count(F.col("text"))
-    mean_wl = (
-        F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tok
+    # explicit NULL for tokenless docs: engines disagree on x/0, so
+    # neither side is allowed to reach the division
+    mean_wl = F.when(n_tok == 0, F.lit(None).cast("double")).otherwise(
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("double")
+        / n_tok
     )
     return d.select(
         "doc_id",
@@ -138,7 +148,10 @@ def n01_token_stats(spark: SparkSession, sf_dir: str):
     )
     SELECT doc_id,
            (least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-            + (1.0 - least((CAST(n_punct AS DOUBLE) / n) * 5.0, 1.0))
+            + (1.0 - least(
+                 (CASE WHEN n = 0 THEN 0.0
+                       ELSE CAST(n_punct AS DOUBLE) / n END) * 5.0,
+                 1.0))
             + CASE WHEN (CASE WHEN n_tok = 0 THEN 0.0
                          ELSE CAST(n_word_chars AS DOUBLE) / n_tok END)
                         BETWEEN 2.0 AND 12.0

@@ -70,14 +70,20 @@ class FixedWidthReader(DataSourceReader):
                 f"widths has {len(self.widths)} entries for "
                 f"{len(schema.fields)} schema fields"
             )
-        # precompute (start, end, caster) per field
+        # precompute (start, end, caster) per field; an all-blank
+        # numeric field is a NULL (the COBOL-unload convention the
+        # module docstring promises) — int('')/float('') would kill
+        # the whole scan task instead (review r7)
+        def nullable(cast):
+            return lambda s: cast(s) if s else None
+
         self.slices = []
         off = 0
         for w, f in zip(self.widths, schema.fields):
             if isinstance(f.dataType, LongType):
-                cast = int
+                cast = nullable(int)
             elif isinstance(f.dataType, DoubleType):
-                cast = float
+                cast = nullable(float)
             else:
                 cast = str
             self.slices.append((off, off + w, cast))

@@ -42,8 +42,13 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     whatever physical form the lake stores. Handled encodings:
 
     - int64 nanos (TIMESTAMP(NANOS) parquet scanned with
-      spark.sql.legacy.parquet.nanosAsLong): floor-divide to micros,
-      matching DuckDB's TIMESTAMP_NS -> TIMESTAMP truncation.
+      spark.sql.legacy.parquet.nanosAsLong): `div 1000` to micros.
+      `div` truncates TOWARD ZERO, and so does DuckDB's
+      TIMESTAMP_NS -> TIMESTAMP cast — verified empirically against
+      a real ns parquet including pre-epoch values (-1500 ns -> -1
+      us in BOTH engines; a floor division would give -2 and
+      diverge). Review r7 suspected the opposite; the probe in
+      tests/test_schema_canary.py pins the agreement.
     - TIMESTAMP_NTZ (naive timestamp[us] parquet, the current testdata):
       cast to TIMESTAMP. The session time zone is pinned to UTC
       (session.py), so the cast relabels the same micros value —
@@ -159,10 +164,16 @@ def field_grid(
     """
     nx = nx if nx is not None else int(x_max)
     ny = ny if ny is not None else math.ceil(y_max)
+    # n == 1 degenerates to the single point 0, matching R's
+    # seq(length.out = 1) — max/(n-1) would divide by zero (review r7)
     xs = spark.range(nx).select(
-        (F.col("id") * F.lit(x_max / (nx - 1))).alias("grid_x")
+        (F.col("id") * F.lit(x_max / (nx - 1) if nx > 1 else 0.0)).alias(
+            "grid_x"
+        )
     )
     ys = spark.range(ny).select(
-        (F.col("id") * F.lit(y_max / (ny - 1))).alias("grid_y")
+        (F.col("id") * F.lit(y_max / (ny - 1) if ny > 1 else 0.0)).alias(
+            "grid_y"
+        )
     )
     return xs.crossJoin(ys)

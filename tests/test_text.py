@@ -221,3 +221,59 @@ def test_bpe_letterless_documents_cross_engine(spark, tmp_path):
         for r in con.execute(REGISTRY["n20_bpe_train"].oracle).fetchall()
     }
     assert train_duck == train_spark
+
+
+def test_token_stats_empty_and_whitespace_docs_cross_engine(
+    spark, tmp_path
+):
+    """Empty and whitespace-only documents must agree cross-engine:
+    DuckDB's split of a trimmed empty string has length 1 where Spark
+    counts 0 tokens, so the n01/n02 oracles guard the empty case and
+    both sides emit NULL (not a division) for tokenless means
+    (review r7)."""
+    import duckdb
+    import math
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["", "   ", "two words", "!!!"]),
+            "source": pa.array(["x"] * 4),
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'documents.parquet'}')"
+    )
+
+    n01 = {
+        r.doc_id: (r.n_tokens, r.mean_word_len)
+        for r in REGISTRY["n01_token_stats"].fn(spark, sf).collect()
+    }
+    assert n01[0] == (0, None) and n01[1] == (0, None)
+    assert n01[2] == (2, 4.0)
+    want = {
+        r[0]: (r[1], r[3])
+        for r in con.execute(REGISTRY["n01_token_stats"].oracle).fetchall()
+    }
+    assert want == n01
+
+    n02 = {
+        r.doc_id: r.quality
+        for r in REGISTRY["n02_quality_score"].fn(spark, sf).collect()
+    }
+    want02 = {
+        r[0]: r[1]
+        for r in con.execute(REGISTRY["n02_quality_score"].oracle).fetchall()
+    }
+    assert set(n02) == set(want02)
+    for k in n02:
+        assert n02[k] is not None and not math.isnan(n02[k]), k
+        assert n02[k] == want02[k], k
