@@ -94,7 +94,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+    try:
+        # never let an odd dir name ('sf1.2.3', 'sf.') crash the run
+        # before any query executes — the one-JSON-line contract
+        # outranks knowing the SF
+        sf = float(m.group(1).rstrip(".")) if m else None
+    except ValueError:
+        sf = None
 
     from big_data_bowl_spark.queries import REGISTRY
     from big_data_bowl_spark.session import get_spark

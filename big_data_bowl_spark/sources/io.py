@@ -73,6 +73,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Runtime-settable, so the contract works with ANY caller-provided
         # SparkSession (the driver builds its own), not just get_spark().
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ... and the same altitude for the timezone pin: the NTZ ->
+        # timestamp cast in normalize_event_ts relabels micros ONLY
+        # under UTC; a bare session on a non-UTC host would shift
+        # every event time off the DuckDB oracle (review r7 — latent
+        # here because this host is UTC, but the loader contract
+        # must not depend on host TZ)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_ts(df)

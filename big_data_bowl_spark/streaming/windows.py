@@ -41,6 +41,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # io.py contract
     # footer-only read: resolves the schema as actually stored, no scan
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file source requires a DIRECTORY; select just the events

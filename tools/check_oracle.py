@@ -87,7 +87,13 @@ def main():
     names = args.names or list(REGISTRY)
     n_pass = n_fail = n_rows_only = 0
     for name in names:
-        spec = REGISTRY[name]
+        spec = REGISTRY.get(name)
+        if spec is None:
+            # a typo'd name counts as a failure and the run continues
+            # (a raw KeyError would abort every name after it)
+            print(f"FAIL  {name}: not in REGISTRY")
+            n_fail += 1
+            continue
         t0 = time.time()
         try:
             df = spec.fn(spark, args.sf)

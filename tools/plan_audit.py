@@ -12,6 +12,8 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import contextlib
+import io
 import re
 import sys
 
@@ -74,19 +76,43 @@ def audit(plan: str) -> dict:
         for nid in final_ids
         for m in re.findall(r"codegen id : (\d+)", details.get(nid, ""))
     }
-    # Exchange detail says 'Exchange SinglePartition' when the whole
-    # input funnels through one task — the #1 scale-killer pattern
-    single = sum(
-        1
-        for name, nid in nodes
-        if name.strip() == "Exchange"
-        and "SinglePartition" in details.get(nid, "")
-    )
+    # Exchange detail says 'SinglePartition' on its Arguments: line
+    # when the whole input funnels through one task. That line lives
+    # in the node's DETAIL BLOCK (block_of), not the one-line tree
+    # header (details) — checking details made this count vacuously 0
+    # (review r7, verified live against a plan with a real
+    # SinglePartition). CLASSIFICATION: an Exchange SinglePartition
+    # whose immediate child is a PARTIAL aggregate is the benign
+    # global-aggregate merge — each upstream partition contributes
+    # ONE combined row, so the single task receives O(parallelism)
+    # rows, not O(data); every engine's global aggregate ends this
+    # way. Anything else (global sort/window/limit over data-sized
+    # input) is the scale-killer the audit flags.
+    tree_lines = [ln for ln in tree.split("\n") if ln.strip()]
+    child_of = {}
+    for i, ln in enumerate(tree_lines):
+        m = re.search(r"(\w[\w ]*?) +\((\d+)\)", ln)
+        if m and i + 1 < len(tree_lines):
+            cm = re.search(r"(\w[\w ]*?) +\((\d+)\)", tree_lines[i + 1])
+            if cm:
+                child_of[m.group(2)] = cm.group(1).strip()
+    single = 0
+    single_agg = 0
+    for name, nid in nodes:
+        if name.strip() != "Exchange":
+            continue
+        if "SinglePartition" not in block_of.get(nid, ""):
+            continue
+        if "Aggregate" in child_of.get(nid, ""):
+            single_agg += 1  # benign: partial-agg merge
+        else:
+            single += 1
     return {
         "exchanges": sum(
             1 for name, _ in nodes if name.strip() == "Exchange"
         ),
         "single_partition": single,
+        "single_agg_merge": single_agg,
         "reused": sum(
             1 for name, _ in nodes if name.strip() == "ReusedExchange"
         ),
@@ -132,22 +158,25 @@ def main() -> None:
         "in the final plan), join strategies (BHJ=broadcast hash, "
         "SMJ=sort-merge — the scalable default for fact-fact, "
         "BNLJ only where a cross join is the operator's semantics), "
-        "single-partition exchange count (must be 0 — the scale-killer "
-        "pattern; see operators/rank.py), "
+        "data-sized single-partition exchange count (must be 0 — the "
+        "scale-killer pattern; see operators/rank.py. Benign "
+        "global-AGGREGATE merges — a SinglePartition exchange whose "
+        "child is a partial aggregate, receiving one combined row "
+        "per upstream partition, the way every engine ends a global "
+        "aggregate — are counted separately in 'agg-merge' and are "
+        "NOT flags; review r7 made this distinction explicit when "
+        "fixing the previously-vacuous detector), "
         "parquet filter pushdown, WholeStageCodegen span count, and "
         "whether any Python (Arrow) stage exists — 'yes' only for the "
         "multimodal/groupby-apply operators where Python is the "
         "point.",
         "",
-        "| query | shuffles | 1-part | reused | joins | pushdown | codegen spans | python |",
-        "|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | 1-part | agg-merge | reused | joins | pushdown | codegen spans | python |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for name in HEADLINE:
         if name not in REGISTRY:
             continue
-        import contextlib
-        import io
-
         df = REGISTRY[name].fn(spark, args.sf)
         # execute THIS df's own QueryExecution (count() would build a
         # different plan and leave this one's AQE un-finalized)
@@ -159,11 +188,14 @@ def main() -> None:
         a = audit(plan)
         lines.append(
             f"| {name} | {a['exchanges']} | {a['single_partition']} "
-            f"| {a['reused']} | {a['joins']} "
+            f"| {a['single_agg_merge']} | {a['reused']} | {a['joins']} "
             f"| {a['pushed']} | {a['codegen']} | {a['python']} |"
         )
         if a["single_partition"]:
-            print(f"WARNING: {name} has an Exchange SinglePartition")
+            print(
+                f"WARNING: {name} has a data-sized Exchange "
+                "SinglePartition"
+            )
     if args.all:
         streaming = {
             "t07_streaming_tumbling",
@@ -186,7 +218,9 @@ def main() -> None:
             "",
             f"Full-registry sweep ({len(REGISTRY) - len(streaming)} batch "
             f"queries audited): **{len(flagged)} plans flagged** for "
-            "single-partition exchanges or cartesian products"
+            "data-sized single-partition exchanges or cartesian "
+            "products (benign global-aggregate merges excluded — see "
+            "column note above)"
             + (
                 " — " + ", ".join(n for n, _ in flagged)
                 if flagged

@@ -69,8 +69,19 @@ def build_probe_lake(spark, sf_dir: str, out_dir: str, factor: int):
 
 
 def n_exchanges(df) -> int:
+    """Shuffle-exchange count from the FINAL adaptive plan.
+
+    Two review-r7 fixes: (a) the plan must come from an execution of
+    THIS DataFrame's own QueryExecution — df.count() builds a
+    different plan and leaves this one at isFinalPlan=false, hiding
+    exactly the AQE runtime re-planning the probe exists to compare;
+    (b) \\bExchange\\b matches only the shuffle node, not
+    BroadcastExchange/ReusedExchange, which share the substring.
+    """
+    import re
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("Exchange ") + plan.count("Exchange\n")
+    return len(re.findall(r"\bExchange\b", plan))
 
 
 def run_one(spark, name: str, sf_dir: str):
@@ -78,7 +89,11 @@ def run_one(spark, name: str, sf_dir: str):
 
     t0 = time.time()
     df = REGISTRY[name].fn(spark, sf_dir)
-    rows = df.count()
+    # collect() executes df's own QueryExecution, finalizing ITS
+    # adaptive plan (see n_exchanges); outputs here are small
+    # (aggregated surfaces), so the driver transfer is bounded and
+    # identical at both scales — a fair like-for-like timing
+    rows = len(df.collect())
     wall = time.time() - t0
     return wall, rows, n_exchanges(df)
 
