@@ -8,6 +8,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 The per-query timing includes full materialization (df.count() after
 a no-op cache-free execution) — scan, shuffle, and aggregation all
 measured, nothing cached between queries.
+
+Convention caveat (review r7): count() lets Catalyst prune final
+projections the count doesn't need, so expression-heavy output stages
+are under-timed — acceptable here because every BUDGET in
+bench_baseline.json was frozen under the same convention, keeping the
+regression gate apples-to-apples; tools/scale_probe.py, whose job is
+absolute cost, times collect() instead.
 """
 
 from __future__ import annotations
