@@ -2547,3 +2547,213 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
                     )
                     cur += size
     return out
+
+
+# ---------------------------------------------------------------------------
+# EXIF (JPEG APP1 / TIFF 6.0 IFD structure)
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {
+    0x010F: "make",
+    0x0110: "model",
+    0x0112: "orientation",
+    0x011A: "x_resolution",
+    0x0132: "datetime",
+    0xA002: "pixel_x",
+    0xA003: "pixel_y",
+}
+_EXIF_IFD_POINTER = 0x8769
+
+
+def encode_exif_app1(
+    fields: dict,
+    big_endian: bool = False,
+) -> bytes:
+    """Build a JPEG APP1 segment carrying an Exif TIFF block (TIFF
+    6.0 IFD grammar): IFD0 with Make/Model (ASCII), Orientation
+    (SHORT), XResolution (RATIONAL), DateTime (ASCII) and an Exif
+    sub-IFD holding PixelXDimension/PixelYDimension (LONG). Values
+    wider than 4 bytes go to the out-of-line data area per the spec.
+    ``fields`` keys: make, model, orientation, x_resolution (an
+    (num, den) tuple), datetime, pixel_x, pixel_y — all optional.
+    """
+    import struct
+
+    bo = ">" if big_endian else "<"
+
+    def ascii_val(s: str) -> bytes:
+        return s.encode("ascii") + b"\x00"
+
+    # entries: (tag, type, count, packed_value_or_data, inline)
+    def build_ifd(entries, base_offset, next_ifd=0):
+        """entries: list of (tag, type, count, data_bytes). Returns
+        the serialized IFD; out-of-line data follows immediately."""
+        n = len(entries)
+        header = struct.pack(bo + "H", n)
+        body = b""
+        tail = b""
+        data_off = base_offset + 2 + 12 * n + 4
+        for tag, typ, cnt, data in sorted(entries):
+            if len(data) <= 4:
+                val = data + b"\x00" * (4 - len(data))
+            else:
+                val = struct.pack(bo + "I", data_off + len(tail))
+                tail += data + (b"\x00" if len(data) % 2 else b"")
+            body += struct.pack(bo + "HHI", tag, typ, cnt) + val
+        return header + body + struct.pack(bo + "I", next_ifd) + tail
+
+    sub_entries = []
+    if "pixel_x" in fields:
+        sub_entries.append(
+            (0xA002, 4, 1, struct.pack(bo + "I", fields["pixel_x"]))
+        )
+    if "pixel_y" in fields:
+        sub_entries.append(
+            (0xA003, 4, 1, struct.pack(bo + "I", fields["pixel_y"]))
+        )
+
+    ifd0_entries = []
+    if "make" in fields:
+        v = ascii_val(fields["make"])
+        ifd0_entries.append((0x010F, 2, len(v), v))
+    if "model" in fields:
+        v = ascii_val(fields["model"])
+        ifd0_entries.append((0x0110, 2, len(v), v))
+    if "orientation" in fields:
+        ifd0_entries.append(
+            (0x0112, 3, 1, struct.pack(bo + "H", fields["orientation"]))
+        )
+    if "x_resolution" in fields:
+        num, den = fields["x_resolution"]
+        ifd0_entries.append(
+            (0x011A, 5, 1, struct.pack(bo + "II", num, den))
+        )
+    if "datetime" in fields:
+        v = ascii_val(fields["datetime"])
+        ifd0_entries.append((0x0132, 2, len(v), v))
+
+    # two-pass: IFD0's size depends only on entry COUNT, so the Exif
+    # sub-IFD pointer (placed after IFD0 + its data) is computable
+    tiff_header = struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, 8)
+    if sub_entries:
+        probe = build_ifd(
+            ifd0_entries
+            + [(_EXIF_IFD_POINTER, 4, 1, struct.pack(bo + "I", 0))],
+            8,
+        )
+        sub_off = 8 + len(probe)
+        ifd0 = build_ifd(
+            ifd0_entries
+            + [
+                (
+                    _EXIF_IFD_POINTER,
+                    4,
+                    1,
+                    struct.pack(bo + "I", sub_off),
+                )
+            ],
+            8,
+        )
+        tiff = tiff_header + ifd0 + build_ifd(sub_entries, sub_off)
+    else:
+        tiff = tiff_header + build_ifd(ifd0_entries, 8)
+    body = b"Exif\x00\x00" + tiff
+    import struct as _s
+
+    return b"\xff\xe1" + _s.pack(">H", len(body) + 2) + body
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Splice an APP1 segment directly after SOI — where Exif lives
+    in every camera JPEG."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+def parse_exif(payload: bytes) -> dict:
+    """Extract Exif metadata from a JPEG's APP1 segment (TIFF 6.0 IFD
+    walk, both byte orders, inline and out-of-line values, the Exif
+    sub-IFD chain): returns {make, model, orientation, x_resolution
+    (float), datetime, pixel_x, pixel_y} for whichever tags exist,
+    plus byte_order ('II'|'MM'). Returns {} when no Exif APP1 is
+    present (not every JPEG has one); malformed TIFF structures
+    raise ValueError like the rest of the codec layer.
+    """
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:
+            break  # entropy data: no more headers
+        seg_len = struct.unpack_from(">H", payload, pos + 2)[0]
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            break
+        pos += 2 + seg_len
+    if tiff is None:
+        return {}
+
+    if len(tiff) < 8:
+        raise ValueError("Exif TIFF header truncated")
+    order = tiff[:2]
+    if order == b"II":
+        bo = "<"
+    elif order == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"invalid TIFF byte order {order!r}")
+    magic, ifd0_off = struct.unpack_from(bo + "HI", tiff, 2)
+    if magic != 42:
+        raise ValueError("invalid TIFF magic")
+
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
+    out = {"byte_order": order.decode("ascii")}
+
+    def read_value(typ, cnt, raw_off):
+        size = type_size.get(typ, 1) * cnt
+        if size <= 4:
+            data = tiff[raw_off : raw_off + size]
+        else:
+            ptr = struct.unpack_from(bo + "I", tiff, raw_off)[0]
+            if ptr + size > len(tiff):
+                raise ValueError("Exif value overruns the TIFF block")
+            data = tiff[ptr : ptr + size]
+        if typ == 2:  # ASCII, NUL-terminated
+            return data.split(b"\x00", 1)[0].decode("ascii", "replace")
+        if typ == 3:
+            return struct.unpack(bo + "H", data[:2])[0]
+        if typ == 4:
+            return struct.unpack(bo + "I", data[:4])[0]
+        if typ == 5:
+            num, den = struct.unpack(bo + "II", data)
+            return num / den if den else float("nan")
+        return data
+
+    def walk_ifd(off):
+        if off + 2 > len(tiff):
+            raise ValueError("Exif IFD offset overruns the TIFF block")
+        n = struct.unpack_from(bo + "H", tiff, off)[0]
+        if off + 2 + 12 * n + 4 > len(tiff):
+            raise ValueError("Exif IFD entries overrun the TIFF block")
+        for i in range(n):
+            e = off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", tiff, e)
+            if tag == _EXIF_IFD_POINTER:
+                sub = struct.unpack_from(bo + "I", tiff, e + 8)[0]
+                walk_ifd(sub)
+            elif tag in _EXIF_TAGS:
+                out[_EXIF_TAGS[tag]] = read_value(typ, cnt, e + 8)
+
+    walk_ifd(ifd0_off)
+    return out

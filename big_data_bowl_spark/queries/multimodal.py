@@ -947,3 +947,101 @@ def mm12_fmp4_sample_ranges(spark, sf_dir):
         schema="media_id long, track_idx long, sample_idx long, "
         "chunk_idx long, sample_bytes long, sample_offset long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MM13: EXIF metadata extraction (JPEG APP1 / TIFF IFD walk)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm13_exif_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+           'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+           CAST(72 + doc_id % 3 AS DOUBLE) AS x_resolution,
+           printf('2024:%02d:%02d 00:00:00',
+                  doc_id % 12 + 1, doc_id % 28 + 1) AS datetime,
+           CAST(320 + (doc_id % 7) * 16 AS BIGINT) AS pixel_x,
+           CAST(240 + (doc_id % 5) * 16 AS BIGINT) AS pixel_y
+    FROM documents WHERE doc_id % 5 = 2
+    """,
+    note="MM13 EXIF extraction — the metadata pass every image lake "
+    "runs before any pixel is decoded (orientation for auto-rotate, "
+    "capture time for dedup/partitioning, camera make/model for "
+    "source analytics): a real APP1 segment (TIFF 6.0 IFD grammar) "
+    "is built per row — alternating little/big endian, inline AND "
+    "out-of-line values, ASCII/SHORT/LONG/RATIONAL types, the Exif "
+    "sub-IFD chain — spliced after SOI, and re-parsed by the "
+    "pure-Python TIFF walker; rows alternate byte order so BOTH "
+    "endian paths are driver-gated. The oracle recomputes every "
+    "field from the generation formulas, so an IFD arithmetic bug "
+    "(entry stride, out-of-line offsets, rational decode, sub-IFD "
+    "pointer) fails the value hash. Narrow mapInPandas; EXIF reads "
+    "touch only the header bytes, never the image payload — the "
+    "byte-range profile that makes metadata passes cheap at 100 TB.",
+)
+def mm13_exif_metadata(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 2
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from ..multimodal.media import (
+            encode_exif_app1,
+            encode_jpeg,
+            insert_app1,
+            parse_exif,
+        )
+
+        base = encode_jpeg(np.zeros((8, 8), np.uint8))
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                app1 = encode_exif_app1(
+                    {
+                        "make": f"Cam{mid % 5}",
+                        "orientation": mid % 8 + 1,
+                        "x_resolution": (72 + mid % 3, 1),
+                        "datetime": "2024:%02d:%02d 00:00:00"
+                        % (mid % 12 + 1, mid % 28 + 1),
+                        "pixel_x": 320 + (mid % 7) * 16,
+                        "pixel_y": 240 + (mid % 5) * 16,
+                    },
+                    big_endian=mid % 2 == 1,
+                )
+                meta = parse_exif(insert_app1(base, app1))
+                rows.append(
+                    (
+                        mid,
+                        meta["byte_order"],
+                        meta["make"],
+                        meta["orientation"],
+                        meta["x_resolution"],
+                        meta["datetime"],
+                        meta["pixel_x"],
+                        meta["pixel_y"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "byte_order", "make", "orientation",
+                    "x_resolution", "datetime", "pixel_x", "pixel_y",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, byte_order string, make string, "
+        "orientation long, x_resolution double, datetime string, "
+        "pixel_x long, pixel_y long",
+    )

@@ -1074,3 +1074,59 @@ def test_wav_8bit_and_stereo_variants():
 
     with _pytest.raises(NotImplementedError, match="24-bit"):
         decode_audio(wav(3, 1, b"\x00" * 6), "wav")
+
+
+def test_exif_roundtrip_both_endians_and_edge_cases():
+    """APP1/TIFF walker: both byte orders, inline + out-of-line
+    values, the Exif sub-IFD chain; a JPEG without APP1 yields {};
+    malformed TIFF structures raise ValueError; and the image still
+    decodes with the segment spliced in."""
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import (
+        _decode_jpeg,
+        encode_exif_app1,
+        encode_jpeg,
+        insert_app1,
+        parse_exif,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    base = encode_jpeg(img, quant=[1] * 64)
+    fields = {
+        "make": "CamCo", "model": "X100", "orientation": 6,
+        "x_resolution": (300, 2), "datetime": "2024:01:02 03:04:05",
+        "pixel_x": 640, "pixel_y": 480,
+    }
+    for be in (False, True):
+        j = insert_app1(base, encode_exif_app1(fields, big_endian=be))
+        meta = parse_exif(j)
+        assert meta == {
+            "byte_order": "MM" if be else "II",
+            "make": "CamCo", "model": "X100", "orientation": 6,
+            "x_resolution": 150.0,  # RATIONAL 300/2
+            "datetime": "2024:01:02 03:04:05",
+            "pixel_x": 640, "pixel_y": 480,
+        }
+        # splicing the segment must not disturb the decode
+        assert np.array_equal(_decode_jpeg(j), _decode_jpeg(base))
+
+    assert parse_exif(base) == {}  # no APP1: empty, not an error
+    # minimal fields, no sub-IFD
+    j = insert_app1(base, encode_exif_app1({"orientation": 3}))
+    assert parse_exif(j)["orientation"] == 3
+
+    # malformed: bad byte order mark / truncated IFD. Truncation must
+    # be length-consistent (a shorter segment with a matching length
+    # field), otherwise the following JPEG bytes just slide into the
+    # declared body and parse as garbage-but-in-bounds values.
+    import struct
+
+    app1 = encode_exif_app1(fields)
+    bad = app1[:10] + b"XX" + app1[12:]
+    with _pytest.raises(ValueError, match="byte order"):
+        parse_exif(insert_app1(base, bad))
+    short_body = app1[4:20]  # 'Exif\0\0' + 10 TIFF bytes
+    short = b"\xff\xe1" + struct.pack(">H", len(short_body) + 2) + short_body
+    with _pytest.raises(ValueError):
+        parse_exif(insert_app1(base, short))
