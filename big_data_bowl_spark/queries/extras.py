@@ -112,10 +112,10 @@ _COS = (
 )
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+# ONE implementation of the sequential-fold dot product: its fold
+# order is a bit-exactness contract with DuckDB's list_dot_product,
+# so a second hand-maintained copy could drift (review r7)
+from .vectors import _dot  # noqa: E402,F401
 
 
 @register(
@@ -307,7 +307,11 @@ def s06_bucketed_join(spark: SparkSession, sf_dir: str):
     )
     agg = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
     scratch = _scratch_dir()
-    for name, df in [("bkt_lineitem", li), ("bkt_counts", agg)]:
+    # per-SF table/path tag like every other sink (review r7: the
+    # untagged names let a run at one SF read the other's overwrite)
+    sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    names = [f"bkt_lineitem_{sf_tag}", f"bkt_counts_{sf_tag}"]
+    for name, df in zip(names, [li, agg]):
         (
             df.write.mode("overwrite")
             .format("parquet")
@@ -316,8 +320,8 @@ def s06_bucketed_join(spark: SparkSession, sf_dir: str):
             .option("path", os.path.join(scratch, name))
             .saveAsTable(name)
         )
-    a = spark.table("bkt_lineitem")
-    b = spark.table("bkt_counts")
+    a = spark.table(names[0])
+    b = spark.table(names[1])
     return a.join(b, "l_orderkey").select(
         "l_orderkey", "l_linenumber", "n_lines"
     )
@@ -638,11 +642,7 @@ def a10_approx_count_distinct(spark: SparkSession, sf_dir: str):
 def s09_jsonl_scan(spark: SparkSession, sf_dir: str):
     cust = t(spark, sf_dir, "customer")
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-        ".scratch",
-        f"s09_customer_{sf_tag}",
-    )
+    path = os.path.join(_scratch_dir(), f"s09_customer_{sf_tag}")
     cust.write.mode("overwrite").json(path)
     schema = (
         "c_custkey long, c_name string, c_nationkey long, "
@@ -818,7 +818,13 @@ def s10_salted_skew_join(spark: SparkSession, sf_dir: str):
 
 
 DRIFT_BINS = 10
-DRIFT_LO, DRIFT_HI = 0.0, 200.0  # events.value domain
+# Histogram domain for the PSI drift statistic. 600 covers the
+# actual events.value range at every local SF (max ~560 at sf0.1;
+# review r7: the previous 200 ceiling collapsed the upper HALF of
+# the real domain into the top bin, blinding the monitor to shifts
+# there). Values past HI still clamp into the last bin — the
+# standard open-ended tail bucket.
+DRIFT_LO, DRIFT_HI = 0.0, 600.0
 
 
 @register(
@@ -1036,8 +1042,9 @@ SKEW_TOPK = 5
       FROM stacked GROUP BY key_col, key),
     ranked AS (
       SELECT key_col, key, n,
-             round(CAST(n AS DOUBLE)
-                   / SUM(n) OVER (PARTITION BY key_col), 9) AS share,
+             floor(CAST(n AS DOUBLE)
+                   / SUM(n) OVER (PARTITION BY key_col)
+                   * 1e9 + 0.5) / 1e9 AS share,
              ROW_NUMBER() OVER (PARTITION BY key_col
                                 ORDER BY n DESC, key ASC) AS rank
       FROM counts)
@@ -1087,8 +1094,11 @@ def dq04_key_skew_profile(spark: SparkSession, sf_dir: str):
         "key_col",
         "key",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(per_col), 9
+        # rhu, not round(): engine round() builtins disagree on
+        # decimal ties (functions/rounding.py) — review r7 caught this
+        # as the lone builtin-round ratio in the registry
+        rhu(
+            F.col("n").cast("double") / F.sum("n").over(per_col)
         ).alias("share"),
         F.row_number()
         .over(per_col.orderBy(F.desc("n"), F.asc("key")))
@@ -1858,6 +1868,11 @@ def u04_python_udtf(spark: SparkSession, sf_dir: str):
             # both engines tokenize to ['']).
             import re
 
+            if text is None:
+                # NULL text: the oracle's split chain propagates
+                # NULL and emits zero chunks; None.lower() would
+                # kill the whole Python worker instead (review r7)
+                return
             toks = re.split(r"\s+", text.lower().strip(" "))
             for i in range(0, max(len(toks), 1), UDTF_CHUNK):
                 c = toks[i : i + UDTF_CHUNK]
@@ -2608,6 +2623,7 @@ def v12_mmr_diversified_topk(spark: SparkSession, sf_dir: str):
         )
     )
     picked = first
+    prev_picked = None
     for i in range(2, MMR_K + 1):
         pk = picked.select("query_id", F.col("cand_id").alias("pcand"))
         remaining = qc.join(
@@ -2653,7 +2669,10 @@ def v12_mmr_diversified_topk(spark: SparkSession, sf_dir: str):
                 rhu(F.col("raw"), 9).alias("mmr_score"),
             )
         )
-        picked = picked.unionByName(nxt).localCheckpoint()
+        new_picked = picked.unionByName(nxt).localCheckpoint()
+        if prev_picked is not None:
+            prev_picked.unpersist()  # superseded (components.py r7)
+        prev_picked = picked = new_picked
     return picked
 
 

@@ -55,8 +55,8 @@ def _pr_oracle() -> str:
         return f"floor(({expr}) * {p!r} + 0.5) / {p!r}"
 
     parts = [
-        f"WITH cand AS ({_D02_ORACLE})",
-        "sym AS (SELECT doc_a AS u, doc_b AS v FROM cand "
+        f"WITH cand AS MATERIALIZED ({_D02_ORACLE})",
+        "sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand "
         "UNION SELECT doc_b, doc_a FROM cand)",
         "deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)",
         "nodes AS (SELECT DISTINCT u AS node FROM sym)",
@@ -114,9 +114,15 @@ def g01_pagerank_neardup(spark: SparkSession, sf_dir: str):
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = sym.select(F.col("u").alias("node")).distinct()
     n = nodes.count()  # one metadata-sized driver scalar (cf. k-means)
+    if n == 0:
+        # an already-deduplicated corpus has no candidate pairs; the
+        # oracle returns zero rows, so return the empty frame instead
+        # of dividing by zero below (review r7)
+        return spark.createDataFrame([], "doc_id long, pagerank double")
 
     ranks = nodes.withColumn("rank", rhu(F.lit(1.0) / n, PR_SCALE))
     teleport = (1.0 - PR_DAMPING) / n
+    prev_ranks = None
     for _ in range(PR_ITERS):
         contrib = (
             sym.join(ranks, sym["u"] == ranks["node"])
@@ -131,12 +137,17 @@ def g01_pagerank_neardup(spark: SparkSession, sf_dir: str):
             .cast("double")
             .alias("s")
         )
-        ranks = summed.select(
+        new_ranks = summed.select(
             F.col("v").alias("node"),
             rhu(F.lit(teleport) + PR_DAMPING * F.col("s"), PR_SCALE).alias(
                 "rank"
             ),
         ).localCheckpoint()
+        # release the superseded round's node-sized checkpoint blocks
+        # (the components.py r7 convention)
+        if prev_ranks is not None:
+            prev_ranks.unpersist()
+        prev_ranks = ranks = new_ranks
     return ranks.select(
         F.col("node").alias("doc_id"), F.col("rank").alias("pagerank")
     )
@@ -151,8 +162,8 @@ def _lp_oracle() -> str:
     label). Integer counts + deterministic tie-break = exact parity
     with no float policy needed."""
     parts = [
-        f"WITH cand AS ({_D02_ORACLE})",
-        "sym AS (SELECT doc_a AS u, doc_b AS v FROM cand "
+        f"WITH cand AS MATERIALIZED ({_D02_ORACLE})",
+        "sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand "
         "UNION SELECT doc_b, doc_a FROM cand)",
         "l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym)",
     ]
@@ -201,6 +212,7 @@ def g02_label_propagation(spark: SparkSession, sf_dir: str):
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    prev_labels = None
     for _ in range(LP_ROUNDS):
         counts = (
             sym.join(labels, sym["u"] == labels["node"])
@@ -210,13 +222,16 @@ def g02_label_propagation(spark: SparkSession, sf_dir: str):
         # most frequent neighborhood label, smallest label on ties:
         # min over the (-n, label) lexicographic struct — partially
         # aggregable, unlike a row_number window over all candidates
-        labels = (
+        new_labels = (
             counts.groupBy(F.col("v").alias("node"))
             .agg(
                 F.expr("min_by(label, struct(-n, label))").alias("label")
             )
             .localCheckpoint()
         )
+        if prev_labels is not None:
+            prev_labels.unpersist()
+        prev_labels = labels = new_labels
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     )
@@ -316,6 +331,7 @@ def g03_hits_neardup(spark: SparkSession, sf_dir: str):
     dec = f"decimal(38,{PR_SCALE + 3})"
     hubs = nodes.withColumn("hub", F.lit(1.0))
     auths = None
+    prev_auths = prev_hubs = None
     for _ in range(HITS_ITERS):
         ar = (
             e_by_u.join(hubs, e_by_u["u"] == hubs["node"])
@@ -327,6 +343,9 @@ def g03_hits_neardup(spark: SparkSession, sf_dir: str):
             F.col("v").alias("node"),
             rhu(F.col("s") / F.col("t"), PR_SCALE).alias("auth"),
         ).localCheckpoint()
+        if prev_auths is not None:
+            prev_auths.unpersist()  # superseded (components.py r7)
+        prev_auths = auths
         hr = (
             e_by_v.join(auths, e_by_v["v"] == auths["node"])
             .groupBy(e_by_v["u"])
@@ -337,6 +356,9 @@ def g03_hits_neardup(spark: SparkSession, sf_dir: str):
             F.col("u").alias("node"),
             rhu(F.col("s") / F.col("t"), PR_SCALE).alias("hub"),
         ).localCheckpoint()
+        if prev_hubs is not None:
+            prev_hubs.unpersist()
+        prev_hubs = hubs
     return (
         nodes.join(auths, "node", "left")
         .join(hubs, "node", "left")
@@ -353,7 +375,7 @@ def g03_hits_neardup(spark: SparkSession, sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _G04_ORACLE = (
-    f"WITH cand AS ({_D02_ORACLE}), "
+    f"WITH cand AS MATERIALIZED ({_D02_ORACLE}), "
     "e AS (SELECT doc_a AS u, doc_b AS v FROM cand), "
     "tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
     "FROM e e1 JOIN e e2 ON e1.v = e2.u "
@@ -362,7 +384,7 @@ _G04_ORACLE = (
     "UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri), "
     "pernode AS (SELECT node, COUNT(*) AS n_tri FROM corners "
     "GROUP BY node), "
-    "sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e), "
+    "sym AS MATERIALIZED (SELECT u, v FROM e UNION SELECT v, u FROM e), "
     "deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u) "
     "SELECT d.u AS doc_id, d.deg, "
     "COALESCE(p.n_tri, 0) AS n_triangles, "
@@ -412,10 +434,13 @@ def g04_triangle_count(spark: SparkSession, sf_dir: str):
         (F.col("a") == F.col("e3.u")) & (F.col("c") == F.col("e3.v")),
         "left_semi",
     )
-    corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionByName(tri.select(F.col("b").alias("node")))
-        .unionByName(tri.select(F.col("c").alias("node")))
+    # one explode, not a 3-branch union: Catalyst evaluates a
+    # self-referenced subtree once per union branch, so the expensive
+    # wedge join + closing semi-join — g04's dominant cost — ran
+    # THREE times (review r7); the explode emits the same corner
+    # multiset from a single evaluation
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
     )
     pernode = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
     sym = (
@@ -451,8 +476,8 @@ KCORE_ROUNDS = 4  # both engines unroll identically; convergence pinned
 
 def _kcore_oracle() -> str:
     parts = [
-        f"WITH cand AS ({_D02_ORACLE})",
-        "sym AS (SELECT doc_a AS u, doc_b AS v FROM cand "
+        f"WITH cand AS MATERIALIZED ({_D02_ORACLE})",
+        "sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand "
         "UNION SELECT doc_b, doc_a FROM cand)",
         "n0 AS (SELECT DISTINCT u AS node FROM sym)",
     ]
