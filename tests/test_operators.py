@@ -366,8 +366,18 @@ def test_dq03_smooths_bins_a_cohort_never_hit(spark, tmp_path):
     import pyarrow.parquet as pq
 
     from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import (
+        DRIFT_BINS,
+        DRIFT_HI,
+        DRIFT_LO,
+    )
 
-    # ref cohort (even ids) all land in bin 0; cur (odd) all in bin 9
+    # ref cohort (even ids) all land in bin 0; cur (odd) all in the
+    # LAST bin — values derived from the domain constants so the test
+    # tracks them (review r7 widened the domain to the real range)
+    width = (DRIFT_HI - DRIFT_LO) / DRIFT_BINS
+    lo_val = DRIFT_LO + 0.5 * width
+    hi_val = DRIFT_LO + (DRIFT_BINS - 0.5) * width
     n = 40
     pq.write_table(
         pa.table(
@@ -378,7 +388,7 @@ def test_dq03_smooths_bins_a_cohort_never_hit(spark, tmp_path):
                 "user_id": pa.array([1] * n, pa.int64()),
                 "event_type": pa.array(["view"] * n),
                 "value": pa.array(
-                    [5.0 if i % 2 == 0 else 195.0 for i in range(n)]
+                    [lo_val if i % 2 == 0 else hi_val for i in range(n)]
                 ),
                 "props": pa.array(["{}"] * n),
             }
