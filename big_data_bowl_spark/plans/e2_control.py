@@ -115,15 +115,22 @@ def player_influence(
 
 
 def field_control_surface(
-    influence: DataFrame, team_col: str = "team", home: str = "home"
+    influence: DataFrame,
+    team_col: str = "team",
+    home: str = "home",
+    group_cols: "tuple[str, ...]" = ("grid_x", "grid_y"),
 ) -> DataFrame:
     """Team control per cell: sign-flip away influence (P12), exact
-    decimal sum per (grid_x, grid_y) (A1), sigmoid squash (F7)
+    decimal sum per ``group_cols`` (A1), sigmoid squash (F7)
     (Field Control.R:362-370).
 
     Note the reference's sigmoid is 1/(1+exp(x)) — DECREASING in x —
     and it negates HOME influence, so control ~ 1 means home-dominated.
-    Both quirks are reproduced here deliberately.
+    Both quirks are reproduced here deliberately, and ONLY here: e03
+    passes ("frame_id", "grid_x", "grid_y") for the per-frame season
+    surface instead of re-implementing the sign/sum/sigmoid chain
+    (review r7 dedup — the quirk documentation stays authoritative in
+    one place).
     """
     signed = influence.withColumn(
         "signed_influence",
@@ -131,13 +138,12 @@ def field_control_surface(
             F.col("influence")
         ),
     )
-    per_cell = signed.groupBy("grid_x", "grid_y").agg(
+    per_cell = signed.groupBy(*group_cols).agg(
         F.sum(F.col("signed_influence").cast("decimal(28,9)"))
         .cast("double")
         .alias("control_sum")
     )
     return per_cell.select(
-        "grid_x",
-        "grid_y",
+        *group_cols,
         rhu(sigmoid(F.col("control_sum"))).alias("control"),
     )

@@ -87,3 +87,18 @@ def rhu_sql(expr: str, scale: int = 9) -> str:
     """DuckDB spelling of functions.rounding.rhu — keep in lockstep."""
     p = 10.0**scale
     return f"floor(({expr}) * {p!r} + 0.5) / {p!r}"
+
+
+def scratch_dir() -> str:
+    """The repo-root .scratch sink directory (git-ignored), created on
+    first use — the ONE path derivation every sink query shares
+    (review r7: three hand-rolled copies had drifted, one without the
+    makedirs)."""
+    import os
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".scratch",
+    )
+    os.makedirs(scratch, exist_ok=True)
+    return scratch

@@ -31,9 +31,9 @@ from ..operators.pivot import pivot_wide_multi
 from ..operators.rank import with_global_row_number
 from ..operators.sample import deterministic_sample, deterministic_split
 from ..sources.io import fetch_remote_delimited, field_grid, read_csv_inferred
-from .base import dsum, dsum_sql, register, t
+from .base import dsum, dsum_sql, register, rhu, rhu_sql, scratch_dir, t
 
-SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".scratch")
+SCRATCH = scratch_dir()
 
 PI_OVER_180 = math.pi / 180.0
 TWO_PI = 2.0 * math.pi
@@ -113,10 +113,8 @@ def s02_csv_multifile(spark: SparkSession, sf_dir: str):
 )
 def s03_tsv_scan(spark: SparkSession, sf_dir: str):
     sf_tag = os.path.basename(sf_dir.rstrip("/"))
-    # pandas' to_csv does NOT create parent dirs (Spark writers do,
-    # which masks this when an s01/s02 run came first); on a fresh
-    # checkout .scratch is git-ignored and absent (review r7)
-    os.makedirs(SCRATCH, exist_ok=True)
+    # scratch_dir() already ran makedirs (pandas' to_csv does not
+    # create parents — review r7)
     path = os.path.join(SCRATCH, f"s03_region_{sf_tag}.tsv")
     t(spark, sf_dir, "region").select("r_regionkey", "r_name").toPandas().to_csv(
         path, sep="\t", index=False
@@ -1061,11 +1059,11 @@ def f05_euclidean(spark, sf_dir):
     "f06_velocity_decomposition",
     oracle=f"""
     SELECT event_id,
-           round(sin(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value, 9)
+           floor((sin(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value) * 1000000000.0 + 0.5) / 1000000000.0
              + 0.0 AS v_x,
-           round(cos(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value, 9)
+           floor((cos(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value) * 1000000000.0 + 0.5) / 1000000000.0
              + 0.0 AS v_y,
-           round(CASE
+           floor((CASE
              WHEN sin(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value = 0
                   AND cos(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value > 0
                THEN {math.pi / 2.0!r}
@@ -1076,7 +1074,7 @@ def f05_euclidean(spark, sf_dir):
                THEN 0.0
              ELSE atan((cos(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value)
                      / (sin(CAST(user_id % 360 AS DOUBLE) * {PI_OVER_180!r}) * value))
-           END, 9) + 0.0 AS v_theta
+           END) * 1000000000.0 + 0.5) / 1000000000.0 + 0.0 AS v_theta
     FROM events
     """,
     note="F6 trig velocity decomposition with R's atan(v_y/v_x) edge "
@@ -1091,9 +1089,9 @@ def f06_velocity(spark, sf_dir):
     v_x, v_y, v_theta = velocity_components(F.col("value"), direction)
     return ev.select(
         "event_id",
-        (F.round(v_x, 9) + F.lit(0.0)).alias("v_x"),
-        (F.round(v_y, 9) + F.lit(0.0)).alias("v_y"),
-        (F.round(v_theta, 9) + F.lit(0.0)).alias("v_theta"),
+        (rhu(v_x) + F.lit(0.0)).alias("v_x"),
+        (rhu(v_y) + F.lit(0.0)).alias("v_y"),
+        (rhu(v_theta) + F.lit(0.0)).alias("v_theta"),
     )
 
 
@@ -1101,7 +1099,7 @@ def f06_velocity(spark, sf_dir):
     "f07_sigmoid",
     oracle="""
     SELECT event_id,
-           round(1.0 / (1.0 + exp((value - 10.0) / 5.0)), 9) AS control
+           floor((1.0 / (1.0 + exp((value - 10.0) / 5.0))) * 1000000000.0 + 0.5) / 1000000000.0 AS control
     FROM events
     """,
     note="F7 the reference's decreasing sigmoid 1/(1+exp(x)) "
@@ -1110,15 +1108,14 @@ def f06_velocity(spark, sf_dir):
 def f07_sigmoid(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     x = (F.col("value") - 10.0) / 5.0
-    return ev.select("event_id", F.round(sigmoid(x), 9).alias("control"))
+    return ev.select("event_id", rhu(sigmoid(x)).alias("control"))
 
 
 @register(
     "f08_radius_cubic_clamp",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(least(4.0 + ((l_quantity / 5.0) * (l_quantity / 5.0))
-                             * (l_quantity / 5.0) * 0.3, 10.0), 9) AS radius
+           floor((least(4.0 + ((l_quantity / 5.0) * (l_quantity / 5.0)) * (l_quantity / 5.0) * 0.3, 10.0)) * 1000000000.0 + 0.5) / 1000000000.0 AS radius
     FROM lineitem
     """,
     note="F8+F9 cubic ramp with clamp-via-least — radius of influence "
@@ -1130,7 +1127,7 @@ def f08_radius(spark, sf_dir):
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(radius_of_influence(d), 9).alias("radius"),
+        rhu(radius_of_influence(d)).alias("radius"),
     )
 
 
@@ -1206,8 +1203,8 @@ def f11_arith(spark, sf_dir):
       FROM m
     )
     SELECT event_id,
-           round(exp(-0.5 * ((c * dx * dx - 2.0 * b * dx * dy + a * dy * dy) / det))
-                 / ({TWO_PI!r} * sqrt(det)), 12) AS influence
+           {rhu_sql("exp(-0.5 * ((c * dx * dx - 2.0 * b * dx * dy + a * dy * dy) / det))"
+                    f" / ({TWO_PI!r} * sqrt(det))", 12)} AS influence
     FROM q
     """,
     note="F12 closed-form bivariate Gaussian density — Sigma = R*S*S*R^-1 "
@@ -1228,7 +1225,10 @@ def f12_gaussian(spark, sf_dir):
         radius=radius,
         s_ratio=s_ratio,
     )
-    return ev.select("event_id", F.round(pdf, 12).alias("influence"))
+    # rhu, not round(): engine round() builtins diverge on decimal
+    # ties (functions/rounding.py) — review r7 converted the last
+    # builtin-rounded transcendentals (f06/f07/f08/f12)
+    return ev.select("event_id", rhu(pdf, 12).alias("influence"))
 
 
 # ---------------------------------------------------------------------------

@@ -19,7 +19,7 @@ import os
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import dsum, dsum_sql, register, rhu, t
+from .base import dsum, dsum_sql, register, rhu, scratch_dir, t
 
 # ---------------------------------------------------------------------------
 # F9: clamp via least/greatest (Field Control.R:284-287 as its own row)
@@ -279,11 +279,7 @@ _N_BUCKETS = 8
 
 
 def _scratch_dir() -> str:
-    scratch = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch"
-    )
-    os.makedirs(scratch, exist_ok=True)
-    return scratch
+    return scratch_dir()  # one shared derivation (base.py, review r7)
 
 
 @register(

@@ -457,24 +457,30 @@ _D03_ORACLE = (
 )
 
 
-@register(
-    "d03_ngram_jaccard_verify",
-    oracle=_D03_ORACLE,
-    note="n-gram (3-word shingle) Jaccard verification of the LSH "
-    "candidates: set intersection/union on shingle arrays, threshold "
-    "0.5. Only candidate pairs are scored — the verify join touches "
-    "O(candidates) rows, not O(n^2)",
-)
-def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
+def _paired_candidate_shingles(spark: SparkSession, sf_dir: str):
+    """Shared d03/n16 mechanics: materialized shingle table -> LSH
+    candidate pairs -> ONE shingle-table join reassembled per pair.
+
+    The shingle table feeds BOTH the LSH candidate generation and the
+    verify join. Catalyst never reuses a subtree referenced from two
+    join sides, so without materialization the tokenize->shingle
+    pipeline (the dominant scan-side cost at corpus scale) would
+    evaluate twice. localCheckpoint evaluates it once per invocation
+    (still inside every timed bench run — nothing is cached across
+    calls); a 100 TB deployment would persist(DISK_ONLY) or write the
+    shingle table to the lake instead.
+
+    One shingle-table join, not two: joining sa/sb separately would
+    evaluate the corpus tokenize->shingle pipeline once PER SIDE
+    (self-referenced subtrees are never reused). Instead each pair
+    explodes into its two member doc_ids, the (fact-sized, never
+    broadcastable) shingle table joins ONCE keyed on doc_id, and the
+    pair reassembles by grouping — each group has exactly 2 rows, so
+    the conditional first() picks each side deterministically.
+    Returns (doc_a, doc_b, sh_a, sh_b); only the scoring formula
+    differs between the two callers (review r7 dedup).
+    """
     d = tf(spark, sf_dir, "documents")
-    # The shingle table feeds BOTH the LSH candidate generation and the
-    # verify join. Catalyst never reuses a subtree referenced from two
-    # join sides, so without materialization the tokenize->shingle
-    # pipeline (the dominant scan-side cost at corpus scale) would
-    # evaluate twice. localCheckpoint evaluates it once per invocation
-    # (still inside every timed bench run — nothing is cached across
-    # calls); a 100 TB deployment would persist(DISK_ONLY) or write the
-    # shingle table to the lake instead.
     shingle_tbl = (
         d.select("doc_id", tokenize(F.col("text")).alias("tok"))
         .select(
@@ -484,20 +490,13 @@ def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     cand = _lsh_pairs_from_shingles(shingle_tbl)
-    # One shingle-table join, not two: joining sa/sb separately would
-    # evaluate the corpus tokenize->shingle pipeline once PER SIDE
-    # (self-referenced subtrees are never reused). Instead each pair
-    # explodes into its two member doc_ids, the (fact-sized, never
-    # broadcastable) shingle table joins ONCE keyed on doc_id, and the
-    # pair reassembles by grouping — each group has exactly 2 rows, so
-    # the conditional first() picks each side deterministically.
     members = cand.select(
         "doc_a",
         "doc_b",
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
     )
     joined = members.join(shingle_tbl.hint("shuffle_hash"), "doc_id")
-    paired = joined.groupBy("doc_a", "doc_b").agg(
+    return joined.groupBy("doc_a", "doc_b").agg(
         F.first(
             F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
             ignorenulls=True,
@@ -507,6 +506,18 @@ def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
             ignorenulls=True,
         ).alias("sh_b"),
     )
+
+
+@register(
+    "d03_ngram_jaccard_verify",
+    oracle=_D03_ORACLE,
+    note="n-gram (3-word shingle) Jaccard verification of the LSH "
+    "candidates: set intersection/union on shingle arrays, threshold "
+    "0.5. Only candidate pairs are scored — the verify join touches "
+    "O(candidates) rows, not O(n^2)",
+)
+def d03_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    paired = _paired_candidate_shingles(spark, sf_dir)
     inter = F.size(F.array_distinct(F.array_intersect("sh_a", "sh_b")))
     union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
     jac = inter.cast("double") / union
@@ -551,32 +562,7 @@ _N16_ORACLE = (
     "only the scoring formula differs.",
 )
 def n16_shingle_containment(spark: SparkSession, sf_dir: str):
-    d = tf(spark, sf_dir, "documents")
-    shingle_tbl = (
-        d.select("doc_id", tokenize(F.col("text")).alias("tok"))
-        .select(
-            "doc_id",
-            shingles_from_tokens(F.col("tok"), k=SHINGLE_K).alias("sh"),
-        )
-        .localCheckpoint()
-    )
-    cand = _lsh_pairs_from_shingles(shingle_tbl)
-    members = cand.select(
-        "doc_a",
-        "doc_b",
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
-    )
-    joined = members.join(shingle_tbl.hint("shuffle_hash"), "doc_id")
-    paired = joined.groupBy("doc_a", "doc_b").agg(
-        F.first(
-            F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
-            ignorenulls=True,
-        ).alias("sh_a"),
-        F.first(
-            F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
-            ignorenulls=True,
-        ).alias("sh_b"),
-    )
+    paired = _paired_candidate_shingles(spark, sf_dir)
     inter = F.size(
         F.array_distinct(F.array_intersect("sh_a", "sh_b"))
     ).cast("double")

@@ -190,7 +190,9 @@ def _season_players(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     return ev.filter(F.col("event_id") % 29 == 0).select(
         F.col("event_id").alias("player_id"),
-        ((F.col("event_id") / F.lit(29)).cast("bigint") % 48).alias("frame_id"),
+        # integer div, not `/`+cast: double division rounds above
+        # 2^53, assigning the wrong frame at full id range (review r7)
+        (F.expr("event_id div 29") % 48).alias("frame_id"),
         (F.col("event_id") % 121).cast("double").alias("px"),
         (F.col("user_id") % 53).cast("double").alias("py"),
         (F.col("event_id") % 13).cast("double").alias("s"),
@@ -255,25 +257,11 @@ def _season_players(spark, sf_dir):
     "subtrees are never reused across join sides.)",
 )
 def e03_field_control_season(spark, sf_dir):
+    from ..plans.e2_control import field_control_surface
+
     players = _season_players(spark, sf_dir).transform(attach_kinematics)
     grid = field_grid(spark)
     influence = player_influence(players, grid, player_key="player_id")
-    signed = influence.withColumn(
-        "signed_influence",
-        F.when(F.col("team") == "home", -F.col("influence")).otherwise(
-            F.col("influence")
-        ),
-    )
-    from ..functions.geometry import sigmoid
-
-    per_cell = signed.groupBy("frame_id", "grid_x", "grid_y").agg(
-        F.sum(F.col("signed_influence").cast("decimal(28,9)"))
-        .cast("double")
-        .alias("control_sum")
-    )
-    return per_cell.select(
-        "frame_id",
-        "grid_x",
-        "grid_y",
-        rhu(sigmoid(F.col("control_sum"))).alias("control"),
+    return field_control_surface(
+        influence, group_cols=("frame_id", "grid_x", "grid_y")
     )

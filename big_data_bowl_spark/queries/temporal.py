@@ -139,7 +139,7 @@ def t03_session_window(spark: SparkSession, sf_dir: str):
     SELECT event_id, user_id,
            CAST(date_diff('microseconds',
                 LAG({_TS}) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id),
+                                 ORDER BY {_TS}, event_id),
                 {_TS}) AS BIGINT) AS gap_us
     FROM events
     """,
@@ -305,6 +305,28 @@ _IV_BASE = "2024-01-01 00:00:00"
 _IV_SECONDS = 90 * 60  # 90-minute windows, every 7 hours
 
 
+def _interval_table(spark: SparkSession):
+    """The t09/t12 synthetic interval table, bucket-expanded for the
+    range join: one row per (interval, covered hour bucket). Shared
+    so a boundary fix (e.g. the `_IV_SECONDS - 1` inclusive endpoint)
+    cannot be applied to the batch query but not its streaming twin
+    (review r7 dedup).
+    """
+    base = F.to_timestamp(F.lit(_IV_BASE))
+    start_s = F.unix_timestamp(base) + (F.col("id") * 7 + 3) * 3600
+    return spark.range(N_INTERVALS).select(
+        F.col("id").alias("interval_id"),
+        F.timestamp_seconds(start_s).alias("start_ts"),
+        F.timestamp_seconds(start_s + _IV_SECONDS).alias("end_ts"),
+        F.explode(
+            F.sequence(
+                F.floor(start_s / 3600),
+                F.floor((start_s + _IV_SECONDS - 1) / 3600),
+            )
+        ).alias("bucket"),
+    )
+
+
 @register(
     "t09_interval_join",
     oracle=f"""
@@ -332,19 +354,7 @@ _IV_SECONDS = 90 * 60  # 90-minute windows, every 7 hours
 )
 def t09_interval_join(spark: SparkSession, sf_dir: str):
     ev = t(spark, sf_dir, "events")
-    base = F.to_timestamp(F.lit(_IV_BASE))
-    start_s = F.unix_timestamp(base) + (F.col("id") * 7 + 3) * 3600
-    iv = spark.range(N_INTERVALS).select(
-        F.col("id").alias("interval_id"),
-        F.timestamp_seconds(start_s).alias("start_ts"),
-        F.timestamp_seconds(start_s + _IV_SECONDS).alias("end_ts"),
-        F.explode(
-            F.sequence(
-                F.floor(start_s / 3600),
-                F.floor((start_s + _IV_SECONDS - 1) / 3600),
-            )
-        ).alias("bucket"),
-    )
+    iv = _interval_table(spark)
     bucketed = ev.withColumn(
         "bucket", F.floor(F.unix_timestamp(F.col("ts")) / 3600)
     )
@@ -424,19 +434,7 @@ def t11_streaming_dedup(spark: SparkSession, sf_dir: str):
 def t12_streaming_interval_join(spark: SparkSession, sf_dir: str):
     from ..streaming.windows import read_events_stream, run_to_memory
 
-    base = F.to_timestamp(F.lit(_IV_BASE))
-    start_s = F.unix_timestamp(base) + (F.col("id") * 7 + 3) * 3600
-    iv = spark.range(N_INTERVALS).select(
-        F.col("id").alias("interval_id"),
-        F.timestamp_seconds(start_s).alias("start_ts"),
-        F.timestamp_seconds(start_s + _IV_SECONDS).alias("end_ts"),
-        F.explode(
-            F.sequence(
-                F.floor(start_s / 3600),
-                F.floor((start_s + _IV_SECONDS - 1) / 3600),
-            )
-        ).alias("bucket"),
-    )
+    iv = _interval_table(spark)
     stream = (
         read_events_stream(spark, sf_dir)
         .withColumn("bucket", F.floor(F.unix_timestamp(F.col("ts")) / 3600))
@@ -513,7 +511,7 @@ def t13_asof_join_forward(spark: SparkSession, sf_dir: str):
       SELECT user_id, value,
              CAST(date_diff('microseconds', {_TS},
                   LEAD({_TS}) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id)) AS BIGINT)
+                                    ORDER BY {_TS}, event_id)) AS BIGINT)
                AS dt_us
       FROM events)
     SELECT user_id,
@@ -605,7 +603,7 @@ def t15_funnel_analysis(spark: SparkSession, sf_dir: str):
     WITH ranked AS (
       SELECT user_id, event_type, {_TS} AS ts, value, event_id,
              ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts DESC, event_id DESC) AS rn,
+                                ORDER BY {_TS} DESC, event_id DESC) AS rn,
              COUNT(*) OVER (PARTITION BY user_id, event_type)
                AS n_versions,
              MIN({_TS}) OVER (PARTITION BY user_id, event_type)
@@ -655,20 +653,10 @@ def d07_cdc_compaction(spark: SparkSession, sf_dir: str):
 
 @register(
     "t16_streaming_cdc_compaction",
-    oracle=f"""
-    WITH ranked AS (
-      SELECT user_id, event_type, {_TS} AS ts, value, event_id,
-             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
-                                ORDER BY ts DESC, event_id DESC) AS rn,
-             COUNT(*) OVER (PARTITION BY user_id, event_type)
-               AS n_versions,
-             MIN({_TS}) OVER (PARTITION BY user_id, event_type)
-               AS first_seen
-      FROM events)
-    SELECT user_id, event_type, value AS latest_value,
-           ts AS last_seen, first_seen, n_versions
-    FROM ranked WHERE rn = 1
-    """,
+    # literally d07's oracle (the note's 'the SAME oracle SQL gates
+    # both' made structural by the t07/t12/t18 sharing pattern —
+    # review r7: an inline copy desynchronizes on the next oracle fix)
+    oracle=_REGISTRY["d07_cdc_compaction"].oracle,
     note="T16 streaming changelog compaction: the streaming twin of "
     "batch d07 via applyInPandasWithState "
     "(streaming/stateful.py latest_per_key) — per (user_id, "
@@ -719,12 +707,9 @@ EWMA_ALPHA = 0.3
 @register(
     "t17_ewma_smoothing",
     oracle=f"""
-    WITH ordered AS (
-      SELECT user_id, value
-      FROM events ORDER BY user_id, ts, event_id),
-    folded AS (
+    WITH folded AS (
       SELECT user_id, COUNT(*) AS n_events,
-             list_reduce(list(value ORDER BY ts, event_id),
+             list_reduce(list(value ORDER BY {_TS}, event_id),
                          (acc, v) -> {EWMA_ALPHA} * v
                                      + {1.0 - EWMA_ALPHA} * acc)
                AS ewma_raw
