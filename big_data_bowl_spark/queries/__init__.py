@@ -107,12 +107,33 @@ _PRIORITY = [
     "g02_label_propagation", "mm08_audio_spectral_features",
     "m06_decision_stump", "t17_ewma_smoothing",
     "o10_weighted_sample", "r03_unpivot_long",
-    # driver-green in r6 (most recent — rotate last)
+    # driver-green in r6 (most recent — rotate last). This trailing
+    # block must list EVERY r6-green name explicitly: an unranked
+    # name sorts as "new" AHEAD of the whole rotation, so omitting
+    # the r6 additions here would let them crowd the r2-era core
+    # back out of the verified prefix (caught in the r7 end-of-round
+    # check of queries()'s actual ordering).
     "a10_approx_count_distinct",
     "m01_rf_train_confusion", "m02_rf_predict_counts",
     "m04_rf_feature_importances", "m05_random_split_counts",
     "v09_product_quantization", "mm07_jpeg_roundtrip_features",
     "t16_streaming_cdc_compaction", "d07_cdc_compaction",
+    "n17_segment_dedup", "n18_lm_perplexity",
+    "n19_benchmark_decontamination", "d08_scd2_history",
+    "t18_streaming_sliding", "t19_cohort_retention",
+    "t20_gapfill_resample", "t21_streaming_stream_stream_join",
+    "d10_incremental_agg_maintenance", "t23_cusum_changepoint",
+    "m07_rf_tree_stats", "m08_roc_auc", "m09_feature_hashing",
+    "mm09_mp4_container_metadata", "mm10_mp4_sample_index",
+    "s11_orc_sink_roundtrip", "v10_ivfpq_topk",
+    "a15_kmv_distinct_sketch", "s12_schema_evolution_scan",
+    "w09_rolling_mean", "v11_ann_recall_audit",
+    "dq05_constraint_suite", "u04_python_udtf",
+    "e05_embedding_index_pipeline", "j10_anti_join", "a16_cube_agg",
+    "a17_count_min_sketch", "a18_bloom_filter_audit",
+    "a19_tdigest_quantiles", "f13_winsorize",
+    "v12_mmr_diversified_topk", "g03_hits_neardup",
+    "g04_triangle_count", "g05_kcore",
 ]
 
 
