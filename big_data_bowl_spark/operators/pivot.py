@@ -63,9 +63,39 @@ def pivot_wide_multi(
         # per-column coalesce rather than fillna: DataFrame.fillna
         # with a numeric silently SKIPS non-numeric columns, so a
         # string value column under agg='first' would keep its NULLs
-        # despite the documented values_fill parity (review r7); the
-        # cast surfaces a type-incompatible fill at analysis time
-        # instead of ignoring it
+        # despite the documented values_fill parity (review r7). The
+        # cast alone is NOT a type check — casting 0 to a StringType
+        # column succeeds and fills '0' — so validate the fill's
+        # Python type against each column's family first and raise on
+        # mismatch (review r8).
+        from pyspark.sql.types import BooleanType, NumericType, StringType
+
+        def _family(dt):
+            if isinstance(dt, BooleanType):
+                return "bool"
+            if isinstance(dt, NumericType):
+                return "numeric"
+            if isinstance(dt, StringType):
+                return "string"
+            return type(dt).__name__
+
+        fill_family = (
+            "bool"
+            if isinstance(fill_value, bool)
+            else "numeric"
+            if isinstance(fill_value, (int, float))
+            else "string"
+            if isinstance(fill_value, str)
+            else type(fill_value).__name__
+        )
+        for c in renames.values():
+            col_family = _family(wide.schema[c].dataType)
+            if col_family != fill_family:
+                raise TypeError(
+                    f"pivot fill_value {fill_value!r} ({fill_family}) is "
+                    f"incompatible with column {c!r} of type "
+                    f"{wide.schema[c].dataType.simpleString()}"
+                )
         for c in renames.values():
             wide = wide.withColumn(
                 c,

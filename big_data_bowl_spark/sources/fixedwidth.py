@@ -100,10 +100,15 @@ class FixedWidthReader(DataSourceReader):
         return [InputPartition(f) for f in files]
 
     def read(self, partition):
-        with open(partition.value, encoding="utf-8") as fh:
-            for line in fh:
-                line = line.rstrip("\n")
+        # binary line reads + byte-index slicing: the documented
+        # contract is BYTE widths, so a multibyte UTF-8 character in
+        # one field must not shift the offsets of later fields (the
+        # str-index version drifted; review r8). Each field decodes
+        # independently after slicing.
+        with open(partition.value, "rb") as fh:
+            for raw in fh:
+                raw = raw.rstrip(b"\r\n")
                 yield tuple(
-                    cast(line[a:b].strip())
+                    cast(raw[a:b].decode("utf-8", errors="replace").strip())
                     for a, b, cast in self.slices
                 )

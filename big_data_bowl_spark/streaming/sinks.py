@@ -61,6 +61,7 @@ def merge_batch_into_snapshot(
     unique per key (true for any append-mode aggregation; a changelog
     feed compacts per key upstream, cf. latest_per_key).
     """
+    _recover_snapshot(path)
     if batch_id <= last_committed_batch(path):
         return False
     if os.path.isdir(path):
@@ -73,15 +74,47 @@ def merge_batch_into_snapshot(
     else:
         merged = batch_df
     tmp = path + ".tmp"
+    old = path + ".old"
     merged.write.mode("overwrite").parquet(tmp)
-    # single-writer atomic swap (a table format's commit log does this
-    # transactionally on a cluster)
+    # crash-safe swap (a table format's commit log does this
+    # transactionally on a cluster): move the live snapshot aside,
+    # promote tmp, then drop the old copy. A crash between any two
+    # steps leaves at least one full snapshot on disk — at ``path``
+    # or at ``path + '.old'`` — and _recover_snapshot() promotes the
+    # survivor before the next merge reads, so the redelivered batch
+    # merges into real prior state instead of rebuilding from itself.
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     if os.path.isdir(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
     with open(_meta_path(path), "w") as f:
         json.dump({"last_batch_id": int(batch_id)}, f)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
     return True
+
+
+def _recover_snapshot(path: str) -> None:
+    """Repair a snapshot directory after a crash mid-swap.
+
+    merge_batch_into_snapshot's swap sequence guarantees that at every
+    instant either ``path`` or ``path + '.old'`` holds a complete
+    snapshot. If only ``.old`` survives (crash after the move-aside,
+    before the promote), restore it; the interrupted batch was never
+    recorded in .meta.json so it will be re-merged. If both exist,
+    ``path`` is the newer complete copy — drop the stale ``.old``. A
+    leftover ``.tmp`` is always safe to discard (its batch re-runs).
+    """
+    old = path + ".old"
+    tmp = path + ".tmp"
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
 
 
 def run_to_merge_snapshot(

@@ -1356,3 +1356,58 @@ def test_md5_of_null_columns_do_not_collide(spark):
         ).fetchall()
     ]
     assert want == got  # cross-engine parity including the sentinel
+
+
+def test_pivot_fill_type_mismatch_raises(metrics):
+    """fill_value must match the value columns' type family: a numeric
+    fill on a string value column (or vice versa) raises instead of
+    silently stringifying ('0' in a string column was the silent
+    failure mode — review r8)."""
+    str_df = metrics.select(
+        "playId", "position", F.col("s").cast("string").alias("label")
+    )
+    with pytest.raises(TypeError, match="incompatible"):
+        pivot_wide_multi(
+            str_df,
+            group_cols=["playId"],
+            pivot_col="position",
+            categories=["SS", "CB"],
+            value_cols=["label"],
+            agg="first",
+            fill_value=0,
+        )
+    with pytest.raises(TypeError, match="incompatible"):
+        pivot_wide_multi(
+            metrics,
+            group_cols=["playId"],
+            pivot_col="position",
+            categories=["SS", "CB"],
+            value_cols=["s"],
+            agg="sum",
+            fill_value="missing",
+        )
+
+
+def test_fixedwidth_byte_widths_multibyte_safe(spark, tmp_path):
+    """widths are BYTE widths: a multibyte UTF-8 character in one
+    field must not shift the byte offsets of later fields."""
+    import os
+
+    d = tmp_path / "fw"
+    d.mkdir()
+    # 'Ä' is 2 bytes in UTF-8: name field = b'\xc3\x84bc ' (6 bytes)
+    line = "     7".encode() + "Ä".encode() + b"bc  " + b"     12.50"
+    assert len(line) == 6 + 6 + 10
+    (d / "part-00000").write_bytes(line + b"\n")
+    from big_data_bowl_spark.sources.fixedwidth import FixedWidthDataSource
+
+    spark.dataSource.register(FixedWidthDataSource)
+    rows = (
+        spark.read.format("fixedwidth")
+        .schema("id long, name string, amount double")
+        .option("widths", "6,6,10")
+        .option("path", str(d))
+        .load()
+        .collect()
+    )
+    assert [tuple(r) for r in rows] == [(7, "Äbc", 12.5)]

@@ -221,3 +221,53 @@ def test_t24_snapshot_equals_e06_append_output(spark, sf_dir):
         REGISTRY["e06_streaming_pipeline"].fn(spark, sf_dir).collect()
     )
     assert snap == mem and snap
+
+
+def test_merge_sink_crash_recovery_states(spark, tmp_path):
+    """The swap sequence guarantees a complete snapshot survives a
+    crash at any point; _recover_snapshot must promote the survivor.
+    Simulated crash states: (a) only '.old' left (crash between
+    move-aside and promote) -> restored and the redelivered batch
+    merges into REAL prior state, keeping untouched keys; (b) both
+    'path' and stale '.old' (crash before final cleanup) -> newer
+    copy kept, '.old' dropped; (c) leftover '.tmp' -> discarded."""
+    import os
+    import shutil
+
+    from big_data_bowl_spark.streaming.sinks import (
+        _recover_snapshot,
+        merge_batch_into_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    read = lambda: {  # noqa: E731
+        (r.k, r.g): r.v for r in spark.read.parquet(path).collect()
+    }
+    b0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0)], "k long, g string, v double"
+    )
+    assert merge_batch_into_snapshot(spark, b0, path, ["k", "g"], 0)
+
+    # (a) crash after move-aside, before promote: only .old on disk,
+    # .meta.json still says batch 0 committed. Batch 1 is redelivered.
+    os.rename(path, path + ".old")
+    b1 = spark.createDataFrame(
+        [(2, "a", 25.0), (3, "b", 30.0)], "k long, g string, v double"
+    )
+    assert merge_batch_into_snapshot(spark, b1, path, ["k", "g"], 1)
+    # key (1,'a') was NOT in batch 1; it must survive via the restored
+    # .old snapshot (the pre-fix code would have dropped it)
+    assert read() == {(1, "a"): 10.0, (2, "a"): 25.0, (3, "b"): 30.0}
+    assert not os.path.isdir(path + ".old")
+
+    # (b) stale .old next to a live snapshot: recovery keeps the newer
+    # copy at `path` and drops .old
+    shutil.copytree(path, path + ".old")
+    _recover_snapshot(path)
+    assert not os.path.isdir(path + ".old")
+    assert read() == {(1, "a"): 10.0, (2, "a"): 25.0, (3, "b"): 30.0}
+
+    # (c) leftover .tmp from an interrupted write: discarded
+    os.makedirs(path + ".tmp")
+    _recover_snapshot(path)
+    assert not os.path.isdir(path + ".tmp")
