@@ -321,3 +321,27 @@ def test_m10_depth2_tree_refines_the_stump(spark, sf_dir):
     n_left = sum(r.n_rows for r in rows if r.leaf.startswith("L"))
     n_right = sum(r.n_rows for r in rows if r.leaf.startswith("R"))
     assert (n_left, n_right) == (stump.n_left, stump.n_right)
+
+
+def test_m11_ensemble_oob_invariants(spark, sf_dir):
+    """The deterministic bagged ensemble's OOB vote histogram must
+    cover (almost) every row: with 5 trees at 63.2% inclusion each,
+    P[in-bag everywhere] = .632^5 ~ 10%, so 80-95% of rows carry an
+    OOB vote; votes_r <= n_oob <= 5 per cell; membership actually
+    varies (multiple distinct n_oob values); and the histogram is
+    identical under a different input partitioning (determinism —
+    the property Poisson bagging lacks)."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = REGISTRY["m11_bagged_ensemble"].fn(spark, sf_dir).collect()
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    covered = sum(r.n_rows for r in rows)
+    assert 0.80 * n_li <= covered <= 0.95 * n_li
+    assert all(0 <= r.votes_r <= r.n_oob <= 5 for r in rows)
+    assert all(r.actual in ("R", "N") and r.predicted in ("R", "N") for r in rows)
+    assert all(
+        r.predicted == ("R" if 2 * r.votes_r >= r.n_oob else "N")
+        for r in rows
+    )
+    assert len({r.n_oob for r in rows}) >= 2
