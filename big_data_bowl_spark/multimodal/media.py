@@ -43,10 +43,12 @@ container, so ``decode_payload`` implements, pure-Python:
   4:2:0 color with the Annex K standard tables, optionally with
   restart markers.
 
-Formats needing non-stdlib codecs (mp4, progressive/arithmetic JPEG,
-and PNG variants beyond baseline: palette/alpha/16-bit/interlaced)
+Formats needing non-stdlib codecs (real video codecs inside mp4,
+12-bit/arithmetic/lossless JPEG, compressed BMP, 16-bit netpbm)
 still raise NotImplementedError at the same seam — plug PIL/ffmpeg
-into ``decode_payload`` where the marked dispatch is.
+into ``decode_payload`` where the marked dispatch is. PNG decodes
+every legal depth/color/filter/interlace combination, 16-bit
+included.
 """
 
 from __future__ import annotations
@@ -255,6 +257,14 @@ def _png_unpack(rows, w: int, depth: int, channels: int):
     import numpy as np
 
     h = rows.shape[0]
+    if depth == 16:
+        # big-endian byte pairs -> uint16 samples (PNG 3.0 §7.2)
+        b = (
+            rows[:, : w * channels * 2]
+            .reshape(h, w, channels, 2)
+            .astype(np.uint16)
+        )
+        return (b[..., 0] << 8) | b[..., 1]
     if depth == 8:
         return rows[:, : w * channels].reshape(h, w, channels)
     # depths 1/2/4: MSB-first bit fields, one channel by PNG rules
@@ -266,14 +276,15 @@ def _png_unpack(rows, w: int, depth: int, channels: int):
 
 
 def _decode_png(payload: bytes) -> "np.ndarray":
-    """PNG via stdlib zlib: grayscale (color 0, depths 1/2/4/8),
-    truecolor (2), palette (3, PLTE, depths 1/2/4/8), gray+alpha (4)
-    and RGBA (6), all five row filters, non-interlaced AND Adam7
-    interlaced (each pass an independently-filtered sub-raster
-    scattered back onto the pixel grid). Color reduces to BT.601
-    luma; alpha is dropped (decode, don't composite). 16-bit depth
-    raises at the seam. CRCs are not verified (decode, don't
-    validate)."""
+    """PNG via stdlib zlib: grayscale (color 0, depths 1/2/4/8/16),
+    truecolor (2, depths 8/16), palette (3, PLTE, depths 1/2/4/8),
+    gray+alpha (4) and RGBA (6) at depths 8/16, all five row filters,
+    non-interlaced AND Adam7 interlaced (each pass an independently-
+    filtered sub-raster scattered back onto the pixel grid). Color
+    reduces to BT.601 luma; alpha is dropped (decode, don't
+    composite); 16-bit samples rescale to the 8-bit range by
+    rint(v * 255/65535), so v = u*257 recovers u exactly. CRCs are
+    not verified (decode, don't validate)."""
     import struct
     import zlib
 
@@ -300,11 +311,9 @@ def _decode_png(payload: bytes) -> "np.ndarray":
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"invalid PNG color type {color}")
-    if depth == 16:
-        raise NotImplementedError(
-            "16-bit PNG not supported; plug PIL in at decode_payload"
-        )
-    if depth not in (1, 2, 4, 8) or (depth != 8 and color not in (0, 3)):
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth not in (8, 16) and color not in (0, 3)
+    ) or (depth == 16 and color == 3):
         raise ValueError(
             f"invalid PNG depth {depth} for color type {color}"
         )
@@ -314,7 +323,9 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
     raw = zlib.decompress(bytes(idat))
 
-    samples = np.zeros((h, w, channels), np.uint8)
+    samples = np.zeros(
+        (h, w, channels), np.uint16 if depth == 16 else np.uint8
+    )
     if interlace == 0:
         rows, used = _png_unfilter(raw, 0, w, h, depth, channels)
         if used != len(raw):
@@ -340,10 +351,14 @@ def _decode_png(payload: bytes) -> "np.ndarray":
         rgb = palette[samples[:, :, 0]].astype(np.float64)
     elif color in (2, 6):
         rgb = samples[:, :, :3].astype(np.float64)
+        if depth == 16:  # scale 16-bit samples to the 8-bit range
+            rgb = np.rint(rgb * (255.0 / 65535.0))
     else:  # gray / gray+alpha
         g = samples[:, :, 0].astype(np.float64)
         if depth < 8:  # scale 1/2/4-bit gray to the 8-bit range
             g = g * (255.0 / ((1 << depth) - 1))
+        elif depth == 16:  # 16-bit: v*257 round-trips v exactly
+            g = g * (255.0 / 65535.0)
         return np.rint(g).astype(np.uint8)
     luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     return luma.astype(np.uint8)
@@ -1666,16 +1681,31 @@ def encode_bmp(img: "np.ndarray") -> bytes:
 
 
 def encode_png(img: "np.ndarray", filter_type: int = 0) -> bytes:
-    """Encode a (h, w) uint8 array as an 8-bit grayscale baseline PNG.
+    """Encode a (h, w) array as a grayscale baseline PNG: uint8 input
+    -> 8-bit PNG, uint16 input -> 16-bit PNG (big-endian samples).
 
     `filter_type` selects the per-row filter (0..4) so tests can
-    exercise every branch of the unfilter matrix, not just None."""
+    exercise every branch of the unfilter matrix, not just None.
+    Filtering happens in the PACKED-BYTE domain at bpp distance
+    (PNG 3.0 §9) — for 8-bit gray byte==sample (bpp=1); for 16-bit
+    gray bpp=2, matching what _png_unfilter inverts."""
     import struct
     import zlib
 
     import numpy as np
 
     h, w = img.shape
+    if img.dtype == np.uint16:
+        depth, bpp = 16, 2
+        rows8 = (
+            np.ascontiguousarray(img.astype(">u2"))
+            .view(np.uint8)
+            .reshape(h, 2 * w)
+        )
+    else:
+        depth, bpp = 8, 1
+        rows8 = img
+    stride = w * bpp
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -1685,11 +1715,12 @@ def encode_png(img: "np.ndarray", filter_type: int = 0) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data))
         )
 
+    zpad = np.zeros(bpp, np.int32)
     raster = bytearray()
-    prev = np.zeros(w, np.int32)
+    prev = np.zeros(stride, np.int32)
     for y in range(h):
-        cur = img[y].astype(np.int32)
-        a = np.concatenate(([0], cur[:-1]))  # reconstructed left
+        cur = rows8[y].astype(np.int32)
+        a = np.concatenate((zpad, cur[:-bpp]))  # reconstructed left
         if filter_type == 0:
             filt = cur
         elif filter_type == 1:
@@ -1699,7 +1730,7 @@ def encode_png(img: "np.ndarray", filter_type: int = 0) -> bytes:
         elif filter_type == 3:
             filt = cur - (a + prev) // 2
         elif filter_type == 4:
-            c = np.concatenate(([0], prev[:-1]))
+            c = np.concatenate((zpad, prev[:-bpp]))
             p = a + prev - c
             pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
             pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c))
@@ -1710,7 +1741,7 @@ def encode_png(img: "np.ndarray", filter_type: int = 0) -> bytes:
         prev = cur
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(bytes(raster)))
         + chunk(b"IEND", b"")
     )

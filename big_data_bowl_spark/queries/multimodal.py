@@ -283,10 +283,14 @@ def mm05_audio_roundtrip_features(spark, sf_dir):
     "corpus exercises None/Sub/Up/Average/Paeth) and decoded back "
     "through multimodal/media.py's pure-Python codec inside ONE "
     "mapInPandas pass — compress, DEFLATE, unfilter all on the hot "
-    "path. The oracle recomputes the statistics from the pixel "
-    "formula, so a single wrong byte anywhere in the codec fails the "
-    "value check. Narrow plan: payloads exist only inside the Python "
-    "worker, zero bytes shuffle.",
+    "path. Alternate rows ((media_id//3) %% 2) take the 16-BIT "
+    "grayscale layout (VERDICT r7 item 3 — the codec gap real image "
+    "lakes hit first): samples widen 8->16 bit as v*257, filters run "
+    "at bpp=2 byte distance, and the decoder's 255/65535 rescale "
+    "recovers every pixel bit-for-bit, so the SAME oracle formula "
+    "verifies both depths. A single wrong byte anywhere in either "
+    "codec path fails the value check. Narrow plan: payloads exist "
+    "only inside the Python worker, zero bytes shuffle.",
 )
 def mm06_png_roundtrip_features(spark, sf_dir):
     from collections.abc import Iterator
@@ -312,7 +316,16 @@ def mm06_png_roundtrip_features(spark, sf_dir):
                 img = (
                     (mid * 31 + np.arange(w * h) * 7) % 256
                 ).astype(np.uint8).reshape(h, w)
-                payload = encode_png(img, filter_type=mid % 5)
+                # alternate rows encode through the 16-bit PNG layout
+                # (v*257 widens 8->16 bit exactly, so the decode's
+                # rint(v16 * 255/65535) recovers v bit-for-bit and the
+                # oracle formula is depth-independent)
+                if (mid // 3) % 2:
+                    payload = encode_png(
+                        img.astype(np.uint16) * 257, filter_type=mid % 5
+                    )
+                else:
+                    payload = encode_png(img, filter_type=mid % 5)
                 decoded = decode_payload(payload, "png", w, h)
                 rows.append(
                     (

@@ -34,9 +34,9 @@ def test_decode_unsupported_format_raises():
 
 
 def test_decode_nonbaseline_png_raises():
-    # 16-bit depth is past the codec's seam (palette/interlace/alpha
-    # all decode since round 7); a palette file without PLTE is a
-    # hard error, not a seam
+    # every legal depth/color combination decodes since round 8
+    # (16-bit included); spec-ILLEGAL combinations (16-bit palette)
+    # and a palette file without PLTE are hard errors, not seams
     import struct
     import zlib
 
@@ -48,8 +48,8 @@ def test_decode_nonbaseline_png_raises():
             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
         )
 
-    with pytest.raises(NotImplementedError):
-        decode_payload(png((1, 1, 16, 0, 0, 0, 0)), "png", 1, 1)
+    with pytest.raises(ValueError, match="depth"):
+        decode_payload(png((1, 1, 16, 3, 0, 0, 0)), "png", 1, 1)
     with pytest.raises(ValueError, match="PLTE"):
         decode_payload(png((1, 1, 8, 3, 0, 0, 0)), "png", 1, 1)
 
@@ -132,6 +132,48 @@ def test_png_roundtrip_every_filter():
         payload = encode_png(img, filter_type=ftype)
         got = decode_payload(payload, "png", 4, 4)
         assert got.tolist() == img.tolist(), f"filter {ftype}"
+
+
+def test_png16_roundtrip_every_filter():
+    """16-bit grayscale PNG (VERDICT r7 item 3): v*257 widens 8->16
+    bit exactly, filters run at bpp=2 byte distance, and the decoder's
+    rint(v*255/65535) rescale recovers every pixel bit-for-bit — for
+    all five filter types. Arbitrary 16-bit values decode to the
+    rounded 8-bit rescale."""
+    from big_data_bowl_spark.multimodal.media import encode_png
+
+    img = _img44()
+    img16 = img.astype(np.uint16) * 257
+    for ftype in range(5):
+        got = decode_payload(encode_png(img16, filter_type=ftype), "png", 4, 4)
+        assert got.tolist() == img.tolist(), f"16-bit filter {ftype}"
+
+    arb = (np.arange(12, dtype=np.uint16).reshape(3, 4) * 5471) % 65536
+    want = np.rint(arb.astype(np.float64) * 255.0 / 65535.0).astype(np.uint8)
+    got = decode_payload(encode_png(arb.astype(np.uint16), filter_type=4), "png", 4, 3)
+    assert got.tolist() == want.tolist()
+
+
+def test_png16_truecolor_to_luma():
+    # hand-built color-type-2 16-bit PNG: 16-bit red + green pixels
+    # rescale to 8-bit then reduce to BT.601 luma — same expectation
+    # as the 8-bit truecolor path
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0)
+    px = struct.pack(">6H", 65535, 0, 0, 0, 65535, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" + px)) + chunk(b"IEND", b"")
+    )
+    assert decode_payload(payload, "png", 2, 1).tolist() == [[76, 149]]
 
 
 def test_png_truecolor_to_luma():
