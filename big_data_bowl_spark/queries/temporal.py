@@ -1453,3 +1453,65 @@ def t24_streaming_merge_sink(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(path).select(
         "window_start", "window_end", "event_type", "n_active"
     )
+
+
+@register(
+    "t25_stateful_running_stats",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS n_high,
+           MAX({_TS}) AS last_ts
+    FROM events
+    GROUP BY user_id
+    """,
+    note="T25 arbitrary stateful streaming on Spark 4's "
+    "transformWithStateInPandas (the successor API to t16's "
+    "applyInPandasWithState: named typed state handles + explicit "
+    "lifecycle): per-user running (n_events, n_high, last_ts) folded "
+    "across micro-batches, each batch's emission superseding the "
+    "last; the query applies the max-n_events upsert so the result "
+    "equals the batch aggregate however the backlog splits. RUNTIME "
+    "CAPABILITY DISPATCH (VERDICT r7 item 4): transformWithState's "
+    "Python state server speaks protobuf, so where google.protobuf "
+    "is absent (this test container) the query runs "
+    "running_user_stats_legacy — the SAME emission contract on the "
+    "legacy API — keeping the semantics driver-verifiable in every "
+    "environment; tests/test_stateful.py additionally drives the "
+    "Spark-4 API path end-to-end wherever protobuf imports. O(1) "
+    "state per key; shuffle on user_id only.",
+)
+def t25_stateful_running_stats(spark: SparkSession, sf_dir: str):
+    from ..streaming.stateful import (
+        has_transform_with_state_runtime,
+        running_user_stats,
+        running_user_stats_legacy,
+    )
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "value"
+    )
+    op = (
+        running_user_stats
+        if has_transform_with_state_runtime()
+        else running_user_stats_legacy
+    )
+    run_to_memory(
+        op(stream),
+        "t25_stats_sink",
+        output_mode="update" if op is running_user_stats else "append",
+        n_partitions=8,
+    )
+    sink = spark.table("t25_stats_sink")
+    # the upsert step: per user keep the max-n_events emission
+    # (n_events strictly increases across a key's emissions)
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "n_high", "last_ts"), "n_events"
+            ).alias("s")
+        )
+        .select("user_id", "s.n_events", "s.n_high", "s.last_ts")
+    )

@@ -279,12 +279,13 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     ENVIRONMENT GATE: transformWithState's Python state server
     speaks protobuf, so this operator needs the ``google.protobuf``
     package at RUNTIME (the build's only stateful API with an extra
-    dependency). The test container has no protobuf, so there is no
-    registered driver query; tests/test_stateful.py runs the
-    operator end-to-end when protobuf is importable and skips
-    otherwise. The legacy applyInPandasWithState operators
-    (latest_per_key, sessionize) cover the same semantics with no
-    extra dependency.
+    dependency). The registered t25 query dispatches through
+    has_transform_with_state_runtime(): this operator where protobuf
+    imports, running_user_stats_legacy (identical output contract on
+    applyInPandasWithState) otherwise — so the SEMANTICS face the
+    driver oracle everywhere, and this API path additionally runs
+    end-to-end in tests/test_stateful.py wherever protobuf exists
+    (skipped where absent).
     """
     from pyspark.sql.streaming import (
         StatefulProcessor,
@@ -336,3 +337,90 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("n_high", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+STATS_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("nh", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def running_user_stats_legacy(events: DataFrame) -> DataFrame:
+    """running_user_stats' semantics on the LEGACY
+    ``applyInPandasWithState`` API: per-user (n_events, n_high,
+    last_ts) folded across micro-batches, one emission per batch a
+    key appears in, each superseding the last (n_events strictly
+    increases, so a downstream max-n_events upsert keeps the final
+    row). Identical output schema and emission contract to the
+    transformWithState version — this is the capability FALLBACK the
+    registered t25 query drops to when ``google.protobuf`` (the
+    transformWithState state-server protocol) is absent at runtime,
+    so the query's semantics are driver-verifiable in every
+    environment while the Spark-4 API path runs wherever its
+    dependency exists.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:  # NoTimeout: unreachable, API contract
+            for _ in pdfs:
+                pass
+            return
+        n, nh, last_us = state.get if state.exists else (0, 0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            # NaN > 5.0 is False, matching SQL's NULL handling in a
+            # filtered count
+            nh += int((pdf["value"] > 5.0).sum())
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            mx = int(ts_us.max())
+            if last_us is None or mx > last_us:
+                last_us = mx
+        state.update((n, nh, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "n_high": [nh],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=STATS_SCHEMA,
+        stateStructType=STATS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def has_transform_with_state_runtime() -> bool:
+    """True when ``transformWithStateInPandas``'s runtime dependency
+    (google.protobuf, its Python state-server protocol) is importable.
+    The registered t25 query dispatches on this: Spark-4 API when
+    available, running_user_stats_legacy otherwise."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False

@@ -305,3 +305,32 @@ def test_transform_with_state_running_stats(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_legacy_running_stats_matches_batch(spark, sf_dir):
+    """The applyInPandasWithState fallback behind t25 must fold to the
+    exact batch per-user aggregate across micro-batches (same contract
+    the transformWithState path is tested to above)."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    got = {
+        r.user_id: (r.n_events, r.n_high, r.last_ts)
+        for r in REGISTRY["t25_stateful_running_stats"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, r.nh, r.mx)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") > 5.0, 1).otherwise(0)).alias("nh"),
+            F.max("ts").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want and got
