@@ -137,3 +137,35 @@ def tree_stats(model: PipelineModel) -> list[tuple[int, int, int]]:
     return [
         (i, t.depth, t.numNodes) for i, t in enumerate(rf_model.trees)
     ]
+
+
+def var_used(
+    model: PipelineModel, feature_cols: list[str]
+) -> list[tuple[int, str, int, int]]:
+    """Per-tree split-variable usage — the reference's varUsed/getTree
+    per-node dump (all coverages.R:220-227) aggregated to the useful
+    grain: for every (tree, feature), how many internal nodes split on
+    that feature, plus the tree's total internal-node count.
+
+    Returns (tree_id, feature, n_splits, n_internal) tuples, one per
+    tree x feature. Parsed from each tree's debug string ("If (feature
+    k <= ...)" lines — one If per internal node) on the driver; the
+    forest is driver-resident model metadata, so this is the
+    kmeans-scalar class of action (num_trees x num_features tuples),
+    not a data-path collect.
+    """
+    import re
+
+    rf_model = next(
+        s for s in model.stages if s.__class__.__name__.startswith("RandomForest")
+    )
+    out = []
+    pat = re.compile(r"If \(feature (\d+)[ )]")
+    for i, tree in enumerate(rf_model.trees):
+        counts = [0] * len(feature_cols)
+        for m in pat.finditer(tree.toDebugString):
+            counts[int(m.group(1))] += 1
+        n_internal = (tree.numNodes - 1) // 2
+        for j, f in enumerate(feature_cols):
+            out.append((i, f, counts[j], n_internal))
+    return out

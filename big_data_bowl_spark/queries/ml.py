@@ -462,6 +462,62 @@ def m07_rf_tree_stats(spark, sf_dir):
     )
 
 
+@register(
+    "m07b_rf_var_used",
+    oracle=f"""
+    SELECT CAST(t.r AS BIGINT) AS tree_id, f.feature,
+           TRUE AS splits_nonneg,
+           TRUE AS splits_sum_matches_internal,
+           TRUE AS forest_top_is_sum_qty
+    FROM range({RF_NUM_TREES}) t(r)
+    CROSS JOIN (VALUES {", ".join(f"('{f}')" for f in FEATURE_COLS)})
+         f(feature)
+    """,
+    note="M7b: per-tree split-VARIABLE usage via model.trees debug "
+    "parse — the varUsed/getTree per-node residue of all "
+    "coverages.R:220-227 (m07 exports depth/node counts; this "
+    "exports which features each tree actually splits on, the "
+    "per-node dump aggregated to its useful grain). Registered "
+    "output is the engine-invariant contract over the full "
+    "RF_NUM_TREES x features grid: every count >= 0, every tree's "
+    "counts SUM to its internal-node count ((numNodes-1)/2 — a "
+    "non-vacuous parse check: a missed or double-counted split line "
+    "breaks it), and the forest-wide argmax is sum_qty (the feature "
+    "the label is a function of; m04 pins its importance share). "
+    "Exact per-tree counts are partitioning-dependent (Poisson "
+    "bagging), so tests/test_ml.py pins the invariants plus "
+    "forest-total dominance at fixture parallelism. Driver cost: "
+    "num_trees x num_features tuples of model metadata.",
+)
+def m07b_rf_var_used(spark, sf_dir):
+    from ..ml.coverage import var_used
+
+    model, _scored, _acc = _fitted(spark, sf_dir)
+    vu = var_used(model, FEATURE_COLS)
+    by_tree: dict = {}
+    totals: dict = {}
+    for tid, feat, n, ni in vu:
+        s, _ = by_tree.get(tid, (0, 0))
+        by_tree[tid] = (s + n, ni)
+        totals[feat] = totals.get(feat, 0) + n
+    forest_top = max(totals.items(), key=lambda kv: (kv[1], kv[0]))[0]
+    return spark.createDataFrame(
+        [
+            (
+                tid,
+                feat,
+                n >= 0,
+                by_tree[tid][0] == by_tree[tid][1],
+                forest_top == "sum_qty",
+            )
+            for tid, feat, n, _ni in vu
+        ],
+        "tree_id long, feature string, splits_nonneg boolean, "
+        "splits_sum_matches_internal boolean, "
+        "forest_top_is_sum_qty boolean",
+    )
+
+
 # ---------------------------------------------------------------------------
 # M8: exact ROC AUC via the Mann-Whitney rank statistic
 # ---------------------------------------------------------------------------

@@ -345,3 +345,30 @@ def test_m11_ensemble_oob_invariants(spark, sf_dir):
         for r in rows
     )
     assert len({r.n_oob for r in rows}) >= 2
+
+
+def test_m07b_var_used_parse_consistency(spark, sf_dir):
+    """var_used's debug-string parse must account for every internal
+    node of every tree (counts sum to (numNodes-1)/2), and the
+    forest-wide split totals must be dominated by sum_qty — the
+    feature the label is a pure function of (m04 pins its importance
+    share; this pins the same signal at the split-count grain)."""
+    from collections import Counter, defaultdict
+
+    from big_data_bowl_spark.ml.coverage import var_used
+    from big_data_bowl_spark.queries.ml import FEATURE_COLS, _fitted
+
+    model, _scored, _acc = _fitted(spark, sf_dir)
+    vu = var_used(model, FEATURE_COLS)
+    assert len(vu) == 50 * len(FEATURE_COLS)
+    sums = defaultdict(int)
+    internal = {}
+    totals = Counter()
+    for tid, feat, n, ni in vu:
+        assert n >= 0
+        sums[tid] += n
+        internal[tid] = ni
+        totals[feat] += n
+    assert all(sums[t] == internal[t] for t in sums)
+    assert all(internal[t] >= 1 for t in internal)
+    assert totals.most_common(1)[0][0] == "sum_qty"
