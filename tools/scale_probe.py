@@ -1,7 +1,8 @@
-"""10x scale probe for the three most expensive pipelines (VERDICT r6
-item 6): guard against local[32]-only tuning by MEASURING how e03
-(field control), e04 (corpus curation) and e05 (embedding index)
-behave when their input grows 10x.
+"""10x scale probe for the most expensive pipelines (VERDICT r6 item
+6; extended per VERDICT r7 item 6): guard against local[32]-only
+tuning by MEASURING how e03 (field control), e04 (corpus curation),
+e05 (embedding index), m10 (depth-2 tree), n21 (BPE tokenize) and
+g03 (HITS) behave when their input grows 10x.
 
 Method: explode sf0.1's events/documents/embeddings by --factor with
 id offsets (replica r shifts ids by r * 10^9, so keys stay unique
@@ -39,11 +40,20 @@ TABLES = {
     "events": "event_id",
     "documents": "doc_id",
     "embeddings": "vec_id",
+    # l_orderkey is not unique per row, but the probe only needs keys
+    # distinct ACROSS replicas (so nothing collapses); within-replica
+    # duplicate structure is part of the data being scaled
+    "lineitem": "l_orderkey",
 }
 PIPELINES = [
     "e03_field_control_season",
     "e04_corpus_curation",
     "e05_embedding_index_pipeline",
+    # round-8 additions (VERDICT r7 item 6): the three most expensive
+    # non-probed queries of round 7
+    "m10_depth2_tree",
+    "n21_bpe_tokenize",
+    "g03_hits_neardup",
 ]
 
 
@@ -103,6 +113,11 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--md", action="store_true")
+    ap.add_argument(
+        "queries",
+        nargs="*",
+        help="subset of PIPELINES to probe (default: all)",
+    )
     args = ap.parse_args()
 
     from big_data_bowl_spark.session import get_spark
@@ -113,7 +128,7 @@ def main() -> None:
     results = []
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as probe:
         build_probe_lake(spark, args.sf, probe, args.factor)
-        for name in PIPELINES:
+        for name in (args.queries or PIPELINES):
             w1, r1, x1 = run_one(spark, name, args.sf)
             wN, rN, xN = run_one(spark, name, probe)
             results.append(
