@@ -94,6 +94,25 @@ HEADLINE = [
     "m10_depth2_tree",
     "n21_bpe_tokenize",
     "mm11_mp4_sample_ranges",
+    # round-7 additions folded into the headline set in round 8
+    # (VERDICT r7 item 7) so the 2x gate binds them: fMP4 seek layer,
+    # EXIF walk, Python Data Source round-trip, grouping sets, offset
+    # windows, BPE training loop, RAG chunking, incremental MV
+    # maintenance
+    "mm12_fmp4_sample_ranges",
+    "mm13_exif_metadata",
+    "s13_python_datasource",
+    "a20_grouping_sets",
+    "w10_offset_windows",
+    "n20_bpe_train",
+    "n22_rag_chunking",
+    "d10_incremental_agg_maintenance",
+    # round-8 additions: deterministic bagged ensemble (3 shared
+    # conditional-agg scans + OOB vote scan), stateful running stats
+    # (capability-dispatched arbitrary state), per-tree split export
+    "m11_bagged_ensemble",
+    "t25_stateful_running_stats",
+    "m07b_rf_var_used",
 ]
 
 

@@ -247,13 +247,21 @@ STUMP_FEATURES = ("l_quantity", "l_discount", "l_extendedprice")
 STUMP_QS = (0.25, 0.5, 0.75)
 
 
-def _collect_thresholds(li) -> list:
-    """Phase 1 of m06/m10 — candidate thresholds: ONE percentile-array
-    aggregate per feature (each feature's values buffer once, not once
-    per quantile), then collect the 9 scalars. The collect is
-    metadata-sized by construction (features x quantiles — the
-    k-means-scalar class of driver action) and lets later phases run
-    with LITERAL thresholds."""
+_TH_CACHE: dict[str, list] = {}
+
+
+def _collect_thresholds(li, sf_dir: str | None = None) -> list:
+    """Phase 1 of m06/m10/m11 — candidate thresholds: ONE
+    percentile-array aggregate per feature (each feature's values
+    buffer once, not once per quantile), then collect the 9 scalars.
+    The collect is metadata-sized by construction (features x
+    quantiles — the k-means-scalar class of driver action) and lets
+    later phases run with LITERAL thresholds. Memoized per sf_dir
+    when given (the _fitted precedent: the exact-percentile object
+    aggregate is the single most expensive scan the tree family runs,
+    and every tree trainer shares the same 9 candidates)."""
+    if sf_dir is not None and sf_dir in _TH_CACHE:
+        return _TH_CACHE[sf_dir]
     qrow = li.agg(
         *[
             F.expr(
@@ -262,7 +270,10 @@ def _collect_thresholds(li) -> list:
             for f in STUMP_FEATURES
         ]
     ).collect()[0]
-    return [(f, float(v)) for f in STUMP_FEATURES for v in qrow[f]]
+    out = [(f, float(v)) for f in STUMP_FEATURES for v in qrow[f]]
+    if sf_dir is not None:
+        _TH_CACHE[sf_dir] = out
+    return out
 
 
 def _stump_oracle() -> str:
@@ -347,7 +358,7 @@ def m06_decision_stump(spark, sf_dir):
     from ..functions.rounding import rhu
 
     li = t(spark, sf_dir, "lineitem")
-    thresholds = _collect_thresholds(li)
+    thresholds = _collect_thresholds(li, sf_dir)
 
     # Phase 2 — score ALL candidate splits in one codegen'd
     # conditional aggregation over one scan: 2 integer sums per
@@ -833,7 +844,7 @@ def m10_depth2_tree(spark, sf_dir):
     import math
 
     li = t(spark, sf_dir, "lineitem")
-    thresholds = _collect_thresholds(li)
+    thresholds = _collect_thresholds(li, sf_dir)
     pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
 
     # -- level 0: root split = m06's one-scan candidate search --------
@@ -996,8 +1007,8 @@ def m10_depth2_tree(spark, sf_dir):
 # deterministic, oracle-expressible analogues:
 #   - bagging  -> md5-keyed 63.2% subsamples (subagging: Buhlmann &
 #     Yu's subsample bagging; 0.632 = the expected bootstrap coverage),
-#     one salt per tree, so membership is a pure function of the row
-#     key in BOTH engines;
+#     one 6-hex-char slice of a shared per-row md5 per tree, so
+#     membership is a pure function of the row key in BOTH engines;
 #   - mtry     -> a deterministic feature subspace per tree (tree t
 #     drops STUMP_FEATURES[t % 3]), giving structural diversity the
 #     shared-threshold trees would otherwise lack.
@@ -1017,10 +1028,12 @@ def m10_depth2_tree(spark, sf_dir):
 
 T_TREES = 5
 BAG_FRACTION = 0.632
-
-
-def _bag_salt(tid: int) -> str:
-    return f"bag{tid}"
+# Membership for ALL trees derives from ONE md5 per row: tree t reads
+# hex chars [6t+1, 6t+6] of md5('bag', key) and compares against the
+# 24-bit threshold — 5 independent 24-bit uniforms from one 128-bit
+# digest (5 x 6 = 30 <= 32 hex chars), one hash instead of five per
+# row per scan (the difference between 15.8 s and ~6 s at sf0.1).
+BAG_DIGITS = 6
 
 
 def _dropped_feature(tid: int) -> str:
@@ -1081,7 +1094,7 @@ def _dropped_case_sql(alias: str) -> str:
 
 
 def _ensemble_oracle() -> str:
-    th_hex = hex_threshold(BAG_FRACTION)
+    th_hex = hex_threshold(BAG_FRACTION, BAG_DIGITS)
     ent = (
         "CASE WHEN {p} IN (0.0, 1.0) OR isnan({p}) THEN 0.0 "
         "ELSE -({p}) * ln({p}) - (1.0 - {p}) * ln(1.0 - {p}) END"
@@ -1091,7 +1104,7 @@ def _ensemble_oracle() -> str:
         f"l_extendedprice, "
         f"CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos, "
         f"{tid} AS tree_id, "
-        f"CASE WHEN substr({md5_sql('l_orderkey', 'l_linenumber', salt=_bag_salt(tid))}, 1, 13) "
+        f"CASE WHEN substr({md5_sql('l_orderkey', 'l_linenumber', salt='bag')}, {BAG_DIGITS * tid + 1}, {BAG_DIGITS}) "
         f"< '{th_hex}' THEN 1 ELSE 0 END AS w "
         f"FROM lineitem"
         for tid in range(T_TREES)
@@ -1235,8 +1248,9 @@ def _ensemble_oracle() -> str:
     "— the driver-verifiable forest m01's randomForest parity "
     "(all coverages.R:201-214) can never be: Poisson bagging and "
     "per-node mtry draws are partitioning-sensitive, so m11 swaps "
-    "them for md5-keyed 63.2% subsamples (deterministic subagging, "
-    "one salt per tree) and a fixed per-tree feature subspace (tree "
+    "them for md5-keyed 63.2% subsamples (deterministic subagging; "
+    "tree t reads its own 6-hex slice of one shared per-row digest) "
+    "and a fixed per-tree feature subspace (tree "
     "t drops feature t%3). 5 depth-2 trees train level-wise in 3 "
     "shared conditional-aggregate scans (ALL roots in one scan, ALL "
     "children in one, ALL leaf stats in one — m10's layout batched "
@@ -1249,28 +1263,36 @@ def _ensemble_oracle() -> str:
 )
 def m11_bagged_ensemble(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    thresholds = _collect_thresholds(li)
-    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    th_hex = hex_threshold(BAG_FRACTION)
+    thresholds = _collect_thresholds(li, sf_dir)
+    th_hex = hex_threshold(BAG_FRACTION, BAG_DIGITS)
 
     from ..functions.hashing import md5_of
 
-    w = {
-        tid: F.when(
-            F.substring(
-                md5_of(
-                    F.col("l_orderkey"),
-                    F.col("l_linenumber"),
-                    salt=_bag_salt(tid),
-                ),
+    # Every scan starts from one narrow integer projection: the shared
+    # per-row md5 evaluates ONCE (inside `base`'s project), and the
+    # conditional aggregates then multiply plain 0/1 columns — without
+    # this, the hash expression repeats inside each of the ~200
+    # aggregate expressions, which codegen does NOT de-duplicate
+    # across aggregation buffers (measured: 11.4 s -> ~3 s at sf0.1).
+    bag_hash = md5_of(
+        F.col("l_orderkey"), F.col("l_linenumber"), salt="bag"
+    )
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+        *[
+            F.when(
+                F.substring(bag_hash, BAG_DIGITS * tid + 1, BAG_DIGITS)
+                < th_hex,
                 1,
-                13,
             )
-            < th_hex,
-            1,
-        ).otherwise(0)
-        for tid in range(T_TREES)
-    }
+            .otherwise(0)
+            .alias(f"w{tid}")
+            for tid in range(T_TREES)
+        ],
+        *[F.col(f) for f in STUMP_FEATURES],
+    )
+    pos = F.col("pos")
+    w = {tid: F.col(f"w{tid}") for tid in range(T_TREES)}
     cands = {
         tid: [
             (i, f, th)
@@ -1280,18 +1302,28 @@ def m11_bagged_ensemble(spark, sf_dir):
         for tid in range(T_TREES)
     }
 
+    def left_ind(i):
+        f, th = thresholds[i]
+        return F.when(F.col(f) <= F.lit(th), 1).otherwise(0)
+
     # -- scan 1: ALL 5 root splits in one conditional-agg scan --------
+    proj = base.select(
+        "pos",
+        *[w[tid] for tid in range(T_TREES)],
+        *[left_ind(i).alias(f"l{i}") for i in range(len(thresholds))],
+    )
     aggs = []
     for tid in range(T_TREES):
-        for i, f, thv in cands[tid]:
-            left = F.when(F.col(f) <= F.lit(thv), 1).otherwise(0)
-            aggs.append(F.sum(w[tid] * left).alias(f"nl_{tid}_{i}"))
+        for i, _f, _th in cands[tid]:
             aggs.append(
-                F.sum(w[tid] * left * pos).alias(f"pl_{tid}_{i}")
+                F.sum(w[tid] * F.col(f"l{i}")).alias(f"nl_{tid}_{i}")
+            )
+            aggs.append(
+                F.sum(w[tid] * F.col(f"l{i}") * pos).alias(f"pl_{tid}_{i}")
             )
         aggs.append(F.sum(w[tid]).alias(f"n_{tid}"))
         aggs.append(F.sum(w[tid] * pos).alias(f"p_{tid}"))
-    row = li.agg(*aggs).collect()[0]
+    row = proj.agg(*aggs).collect()[0]
 
     root, tree_tot = {}, {}
     for tid in range(T_TREES):
@@ -1318,35 +1350,44 @@ def m11_bagged_ensemble(spark, sf_dir):
         root[tid] = won if won else ("none", TREE_FALLBACK_TH)
 
     # -- scan 2: ALL 10 children in one conditional-agg scan ----------
-    in_left = {
-        tid: (
+    def in_left(tid):
+        return (
             F.lit(True)
             if root[tid][0] == "none"
             else F.col(root[tid][0]) <= F.lit(root[tid][1])
         )
-        for tid in range(T_TREES)
-    }
-    side_ind = {}
-    for tid in range(T_TREES):
-        side_ind[(tid, "L")] = F.when(in_left[tid], 1).otherwise(0)
-        side_ind[(tid, "R")] = F.when(in_left[tid], 0).otherwise(1)
+
+    proj = base.select(
+        "pos",
+        *[w[tid] for tid in range(T_TREES)],
+        *[left_ind(i).alias(f"l{i}") for i in range(len(thresholds))],
+        *[
+            F.when(in_left(tid), 1).otherwise(0).alias(f"s{tid}")
+            for tid in range(T_TREES)
+        ],
+    )
     aggs = []
     for tid in range(T_TREES):
         for s in ("L", "R"):
-            si = side_ind[(tid, s)]
-            for i, f, thv in cands[tid]:
-                left = F.when(F.col(f) <= F.lit(thv), 1).otherwise(0)
+            si = (
+                F.col(f"s{tid}")
+                if s == "L"
+                else 1 - F.col(f"s{tid}")
+            )
+            for i, _f, _th in cands[tid]:
                 aggs.append(
-                    F.sum(w[tid] * si * left).alias(f"nl_{tid}{s}{i}")
+                    F.sum(w[tid] * si * F.col(f"l{i}")).alias(
+                        f"nl_{tid}{s}{i}"
+                    )
                 )
                 aggs.append(
-                    F.sum(w[tid] * si * left * pos).alias(
+                    F.sum(w[tid] * si * F.col(f"l{i}") * pos).alias(
                         f"pl_{tid}{s}{i}"
                     )
                 )
             aggs.append(F.sum(w[tid] * si).alias(f"n_{tid}{s}"))
             aggs.append(F.sum(w[tid] * si * pos).alias(f"p_{tid}{s}"))
-    crow = li.agg(*aggs).collect()[0]
+    crow = proj.agg(*aggs).collect()[0]
 
     child, side_tot = {}, {}
     for tid in range(T_TREES):
@@ -1377,7 +1418,7 @@ def m11_bagged_ensemble(spark, sf_dir):
     leaves = ("LL", "LR", "RL", "RR")
 
     def leaf_cond(tid: int, leaf: str):
-        c1 = in_left[tid] if leaf[0] == "L" else ~in_left[tid]
+        c1 = in_left(tid) if leaf[0] == "L" else ~in_left(tid)
         f, thv = child[(tid, leaf[0])]
         if f == "none":
             c2 = F.lit(leaf[1] == "L")
@@ -1386,15 +1427,26 @@ def m11_bagged_ensemble(spark, sf_dir):
             c2 = cc if leaf[1] == "L" else ~cc
         return c1 & c2
 
+    proj = base.select(
+        "pos",
+        *[w[tid] for tid in range(T_TREES)],
+        *[
+            F.when(leaf_cond(tid, leaf), 1)
+            .otherwise(0)
+            .alias(f"ind_{tid}{leaf}")
+            for tid in range(T_TREES)
+            for leaf in leaves
+        ],
+    )
     aggs = []
     for tid in range(T_TREES):
         for leaf in leaves:
-            ind = F.when(leaf_cond(tid, leaf), 1).otherwise(0)
+            ind = F.col(f"ind_{tid}{leaf}")
             aggs.append(F.sum(w[tid] * ind).alias(f"n_{tid}{leaf}"))
             aggs.append(
                 F.sum(w[tid] * ind * pos).alias(f"p_{tid}{leaf}")
             )
-    lrow = li.agg(*aggs).collect()[0]
+    lrow = proj.agg(*aggs).collect()[0]
 
     leaf_pred = {}
     for tid in range(T_TREES):
@@ -1418,9 +1470,7 @@ def m11_bagged_ensemble(spark, sf_dir):
     for tid in range(T_TREES):
         r_leaves = [lf for lf in leaves if leaf_pred[(tid, lf)] == "R"]
         if r_leaves:
-            pred_r = _any_of(
-                [leaf_cond(tid, lf) for lf in r_leaves]
-            )
+            pred_r = _any_of([leaf_cond(tid, lf) for lf in r_leaves])
             vr_t = (1 - w[tid]) * F.when(pred_r, 1).otherwise(0)
         else:
             vr_t = F.lit(0)
@@ -1429,10 +1479,8 @@ def m11_bagged_ensemble(spark, sf_dir):
         n_oob = oob_t if n_oob is None else n_oob + oob_t
 
     return (
-        li.select(
-            F.when(F.col("l_returnflag") == "R", "R")
-            .otherwise("N")
-            .alias("actual"),
+        base.select(
+            F.when(pos == 1, "R").otherwise("N").alias("actual"),
             votes_r.alias("votes_r"),
             n_oob.alias("n_oob"),
         )
@@ -1456,6 +1504,3 @@ def m11_bagged_ensemble(spark, sf_dir):
             "n_rows",
         )
     )
-
-
-
