@@ -44,11 +44,12 @@ container, so ``decode_payload`` implements, pure-Python:
   restart markers.
 
 Formats needing non-stdlib codecs (real video codecs inside mp4,
-12-bit/arithmetic/lossless JPEG, compressed BMP, 16-bit netpbm)
+12-bit/arithmetic/lossless JPEG, BMP compressions beyond BI_RLE8)
 still raise NotImplementedError at the same seam — plug PIL/ffmpeg
 into ``decode_payload`` where the marked dispatch is. PNG decodes
-every legal depth/color/filter/interlace combination, 16-bit
-included.
+every legal depth/color/filter/interlace combination (16-bit
+included); netpbm decodes 8- and 16-bit P5/P6; BMP decodes
+uncompressed 8/24-bit and RLE8.
 """
 
 from __future__ import annotations
@@ -113,7 +114,11 @@ def as_media_table(documents: DataFrame) -> DataFrame:
 
 
 def _decode_netpbm(payload: bytes) -> "np.ndarray":
-    """Binary netpbm: P5 (grayscale) / P6 (RGB -> BT.601 luma)."""
+    """Binary netpbm: P5 (grayscale) / P6 (RGB -> BT.601 luma), both
+    8-bit (maxval <= 255) and 16-bit (maxval 256..65535, 2-byte
+    big-endian samples per the spec); 16-bit samples rescale to the
+    8-bit range by rint(v * 255 / maxval), so v = u * (maxval/255)
+    recovers u exactly when maxval = 255 * k."""
     import numpy as np
 
     magic = payload[:2]
@@ -136,10 +141,22 @@ def _decode_netpbm(payload: bytes) -> "np.ndarray":
         tokens.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = tokens
-    if maxval > 255:
-        raise NotImplementedError("16-bit netpbm not supported")
+    if not 0 < maxval < 65536:
+        raise ValueError(f"invalid netpbm maxval {maxval}")
     depth = 1 if magic == b"P5" else 3
-    raster = np.frombuffer(payload, np.uint8, count=w * h * depth, offset=pos)
+    if maxval > 255:  # 2-byte big-endian samples (netpbm spec)
+        raw = np.frombuffer(
+            payload, np.uint8, count=w * h * depth * 2, offset=pos
+        ).astype(np.uint16)
+        samples = (raw[0::2] << 8) | raw[1::2]
+        scaled = np.rint(
+            samples.astype(np.float64) * (255.0 / maxval)
+        )
+        raster = scaled.astype(np.uint8)
+    else:
+        raster = np.frombuffer(
+            payload, np.uint8, count=w * h * depth, offset=pos
+        )
     if depth == 1:
         return raster.reshape(h, w)
     rgb = raster.reshape(h, w, 3).astype(np.float64)
@@ -148,7 +165,9 @@ def _decode_netpbm(payload: bytes) -> "np.ndarray":
 
 
 def _decode_bmp(payload: bytes) -> "np.ndarray":
-    """Uncompressed 8-bit-palette / 24-bit BMP (BITMAPINFOHEADER)."""
+    """8-bit-palette / 24-bit BMP (BITMAPINFOHEADER), uncompressed
+    (BI_RGB) or run-length-encoded 8-bit (BI_RLE8: encoded runs,
+    absolute mode, end-of-line/bitmap and delta escapes)."""
     import struct
 
     import numpy as np
@@ -158,8 +177,15 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if compression == 1 and bpp == 8:
+        return _decode_bmp_rle8(
+            payload, data_offset, hdr_size, w, h
+        )
     if compression != 0:
-        raise NotImplementedError("compressed BMP not supported")
+        raise NotImplementedError(
+            f"BMP compression {compression} not supported (BI_RGB and "
+            "8-bit BI_RLE8 decode; plug PIL in at decode_payload)"
+        )
     if bpp not in (8, 24):
         raise NotImplementedError(f"BMP bit depth {bpp} not supported")
     bottom_up = h > 0
@@ -170,15 +196,8 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
         # palettized: indices go through the color table (BGRx entries
         # after the info header), BT.601 over the RGB triple — NOT
         # index-as-gray, which is only exact for an identity-gray
-        # palette (ADVICE r3). floor(x+0.5) keeps the identity ramp
-        # bit-exact despite 0.299+0.587+0.114 float error.
-        n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
-        pal = np.frombuffer(
-            payload, np.uint8, count=n_colors * 4, offset=14 + hdr_size
-        ).reshape(n_colors, 4).astype(np.float64)
-        lut = np.floor(
-            0.299 * pal[:, 2] + 0.587 * pal[:, 1] + 0.114 * pal[:, 0] + 0.5
-        ).astype(np.uint8)
+        # palette (ADVICE r3)
+        lut = _bmp_palette_lut(payload, hdr_size)
     rows = []
     for y in range(h):
         off = data_offset + y * row_bytes
@@ -192,6 +211,64 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
             row = lut[row]
         rows.append(row)
     img = np.stack(rows)
+    return img[::-1] if bottom_up else img
+
+
+def _bmp_palette_lut(payload: bytes, hdr_size: int) -> "np.ndarray":
+    """BGRx color table -> BT.601 luma LUT (shared by the uncompressed
+    and RLE8 8-bit paths; floor(x+0.5) keeps identity-gray ramps
+    bit-exact despite the coefficient float error)."""
+    import struct
+
+    import numpy as np
+
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal = np.frombuffer(
+        payload, np.uint8, count=n_colors * 4, offset=14 + hdr_size
+    ).reshape(n_colors, 4).astype(np.float64)
+    return np.floor(
+        0.299 * pal[:, 2] + 0.587 * pal[:, 1] + 0.114 * pal[:, 0] + 0.5
+    ).astype(np.uint8)
+
+
+def _decode_bmp_rle8(
+    payload: bytes, data_offset: int, hdr_size: int, w: int, h: int
+) -> "np.ndarray":
+    """BI_RLE8 (the Windows BMP spec's 8-bit run-length coding):
+    (count, index) pairs paint `count` pixels; count == 0 escapes to
+    0 = end of line, 1 = end of bitmap, 2 = (dx, dy) delta (skipped
+    pixels stay index 0), else absolute mode — `second` literal
+    indices follow, padded to a 2-byte boundary."""
+    import numpy as np
+
+    bottom_up = h > 0
+    h = abs(h)
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    pos = data_offset
+    while pos + 1 < len(payload) and y < h:
+        count, val = payload[pos], payload[pos + 1]
+        pos += 2
+        if count > 0:  # encoded run
+            end = min(x + count, w)
+            idx[y, x:end] = val
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            x = min(x + payload[pos], w)
+            y += payload[pos + 1]
+            pos += 2
+        else:  # absolute mode: `val` literal indices, word-aligned
+            end = min(x + val, w)
+            lit = np.frombuffer(payload, np.uint8, count=val, offset=pos)
+            idx[y, x:end] = lit[: end - x]
+            x = end
+            pos += val + (val & 1)
+    lut = _bmp_palette_lut(payload, hdr_size)
+    img = lut[idx]
     return img[::-1] if bottom_up else img
 
 

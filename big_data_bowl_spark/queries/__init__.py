@@ -140,6 +140,8 @@ _FIRST = [
     "v04_ivf_topk",               # trained coarse centroids
     "v10_ivfpq_topk",
     "v11_ann_recall_audit",
+    "m06_decision_stump",         # memoized candidate-threshold path
+    "m10_depth2_tree",
 ]
 
 

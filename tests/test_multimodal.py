@@ -1172,3 +1172,58 @@ def test_exif_roundtrip_both_endians_and_edge_cases():
     short = b"\xff\xe1" + struct.pack(">H", len(short_body) + 2) + short_body
     with _pytest.raises(ValueError):
         parse_exif(insert_app1(base, short))
+
+
+def test_netpbm_16bit_gray_and_color():
+    """16-bit netpbm (2-byte big-endian samples): maxval = 65535 with
+    v = u*257 recovers u exactly; a P6 16-bit red/green pair reduces
+    to the same BT.601 luma as the 8-bit path."""
+    import struct
+
+    img = _img44()
+    body = (img.astype(">u2") * 257).tobytes()
+    p5 = b"P5\n4 4\n65535\n" + body
+    assert decode_payload(p5, "pgm", 4, 4).tolist() == img.tolist()
+
+    px = struct.pack(">6H", 65535, 0, 0, 0, 65535, 0)
+    p6 = b"P6\n2 1\n65535\n" + px
+    assert decode_payload(p6, "ppm", 2, 1).tolist() == [[76, 149]]
+
+
+def test_bmp_rle8_roundtrip_with_escapes():
+    """Hand-built BI_RLE8 BMP exercising every opcode: encoded runs,
+    absolute mode (with word padding), end-of-line, delta skip, end of
+    bitmap. Identity-gray palette, bottom-up rows."""
+    import struct
+
+    w, h = 6, 3
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    # target rows (top-down): row0 = run of 5s + one 7 (absolute);
+    # row1 = delta-skip 2 (zeros) then run of 9s;
+    # row2 = absolute run of 1..4 padded, then 0s to row end
+    # bottom-up: the FIRST encoded row is the BOTTOM image row
+    rle = (
+        bytes([4, 1])            # bottom row: 4 pixels of index 1
+        + bytes([0, 3, 2, 3, 4, 0])  # absolute: literals 2,3,4 + pad
+        # (the 4 falls past x=6 and is clipped)
+        + bytes([0, 0])          # end of line -> y=1
+        + bytes([0, 2, 2, 1])    # delta: 2 right, 1 row up -> (2, 2);
+        #                          skipped pixels stay index 0
+        + bytes([3, 9])          # three pixels of index 9
+        + bytes([0, 1])          # end of bitmap
+    )
+    data_offset = 14 + 40 + len(palette)
+    hdr = (
+        b"BM" + struct.pack("<IHHI", data_offset + len(rle), 0, 0, data_offset)
+        + struct.pack("<Iii", 40, w, h)
+        + struct.pack("<HHI", 1, 8, 1)  # planes, bpp, BI_RLE8
+        + struct.pack("<IiiII", len(rle), 0, 0, 256, 0)
+    )
+    payload = hdr + palette + rle
+    got = decode_payload(payload, "bmp", w, h)
+    want = [
+        [0, 0, 9, 9, 9, 0],       # delta target row (encoded last)
+        [0, 0, 0, 0, 0, 0],       # row skipped entirely by the delta
+        [1, 1, 1, 1, 2, 3],       # bottom (encoded first)
+    ]
+    assert got.tolist() == want, got.tolist()
