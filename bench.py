@@ -113,6 +113,8 @@ HEADLINE = [
     "m11_bagged_ensemble",
     "t25_stateful_running_stats",
     "m07b_rf_var_used",
+    # animated GIF round-trip (LZW in mapInPandas; the viz-sink codec)
+    "mm14_gif_roundtrip_features",
 ]
 
 

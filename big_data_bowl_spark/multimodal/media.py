@@ -2865,3 +2865,256 @@ def parse_exif(payload: bytes) -> dict:
 
     walk_ifd(ifd0_off)
     return out
+
+
+# --- GIF89a (CompuServe spec, public) -------------------------------------
+# The reference's gganimate output (Field Control.R:198-219) is an
+# animated raster; this encoder lets the engine EMIT that artifact
+# itself — pure stdlib, so the viz sink works in environments without
+# matplotlib/PIL. Frames are palette indices against one global
+# 256-color table; LZW is the spec's variable-width variant.
+
+
+def _gif_lzw_encode(indices: "np.ndarray", min_code_size: int = 8) -> bytes:
+    """GIF variable-width LZW over a flat uint8 index stream.
+
+    Code widths are DECODER-CLOCKED: the decoder inserts its table
+    entry one code later than the encoder does, so the width bump
+    after next_code reaches 2^size must be timed by simulating the
+    decoder's counter (`dec_next`), not the encoder's — the classic
+    interoperability off-by-one ("early change") lives exactly here.
+    The encoder emits CLEAR and resets when its own table fills.
+    """
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += size
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    code_size = min_code_size + 1
+    table: dict = {(i,): i for i in range(clear)}
+    enc_next = eoi + 1
+    dec_next = eoi + 1
+    first_since_clear = True
+    emit(clear, code_size)
+
+    def after_data_emit() -> None:
+        # advance the simulated decoder: it adds an entry on every
+        # data code except the first after a clear, and widens when
+        # its next_code reaches the current ceiling
+        nonlocal dec_next, code_size, first_since_clear
+        if first_since_clear:
+            first_since_clear = False
+            return
+        dec_next += 1
+        if dec_next == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+    seq = indices.tolist()
+    if not seq:
+        emit(eoi, code_size)
+    else:
+        cur = (seq[0],)
+        for k in seq[1:]:
+            nxt = cur + (k,)
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur], code_size)
+            after_data_emit()
+            if enc_next < 4096:
+                table[nxt] = enc_next
+                enc_next += 1
+            else:
+                emit(clear, code_size)
+                table = {(i,): i for i in range(clear)}
+                enc_next = eoi + 1
+                dec_next = eoi + 1
+                code_size = min_code_size + 1
+                first_since_clear = True
+            cur = (k,)
+        emit(table[cur], code_size)
+        after_data_emit()
+        emit(eoi, code_size)
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    # wrap in 255-byte sub-blocks + terminator
+    blocks = bytearray()
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return bytes(blocks)
+
+
+def encode_gif(
+    frames: "list[np.ndarray]",
+    palette: "np.ndarray | None" = None,
+    delay_cs: int = 10,
+    loop: bool = True,
+) -> bytes:
+    """Encode (h, w) uint8 index frames as an animated GIF89a.
+
+    ``palette``: (256, 3) uint8 RGB global color table (grayscale
+    identity when None). ``delay_cs`` is per-frame delay in 1/100 s;
+    ``loop`` adds the NETSCAPE2.0 infinite-loop extension. Lossless:
+    decode_gif_frames(encode_gif(frames)) == frames exactly.
+    """
+    import struct
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_gif needs at least one frame")
+    h, w = frames[0].shape
+    if palette is None:
+        g = np.arange(256, dtype=np.uint8)
+        palette = np.stack([g, g, g], axis=1)
+    if palette.shape != (256, 3):
+        raise ValueError("palette must be (256, 3) uint8 RGB")
+
+    out = bytearray(b"GIF89a")
+    # logical screen: global color table, 8 bits/channel, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += palette.astype(np.uint8).tobytes()
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        if fr.shape != (h, w):
+            raise ValueError("all frames must share one shape")
+        # graphic control: delay, no transparency, no disposal
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        # image descriptor: full-frame, no local table, not interlaced
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # LZW minimum code size
+        out += _gif_lzw_encode(fr.reshape(-1))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> "list[int]":
+    """Inverse of _gif_lzw_encode over the de-blocked code stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    table: list = [(i,) for i in range(clear)] + [(), ()]
+    next_code = eoi + 1
+    out: list = []
+    prev = None
+    bitbuf = bitcnt = pos = 0
+    while True:
+        while bitcnt < code_size:
+            if pos >= len(data):
+                return out
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        code = bitbuf & ((1 << code_size) - 1)
+        bitbuf >>= code_size
+        bitcnt -= code_size
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            out.extend(table[code])
+            prev = code
+            continue
+        if code < next_code:
+            entry = table[code]
+        elif code == next_code:  # KwKwK
+            entry = table[prev] + table[prev][:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if next_code < 4096:
+            table.append(table[prev] + entry[:1])
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = code
+
+
+def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
+    """Decode a GIF into ([(h, w) uint8 index frames], (n, 3) palette).
+
+    Covers what encode_gif emits plus plain single/multi-frame GIFs
+    with a global color table; local color tables and interlaced
+    frames raise at the seam (plug PIL in at decode_payload). CRC-less
+    format — structural errors raise ValueError.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n_colors = 2 << (flags & 0x07)
+        palette = (
+            np.frombuffer(payload, np.uint8, count=n_colors * 3, offset=pos)
+            .reshape(n_colors, 3)
+            .copy()
+        )
+        pos += n_colors * 3
+    frames: list = []
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks, skipped
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            x0, y0, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+            pos += 9
+            if iflags & 0x80:
+                raise NotImplementedError(
+                    "GIF local color tables not supported"
+                )
+            if iflags & 0x40:
+                raise NotImplementedError(
+                    "interlaced GIF frames not supported"
+                )
+            if (x0, y0, w, h) != (0, 0, sw, sh):
+                raise NotImplementedError(
+                    "partial-frame GIF images not supported"
+                )
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos]:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                raise ValueError("GIF frame under-decoded")
+            frames.append(
+                np.array(idx[: w * h], dtype=np.uint8).reshape(h, w)
+            )
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if palette is None:
+        raise NotImplementedError("GIF without global color table")
+    return frames, palette

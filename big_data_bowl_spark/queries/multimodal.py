@@ -1058,3 +1058,103 @@ def mm13_exif_metadata(spark, sf_dir):
         "orientation long, x_resolution double, datetime string, "
         "pixel_x long, pixel_y long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MM14: animated GIF round-trip — the viz sink's encoder under the gate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm14_gif_roundtrip_features",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames,
+             CAST(doc_id % 12 + 2 AS INTEGER) AS width,
+             CAST(doc_id % 6 + 2 AS INTEGER) AS height
+      FROM documents WHERE doc_id % 3 = 2),
+    px AS (
+      SELECT media_id, n_frames, width, height,
+             list_transform(range(0, n_frames * width * height),
+               i -> (media_id * 41 + i * 13) % 256) AS pixels
+      FROM m)
+    SELECT media_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * width * height AS BIGINT) AS n_pixels,
+           CAST(list_sum(pixels) AS DOUBLE) / len(pixels) AS mean_intensity,
+           CAST(list_max(pixels) AS BIGINT) AS max_intensity
+    FROM px
+    """,
+    note="MM14 ANIMATED raster round-trip: per media row a "
+    "deterministic multi-frame sequence is encoded to a real "
+    "animated GIF89a (multimodal/media.py encode_gif — the spec's "
+    "variable-width LZW with decoder-clocked code widths, validated "
+    "bit-for-bit against javax.imageio, incl. the table-full clear "
+    "path) and decoded back through the repo's own decoder inside "
+    "ONE mapInPandas pass. GIF is the gganimate artifact the "
+    "reference ends its field-control pipeline in (Field "
+    "Control.R:198-219); sinks/viz.py animate_control_surfaces "
+    "renders e03's per-frame surfaces through the same encoder, so "
+    "this query is the driver-gated proof of that sink's codec. The "
+    "oracle recomputes the statistics from the pixel formula — LZW "
+    "is lossless, so any bit divergence anywhere in "
+    "encode/sub-blocking/decode fails the value hash. Narrow plan: "
+    "payloads exist only inside the Python worker, zero bytes "
+    "shuffle.",
+)
+def mm14_gif_roundtrip_features(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2
+    ).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("doc_id") % 5 + 1).cast("int").alias("n_frames"),
+        (F.col("doc_id") % 12 + 2).cast("int").alias("width"),
+        (F.col("doc_id") % 6 + 2).cast("int").alias("height"),
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from ..multimodal.media import decode_gif_frames, encode_gif
+
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid, nf = int(r.media_id), int(r.n_frames)
+                w, h = int(r.width), int(r.height)
+                seq = (
+                    (mid * 41 + np.arange(nf * w * h) * 13) % 256
+                ).astype(np.uint8)
+                frames = [
+                    seq[k * w * h : (k + 1) * w * h].reshape(h, w)
+                    for k in range(nf)
+                ]
+                payload = encode_gif(frames, delay_cs=mid % 20 + 2)
+                decoded, _pal = decode_gif_frames(payload)
+                flat = np.concatenate([f.reshape(-1) for f in decoded])
+                rows.append(
+                    (
+                        mid,
+                        len(decoded),
+                        int(flat.size),
+                        float(flat.mean()),
+                        int(flat.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_frames", "n_pixels",
+                    "mean_intensity", "max_intensity",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        schema="media_id long, n_frames long, n_pixels long, "
+        "mean_intensity double, max_intensity long",
+    )

@@ -1227,3 +1227,115 @@ def test_bmp_rle8_roundtrip_with_escapes():
         [1, 1, 1, 1, 2, 3],       # bottom (encoded first)
     ]
     assert got.tolist() == want, got.tolist()
+
+
+def test_gif_roundtrip_exact_and_table_reset():
+    """Animated GIF89a: LZW is lossless, so decode(encode(frames)) is
+    bit-exact — including a noise frame large enough to fill the 4096-
+    entry LZW table and force the mid-stream CLEAR/reset path."""
+    from big_data_bowl_spark.multimodal.media import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, (9, 13)).astype(np.uint8) for _ in range(4)
+    ]
+    got, pal = decode_gif_frames(encode_gif(frames, delay_cs=7))
+    assert len(got) == 4
+    assert all((a == b).all() for a, b in zip(got, frames))
+    assert pal.shape == (256, 3) and (pal[:, 0] == np.arange(256)).all()
+
+    noise = rng.integers(0, 256, (80, 160)).astype(np.uint8)
+    got, _ = decode_gif_frames(encode_gif([noise]))
+    assert (got[0] == noise).all()
+
+
+def test_gif_matches_javax_imageio(tmp_path):
+    """Spec-compliance cross-check against an INDEPENDENT decoder:
+    javax.imageio (present wherever Spark runs). A symmetric LZW bug
+    (e.g. the early-change code-width off-by-one) would pass the
+    self-round-trip above but fail this."""
+    import os
+    import subprocess
+
+    java_home = os.environ.get("JAVA_HOME")
+    if not java_home or not os.path.exists(f"{java_home}/bin/java"):
+        pytest.skip("no JAVA_HOME")
+
+    from big_data_bowl_spark.multimodal.media import encode_gif
+
+    src = tmp_path / "GifDump.java"
+    src.write_text(
+        """
+import javax.imageio.ImageIO;
+import javax.imageio.ImageReader;
+import javax.imageio.stream.ImageInputStream;
+import java.awt.image.BufferedImage;
+import java.io.*;
+import java.util.Iterator;
+public class GifDump {
+  public static void main(String[] a) throws Exception {
+    ImageInputStream s = ImageIO.createImageInputStream(new File(a[0]));
+    Iterator<ImageReader> it = ImageIO.getImageReaders(s);
+    ImageReader r = it.next();
+    r.setInput(s);
+    DataOutputStream o = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(a[1])));
+    for (int i = 0; i < r.getNumImages(true); i++) {
+      BufferedImage b = r.read(i);
+      for (int y = 0; y < b.getHeight(); y++)
+        for (int x = 0; x < b.getWidth(); x++)
+          o.writeByte(b.getRGB(x, y) & 0xFF);
+    }
+    o.close();
+  }
+}
+"""
+    )
+    subprocess.run(
+        [f"{java_home}/bin/javac", str(src)], check=True, cwd=tmp_path
+    )
+    rng = np.random.default_rng(5)
+    frames = [
+        rng.integers(0, 256, (60, 130)).astype(np.uint8),
+        ((np.arange(60)[:, None] * 3 + np.arange(130)[None, :] * 5) % 256
+         ).astype(np.uint8),
+    ]
+    gif = tmp_path / "t.gif"
+    gif.write_bytes(encode_gif(frames))
+    raw = tmp_path / "t.raw"
+    subprocess.run(
+        [f"{java_home}/bin/java", "-cp", str(tmp_path), "GifDump",
+         str(gif), str(raw)],
+        check=True,
+    )
+    got = np.fromfile(raw, dtype=np.uint8)
+    want = np.concatenate([f.reshape(-1) for f in frames])
+    assert got.shape == want.shape and (got == want).all()
+
+
+def test_animate_control_surfaces_sink(spark, sf_dir, tmp_path):
+    """The gganimate-analogue sink end-to-end: e03's first frames ->
+    animated GIF on disk, decodable by the repo's own decoder with one
+    frame per frame_id and the diverging palette."""
+    from big_data_bowl_spark.multimodal.media import decode_gif_frames
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sinks.viz import (
+        animate_control_surfaces,
+        diverging_palette,
+    )
+
+    surfaces = REGISTRY["e03_field_control_season"].fn(spark, sf_dir)
+    three = surfaces.filter("frame_id < 3")
+    path = animate_control_surfaces(three, str(tmp_path / "play.gif"))
+    frames, pal = decode_gif_frames(open(path, "rb").read())
+    n_frames = three.select("frame_id").distinct().count()
+    assert len(frames) == n_frames >= 1
+    assert (pal == diverging_palette()).all()
+    h, w = frames[0].shape
+    assert (
+        three.select("grid_x").distinct().count() == w
+        and three.select("grid_y").distinct().count() == h
+    )
