@@ -8,9 +8,11 @@ so these adapters enforce exactly that contract:
 - the engine side stays a DataFrame until the last moment;
 - collection is size-GUARDED (an unbounded `toPandas()` on a fact
   table is the #1 way a 100 TB job kills its driver);
-- the matplotlib dependency is optional (this container doesn't ship
-  it): matrix/table adapters work without it, `save_heatmap` raises a
-  clear error where the plotting backend would plug in.
+- dependencies stay optional: `animate_control_surfaces` (the
+  gganimate analogue — animated GIF89a via the repo's own codec) and
+  `save_table_html` (the gt analogue) render with stdlib + numpy
+  only, so they work in THIS container; `save_heatmap` raises a
+  clear error where the matplotlib backend would plug in.
 """
 
 from __future__ import annotations
@@ -138,4 +140,53 @@ def animate_control_surfaces(
     )
     with open(path, "wb") as f:
         f.write(payload)
+    return path
+
+
+def save_table_html(
+    df: DataFrame,
+    path: str,
+    title: str | None = None,
+    number_format: str = "{:.3f}",
+    max_rows: int = 10_000,
+) -> str:
+    """The gt-table analogue (all coverages.R:329-352 renders the
+    coverage-frequency table with gt): a SMALL aggregated result
+    rendered to a self-contained styled HTML table — pure stdlib, so
+    unlike save_heatmap's matplotlib seam this sink works everywhere.
+    Floats go through ``number_format``; cells are HTML-escaped; the
+    same guarded collection as every viz sink (tighter default cap —
+    a 10k-row table is already past what a human reads)."""
+    import html as _html
+
+    pdf = collect_for_viz(df, max_rows=max_rows)
+
+    def cell(v) -> str:
+        if v is None:
+            return ""
+        if isinstance(v, float):
+            return _html.escape(number_format.format(v))
+        return _html.escape(str(v))
+
+    head = "".join(f"<th>{_html.escape(str(c))}</th>" for c in pdf.columns)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{cell(v)}</td>" for v in row) + "</tr>"
+        for row in pdf.itertuples(index=False)
+    )
+    caption = (
+        f"<caption>{_html.escape(title)}</caption>" if title else ""
+    )
+    doc = (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'><style>"
+        "table{border-collapse:collapse;font-family:system-ui,sans-serif;"
+        "font-size:14px}caption{font-weight:600;padding:8px;"
+        "text-align:left}th{background:#f3f4f6;text-align:left}"
+        "th,td{border-bottom:1px solid #e5e7eb;padding:6px 12px}"
+        "tr:hover td{background:#f9fafb}"
+        "</style></head><body><table>"
+        f"{caption}<thead><tr>{head}</tr></thead>"
+        f"<tbody>{body}</tbody></table></body></html>"
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(doc)
     return path

@@ -1339,3 +1339,21 @@ def test_animate_control_surfaces_sink(spark, sf_dir, tmp_path):
         three.select("grid_x").distinct().count() == w
         and three.select("grid_y").distinct().count() == h
     )
+
+
+def test_save_table_html_sink(spark, sf_dir, tmp_path):
+    """The gt-table analogue: a7's contingency table rendered to a
+    self-contained HTML file — headers, formatted floats, escaping."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sinks.viz import save_table_html
+
+    agg = REGISTRY["a07_contingency_table"].fn(spark, sf_dir)
+    path = save_table_html(
+        agg, str(tmp_path / "t.html"), title="returnflag <&> linestatus"
+    )
+    doc = open(path, encoding="utf-8").read()
+    assert doc.startswith("<!DOCTYPE html>")
+    for c in agg.columns:
+        assert f"<th>{c}</th>" in doc
+    assert "returnflag &lt;&amp;&gt; linestatus" in doc
+    assert doc.count("<tr>") == agg.count() + 1
