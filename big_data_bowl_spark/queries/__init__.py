@@ -142,6 +142,7 @@ _FIRST = [
     "v11_ann_recall_audit",
     "m06_decision_stump",         # memoized candidate-threshold path
     "m10_depth2_tree",
+    "e05_embedding_index_pipeline",  # trained coarse quantizer
 ]
 
 

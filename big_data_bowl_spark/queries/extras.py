@@ -1988,8 +1988,7 @@ def _e05_oracle() -> str:
              JOIN members m ON k.canonical_id = m.canonical_id
              JOIN c ON c.vec_id = k.vec_id
              WHERE k.vec_id = k.canonical_id),
-    cent AS (SELECT vec_id AS cid, v AS kv FROM c
-             WHERE vec_id < {NLIST}),
+    {_trained_cent_sql()},
     assign AS (
       SELECT vec_id, cid FROM (
         SELECT k.vec_id, t.cid,
@@ -2017,7 +2016,8 @@ def _e05_oracle() -> str:
     "duplicates never pollute the index, with cluster sizes kept as "
     "provenance; (2) int8 quantization scale per kept vector (v07) "
     "— the storage row the serving tier reads; (3) IVF cell "
-    "assignment against the broadcast coarse codebook (v04); (4) "
+    "assignment against the broadcast coarse codebook — the SAME "
+    "trained two-step-Lloyd quantizer v04/v10 use (round 8); (4) "
     "deterministic md5 shard for the writer (s08). Scale: the only "
     "corpus-sized exchanges are the SRP bucket groupBy, the CC "
     "rounds (both bucketed/node-sized) and the cluster-size attach "
@@ -2055,9 +2055,7 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
         F.col("vec_id") == F.col("canonical_id")
     ).join(members, "canonical_id")
 
-    cent = e.filter(F.col("vec_id") < NLIST).select(
-        F.col("vec_id").alias("cid"), vec.alias("kv")
-    )
+    cent = _trained_centroids(spark, e, sf_dir)
     assign = (
         keep.crossJoin(F.broadcast(cent))
         .select(
