@@ -29,122 +29,115 @@ from . import graph  # noqa: F401,E402
 #      rest (so a round-8 addition lands in the verified prefix
 #      automatically);
 #   3. the explicit list below, in LEAST-RECENTLY-DRIVER-GREEN order
-#      (VERDICT r7 item 1): computed from CORRECTNESS_r02..r07, so
-#      the r2/r3/r4-era greens (f01-f05, o03/o06/o07, r01/r02,
-#      u01-u03, m00, the mm01-mm06 codecs, the n-family quality
-#      scores, ...) fill the prefix before anything re-verified in
-#      r5-r7. Regenerate with tools snippet in PROGRESS notes when
-#      the rotation goes stale again.
+#      (VERDICT r7 item 1, regenerated per VERDICT r8 item 2 from
+#      CORRECTNESS_r02..r08): the r3 stragglers (n12, n15, t01, t09,
+#      u03) and the 29-query r4 cohort fill the ~50-slot prefix first,
+#      then r5 → r8 cohorts. Regenerate each round: for each name take
+#      the max round whose CORRECTNESS_rNN.json has rows+schema+hash
+#      all true, sort ascending, alphabetical within a round.
 _PRIORITY = [
-    # last driver-green in r2
-    "f01_substring_cast", "f02_regex_replace_trim", "f03_regex_match",
-    "f04_string_concat", "f05_euclidean_distance", "o03_limit",
-    "o06_union_append", "o07_scalar_extraction",
-    # judge-named stragglers (VERDICT r7 item 1) hoisted out of their
-    # r4/r5 blocks so the full named set fits the ~50-slot prefix
-    "f06_velocity_decomposition", "f07_sigmoid", "f08_radius_cubic_clamp",
-    "f09_clamp_least", "f10_floor_mod_round", "f11_arithmetic_projections",
-    "o04_deterministic_sample", "o05_deterministic_split", "s03_tsv_scan",
-    "s05_parquet_sink_roundtrip", "w04_global_rowid", "j06_join_rowid",
-    "e01_distance_at_anchor", "u01_groupby_apply", "u02_transform_chain",
     # last driver-green in r3
-    "a14_bool_aggs", "m00_ml_feature_table", "mm01_media_metadata",
-    "mm03_frame_sample", "mm04_resize_features",
-    "mm05_audio_roundtrip_features", "n01_token_stats", "n02_quality_score",
-    "n03_lang_id", "n08_source_quota", "n12_sequence_packing",
-    "n15_trending_terms", "r01_pivot_wide", "r02_pivot_wide_multivalue",
-    "t01_tumbling_window", "t09_interval_join", "u03_pandas_udf_scalar",
+    "n12_sequence_packing", "n15_trending_terms", "t01_tumbling_window",
+    "t09_interval_join", "u03_pandas_udf_scalar",
     # last driver-green in r4
     "a08_salted_grouped_sum", "a09_grouped_quantiles", "a11_rollup_agg",
     "a12_grouped_corr", "dq01_column_profile", "dq02_referential_orphans",
     "dq03_distribution_drift", "f12_bivariate_gaussian",
-    "j09_full_outer_join", "mm06_png_roundtrip_features", "n04_fingerprint",
-    "n05_punct_ratio", "n06_bpe_token_count", "n07_rolling_hash_fingerprint",
+    "j09_full_outer_join", "n04_fingerprint", "n05_punct_ratio",
+    "n06_bpe_token_count", "n07_rolling_hash_fingerprint",
     "n09_vocab_topk", "n10_tfidf_top_terms", "n11_repetition_score",
     "n13_pii_redaction", "n14_source_mixing", "o08_stratified_sample",
-    "o09_set_ops", "p14_fillna_coalesce",
-    "s06_bucketed_colocated_join", "s07_partitioned_sink_pruning",
-    "s09_jsonl_scan", "t02_sliding_window", "t05_json_props",
-    "t10_date_parts", "w07_running_total", "w08_ntile_quartiles",
+    "o09_set_ops", "p14_fillna_coalesce", "s06_bucketed_colocated_join",
+    "s07_partitioned_sink_pruning", "s09_jsonl_scan", "t02_sliding_window",
+    "t05_json_props", "t10_date_parts", "w07_running_total",
+    "w08_ntile_quartiles",
     # last driver-green in r5
     "a13_collect_sorted_array", "d01_dedup_exact", "d02_dedup_minhash_lsh",
     "d03_ngram_jaccard_verify", "d04_simhash", "d05_dedup_components",
-    "d06_simhash_neardup", "e02_field_control",
-    "e03_field_control_season", "e04_corpus_curation",
-    "m06_decision_stump", "mm02_image_features",
-    "mm08_audio_spectral_features", "o10_weighted_sample", "r03_unpivot_long",
-    "s08_shuffled_shards", "s10_salted_skew_join",
+    "d06_simhash_neardup", "e02_field_control", "e03_field_control_season",
+    "e04_corpus_curation", "mm02_image_features",
+    "mm08_audio_spectral_features", "o10_weighted_sample",
+    "r03_unpivot_long", "s08_shuffled_shards", "s10_salted_skew_join",
     "t03_session_window", "t04_interevent_gap", "t06_asof_join",
     "t07_streaming_tumbling", "t08_streaming_sessionization",
     "t11_streaming_dedup", "t12_streaming_interval_join",
     "t13_asof_join_forward", "t14_time_weighted_avg", "t17_ewma_smoothing",
-    "v01_cosine_topk", "v02_srp_lsh_buckets", "v03_bucketed_cosine_neardup",
-    "v04_ivf_topk", "v05_kmeans_step", "v06_kmeans_two_steps",
-    "v07_int8_quantize", "v08_embedding_dedup_components",
+    "v01_cosine_topk", "v02_srp_lsh_buckets",
+    "v03_bucketed_cosine_neardup", "v05_kmeans_step",
+    "v06_kmeans_two_steps", "v07_int8_quantize",
+    "v08_embedding_dedup_components",
     # last driver-green in r6
     "a10_approx_count_distinct", "a15_kmv_distinct_sketch", "a16_cube_agg",
     "a17_count_min_sketch", "a18_bloom_filter_audit",
     "a19_tdigest_quantiles", "d07_cdc_compaction", "d08_scd2_history",
     "d10_incremental_agg_maintenance", "dq04_key_skew_profile",
-    "dq05_constraint_suite", "e05_embedding_index_pipeline", "f13_winsorize",
-    "g01_pagerank_neardup", "g02_label_propagation", "g03_hits_neardup",
-    "g04_triangle_count", "g05_kcore", "j10_anti_join",
-    "m01_rf_train_confusion", "m02_rf_predict_counts",
-    "m04_rf_feature_importances", "m05_random_split_counts",
-    "m07_rf_tree_stats", "m08_roc_auc", "m09_feature_hashing",
-    "mm07_jpeg_roundtrip_features", "mm09_mp4_container_metadata",
-    "mm10_mp4_sample_index", "n16_shingle_containment", "n17_segment_dedup",
-    "n18_lm_perplexity", "n19_benchmark_decontamination",
-    "s11_orc_sink_roundtrip", "s12_schema_evolution_scan",
-    "t15_funnel_analysis", "t16_streaming_cdc_compaction",
-    "t18_streaming_sliding", "t19_cohort_retention", "t20_gapfill_resample",
+    "dq05_constraint_suite", "f13_winsorize", "g01_pagerank_neardup",
+    "g02_label_propagation", "g03_hits_neardup", "g04_triangle_count",
+    "g05_kcore", "j10_anti_join", "m01_rf_train_confusion",
+    "m02_rf_predict_counts", "m04_rf_feature_importances",
+    "m05_random_split_counts", "m07_rf_tree_stats", "m08_roc_auc",
+    "m09_feature_hashing", "mm07_jpeg_roundtrip_features",
+    "mm09_mp4_container_metadata", "mm10_mp4_sample_index",
+    "n16_shingle_containment", "n17_segment_dedup", "n18_lm_perplexity",
+    "n19_benchmark_decontamination", "s11_orc_sink_roundtrip",
+    "s12_schema_evolution_scan", "t15_funnel_analysis",
+    "t16_streaming_cdc_compaction", "t18_streaming_sliding",
+    "t19_cohort_retention", "t20_gapfill_resample",
     "t21_streaming_stream_stream_join", "t23_cusum_changepoint",
-    "u04_python_udtf", "v09_product_quantization", "v10_ivfpq_topk",
-    "v11_ann_recall_audit", "v12_mmr_diversified_topk", "w09_rolling_mean",
+    "u04_python_udtf", "v09_product_quantization",
+    "v12_mmr_diversified_topk", "w09_rolling_mean",
     # last driver-green in r7
     "a01_grouped_sum", "a02_grouped_count_mean", "a03_grouped_mode",
     "a04_global_minmax", "a05_count_distinct", "a06_row_count",
     "a07_contingency_table", "a20_grouping_sets", "d09_merge_upsert",
-    "e06_streaming_pipeline", "j01_inner_join_1key", "j02_inner_join_2keys",
+    "j01_inner_join_1key", "j02_inner_join_2keys",
     "j03_selfjoin_anchor_attach", "j04_left_outer_join",
     "j05_crossjoin_grid", "j07_inner_join_merge",
-    "j08_semijoin_scalar_subquery", "m10_depth2_tree",
-    "mm11_mp4_sample_ranges", "mm12_fmp4_sample_ranges",
-    "mm13_exif_metadata", "n20_bpe_train", "n21_bpe_tokenize",
-    "n22_rag_chunking", "o01_sort_desc_topk", "o02_offset_limit",
-    "p01_project", "p02_drop_columns", "p03_rename",
-    "p04_computed_projection", "p05_filter_conjunctive", "p06_filter_inlist",
-    "p07_filter_or_chain", "p08_filter_between", "p09_filter_regex",
-    "p10_null_nan_filters", "p11_filter_modulo", "p12_case_multiway",
-    "p13_case_boolean_combo", "s01_csv_scan_inferred",
-    "s02_csv_multifile_union", "s04_generated_grid", "s13_python_datasource",
-    "t24_streaming_merge_sink", "w01_group_flag",
+    "j08_semijoin_scalar_subquery", "mm11_mp4_sample_ranges",
+    "mm12_fmp4_sample_ranges", "mm13_exif_metadata", "n20_bpe_train",
+    "n21_bpe_tokenize", "n22_rag_chunking", "o01_sort_desc_topk",
+    "o02_offset_limit", "p01_project", "p02_drop_columns", "p03_rename",
+    "p04_computed_projection", "p05_filter_conjunctive",
+    "p06_filter_inlist", "p07_filter_or_chain", "p08_filter_between",
+    "p09_filter_regex", "p10_null_nan_filters", "p11_filter_modulo",
+    "p12_case_multiway", "p13_case_boolean_combo", "s01_csv_scan_inferred",
+    "s02_csv_multifile_union", "s04_generated_grid", "w01_group_flag",
     "w02_group_broadcast_value", "w03_rownum_in_group",
     "w05_group_min_filter", "w06_normalize_by_group_max",
     "w10_offset_windows",
+    # last driver-green in r8
+    "a14_bool_aggs", "e01_distance_at_anchor",
+    "e05_embedding_index_pipeline", "e06_streaming_pipeline",
+    "f01_substring_cast", "f02_regex_replace_trim", "f03_regex_match",
+    "f04_string_concat", "f05_euclidean_distance",
+    "f06_velocity_decomposition", "f07_sigmoid", "f08_radius_cubic_clamp",
+    "f09_clamp_least", "f10_floor_mod_round", "f11_arithmetic_projections",
+    "j06_join_rowid", "m00_ml_feature_table", "m06_decision_stump",
+    "m07b_rf_var_used", "m10_depth2_tree", "m11_bagged_ensemble",
+    "mm01_media_metadata", "mm03_frame_sample", "mm04_resize_features",
+    "mm05_audio_roundtrip_features", "mm06_png_roundtrip_features",
+    "mm14_gif_roundtrip_features", "n01_token_stats", "n02_quality_score",
+    "n03_lang_id", "n08_source_quota", "o03_limit",
+    "o04_deterministic_sample", "o05_deterministic_split",
+    "o06_union_append", "o07_scalar_extraction", "r01_pivot_wide",
+    "r02_pivot_wide_multivalue", "s03_tsv_scan",
+    "s05_parquet_sink_roundtrip", "s13_python_datasource",
+    "s14_zorder_locality", "t24_streaming_merge_sink", "u01_groupby_apply",
+    "u02_transform_chain", "v04_ivf_topk", "v10_ivfpq_topk",
+    "v11_ann_recall_audit", "w04_global_rowid",
 ]
 
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: queries whose CODE changed in round 8 (ADVICE fixes to the
-# merge-snapshot swap, the fixed-width byte slicing, and the pivot
-# fill validation; trained-centroid IVF rewiring; mm06's 16-bit PNG
-# layout) — their prior driver green was earned by different code, so
-# they must be re-sampled even if the driver's prefix is shorter than
+# names: queries whose CODE changed in round 9 — their prior driver
+# green (or, for t25, prior red) was earned by different code, so they
+# must be re-sampled even if the driver's prefix is shorter than
 # expected.
 _FIRST = [
-    "s13_python_datasource",      # fixedwidth byte-slice read path
-    "t24_streaming_merge_sink",   # crash-safe snapshot swap
-    "e06_streaming_pipeline",     # shares the streaming pipeline graph
-    "r01_pivot_wide",             # pivot fill validation
-    "r02_pivot_wide_multivalue",
-    "mm06_png_roundtrip_features",  # 16-bit PNG layout rotation
-    "v04_ivf_topk",               # trained coarse centroids
-    "v10_ivfpq_topk",
-    "v11_ann_recall_audit",
-    "m06_decision_stump",         # memoized candidate-threshold path
-    "m10_depth2_tree",
-    "e05_embedding_index_pipeline",  # trained coarse quantizer
+    # VERDICT r8 item 1: last_us now a LONG emitted by the stateful op,
+    # timestamp materialized in-plan by F.timestamp_micros
+    "t25_stateful_running_stats",
+    "t25b_stateful_running_stats_us",   # new bisection twin (all-LONG)
 ]
 
 

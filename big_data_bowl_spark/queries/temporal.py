@@ -1505,13 +1505,72 @@ def t25_stateful_running_stats(spark: SparkSession, sf_dir: str):
     )
     sink = spark.table("t25_stats_sink")
     # the upsert step: per user keep the max-n_events emission
-    # (n_events strictly increases across a key's emissions)
+    # (n_events strictly increases across a key's emissions). The
+    # stateful op emits last_us as epoch-micros LONG; the timestamp is
+    # materialized HERE by Spark SQL (timestamp_micros), so the value
+    # on the oracle hash path is produced the same way as every other
+    # timestamp query — not by pandas→Arrow conversion in the worker.
     return (
         sink.groupBy("user_id")
         .agg(
             F.max_by(
-                F.struct("n_events", "n_high", "last_ts"), "n_events"
+                F.struct("n_events", "n_high", "last_us"), "n_events"
             ).alias("s")
         )
-        .select("user_id", "s.n_events", "s.n_high", "s.last_ts")
+        .select(
+            "user_id",
+            "s.n_events",
+            "s.n_high",
+            F.timestamp_micros(F.col("s.last_us")).alias("last_ts"),
+        )
+    )
+
+
+@register(
+    "t25b_stateful_running_stats_us",
+    oracle=f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS n_high,
+           epoch_us(MAX({_TS})) AS last_us
+    FROM events
+    GROUP BY user_id
+    """,
+    note="T25's bisection twin (VERDICT r8 item 1): identical "
+    "stateful fold but last_us stays a plain epoch-micros LONG end "
+    "to end — no timestamp anywhere on the hash path. If t25 ever "
+    "hash-mismatches again while t25b is green, the divergence is "
+    "in timestamp normalization; if both mismatch, it's the fold.",
+)
+def t25b_stateful_running_stats_us(spark: SparkSession, sf_dir: str):
+    from ..streaming.stateful import (
+        has_transform_with_state_runtime,
+        running_user_stats,
+        running_user_stats_legacy,
+    )
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "value"
+    )
+    op = (
+        running_user_stats
+        if has_transform_with_state_runtime()
+        else running_user_stats_legacy
+    )
+    run_to_memory(
+        op(stream),
+        "t25b_stats_sink",
+        output_mode="update" if op is running_user_stats else "append",
+        n_partitions=8,
+    )
+    sink = spark.table("t25b_stats_sink")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "n_high", "last_us"), "n_events"
+            ).alias("s")
+        )
+        .select("user_id", "s.n_events", "s.n_high", "s.last_us")
     )

@@ -281,11 +281,11 @@ def test_transform_with_state_running_stats(spark, sf_dir):
     )
     sink = spark.table("tws_stats")
     got = {
-        (r.user_id): (r.n_events, r.n_high, r.last_ts)
+        (r.user_id): (r.n_events, r.n_high, r.last_us)
         for r in sink.groupBy("user_id")
         .agg(
             F.max_by(
-                F.struct("n_events", "n_high", "last_ts"), "n_events"
+                F.struct("n_events", "n_high", "last_us"), "n_events"
             ).alias("s")
         )
         .select("user_id", "s.*")
@@ -300,7 +300,7 @@ def test_transform_with_state_running_stats(spark, sf_dir):
             F.sum(F.when(F.col("value") > 5.0, 1).otherwise(0))
             .cast("long")
             .alias("nh"),
-            F.max("ts").alias("mx"),
+            F.unix_micros(F.max("ts").cast("timestamp")).alias("mx"),
         )
         .collect()
     }
