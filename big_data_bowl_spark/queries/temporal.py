@@ -1484,6 +1484,7 @@ def t24_streaming_merge_sink(spark: SparkSession, sf_dir: str):
 def t25_stateful_running_stats(spark: SparkSession, sf_dir: str):
     from ..streaming.stateful import (
         has_transform_with_state_runtime,
+        rocksdb_state_provider,
         running_user_stats,
         running_user_stats_legacy,
     )
@@ -1497,12 +1498,22 @@ def t25_stateful_running_stats(spark: SparkSession, sf_dir: str):
         if has_transform_with_state_runtime()
         else running_user_stats_legacy
     )
-    run_to_memory(
-        op(stream),
-        "t25_stats_sink",
-        output_mode="update" if op is running_user_stats else "append",
-        n_partitions=8,
-    )
+    if op is running_user_stats:
+        # Spark-4 path: per-handle column families need RocksDB
+        with rocksdb_state_provider(spark):
+            run_to_memory(
+                op(stream),
+                "t25_stats_sink",
+                output_mode="update",
+                n_partitions=8,
+            )
+    else:
+        run_to_memory(
+            op(stream),
+            "t25_stats_sink",
+            output_mode="append",
+            n_partitions=8,
+        )
     sink = spark.table("t25_stats_sink")
     # the upsert step: per user keep the max-n_events emission
     # (n_events strictly increases across a key's emissions). The
@@ -1545,6 +1556,7 @@ def t25_stateful_running_stats(spark: SparkSession, sf_dir: str):
 def t25b_stateful_running_stats_us(spark: SparkSession, sf_dir: str):
     from ..streaming.stateful import (
         has_transform_with_state_runtime,
+        rocksdb_state_provider,
         running_user_stats,
         running_user_stats_legacy,
     )
@@ -1558,12 +1570,22 @@ def t25b_stateful_running_stats_us(spark: SparkSession, sf_dir: str):
         if has_transform_with_state_runtime()
         else running_user_stats_legacy
     )
-    run_to_memory(
-        op(stream),
-        "t25b_stats_sink",
-        output_mode="update" if op is running_user_stats else "append",
-        n_partitions=8,
-    )
+    if op is running_user_stats:
+        # Spark-4 path: per-handle column families need RocksDB
+        with rocksdb_state_provider(spark):
+            run_to_memory(
+                op(stream),
+                "t25b_stats_sink",
+                output_mode="update",
+                n_partitions=8,
+            )
+    else:
+        run_to_memory(
+            op(stream),
+            "t25b_stats_sink",
+            output_mode="append",
+            n_partitions=8,
+        )
     sink = spark.table("t25b_stats_sink")
     return (
         sink.groupBy("user_id")

@@ -432,3 +432,39 @@ def has_transform_with_state_runtime() -> bool:
         return True
     except ImportError:
         return False
+
+
+class rocksdb_state_provider:
+    """Context manager pinning the session's state-store provider to
+    RocksDB (bundled with Spark) for the duration of a streaming query
+    run, restoring the prior setting on exit.
+
+    transformWithStateInPandas keeps each named state handle in its own
+    COLUMN FAMILY, which the default HDFSBackedStateStoreProvider
+    rejects (UNSUPPORTED_FEATURE.STATE_STORE_MULTIPLE_COLUMN_FAMILIES)
+    — RocksDB is the documented provider for the Spark-4 stateful API.
+    The conf is read at query START, so wrapping the blocking
+    run-to-sink call is sufficient; queries on the legacy API are
+    unaffected either way.
+    """
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        self._old: str | None = None
+
+    def __enter__(self) -> "rocksdb_state_provider":
+        self._old = self._spark.conf.get(self._KEY, None)
+        self._spark.conf.set(self._KEY, self._ROCKSDB)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        if self._old is None:
+            self._spark.conf.unset(self._KEY)
+        else:
+            self._spark.conf.set(self._KEY, self._old)

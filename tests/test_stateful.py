@@ -273,12 +273,19 @@ def test_transform_with_state_running_stats(spark, sf_dir):
         run_to_memory,
     )
 
+    from big_data_bowl_spark.streaming.stateful import (
+        rocksdb_state_provider,
+    )
+
     stream = read_events_stream(spark, sf_dir).select(
         "user_id", "ts", "value"
     )
-    run_to_memory(
-        running_user_stats(stream), "tws_stats", output_mode="update"
-    )
+    # transformWithState stores each state handle in its own column
+    # family, which the default HDFS-backed provider does not support
+    with rocksdb_state_provider(spark):
+        run_to_memory(
+            running_user_stats(stream), "tws_stats", output_mode="update"
+        )
     sink = spark.table("tws_stats")
     got = {
         (r.user_id): (r.n_events, r.n_high, r.last_us)
