@@ -149,6 +149,13 @@ def _decode_netpbm(payload: bytes) -> "np.ndarray":
             payload, np.uint8, count=w * h * depth * 2, offset=pos
         ).astype(np.uint16)
         samples = (raw[0::2] << 8) | raw[1::2]
+        if int(samples.max(initial=0)) > maxval:
+            # the netpbm spec caps samples at maxval; scaling an
+            # out-of-range sample past 255 would wrap on the uint8 cast
+            raise ValueError(
+                f"netpbm sample {int(samples.max())} exceeds declared "
+                f"maxval {maxval}"
+            )
         scaled = np.rint(
             samples.astype(np.float64) * (255.0 / maxval)
         )
@@ -3081,10 +3088,16 @@ def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
             break
         if block == 0x21:  # extension: label + sub-blocks, skipped
             pos += 1
-            while payload[pos]:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF")
+                if not payload[pos]:
+                    break
                 pos += 1 + payload[pos]
             pos += 1
         elif block == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("truncated GIF")
             x0, y0, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
             if iflags & 0x80:
@@ -3099,11 +3112,19 @@ def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
                 raise NotImplementedError(
                     "partial-frame GIF images not supported"
                 )
+            if pos >= len(payload):
+                raise ValueError("truncated GIF")
             min_code = payload[pos]
             pos += 1
             data = bytearray()
-            while payload[pos]:
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF")
                 ln = payload[pos]
+                if not ln:
+                    break
+                if pos + 1 + ln > len(payload):
+                    raise ValueError("truncated GIF")
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1

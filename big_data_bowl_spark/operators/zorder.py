@@ -24,9 +24,15 @@ from pyspark.sql import functions as F
 
 def quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
     """Map a numeric column into [0, 2^bits) integer codes by linear
-    scaling over [lo, hi] (clamped). floor keeps the code a pure
-    function of the value — no data-dependent quantiles, so the code
-    of a row never depends on partitioning or on other rows."""
+    scaling over [lo, hi] (clamped), rounding half-up
+    (floor(scaled + 0.5)). The code is a pure function of the value —
+    no data-dependent quantiles, so the code of a row never depends on
+    partitioning or on other rows."""
+    if hi <= lo:
+        raise ValueError(
+            f"quantize needs lo < hi, got [{lo}, {hi}] — a degenerate "
+            "range would divide by zero and emit NaN/null codes"
+        )
     n = (1 << bits) - 1
     scaled = (col.cast("double") - lo) / (hi - lo) * n
     clamped = F.least(F.greatest(scaled, F.lit(0.0)), F.lit(float(n)))
@@ -34,6 +40,8 @@ def quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
 
 
 def quantize_sql(expr: str, lo: float, hi: float, bits: int) -> str:
+    if hi <= lo:
+        raise ValueError(f"quantize_sql needs lo < hi, got [{lo}, {hi}]")
     n = (1 << bits) - 1
     return (
         f"CAST(floor(least(greatest((CAST({expr} AS DOUBLE) - {lo}) "

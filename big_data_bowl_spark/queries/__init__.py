@@ -138,6 +138,20 @@ _FIRST = [
     # timestamp materialized in-plan by F.timestamp_micros
     "t25_stateful_running_stats",
     "t25b_stateful_running_stats_us",   # new bisection twin (all-LONG)
+    # ADVICE r8 fixes: zorder degenerate-range guard; threshold /
+    # centroid memo caches rekeyed on data fingerprint; media decode
+    # truncation/over-maxval guards (error paths, values unchanged)
+    "s14_zorder_locality",
+    "m06_decision_stump",
+    "m10_depth2_tree",
+    "m11_bagged_ensemble",
+    "v04_ivf_topk",
+    "v10_ivfpq_topk",
+    "v11_ann_recall_audit",
+    "e05_embedding_index_pipeline",
+    "mm02_image_features",
+    "mm04_resize_features",
+    "mm14_gif_roundtrip_features",
 ]
 
 

@@ -102,3 +102,31 @@ def scratch_dir() -> str:
     )
     os.makedirs(scratch, exist_ok=True)
     return scratch
+
+
+def data_fingerprint(sf_dir: str, table: str) -> tuple:
+    """(path, size, mtime_ns) fingerprint of a testdata table, for
+    keying process-lifetime memo caches of trained model parameters
+    (m06/m10/m11 thresholds, the IVF coarse quantizer). Keying on the
+    fingerprint instead of the bare sf_dir means regenerating the data
+    at the same path in-process invalidates the memo instead of
+    silently serving stale parameters (ADVICE r8). Handles both
+    single-file `<table>.parquet` and directory layouts."""
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = [
+                os.path.join(path, f)
+                for f in sorted(os.listdir(path))
+                if not f.startswith((".", "_"))
+            ]
+        else:
+            parts = [path]
+        sig = tuple(
+            (os.path.getsize(p), os.stat(p).st_mtime_ns) for p in parts
+        )
+    except OSError:
+        sig = ()
+    return (path, sig)

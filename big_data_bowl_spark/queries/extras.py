@@ -19,7 +19,15 @@ import os
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from .base import dsum, dsum_sql, register, rhu, scratch_dir, t
+from .base import (
+    data_fingerprint,
+    dsum,
+    dsum_sql,
+    register,
+    rhu,
+    scratch_dir,
+    t,
+)
 
 # ---------------------------------------------------------------------------
 # F9: clamp via least/greatest (Field Control.R:284-287 as its own row)
@@ -120,7 +128,7 @@ _COS = (
 from .vectors import _dot  # noqa: E402,F401
 
 
-_CENT_CACHE: dict[str, list] = {}
+_CENT_CACHE: dict[tuple, list] = {}
 
 
 def _trained_centroids(spark: "SparkSession", e, sf_dir: str) -> "DataFrame":
@@ -136,9 +144,12 @@ def _trained_centroids(spark: "SparkSession", e, sf_dir: str) -> "DataFrame":
     which downstream broadcasts exactly like any small dim table."""
     from .vectors import _spark_lloyd_step
 
-    if sf_dir in _CENT_CACHE:
+    # memo key includes the parquet fingerprint so regenerating the
+    # data at the same path invalidates the cache (ADVICE r8)
+    key = data_fingerprint(sf_dir, "embeddings")
+    if key in _CENT_CACHE:
         return spark.createDataFrame(
-            _CENT_CACHE[sf_dir], "cid long, kv array<double>"
+            _CENT_CACHE[key], "cid long, kv array<double>"
         )
 
     vec = F.col("embedding").cast("array<double>")
@@ -161,7 +172,7 @@ def _trained_centroids(spark: "SparkSession", e, sf_dir: str) -> "DataFrame":
         _spark_lloyd_step(corp, regroup(_spark_lloyd_step(corp, seed)))
     )
     rows = [(int(r["cid"]), [float(x) for x in r["kv"]]) for r in cent.collect()]
-    _CENT_CACHE[sf_dir] = rows
+    _CENT_CACHE[key] = rows
     return spark.createDataFrame(rows, "cid long, kv array<double>")
 
 

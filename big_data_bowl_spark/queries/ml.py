@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hex_threshold, md5_sql
 from ..ml.coverage import confusion_matrix, feature_importances, train_eval
 from ..operators.sample import deterministic_split
-from .base import dsum, dsum_sql, register, t
+from .base import data_fingerprint, dsum, dsum_sql, register, t
 
 FEATURE_COLS = ["n_lines", "sum_qty", "sum_price", "max_disc", "n_parts"]
 
@@ -247,7 +247,7 @@ STUMP_FEATURES = ("l_quantity", "l_discount", "l_extendedprice")
 STUMP_QS = (0.25, 0.5, 0.75)
 
 
-_TH_CACHE: dict[str, list] = {}
+_TH_CACHE: dict[tuple, list] = {}
 
 
 def _collect_thresholds(li, sf_dir: str | None = None) -> list:
@@ -260,8 +260,11 @@ def _collect_thresholds(li, sf_dir: str | None = None) -> list:
     when given (the _fitted precedent: the exact-percentile object
     aggregate is the single most expensive scan the tree family runs,
     and every tree trainer shares the same 9 candidates)."""
-    if sf_dir is not None and sf_dir in _TH_CACHE:
-        return _TH_CACHE[sf_dir]
+    # memo key includes the parquet fingerprint so regenerating the
+    # data at the same path invalidates the cache (ADVICE r8)
+    key = data_fingerprint(sf_dir, "lineitem") if sf_dir else None
+    if key is not None and key in _TH_CACHE:
+        return _TH_CACHE[key]
     qrow = li.agg(
         *[
             F.expr(
@@ -271,8 +274,8 @@ def _collect_thresholds(li, sf_dir: str | None = None) -> list:
         ]
     ).collect()[0]
     out = [(f, float(v)) for f in STUMP_FEATURES for v in qrow[f]]
-    if sf_dir is not None:
-        _TH_CACHE[sf_dir] = out
+    if key is not None:
+        _TH_CACHE[key] = out
     return out
 
 

@@ -110,7 +110,18 @@ def control_frames(
         sub = pdf[pdf[frame_col] == fid]
         mat = sub.pivot(index="grid_y", columns="grid_x", values=value_col)
         mat = mat.sort_index().sort_index(axis=1)
-        arr = np.rint(mat.to_numpy(dtype=float) * 255.0)
+        arr = mat.to_numpy(dtype=float)
+        if np.isnan(arr).any():
+            # a sparse grid leaves NaN holes after the pivot, and
+            # clip(NaN).astype(uint8) is an undefined-behavior cast —
+            # refuse rather than render platform-dependent pixels
+            raise ValueError(
+                f"frame {fid}: control surface is missing "
+                f"{int(np.isnan(arr).sum())} (grid_x, grid_y) cells; "
+                "densify the grid (cross-join the full grid) before "
+                "rendering"
+            )
+        arr = np.rint(arr * 255.0)
         frames.append(np.clip(arr, 0, 255).astype(np.uint8)[::-1])
     return frames
 

@@ -1357,3 +1357,75 @@ def test_save_table_html_sink(spark, sf_dir, tmp_path):
         assert f"<th>{c}</th>" in doc
     assert "returnflag &lt;&amp;&gt; linestatus" in doc
     assert doc.count("<tr>") == agg.count() + 1
+
+
+def test_netpbm_sample_above_maxval_raises():
+    """ADVICE r8: a 16-bit netpbm sample above the declared maxval must
+    raise instead of scaling past 255 and wrapping on the uint8 cast."""
+    import struct
+
+    import pytest
+
+    # maxval 1000, one sample at 4000 (legal wire encoding, illegal value)
+    p5 = b"P5\n1 1\n1000\n" + struct.pack(">H", 4000)
+    with pytest.raises(ValueError, match="exceeds declared maxval"):
+        decode_payload(p5, "pgm", 1, 1)
+
+
+def test_truncated_gif_raises_value_error():
+    """ADVICE r8: truncation anywhere in the block stream must surface
+    as the documented ValueError, not an IndexError."""
+    import numpy as np
+    import pytest
+
+    from big_data_bowl_spark.multimodal.media import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    frame = (np.arange(16, dtype=np.uint8) * 3).reshape(4, 4)
+    full = encode_gif([frame, frame.T.copy()])
+    # sweep EVERY cut point in the block stream past the header/global
+    # color table: each must either raise the documented ValueError or
+    # (at a block boundary) return a clean partial decode — never an
+    # IndexError / struct.error
+    raised = 0
+    for cut in range(13, len(full)):
+        try:
+            decode_gif_frames(full[:cut])
+        except ValueError:
+            raised += 1
+        except NotImplementedError:
+            pass  # cut inside a flags byte can mimic an unsupported mode
+    assert raised > 50  # most interior cuts are mid-structure
+
+
+def test_zorder_quantize_degenerate_range_raises(spark):
+    """ADVICE r8: quantize on an empty [lo, hi] range must refuse
+    rather than divide by zero into NaN/null codes."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.zorder import quantize, quantize_sql
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        quantize(F.col("x"), 5.0, 5.0, 8)
+    with pytest.raises(ValueError, match="lo < hi"):
+        quantize_sql("x", 7.0, 3.0, 8)
+
+
+def test_control_frames_sparse_grid_raises(spark):
+    """ADVICE r8: a control surface missing grid cells must raise in
+    control_frames instead of casting NaN to uint8 garbage."""
+    import pytest
+
+    from big_data_bowl_spark.sinks.viz import control_frames
+
+    df = spark.createDataFrame(
+        # 2x2 grid with one missing cell -> NaN after the pandas pivot
+        [(1, 0, 0, 0.5), (1, 0, 1, 0.25), (1, 1, 0, 1.0)],
+        "frame_id int, grid_x int, grid_y int, control double",
+    )
+    with pytest.raises(ValueError, match="missing"):
+        control_frames(df)
