@@ -1,0 +1,83 @@
+"""Grouped fixed-width histograms — the density-estimation step of the
+reference's ridgeline plot (all coverages.R:355-362: per-coverage EPA
+densities over epa in (-2, 2)) as engine-side DATA.
+
+geom_density_ridges is a kernel-density render of a per-group value
+distribution; the distributed-engine analogue is a (group, bin) count
+table: one filter + one hash aggregate, a single shuffle of
+(group, bin)-sized partials — at 100 TB the map-side combine reduces
+each partition to at most n_groups x nbins rows before anything moves.
+The sink (sinks/viz.py save_ridgeline_html) draws the small result.
+
+Bin arithmetic is floor((v - lo) / width) with width = (hi - lo) /
+nbins inlined as one double literal, so Spark and DuckDB compute
+bit-identical bin ids (same IEEE ops, same literals) and counts are
+integers — the oracle is exact, no rounding policy needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def grouped_histogram(
+    df: DataFrame,
+    group_col: str,
+    value: Column,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """(group, bin_idx, bin_lo, bin_hi, n) for values STRICTLY inside
+    (lo, hi) — the reference filters epa > -2 AND epa < 2 with strict
+    bounds (all coverages.R:356-357), so boundary values drop rather
+    than landing in an edge bin. bin_idx = floor((v - lo) / width)."""
+    if hi <= lo:
+        raise ValueError(f"grouped_histogram needs lo < hi, got [{lo}, {hi}]")
+    if nbins < 1:
+        raise ValueError(f"nbins must be >= 1, got {nbins}")
+    width = (hi - lo) / nbins
+    v = value.cast("double")
+    bin_idx = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    return (
+        df.filter((v > lo) & (v < hi))
+        .groupBy(F.col(group_col).alias("grp"), bin_idx.alias("bin_idx"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "grp",
+            "bin_idx",
+            (F.lit(lo) + F.col("bin_idx") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin_idx") + 1) * F.lit(width)).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+    )
+
+
+def grouped_histogram_sql(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> str:
+    """The DuckDB mirror: identical literals, identical IEEE bin
+    arithmetic, integer counts — exact."""
+    width = (hi - lo) / nbins
+    return f"""
+    SELECT {group_expr} AS grp,
+           CAST(floor((CAST({value_expr} AS DOUBLE) - {lo!r}) / {width!r})
+                AS BIGINT) AS bin_idx,
+           {lo!r} + CAST(floor((CAST({value_expr} AS DOUBLE) - {lo!r})
+                / {width!r}) AS BIGINT) * {width!r} AS bin_lo,
+           {lo!r} + (CAST(floor((CAST({value_expr} AS DOUBLE) - {lo!r})
+                / {width!r}) AS BIGINT) + 1) * {width!r} AS bin_hi,
+           COUNT(*) AS n
+    FROM {table}
+    WHERE CAST({value_expr} AS DOUBLE) > {lo!r}
+      AND CAST({value_expr} AS DOUBLE) < {hi!r}
+    GROUP BY 1, 2
+    """

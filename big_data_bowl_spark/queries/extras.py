@@ -3032,3 +3032,40 @@ def s14_zorder_locality(spark: SparkSession, sf_dir: str):
         .alias("n_rows_scanned"),
         F.sum("n_match").cast("long").alias("n_rows_matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A21: grouped fixed-width histogram — the ridgeline plot's density
+# table (all coverages.R:355-362) as engine-side data
+# ---------------------------------------------------------------------------
+
+from ..operators.histogram import (  # noqa: E402
+    grouped_histogram,
+    grouped_histogram_sql,
+)
+
+_HIST_LO, _HIST_HI, _HIST_NBINS = 0.0, 100.0, 40
+
+
+@register(
+    "a21_grouped_histogram",
+    oracle=grouped_histogram_sql(
+        "events", "event_type", "value", _HIST_LO, _HIST_HI, _HIST_NBINS
+    ),
+    note="A21 grouped fixed-width histogram (operators/histogram.py) — "
+    "the density-estimation step of the reference's EPA ridgeline "
+    "(all coverages.R:355-362, epa strictly inside (-2, 2) binned per "
+    "coverage) on the star schema: events.value strictly inside "
+    "(0, 100) in 40 bins per event_type. One filter + one hash "
+    "aggregate; map-side combine caps the shuffle at groups x bins "
+    "rows per partition, so the wire cost is constant in table size. "
+    "Bin ids are floor((v-lo)/width) with the same double literals in "
+    "both engines — integer counts, exact oracle. Feeds "
+    "sinks/viz.py save_ridgeline_html (the geom_density_ridges "
+    "analogue, self-contained SVG/HTML).",
+)
+def a21_grouped_histogram(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events")
+    return grouped_histogram(
+        ev, "event_type", F.col("value"), _HIST_LO, _HIST_HI, _HIST_NBINS
+    )

@@ -201,3 +201,285 @@ def save_table_html(
     with open(path, "w", encoding="utf-8") as f:
         f.write(doc)
     return path
+
+
+# ---------------------------------------------------------------------------
+# The animated PLAY plot (Tutorial.R:71-122): players as team-colored
+# markers with jersey numbers over a rendered field, one GIF frame per
+# tracking frame. Pure numpy raster + the repo's GIF89a encoder — no
+# matplotlib/gganimate.
+# ---------------------------------------------------------------------------
+
+# 3x5 bitmap digits for jersey numbers (rows top->bottom, 3 bits/row)
+_DIGIT_3X5 = {
+    "0": (0b111, 0b101, 0b101, 0b101, 0b111),
+    "1": (0b010, 0b110, 0b010, 0b010, 0b111),
+    "2": (0b111, 0b001, 0b111, 0b100, 0b111),
+    "3": (0b111, 0b001, 0b111, 0b001, 0b111),
+    "4": (0b101, 0b101, 0b111, 0b001, 0b001),
+    "5": (0b111, 0b100, 0b111, 0b001, 0b111),
+    "6": (0b111, 0b100, 0b111, 0b101, 0b111),
+    "7": (0b111, 0b001, 0b010, 0b010, 0b010),
+    "8": (0b111, 0b101, 0b111, 0b101, 0b111),
+    "9": (0b111, 0b101, 0b111, 0b001, 0b111),
+}
+
+# palette indices for the field raster
+_FIELD_BG = 0      # green turf
+_FIELD_LINE = 1    # white lines / jersey text
+_TEAM_IDX = {"home": 2, "away": 3, "football": 4}
+
+_FIELD_W_YD = 160.0 / 3.0   # 53.333... (x across, reference y)
+_FIELD_L_YD = 120.0          # (y along, reference x)
+_HASH_XS = (0.0, 23.36667, 29.96667, 160.0 / 3.0)  # Tutorial.R:66
+
+
+def field_palette():
+    """256-entry RGB palette for play rasters: turf green, line white,
+    home red, away blue, football brown; the rest grey."""
+    import numpy as np
+
+    pal = np.full((256, 3), 128, dtype=np.uint8)
+    pal[_FIELD_BG] = (0, 121, 52)
+    pal[_FIELD_LINE] = (255, 255, 255)
+    pal[_TEAM_IDX["home"]] = (213, 0, 50)
+    pal[_TEAM_IDX["away"]] = (0, 83, 155)
+    pal[_TEAM_IDX["football"]] = (101, 67, 33)
+    return pal
+
+
+def _field_raster(px_per_yard: int):
+    """The static field background: turf, sidelines/goal-line border,
+    yard lines every 5 yards from y=10..110, inbound hash ticks on
+    every non-multiple-of-5 yard (Tutorial.R:65-86, sans text labels).
+    Row 0 is the TOP of the rendered image (y = 120 end zone)."""
+    import numpy as np
+
+    w = int(round(_FIELD_W_YD * px_per_yard)) + 1
+    h = int(round(_FIELD_L_YD * px_per_yard)) + 1
+    img = np.full((h, w), _FIELD_BG, dtype=np.uint8)
+
+    def row(y_yd: float) -> int:
+        # flip: image row 0 = field y max
+        return h - 1 - int(round(y_yd * px_per_yard))
+
+    def col(x_yd: float) -> int:
+        return int(round(x_yd * px_per_yard))
+
+    img[0, :] = _FIELD_LINE
+    img[-1, :] = _FIELD_LINE
+    img[:, 0] = _FIELD_LINE
+    img[:, -1] = _FIELD_LINE
+    for y in range(10, 111, 5):          # yard lines
+        img[row(float(y)), :] = _FIELD_LINE
+    for y in range(10, 111):             # hash ticks
+        if y % 5 == 0:
+            continue
+        r = row(float(y))
+        for hx in _HASH_XS:
+            c = col(hx)
+            lo = max(0, c - (1 if hx > _FIELD_W_YD / 2 else 0))
+            hi = min(w, c + (2 if hx < _FIELD_W_YD / 2 else 1))
+            img[r, lo:hi] = _FIELD_LINE
+    return img
+
+
+def _disk_offsets(radius: int):
+    import numpy as np
+
+    dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    m = dy * dy + dx * dx <= radius * radius
+    return dy[m], dx[m]
+
+
+def _stamp_digits(img, r: int, c: int, text: str) -> None:
+    """Write `text` (digits only) centered at (r, c) in line-white
+    using the 3x5 bitmap font (1px letter spacing)."""
+    glyphs = [_DIGIT_3X5[ch] for ch in text if ch in _DIGIT_3X5]
+    if not glyphs:
+        return
+    total_w = 4 * len(glyphs) - 1
+    top, left = r - 2, c - total_w // 2
+    h, w = img.shape
+    for gi, rows in enumerate(glyphs):
+        for rr in range(5):
+            for cc in range(3):
+                if rows[rr] >> (2 - cc) & 1:
+                    y, x = top + rr, left + gi * 4 + cc
+                    if 0 <= y < h and 0 <= x < w:
+                        img[y, x] = _FIELD_LINE
+
+
+def play_frames(
+    tracking_df: DataFrame,
+    frame_col: str = "frame_id",
+    x_col: str = "px",
+    y_col: str = "py",
+    team_col: str = "team",
+    jersey_col: str | None = None,
+    px_per_yard: int = 4,
+):
+    """Rasterize a play's tracking rows into per-frame uint8 index
+    images: the reference's geom_point players (team fill, Tutorial.R:
+    110-116) + geom_text jersey numbers (:118-119) over the drawn
+    field. The engine-side contract: tracking_df is ONE play (tens of
+    players x tens of frames) — collection is guarded; the raster work
+    is driver-side numpy on that small result."""
+    import numpy as np
+
+    cols = [frame_col, x_col, y_col, team_col]
+    if jersey_col is not None:
+        cols.append(jersey_col)
+    pdf = collect_for_viz(tracking_df.select(*cols))
+    if pdf[[x_col, y_col]].isna().any().any():
+        raise ValueError("tracking rows with null coordinates")
+    base = _field_raster(px_per_yard)
+    h, w = base.shape
+    r_player = max(2, px_per_yard + 1)
+    dy, dx = _disk_offsets(r_player)
+    frames = []
+    for fid in sorted(pdf[frame_col].unique()):
+        sub = pdf[pdf[frame_col] == fid]
+        img = base.copy()
+        for row_ in sub.itertuples(index=False):
+            d = row_._asdict()
+            team = str(d[team_col])
+            idx = _TEAM_IDX.get(team, _TEAM_IDX["home"])
+            # reference orientation: horizontal = field width (y),
+            # vertical = field length (x), row 0 at the top
+            c = int(round(float(d[y_col]) * px_per_yard))
+            r = h - 1 - int(round(float(d[x_col]) * px_per_yard))
+            yy = np.clip(r + dy, 0, h - 1)
+            xx = np.clip(c + dx, 0, w - 1)
+            img[yy, xx] = idx
+            if jersey_col is not None and team != "football":
+                jn = d[jersey_col]
+                if jn is not None:
+                    _stamp_digits(img, r, c, str(int(jn)))
+        frames.append(img)
+    return frames
+
+
+def animate_play(
+    tracking_df: DataFrame,
+    path: str,
+    frame_col: str = "frame_id",
+    x_col: str = "px",
+    y_col: str = "py",
+    team_col: str = "team",
+    jersey_col: str | None = None,
+    px_per_yard: int = 4,
+    delay_cs: int = 10,
+) -> str:
+    """The reference's animated play plot (Tutorial.R:71-122:
+    transition_time(frameId) over geom_point players + jersey text on
+    the drawn field) as a self-contained GIF89a via the repo's own
+    encoder. Same collection guard and palette discipline as
+    animate_control_surfaces."""
+    from ..multimodal.media import encode_gif
+
+    frames = play_frames(
+        tracking_df, frame_col, x_col, y_col, team_col, jersey_col,
+        px_per_yard,
+    )
+    if not frames:
+        raise ValueError("no frames to animate")
+    payload = encode_gif(frames, palette=field_palette(), delay_cs=delay_cs)
+    with open(path, "wb") as f:
+        f.write(payload)
+    return path
+
+
+def save_ridgeline_html(
+    bins_df: DataFrame,
+    path: str,
+    group_col: str = "grp",
+    bin_lo_col: str = "bin_lo",
+    bin_hi_col: str = "bin_hi",
+    count_col: str = "n",
+    title: str | None = None,
+    width: int = 720,
+    row_h: int = 46,
+    overlap: float = 0.6,
+) -> str:
+    """The geom_density_ridges analogue (all coverages.R:355-371):
+    per-group value histograms rendered as stacked SVG area ridges in
+    a self-contained HTML file — pure stdlib, no matplotlib. The
+    DENSITY ESTIMATION is engine-side data (operators/histogram.py
+    grouped_histogram -> a (group, bin, count) table, oracle-checked
+    as a21); this sink only scales and draws the small bins table.
+    Groups are ordered by total count descending (the reference orders
+    by play volume); a zero vertical gridline marks x = 0 when it is
+    in range, mirroring the reference's geom_vline."""
+    import html as _html
+
+    pdf = collect_for_viz(
+        bins_df.select(group_col, bin_lo_col, bin_hi_col, count_col)
+    )
+    if len(pdf) == 0:
+        raise ValueError("empty bins table")
+    lo = float(pdf[bin_lo_col].min())
+    hi = float(pdf[bin_hi_col].max())
+    span = hi - lo or 1.0
+    groups = (
+        pdf.groupby(group_col)[count_col]
+        .sum()
+        .sort_values(ascending=False)
+        .index.tolist()
+    )
+    pad_l, pad_r, pad_t = 110, 20, 30
+    plot_w = width - pad_l - pad_r
+    ridge_h = row_h * (1.0 + overlap)
+    height = pad_t + row_h * len(groups) + 20
+    palette = ("#5B8DEF", "#E2615E", "#57B894", "#C786E0",
+               "#E5A54B", "#6FC2D0", "#97A0AF")
+
+    def sx(v: float) -> float:
+        return pad_l + (v - lo) / span * plot_w
+
+    parts = []
+    for gi, g in enumerate(groups):
+        sub = pdf[pdf[group_col] == g].sort_values(bin_lo_col)
+        peak = float(sub[count_col].max()) or 1.0
+        base_y = pad_t + row_h * (gi + 1)
+        pts = [f"{sx(lo):.1f},{base_y:.1f}"]
+        for b in sub.itertuples(index=False):
+            d = b._asdict()
+            cx = sx((float(d[bin_lo_col]) + float(d[bin_hi_col])) / 2.0)
+            cy = base_y - float(d[count_col]) / peak * ridge_h
+            pts.append(f"{cx:.1f},{cy:.1f}")
+        pts.append(f"{sx(hi):.1f},{base_y:.1f}")
+        color = palette[gi % len(palette)]
+        parts.append(
+            f'<polygon points="{" ".join(pts)}" fill="{color}" '
+            f'fill-opacity="0.65" stroke="{color}"/>'
+            f'<text x="{pad_l - 8}" y="{base_y - 4}" text-anchor="end" '
+            f'font-size="12">{_html.escape(str(g))}</text>'
+        )
+    if lo <= 0.0 <= hi:
+        zx = sx(0.0)
+        parts.append(
+            f'<line x1="{zx:.1f}" y1="{pad_t}" x2="{zx:.1f}" '
+            f'y2="{height - 18}" stroke="#111" stroke-width="1"/>'
+        )
+    ticks = 5
+    for i in range(ticks + 1):
+        v = lo + span * i / ticks
+        parts.append(
+            f'<text x="{sx(v):.1f}" y="{height - 4}" text-anchor="middle" '
+            f'font-size="11">{v:.2g}</text>'
+        )
+    cap = (
+        f'<text x="{pad_l}" y="18" font-size="14" font-weight="600">'
+        f"{_html.escape(title)}</text>" if title else ""
+    )
+    doc = (
+        "<!DOCTYPE html><html><head><meta charset='utf-8'></head><body>"
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" font-family="system-ui,sans-serif">{cap}'
+        + "".join(parts)
+        + "</svg></body></html>"
+    )
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(doc)
+    return path

@@ -1429,3 +1429,99 @@ def test_control_frames_sparse_grid_raises(spark):
     )
     with pytest.raises(ValueError, match="missing"):
         control_frames(df)
+
+
+def test_animate_play_sink(spark, sf_dir, tmp_path):
+    """The animated play-plot sink (Tutorial.R:71-122): E2's derived
+    players advanced along their velocity over 4 synthetic frames ->
+    GIF with field furniture, team-colored markers, jersey digits."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.multimodal.media import decode_gif_frames
+    from big_data_bowl_spark.queries.pipelines import _players
+    from big_data_bowl_spark.plans.e2_control import attach_kinematics
+    from big_data_bowl_spark.sinks.viz import (
+        _FIELD_BG,
+        _FIELD_LINE,
+        _TEAM_IDX,
+        animate_play,
+        field_palette,
+    )
+
+    kin = _players(spark, sf_dir).transform(attach_kinematics).limit(8)
+    frames_ix = spark.range(4).select(F.col("id").alias("frame_id"))
+    tracking = kin.crossJoin(F.broadcast(frames_ix)).select(
+        "frame_id",
+        # clamp the projected path to the field so markers stay visible
+        F.least(
+            F.greatest(F.col("px") + F.col("v_x") * 0.1 * F.col("frame_id"),
+                       F.lit(0.0)), F.lit(120.0)
+        ).alias("px"),
+        F.least(
+            F.greatest(F.col("py") + F.col("v_y") * 0.1 * F.col("frame_id"),
+                       F.lit(0.0)), F.lit(160.0 / 3.0)
+        ).alias("py"),
+        "team",
+        (F.col("player_id") % 100).alias("jersey"),
+    )
+    path = animate_play(
+        tracking, str(tmp_path / "play.gif"), jersey_col="jersey"
+    )
+    frames, pal = decode_gif_frames(open(path, "rb").read())
+    assert len(frames) == 4
+    assert (pal == field_palette()).all()
+    f0 = frames[0]
+    # field furniture present: turf majority, line pixels, both teams
+    assert (f0 == _FIELD_BG).mean() > 0.5
+    assert (f0 == _FIELD_LINE).sum() > 100
+    teams = {r.team for r in tracking.select("team").distinct().collect()}
+    for tname in teams:
+        assert (f0 == _TEAM_IDX[tname]).sum() > 10, tname
+    # players moved: some frame differs from frame 0
+    assert any(not np.array_equal(f0, f) for f in frames[1:])
+
+
+def test_animate_play_rejects_null_coords(spark, tmp_path):
+    import pytest
+
+    from big_data_bowl_spark.sinks.viz import animate_play
+
+    df = spark.createDataFrame(
+        [(0, None, 10.0, "home")],
+        "frame_id int, px double, py double, team string",
+    )
+    with pytest.raises(ValueError, match="null coordinates"):
+        animate_play(df, str(tmp_path / "x.gif"))
+
+
+def test_save_ridgeline_html_sink(spark, sf_dir, tmp_path):
+    """The geom_density_ridges analogue: a21's oracle-checked bins
+    table -> stacked SVG ridges, one polygon + label per group, x-zero
+    line only when 0 is inside the range."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sinks.viz import save_ridgeline_html
+
+    bins = REGISTRY["a21_grouped_histogram"].fn(spark, sf_dir)
+    path = save_ridgeline_html(
+        bins, str(tmp_path / "ridges.html"), title="value ridge"
+    )
+    doc = open(path, encoding="utf-8").read()
+    assert doc.startswith("<!DOCTYPE html>")
+    n_groups = bins.select("grp").distinct().count()
+    assert doc.count("<polygon") == n_groups
+    for r in bins.select("grp").distinct().collect():
+        assert f">{r.grp}</text>" in doc
+    assert "value ridge" in doc
+
+
+def test_save_ridgeline_empty_bins_raises(spark, tmp_path):
+    import pytest
+
+    from big_data_bowl_spark.sinks.viz import save_ridgeline_html
+
+    empty = spark.createDataFrame(
+        [], "grp string, bin_lo double, bin_hi double, n long"
+    )
+    with pytest.raises(ValueError, match="empty bins"):
+        save_ridgeline_html(empty, str(tmp_path / "r.html"))
