@@ -250,7 +250,9 @@ STUMP_QS = (0.25, 0.5, 0.75)
 _TH_CACHE: dict[tuple, list] = {}
 
 
-def _collect_thresholds(li, sf_dir: str | None = None) -> list:
+def _collect_thresholds(
+    li, sf_dir: str | None = None, approx: bool = False
+) -> list:
     """Phase 1 of m06/m10/m11 — candidate thresholds: ONE
     percentile-array aggregate per feature (each feature's values
     buffer once, not once per quantile), then collect the 9 scalars.
@@ -259,17 +261,29 @@ def _collect_thresholds(li, sf_dir: str | None = None) -> list:
     later phases run with LITERAL thresholds. Memoized per sf_dir
     when given (the _fitted precedent: the exact-percentile object
     aggregate is the single most expensive scan the tree family runs,
-    and every tree trainer shares the same 9 candidates)."""
+    and every tree trainer shares the same 9 candidates).
+
+    ``approx=True`` is the PRODUCTION-SCALE path (BASELINE.md): exact
+    `percentile` buffers every value of the feature per aggregation
+    state — O(rows) memory, fine at bench scale, wrong at 100 TB —
+    while `percentile_approx` folds a bounded ~O(accuracy) sketch
+    (Greenwald-Khanna) that merges map-side. Split CANDIDATES only
+    need to be reasonable cut points, not exact order statistics, so
+    the tree contract is unchanged; the exact spelling stays the
+    registered default solely for DuckDB oracle bit-parity."""
     # memo key includes the parquet fingerprint so regenerating the
     # data at the same path invalidates the cache (ADVICE r8)
-    key = data_fingerprint(sf_dir, "lineitem") if sf_dir else None
+    key = (
+        (data_fingerprint(sf_dir, "lineitem"), approx) if sf_dir else None
+    )
     if key is not None and key in _TH_CACHE:
         return _TH_CACHE[key]
+    fn = "percentile_approx" if approx else "percentile"
+    qs = ", ".join(str(q) for q in STUMP_QS)
+    extra = ", 10000" if approx else ""
     qrow = li.agg(
         *[
-            F.expr(
-                f"percentile({f}, array({', '.join(str(q) for q in STUMP_QS)}))"
-            ).alias(f)
+            F.expr(f"{fn}({f}, array({qs}){extra})").alias(f)
             for f in STUMP_FEATURES
         ]
     ).collect()[0]
@@ -1265,8 +1279,24 @@ def _ensemble_oracle() -> str:
     "scans total at any data size.",
 )
 def m11_bagged_ensemble(spark, sf_dir):
+    return _bagged_ensemble_impl(spark, sf_dir, approx=False)
+
+
+def bagged_ensemble_approx(spark, sf_dir):
+    """The documented production-scale variant of m11 (VERDICT r8
+    item 7, BASELINE.md): identical trainer, but split candidates come
+    from `percentile_approx` (bounded-memory mergeable sketch) instead
+    of exact `percentile` (O(rows) aggregation buffer). Not registered
+    as a driver query — approx thresholds are engine-specific so no
+    bit-parity oracle exists — but pytest proves the TREE CONTRACT
+    (schema, OOB row conservation, per-class actual totals, majority
+    rule) equal to the exact path on the fixture."""
+    return _bagged_ensemble_impl(spark, sf_dir, approx=True)
+
+
+def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
     li = t(spark, sf_dir, "lineitem")
-    thresholds = _collect_thresholds(li, sf_dir)
+    thresholds = _collect_thresholds(li, sf_dir, approx=approx)
     th_hex = hex_threshold(BAG_FRACTION, BAG_DIGITS)
 
     from ..functions.hashing import md5_of

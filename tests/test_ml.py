@@ -372,3 +372,42 @@ def test_m07b_var_used_parse_consistency(spark, sf_dir):
     assert all(sums[t] == internal[t] for t in sums)
     assert all(internal[t] >= 1 for t in internal)
     assert totals.most_common(1)[0][0] == "sum_qty"
+
+
+def test_m11_approx_thresholds_same_tree_contract(spark, sf_dir):
+    """VERDICT r8 item 7: the percentile_approx candidate scan (the
+    production-scale swap documented in BASELINE.md) is executed code
+    with the SAME tree contract as the exact path — identical schema,
+    conserved OOB rows, identical per-class actual totals (labels
+    don't depend on thresholds), and the majority rule holding on
+    every cell. Bit-parity of the cells is NOT asserted (approx
+    thresholds may legitimately shift splits)."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.ml import (
+        T_TREES,
+        bagged_ensemble_approx,
+    )
+
+    exact = REGISTRY["m11_bagged_ensemble"].fn(spark, sf_dir)
+    approx = bagged_ensemble_approx(spark, sf_dir)
+    assert approx.schema == exact.schema
+
+    er = exact.collect()
+    ar = approx.collect()
+    assert ar, "approx path returned no cells"
+    # OOB row conservation: every lineitem row OOB for >=1 tree is
+    # counted exactly once in both histograms
+    assert sum(r.n_rows for r in ar) == sum(r.n_rows for r in er)
+    # actual class totals are threshold-independent
+    def by_actual(rows):
+        out = {}
+        for r in rows:
+            out[r.actual] = out.get(r.actual, 0) + r.n_rows
+        return out
+
+    assert by_actual(ar) == by_actual(er)
+    for r in ar:
+        assert 1 <= r.n_oob <= T_TREES
+        assert 0 <= r.votes_r <= r.n_oob
+        want = "R" if 2 * r.votes_r >= r.n_oob else "N"
+        assert r.predicted == want
