@@ -115,6 +115,11 @@ HEADLINE = [
     "m07b_rf_var_used",
     # animated GIF round-trip (LZW in mapInPandas; the viz-sink codec)
     "mm14_gif_roundtrip_features",
+    # round-8 addition folded in in round 9: z-order layout + pruning
+    "s14_zorder_locality",
+    # round-9 additions: all-LONG stateful twin, grouped histogram
+    "t25b_stateful_running_stats_us",
+    "a21_grouped_histogram",
 ]
 
 
