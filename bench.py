@@ -118,8 +118,10 @@ HEADLINE = [
     # round-8 addition folded in in round 9: z-order layout + pruning
     "s14_zorder_locality",
     # round-9 additions: all-LONG stateful twin, grouped histogram
+    # (batch + streaming)
     "t25b_stateful_running_stats_us",
     "a21_grouped_histogram",
+    "t26_streaming_histogram",
 ]
 
 

@@ -20,6 +20,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# shared defaults for the registered a21 (batch) / t26 (streaming)
+# histogram queries — same literals in both engines' bin arithmetic
+HIST_LO, HIST_HI, HIST_NBINS = 0.0, 100.0, 40
+
+
+def bin_exprs(value: Column, lo: float, hi: float, nbins: int):
+    """(strict-range predicate, bin_idx LONG, bin_lo, bin_hi) column
+    pieces shared by the batch and streaming histogram spellings."""
+    width = (hi - lo) / nbins
+    v = value.cast("double")
+    keep = (v > lo) & (v < hi)
+    bin_idx = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    bin_lo = F.lit(lo) + F.col("bin_idx") * F.lit(width)
+    bin_hi = F.lit(lo) + (F.col("bin_idx") + 1) * F.lit(width)
+    return keep, bin_idx, bin_lo, bin_hi
+
 
 def grouped_histogram(
     df: DataFrame,
@@ -37,20 +53,16 @@ def grouped_histogram(
         raise ValueError(f"grouped_histogram needs lo < hi, got [{lo}, {hi}]")
     if nbins < 1:
         raise ValueError(f"nbins must be >= 1, got {nbins}")
-    width = (hi - lo) / nbins
-    v = value.cast("double")
-    bin_idx = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
+    keep, bin_idx, bin_lo, bin_hi = bin_exprs(value, lo, hi, nbins)
     return (
-        df.filter((v > lo) & (v < hi))
+        df.filter(keep)
         .groupBy(F.col(group_col).alias("grp"), bin_idx.alias("bin_idx"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "grp",
             "bin_idx",
-            (F.lit(lo) + F.col("bin_idx") * F.lit(width)).alias("bin_lo"),
-            (F.lit(lo) + (F.col("bin_idx") + 1) * F.lit(width)).alias(
-                "bin_hi"
-            ),
+            bin_lo.alias("bin_lo"),
+            bin_hi.alias("bin_hi"),
             "n",
         )
     )

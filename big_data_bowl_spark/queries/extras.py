@@ -3044,7 +3044,11 @@ from ..operators.histogram import (  # noqa: E402
     grouped_histogram_sql,
 )
 
-_HIST_LO, _HIST_HI, _HIST_NBINS = 0.0, 100.0, 40
+from ..operators.histogram import (  # noqa: E402
+    HIST_LO as _HIST_LO,
+    HIST_HI as _HIST_HI,
+    HIST_NBINS as _HIST_NBINS,
+)
 
 
 @register(

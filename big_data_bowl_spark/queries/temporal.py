@@ -1596,3 +1596,45 @@ def t25b_stateful_running_stats_us(spark: SparkSession, sf_dir: str):
         )
         .select("user_id", "s.n_events", "s.n_high", "s.last_us")
     )
+
+
+@register(
+    "t26_streaming_histogram",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '6 hours', {_TS}) AS window_start,
+           event_type AS grp,
+           CAST(floor((CAST(value AS DOUBLE) - 0.0) / 2.5) AS BIGINT)
+             AS bin_idx,
+           0.0 + CAST(floor((CAST(value AS DOUBLE) - 0.0) / 2.5)
+                AS BIGINT) * 2.5 AS bin_lo,
+           0.0 + (CAST(floor((CAST(value AS DOUBLE) - 0.0) / 2.5)
+                AS BIGINT) + 1) * 2.5 AS bin_hi,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(value AS DOUBLE) > 0.0 AND CAST(value AS DOUBLE) < 100.0
+    GROUP BY 1, 2, 3
+    """,
+    note="T26 streaming grouped histogram (streaming/windows.py "
+    "windowed_histogram): a21's density table computed incrementally "
+    "per 6h event-time window — the live distribution monitor of a "
+    "training-data feed (dq03 drift detection's streaming face). "
+    "State is bounded at windows-in-watermark x groups x bins counts "
+    "no matter the input rate; complete-mode drain over the bounded "
+    "backfill hash-matches the batch GROUP BY exactly (bin width 2.5 "
+    "= (100-0)/40 inlined identically in both engines).",
+)
+def t26_streaming_histogram(spark: SparkSession, sf_dir: str):
+    from ..streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        windowed_histogram,
+    )
+
+    stream = windowed_histogram(read_events_stream(spark, sf_dir))
+    run_to_memory(
+        stream,
+        "t26_streaming_histogram_sink",
+        output_mode="complete",
+        n_partitions=8,
+    )
+    return spark.table("t26_streaming_histogram_sink")

@@ -241,3 +241,52 @@ def click_purchase_join(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def windowed_histogram(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "2 hours",
+    lo: float | None = None,
+    hi: float | None = None,
+    nbins: int | None = None,
+) -> DataFrame:
+    """Streaming grouped fixed-width histogram: the incremental twin of
+    operators/histogram.py grouped_histogram, keyed on (event-time
+    window, event_type, bin). The live distribution monitor of a
+    training-data feed — drift in a feature's histogram is the
+    canonical data-quality trigger (dq03's streaming face).
+
+    State is one count per (window, group, bin) — bounded by
+    n_windows_in_watermark x groups x nbins regardless of input rate;
+    the watermark evicts finalized windows.
+    """
+    from ..operators.histogram import (
+        HIST_HI,
+        HIST_LO,
+        HIST_NBINS,
+        bin_exprs,
+    )
+
+    lo = HIST_LO if lo is None else lo
+    hi = HIST_HI if hi is None else hi
+    nbins = HIST_NBINS if nbins is None else nbins
+    keep, bin_idx, bin_lo, bin_hi = bin_exprs(F.col("value"), lo, hi, nbins)
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(keep)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("event_type").alias("grp"),
+            bin_idx.alias("bin_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "grp",
+            "bin_idx",
+            bin_lo.alias("bin_lo"),
+            bin_hi.alias("bin_hi"),
+            "n",
+        )
+    )

@@ -271,3 +271,52 @@ def test_merge_sink_crash_recovery_states(spark, tmp_path):
     os.makedirs(path + ".tmp")
     _recover_snapshot(path)
     assert not os.path.isdir(path + ".tmp")
+
+
+def test_stream_matches_batch_histogram(spark, sf_dir):
+    """t26's operator: the streaming windowed histogram drained in
+    complete mode equals the batch window x group x bin GROUP BY, and
+    per-window bin counts sum to the strict-range row count."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.histogram import (
+        HIST_HI,
+        HIST_LO,
+        bin_exprs,
+    )
+    from big_data_bowl_spark.sources.io import load_table
+    from big_data_bowl_spark.streaming.windows import windowed_histogram
+
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        windowed_histogram(stream), "stream_hist", output_mode="complete"
+    )
+    canon3 = lambda rows: sorted(  # noqa: E731
+        (r.window_start, r.grp, r.bin_idx, r.bin_lo, r.bin_hi, r.n)
+        for r in rows
+    )
+    got = canon3(spark.table("stream_hist").collect())
+
+    ev = load_table(spark, sf_dir, "events")
+    keep, bin_idx, bin_lo, bin_hi = bin_exprs(
+        F.col("value"), HIST_LO, HIST_HI, 40
+    )
+    want = canon3(
+        ev.filter(keep)
+        .groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            F.col("event_type").alias("grp"),
+            bin_idx.alias("bin_idx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "grp", "bin_idx",
+            bin_lo.alias("bin_lo"), bin_hi.alias("bin_hi"), "n",
+        )
+        .collect()
+    )
+    assert got == want and got
+    v = F.col("value").cast("double")
+    n_in_range = ev.filter((v > HIST_LO) & (v < HIST_HI)).count()
+    assert sum(r[-1] for r in got) == n_in_range
