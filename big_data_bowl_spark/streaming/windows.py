@@ -44,15 +44,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # io.py contract
     # footer-only read: resolves the schema as actually stored, no scan
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source requires a DIRECTORY; select just the events
-    # file(s) within it via glob filter (works for single-file layouts
-    # like the testdata and for real events/ partition directories)
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # the file source requires a DIRECTORY. Two physical layouts exist:
+    # the driver testdata's single FILE `events.parquet` (stream the
+    # parent dir with a glob selecting that file) and a real lake's
+    # DIRECTORY `events.parquet/part-*.parquet` (stream the directory
+    # itself — a glob on the parent would match the directory name but
+    # never its part files, silently yielding 0 rows; the 10x probe
+    # lake caught exactly that in round 9).
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if os.path.isdir(path):
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(
+            sf_dir
+        )
     return normalize_event_ts(raw)
 
 

@@ -54,6 +54,11 @@ PIPELINES = [
     "m10_depth2_tree",
     "n21_bpe_tokenize",
     "g03_hits_neardup",
+    # round-9 additions: batch + streaming histogram (constant-size
+    # shuffle claim), z-order layout (write-path repartitionByRange)
+    "a21_grouped_histogram",
+    "t26_streaming_histogram",
+    "s14_zorder_locality",
 ]
 
 
