@@ -122,6 +122,7 @@ HEADLINE = [
     "t25b_stateful_running_stats_us",
     "a21_grouped_histogram",
     "t26_streaming_histogram",
+    "dq06_k_anonymity",
 ]
 
 

@@ -3073,3 +3073,61 @@ def a21_grouped_histogram(spark: SparkSession, sf_dir: str):
     return grouped_histogram(
         ev, "event_type", F.col("value"), _HIST_LO, _HIST_HI, _HIST_NBINS
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ6: k-anonymity / l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+LDIV_L = 2
+
+
+@register(
+    "dq06_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+           COUNT(*) AS class_size,
+           COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                               ELSE 'nonneg' END) AS l_diversity,
+           CAST(COUNT(*) >= {KANON_K} AS BOOLEAN) AS is_k_anonymous,
+           CAST(COUNT(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                    ELSE 'nonneg' END) >= {LDIV_L}
+                AS BOOLEAN) AS is_l_diverse
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    note="DQ6 k-anonymity / l-diversity privacy audit (Sweeney 2002; "
+    "Machanavajjhala 2007) — the re-identification-risk gate a "
+    "training pipeline runs before releasing person-derived rows: "
+    "every quasi-identifier equivalence class (nationkey x "
+    f"mktsegment) with its size (k>={KANON_K} anonymous) and the "
+    "diversity of a sensitive attribute inside it (account-balance "
+    f"sign, l>={LDIV_L} diverse — a class whose members ALL share "
+    "the sensitive value leaks it even when k-anonymous). ONE hash "
+    "aggregate; the output is bounded by QI-domain cardinality "
+    "(nations x segments), not row count, so auditing 100 TB "
+    "returns the same ~125 rows. Suppression/generalization is one "
+    "join against the is_k_anonymous=false classes.",
+)
+def dq06_k_anonymity(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer")
+    sensitive = F.when(F.col("c_acctbal") < 0, "neg").otherwise("nonneg")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sensitive).alias("l_diversity"),
+        )
+        .select(
+            "nationkey",
+            "mktsegment",
+            "class_size",
+            "l_diversity",
+            (F.col("class_size") >= KANON_K).alias("is_k_anonymous"),
+            (F.col("l_diversity") >= LDIV_L).alias("is_l_diverse"),
+        )
+    )

@@ -1472,3 +1472,20 @@ def test_zorder_writer_prunes_both_dims(spark, sf_dir, tmp_path):
 
     z_rows, l_rows = rows_scanned(zpath), rows_scanned(lpath)
     assert 0 < z_rows < l_rows, (z_rows, l_rows)
+
+
+def test_dq06_kanon_classes_cover_table(spark, sf_dir):
+    """dq06's equivalence classes must partition the customer table:
+    class sizes sum to the row count, l_diversity is within [1, 2],
+    and flags agree with the thresholds."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import KANON_K, LDIV_L
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = REGISTRY["dq06_k_anonymity"].fn(spark, sf_dir).collect()
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.class_size for r in rows) == n_customers
+    for r in rows:
+        assert 1 <= r.l_diversity <= 2
+        assert r.is_k_anonymous == (r.class_size >= KANON_K)
+        assert r.is_l_diverse == (r.l_diversity >= LDIV_L)
