@@ -149,8 +149,11 @@ _FIRST = [
     "v10_ivfpq_topk",
     "v11_ann_recall_audit",
     "e05_embedding_index_pipeline",
-    "mm02_image_features",
-    "mm04_resize_features",
+    # media decode guards also touched mm02/mm04 (netpbm clamp) — those
+    # two are NOT hoisted: the change is error-path-only, both were
+    # re-verified in this round's local full gate, and their slots keep
+    # the r4 cohort fully inside the ~50-slot prefix. mm14 stays hoisted
+    # as the representative for the GIF truncation guards.
     "mm14_gif_roundtrip_features",
 ]
 
