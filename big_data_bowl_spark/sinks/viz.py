@@ -222,6 +222,8 @@ _DIGIT_3X5 = {
     "7": (0b111, 0b001, 0b010, 0b010, 0b010),
     "8": (0b111, 0b101, 0b111, 0b101, 0b111),
     "9": (0b111, 0b101, 0b111, 0b001, 0b111),
+    # goal-line label (Tutorial.R:90 "G")
+    "G": (0b111, 0b100, 0b101, 0b101, 0b111),
 }
 
 # palette indices for the field raster
@@ -251,7 +253,8 @@ def field_palette():
 def _field_raster(px_per_yard: int):
     """The static field background: turf, sidelines/goal-line border,
     yard lines every 5 yards from y=10..110, inbound hash ticks on
-    every non-multiple-of-5 yard (Tutorial.R:65-86, sans text labels).
+    every non-multiple-of-5 yard, and rotated G/10..50..10/G yard
+    labels at hash.left and its mirror (Tutorial.R:65-93).
     Row 0 is the TOP of the rendered image (y = 120 end zone)."""
     import numpy as np
 
@@ -281,7 +284,43 @@ def _field_raster(px_per_yard: int):
             lo = max(0, c - (1 if hx > _FIELD_W_YD / 2 else 0))
             hi = min(w, c + (2 if hx < _FIELD_W_YD / 2 else 1))
             img[r, lo:hi] = _FIELD_LINE
+    # rotated yard-number labels at hash.left=12 / mirror
+    # (Tutorial.R:88-93: G, 10..50..10, G; angle 270 left, 90 right)
+    labels = ["G"] + [str(v) for v in (10, 20, 30, 40, 50,
+                                       40, 30, 20, 10)] + ["G"]
+    for y, text in zip(range(10, 111, 10), labels):
+        bm = _text_bitmap(text)
+        r = row(float(y))
+        _blit(img, np.rot90(bm, k=3), r, col(12.0))
+        _blit(img, np.rot90(bm, k=1), r, col(_FIELD_W_YD - 12.0))
     return img
+
+
+def _text_bitmap(text: str):
+    """(5, 4*len-1) bool bitmap of `text` in the 3x5 font."""
+    import numpy as np
+
+    glyphs = [_DIGIT_3X5[ch] for ch in text if ch in _DIGIT_3X5]
+    out = np.zeros((5, max(1, 4 * len(glyphs) - 1)), dtype=bool)
+    for gi, rows in enumerate(glyphs):
+        for rr in range(5):
+            for cc in range(3):
+                if rows[rr] >> (2 - cc) & 1:
+                    out[rr, gi * 4 + cc] = True
+    return out
+
+
+def _blit(img, bitmap, r: int, c: int) -> None:
+    """Stamp a bool bitmap centered at (r, c) in line-white, clipped."""
+    h, w = img.shape
+    bh, bw = bitmap.shape
+    top, left = r - bh // 2, c - bw // 2
+    for rr in range(bh):
+        for cc in range(bw):
+            if bitmap[rr, cc]:
+                y, x = top + rr, left + cc
+                if 0 <= y < h and 0 <= x < w:
+                    img[y, x] = _FIELD_LINE
 
 
 def _disk_offsets(radius: int):
@@ -295,19 +334,7 @@ def _disk_offsets(radius: int):
 def _stamp_digits(img, r: int, c: int, text: str) -> None:
     """Write `text` (digits only) centered at (r, c) in line-white
     using the 3x5 bitmap font (1px letter spacing)."""
-    glyphs = [_DIGIT_3X5[ch] for ch in text if ch in _DIGIT_3X5]
-    if not glyphs:
-        return
-    total_w = 4 * len(glyphs) - 1
-    top, left = r - 2, c - total_w // 2
-    h, w = img.shape
-    for gi, rows in enumerate(glyphs):
-        for rr in range(5):
-            for cc in range(3):
-                if rows[rr] >> (2 - cc) & 1:
-                    y, x = top + rr, left + gi * 4 + cc
-                    if 0 <= y < h and 0 <= x < w:
-                        img[y, x] = _FIELD_LINE
+    _blit(img, _text_bitmap(text), r, c)
 
 
 def play_frames(
