@@ -123,6 +123,7 @@ HEADLINE = [
     "a21_grouped_histogram",
     "t26_streaming_histogram",
     "dq06_k_anonymity",
+    "mm15_image_dhash_neardup",
 ]
 
 

@@ -3139,3 +3139,43 @@ def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
     if palette is None:
         raise NotImplementedError("GIF without global color table")
     return frames, palette
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """56-bit difference hash (dHash) per image — the perceptual
+    fingerprint behind image near-dup detection (public pHash/dHash
+    family; the image analogue of d04's SimHash for text).
+
+    Sample an 8x8 pixel grid by nearest neighbor (the same integer
+    coordinate arithmetic as resize_images, so it is closed-form and
+    DuckDB-mirrorable), then bit (r, c) = [p(r, c+1) > p(r, c)] over
+    the 7 horizontal comparisons of each of the 8 rows — 56 bits,
+    safely inside a signed 64-bit LONG in both engines. Robust to
+    re-encoding and brightness scaling (comparisons are ordinal), the
+    property that makes it a DEDUP key where an md5 of the bytes is
+    not. mapInPandas iterator form: payloads never return to the JVM,
+    only (media_id, dhash LONG).
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = decode_payload(
+                    r.payload, r.format, r.width, r.height
+                ).astype(np.int64)
+                ys = (np.arange(8) * r.height // 8).astype(int)
+                xs = (np.arange(8) * r.width // 8).astype(int)
+                g = img[np.ix_(ys, xs)]
+                h = 0
+                for rr in range(8):
+                    for cc in range(7):
+                        if g[rr, cc + 1] > g[rr, cc]:
+                            h |= 1 << (rr * 7 + cc)
+                out.append((r.media_id, h))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(batches, schema="media_id long, dhash long")

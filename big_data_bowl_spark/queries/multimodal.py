@@ -1158,3 +1158,119 @@ def mm14_gif_roundtrip_features(spark, sf_dir):
         schema="media_id long, n_frames long, n_pixels long, "
         "mean_intensity double, max_intensity long",
     )
+
+
+# ---------------------------------------------------------------------------
+# MM15: image perceptual-hash (dHash) near-dup pairs
+# ---------------------------------------------------------------------------
+
+IMG_HAM_K = 6    # near-dup if hamming(dhash) <= 6
+IMG_BANDS = 7    # 7 bands x 8 bits: k < bands -> pigeonhole guarantee
+_IMG_BAND_BITS = 8
+
+# closed-form dhash in DuckDB: the fake codec's tiled-byte pixel list
+# (mm02's formula) sampled on the same 8x8 nearest-neighbor grid with
+# identical integer arithmetic; << on BIGINT keeps all 56 bits exact.
+_DHASH_SQL = f"""
+  WITH m AS ({_MEDIA_SQL}),
+  hx AS (
+    SELECT media_id, width, height, octet_length(payload) AS n_bytes,
+           lower(hex(payload)) AS h
+    FROM m WHERE media_type = 'image'
+  ),
+  px AS (
+    SELECT media_id, width, height,
+           list_transform(
+             range(0, width * height),
+             i -> (strpos('0123456789abcdef',
+                     substr(h, CAST(2 * (i % n_bytes) + 1 AS BIGINT), 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                     substr(h, CAST(2 * (i % n_bytes) + 2 AS BIGINT), 1)) - 1)
+           ) AS pixels
+    FROM hx
+  ),
+  dh AS (
+    SELECT media_id,
+           list_sum(list_transform(range(0, 56), b ->
+             CASE WHEN pixels[CAST(((b // 7) * height // 8) * width
+                       + ((b % 7 + 1) * width // 8) + 1 AS BIGINT)]
+                     > pixels[CAST(((b // 7) * height // 8) * width
+                       + ((b % 7) * width // 8) + 1 AS BIGINT)]
+                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END)) AS dhash
+    FROM px
+  )
+"""
+
+
+@register(
+    "mm15_image_dhash_neardup",
+    oracle=_DHASH_SQL
+    + f"""
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+           bit_count(xor(a.dhash, b.dhash)) AS hamming
+    FROM dh a JOIN dh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {IMG_HAM_K}
+    """,
+    note="MM15 image near-dup via 56-bit dHash (multimodal/media.py "
+    "image_dhash): the perceptual fingerprint that catches re-encoded "
+    "/ brightness-shifted duplicates an exact byte hash misses — the "
+    "image face of d06's SimHash dedup. Decode + hash ride ONE "
+    "Arrow-batched mapInPandas pass (payloads never reach the JVM); "
+    f"candidates come from {IMG_BANDS} 8-bit pigeonhole bands "
+    f"(hamming <= {IMG_HAM_K} < {IMG_BANDS} bands guarantees an exact "
+    "band match) with the same bucket-local i<j pair emission as "
+    "d02/d06 — O(sum bucket^2), never all-pairs — then exact "
+    "bit_count(xor) verification on candidates only. The oracle "
+    "recomputes every hash closed-form from the generative pixel "
+    "formula and brute-forces the pairs, so the banding path is "
+    "proven to MISS NOTHING at test scale.",
+)
+def mm15_image_dhash_neardup(spark, sf_dir):
+    from ..multimodal.media import image_dhash
+
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    dh = image_dhash(media)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("dhash"), b * _IMG_BAND_BITS)
+                .bitwiseAND(F.lit((1 << _IMG_BAND_BITS) - 1))
+                .alias("bkey"),
+            )
+            for b in range(IMG_BANDS)
+        ]
+    )
+    banded = dh.select(
+        "media_id", "dhash", F.explode(band_structs).alias("b")
+    ).select("media_id", "dhash", "b.band", "b.bkey")
+    buckets = (
+        banded.groupBy("band", "bkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("media_id", "dhash"))
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    pairs = buckets.select(
+        F.posexplode("xs").alias("pos", "a"), "xs"
+    ).select(
+        "a",
+        F.explode(
+            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
+        ).alias("b"),
+    )
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        pairs.select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= IMG_HAM_K)
+        .distinct()
+    )

@@ -1525,3 +1525,35 @@ def test_save_ridgeline_empty_bins_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="empty bins"):
         save_ridgeline_html(empty, str(tmp_path / "r.html"))
+
+
+def test_image_dhash_brightness_invariant_and_neardup(spark):
+    """mm15's operator properties: dHash is invariant under monotone
+    brightness change (ordinal comparisons), and a small perturbation
+    moves only a few bits — while a structurally different image moves
+    many."""
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import image_dhash
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 180, size=(8, 16), dtype=np.uint8)
+    brighter = (base + 60).astype(np.uint8)          # monotone, no clip
+    tweaked = base.copy()
+    tweaked[3, 5] = np.uint8(min(179, int(tweaked[3, 5]) + 4))
+    different = rng.randint(0, 180, size=(8, 16), dtype=np.uint8)
+
+    rows = [
+        (i, "image", "fake", 16, 8, 1, bytearray(a.tobytes()))
+        for i, a in enumerate((base, brighter, tweaked, different))
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, format string, width int, "
+        "height int, n_frames int, payload binary",
+    )
+    got = {r.media_id: r.dhash for r in image_dhash(media).collect()}
+    assert got[0] == got[1], "monotone brightness must not change dHash"
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert 0 <= ham(got[0], got[2]) <= 6
+    assert ham(got[0], got[3]) > 6
