@@ -371,7 +371,14 @@ def play_frames(
         for row_ in sub.itertuples(index=False):
             d = row_._asdict()
             team = str(d[team_col])
-            idx = _TEAM_IDX.get(team, _TEAM_IDX["home"])
+            if team not in _TEAM_IDX:
+                # an unexpected team silently rendered in home colors
+                # would misattribute every marker — refuse instead
+                raise ValueError(
+                    f"unknown team {team!r}; expected one of "
+                    f"{sorted(_TEAM_IDX)}"
+                )
+            idx = _TEAM_IDX[team]
             # reference orientation: horizontal = field width (y),
             # vertical = field length (x), row 0 at the top
             c = int(round(float(d[y_col]) * px_per_yard))
@@ -381,7 +388,8 @@ def play_frames(
             img[yy, xx] = idx
             if jersey_col is not None and team != "football":
                 jn = d[jersey_col]
-                if jn is not None:
+                # null jerseys arrive as None OR pandas NaN — skip both
+                if jn is not None and jn == jn:
                     _stamp_digits(img, r, c, str(int(jn)))
         frames.append(img)
     return frames
