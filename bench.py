@@ -124,6 +124,7 @@ HEADLINE = [
     "t26_streaming_histogram",
     "dq06_k_anonymity",
     "mm15_image_dhash_neardup",
+    "mm16_video_frame_neardup",
 ]
 
 

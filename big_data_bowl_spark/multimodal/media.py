@@ -3158,24 +3158,75 @@ def image_dhash(media: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples(index=False):
+                img = decode_payload(r.payload, r.format, r.width, r.height)
+                out.append((r.media_id, _dhash56(img)))
+            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(batches, schema="media_id long, dhash long")
+
+
+def _dhash56(img) -> int:
+    """56-bit dHash of a (h, w) uint8 raster: 8x8 nearest-neighbor
+    grid, bit (r, c) = [g(r, c+1) > g(r, c)] over 7 comparisons x 8
+    rows. Shared by image_dhash and video_frame_dhashes."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.int64)
+    h_px, w_px = img.shape
+    ys = (np.arange(8) * h_px // 8).astype(int)
+    xs = (np.arange(8) * w_px // 8).astype(int)
+    g = img[np.ix_(ys, xs)]
+    h = 0
+    for rr in range(8):
+        for cc in range(7):
+            if g[rr, cc + 1] > g[rr, cc]:
+                h |= 1 << (rr * 7 + cc)
+    return h
+
+
+def video_frame_dhashes(media: DataFrame) -> DataFrame:
+    """Per-frame 56-bit dHash for video rows: slice each payload into
+    its frames with EXACTLY mm03's arithmetic (frame_len =
+    max(n_bytes // n_frames, 1); trailing empty frames skipped), tile
+    each frame's bytes into the declared (height, width) raster (the
+    fake codec's layout), and fingerprint every frame. The emitted
+    (media_id, frame_idx, fhash) table is the video dedup index:
+    near-dup videos are found by exact-matching frame fingerprints —
+    the frame-sampling + per-frame-hash shape real video dedup runs,
+    with the decoder swapped at the documented codec seam. One
+    Arrow-batched mapInPandas pass; payloads never reach the JVM."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
         for pdf in it:
             out = []
             for r in pdf.itertuples(index=False):
-                img = decode_payload(
-                    r.payload, r.format, r.width, r.height
-                ).astype(np.int64)
-                ys = (np.arange(8) * r.height // 8).astype(int)
-                xs = (np.arange(8) * r.width // 8).astype(int)
-                g = img[np.ix_(ys, xs)]
-                h = 0
-                for rr in range(8):
-                    for cc in range(7):
-                        if g[rr, cc + 1] > g[rr, cc]:
-                            h |= 1 << (rr * 7 + cc)
-                out.append((r.media_id, h))
-            yield pd.DataFrame(out, columns=["media_id", "dhash"])
+                payload = bytes(r.payload)
+                n = len(payload)
+                if r.n_frames <= 0:
+                    continue
+                frame_len = max(n // r.n_frames, 1)
+                for k in range(r.n_frames):
+                    fb = payload[k * frame_len : (k + 1) * frame_len]
+                    if not fb:
+                        continue
+                    buf = np.frombuffer(fb, np.uint8)
+                    idx = (
+                        np.arange(r.width * r.height) % len(fb)
+                    )
+                    img = buf[idx].reshape(r.height, r.width)
+                    out.append((r.media_id, k, _dhash56(img)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "fhash"]
+            )
 
-    return media.mapInPandas(batches, schema="media_id long, dhash long")
+    return media.mapInPandas(
+        batches, schema="media_id long, frame_idx long, fhash long"
+    )

@@ -1274,3 +1274,141 @@ def mm15_image_dhash_neardup(spark, sf_dir):
         .filter(F.col("hamming") <= IMG_HAM_K)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# MM16: video near-dup via frame-fingerprint containment
+# ---------------------------------------------------------------------------
+
+VID_CONTAIN_MIN = 0.5   # near-dup if >= half the smaller video's
+#                         distinct (non-blank) frame hashes are shared
+
+# per-frame dhash, closed-form: mm03's frame slicing + mm15's tiled
+# pixel formula + the 56-bit comparison sum, all in DuckDB arithmetic
+_VID_DHASH_SQL = f"""
+  WITH m AS ({_MEDIA_SQL}),
+  v AS (
+    SELECT media_id, width, height, n_frames,
+           octet_length(payload) AS n, lower(hex(payload)) AS h
+    FROM m WHERE media_type = 'video' AND n_frames > 0
+  ),
+  fr AS (
+    SELECT media_id, width, height, n, h,
+           greatest(n // n_frames, 1) AS frame_len,
+           unnest(range(0, n_frames)) AS k
+    FROM v
+  ),
+  fb AS (
+    SELECT media_id, width, height, h, k,
+           k * frame_len AS off,
+           least(frame_len, greatest(n - k * frame_len, 0)) AS fb_len
+    FROM fr
+  ),
+  px AS (
+    SELECT media_id, k, width, height,
+           list_transform(
+             range(0, width * height),
+             i -> (strpos('0123456789abcdef',
+                     substr(h, CAST(2 * (off + i % fb_len) + 1
+                       AS BIGINT), 1)) - 1) * 16
+                + (strpos('0123456789abcdef',
+                     substr(h, CAST(2 * (off + i % fb_len) + 2
+                       AS BIGINT), 1)) - 1)
+           ) AS pixels
+    FROM fb WHERE fb_len > 0
+  ),
+  dh AS (
+    SELECT media_id, k,
+           list_sum(list_transform(range(0, 56), b ->
+             CASE WHEN pixels[CAST(((b // 7) * height // 8) * width
+                       + ((b % 7 + 1) * width // 8) + 1 AS BIGINT)]
+                     > pixels[CAST(((b // 7) * height // 8) * width
+                       + ((b % 7) * width // 8) + 1 AS BIGINT)]
+                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END)) AS fhash
+    FROM px
+  )
+"""
+
+
+@register(
+    "mm16_video_frame_neardup",
+    oracle=_VID_DHASH_SQL
+    + f"""
+    , hs AS (SELECT DISTINCT media_id, fhash FROM dh WHERE fhash <> 0),
+    sizes AS (SELECT media_id, COUNT(*) AS n_hashes FROM hs GROUP BY 1),
+    shared AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b, COUNT(*) AS n_shared
+      FROM hs a JOIN hs b ON a.fhash = b.fhash AND a.media_id < b.media_id
+      GROUP BY 1, 2)
+    SELECT s.id_a, s.id_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(s.n_shared AS DOUBLE)
+             / least(sa.n_hashes, sb.n_hashes) AS containment
+    FROM shared s
+    JOIN sizes sa ON s.id_a = sa.media_id
+    JOIN sizes sb ON s.id_b = sb.media_id
+    WHERE CAST(s.n_shared AS DOUBLE)
+            / least(sa.n_hashes, sb.n_hashes) >= {VID_CONTAIN_MIN!r}
+    """,
+    note="MM16 video near-dup via frame-fingerprint containment — the "
+    "frame-sampling + per-frame-hash + set-overlap shape production "
+    "video dedup runs: every frame is dHashed in the same "
+    "Arrow-batched mapInPandas pass that slices it (multimodal/"
+    "media.py video_frame_dhashes, mm03's exact slice arithmetic), "
+    "BLANK frames (fhash 0 — flat rasters with no ordinal signal) "
+    "are excluded like real systems drop black frames, candidates "
+    "come from exact frame-hash buckets (bucket-local i<j emission, "
+    "never all-pairs), and a pair is a near-dup when it shares >= "
+    f"{VID_CONTAIN_MIN} of the smaller side's distinct hashes (n17's "
+    "containment at the video level). The oracle re-derives every "
+    "frame hash closed-form and brute-forces the overlap — the "
+    "banding path provably misses nothing at test scale.",
+)
+def mm16_video_frame_neardup(spark, sf_dir):
+    from ..multimodal.media import video_frame_dhashes
+
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        (F.col("media_type") == "video") & (F.col("n_frames") > 0)
+    )
+    hs = (
+        video_frame_dhashes(media)
+        .filter(F.col("fhash") != 0)
+        .select("media_id", "fhash")
+        .distinct()
+    )
+    # one evaluation of the hash pipeline serves buckets AND sizes
+    hs = hs.localCheckpoint(eager=False)
+    sizes = hs.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_hashes")
+    )
+    buckets = (
+        hs.groupBy("fhash")
+        .agg(F.sort_array(F.collect_list("media_id")).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    pairs = buckets.select(
+        F.posexplode("xs").alias("pos", "id_a"), "xs"
+    ).select(
+        "id_a",
+        F.explode(
+            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
+        ).alias("id_b"),
+    )
+    shared = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    sa = sizes.select(
+        F.col("media_id").alias("id_a"), F.col("n_hashes").alias("na")
+    )
+    sb = sizes.select(
+        F.col("media_id").alias("id_b"), F.col("n_hashes").alias("nb")
+    )
+    contain = F.col("n_shared").cast("double") / F.least("na", "nb")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(contain >= VID_CONTAIN_MIN)
+        .select(
+            "id_a", "id_b", "n_shared", contain.alias("containment")
+        )
+    )

@@ -1557,3 +1557,66 @@ def test_image_dhash_brightness_invariant_and_neardup(spark):
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert 0 <= ham(got[0], got[2]) <= 6
     assert ham(got[0], got[3]) > 6
+
+
+def test_video_frame_dhashes_slice_parity(spark, sf_dir):
+    """mm16's frame hashes must cover exactly mm03's non-empty frames
+    (same slice arithmetic), and a video paired with its bytewise
+    duplicate must surface at containment 1.0."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.multimodal.media import (
+        as_media_table,
+        sample_frames,
+        video_frame_dhashes,
+    )
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    media = as_media_table(load_table(spark, sf_dir, "documents")).filter(
+        (F.col("media_type") == "video") & (F.col("n_frames") > 0)
+    )
+    dh = video_frame_dhashes(media)
+    # every frame emitted once per (video, frame)
+    n_frames_expected = (
+        media.select(
+            F.least(
+                F.col("n_frames"),
+                # frames past the payload end are empty and skipped
+                F.ceil(
+                    F.octet_length("payload")
+                    / F.greatest(
+                        F.floor(
+                            F.octet_length("payload") / F.col("n_frames")
+                        ),
+                        F.lit(1),
+                    )
+                ),
+            ).alias("k")
+        )
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert dh.count() == n_frames_expected
+
+    # plant an exact duplicate video pair -> containment 1.0
+    two = media.limit(1).collect()[0]
+    dup = spark.createDataFrame(
+        [
+            (1000001, "video", "fake", two.width, two.height,
+             two.n_frames, bytes(two.payload)),
+            (1000002, "video", "fake", two.width, two.height,
+             two.n_frames, bytes(two.payload)),
+        ],
+        "media_id long, media_type string, format string, width int, "
+        "height int, n_frames int, payload binary",
+    )
+    hs = (
+        video_frame_dhashes(dup)
+        .filter(F.col("fhash") != 0)
+        .select("media_id", "fhash")
+        .distinct()
+    )
+    a = {r.fhash for r in hs.filter("media_id = 1000001").collect()}
+    b = {r.fhash for r in hs.filter("media_id = 1000002").collect()}
+    assert a and a == b
