@@ -125,6 +125,7 @@ HEADLINE = [
     "dq06_k_anonymity",
     "mm15_image_dhash_neardup",
     "mm16_video_frame_neardup",
+    "mm17_audio_fingerprint_neardup",
 ]
 
 

@@ -1412,3 +1412,108 @@ def mm16_video_frame_neardup(spark, sf_dir):
             "id_a", "id_b", "n_shared", contain.alias("containment")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MM17: audio fingerprint near-dup — shared spectral peaks
+# ---------------------------------------------------------------------------
+
+MM17_TONE_MULTS = (1, 7, 13)   # three tones per clip, bins derived
+#                                from media_id by coprime multipliers
+MM17_SHARED_MIN = 2            # near-dup if >= 2 peak bins shared
+_MM17_AMPS = (8000, 6000, 4000)
+
+_MM17_BINS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id AS media_id, "
+    f"CAST((doc_id * {m}) % 160 + 8 AS BIGINT) AS bin "
+    "FROM documents WHERE doc_id % 3 = 1"
+    for m in MM17_TONE_MULTS
+)
+
+
+@register(
+    "mm17_audio_fingerprint_neardup",
+    oracle=f"""
+    WITH peaks AS (SELECT DISTINCT media_id, bin
+                   FROM ({_MM17_BINS_SQL})),
+    shared AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             COUNT(*) AS n_shared
+      FROM peaks a JOIN peaks b
+        ON a.bin = b.bin AND a.media_id < b.media_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared
+    FROM shared WHERE n_shared >= {MM17_SHARED_MIN}
+    """,
+    note="MM17 audio near-dup via spectral-peak fingerprints — the "
+    "Shazam-family shape (Wang 2003: constellation of spectral "
+    "peaks; match = enough shared peaks): each clip synthesizes "
+    "three integer-cycle tones (bins media_id-derived via coprime "
+    "multipliers), rides the real RIFF/WAV codec round-trip, and "
+    "its rFFT peak bins are detected THRESHOLD-FREE as the top "
+    "magnitudes inside one mapInPandas pass — integer-cycle tones "
+    "concentrate all energy in their bins, so detection is exact "
+    "and the oracle states every peak closed-form. Pairs sharing "
+    f">= {MM17_SHARED_MIN} peak bins surface from bin-bucket "
+    "joins (bucket-local i<j emission like mm15/mm16, never "
+    "all-pairs). Completes the perceptual-dedup triad: image "
+    "(mm15), video (mm16), audio (mm17).",
+)
+def mm17_audio_fingerprint_neardup(spark, sf_dir):
+    from collections.abc import Iterator
+
+    media = t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    ).select(F.col("doc_id").alias("media_id"))
+
+    def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+        import pandas as pd
+
+        from ..multimodal.media import decode_audio, encode_wav
+
+        n = MM8_N
+        t_idx = np.arange(n)
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                mid = int(r.media_id)
+                bins = [
+                    (mid * m) % 160 + 8 for m in MM17_TONE_MULTS
+                ]
+                wave = np.zeros(n, np.float64)
+                for b, amp in zip(bins, _MM17_AMPS):
+                    wave += amp * np.sin(2 * np.pi * b * t_idx / n)
+                wave_i16 = np.round(wave).astype(np.int16)
+                decoded = decode_audio(
+                    encode_wav(wave_i16, MM8_RATE), "wav"
+                )
+                mag = np.abs(np.fft.rfft(decoded.astype(np.float64)))
+                mag[0] = 0.0  # DC carries no tone
+                n_peaks = len(set(bins))
+                top = np.argsort(mag)[::-1][:n_peaks]
+                for k in sorted(int(x) for x in top):
+                    rows.append((mid, k))
+            yield pd.DataFrame(rows, columns=["media_id", "bin"])
+
+    peaks = media.mapInPandas(
+        batches, schema="media_id long, bin long"
+    )
+    buckets = (
+        peaks.groupBy("bin")
+        .agg(F.sort_array(F.collect_list("media_id")).alias("xs"))
+        .filter(F.size("xs") > 1)
+    )
+    pairs = buckets.select(
+        F.posexplode("xs").alias("pos", "id_a"), "xs"
+    ).select(
+        "id_a",
+        F.explode(
+            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
+        ).alias("id_b"),
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MM17_SHARED_MIN)
+    )

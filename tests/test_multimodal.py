@@ -1620,3 +1620,23 @@ def test_video_frame_dhashes_slice_parity(spark, sf_dir):
     a = {r.fhash for r in hs.filter("media_id = 1000001").collect()}
     b = {r.fhash for r in hs.filter("media_id = 1000002").collect()}
     assert a and a == b
+
+
+def test_mm17_peak_detection_exact(spark, sf_dir):
+    """mm17's threshold-free peak detection must recover EXACTLY the
+    synthesized tone bins for every audio clip (integer-cycle tones
+    concentrate all energy; codec round-trip must not smear it)."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.multimodal import MM17_TONE_MULTS
+
+    # re-run just the peaks stage via the registered query's pair
+    # output is indirect; assert on the oracle identity instead:
+    # every pair's shared count equals the closed-form bin overlap
+    rows = REGISTRY["mm17_audio_fingerprint_neardup"].fn(
+        spark, sf_dir
+    ).collect()
+    assert rows, "no near-dup audio pairs found (vacuous)"
+    for r in rows[:20]:
+        bins_a = {(r.id_a * m) % 160 + 8 for m in MM17_TONE_MULTS}
+        bins_b = {(r.id_b * m) % 160 + 8 for m in MM17_TONE_MULTS}
+        assert r.n_shared == len(bins_a & bins_b) >= 2
