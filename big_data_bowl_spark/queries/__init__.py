@@ -138,10 +138,12 @@ _FIRST = [
     # timestamp materialized in-plan by F.timestamp_micros
     "t25_stateful_running_stats",
     "t25b_stateful_running_stats_us",   # new bisection twin (all-LONG)
-    # ADVICE r8 fixes: zorder degenerate-range guard; threshold /
-    # centroid memo caches rekeyed on data fingerprint; media decode
-    # truncation/over-maxval guards (error paths, values unchanged)
-    "s14_zorder_locality",
+    # ADVICE r8 fixes: threshold / centroid memo caches rekeyed on
+    # data fingerprint; media decode truncation/over-maxval guards
+    # (error paths, values unchanged). s14's zorder change (a
+    # degenerate-range ValueError guard) is error-path-only and NOT
+    # hoisted — its slot keeps the r4 cohort fully inside the prefix;
+    # the local full gate re-verified it this round.
     "m06_decision_stump",
     "m10_depth2_tree",
     "m11_bagged_ensemble",
