@@ -430,3 +430,90 @@ def test_bpe_oracle_matches_reference_bpe_fuzz():
                 for left, right, _c in merges:
                     d = ref_apply(d, left, right)
                 assert tok_got[i] == max(len(d), 1), (trial, i, t, d)
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_grouped_histogram_matches_python_reference(spark, seed):
+    """Random values/groups/ranges: the Spark histogram must equal a
+    pure-Python binning, and bin counts must partition the
+    strict-range subset exactly."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.histogram import grouped_histogram
+
+    rng = random.Random(seed)
+    lo = rng.uniform(-50, 0)
+    hi = lo + rng.uniform(1, 100)
+    nbins = rng.randrange(1, 30)
+    width = (hi - lo) / nbins
+    rows = [
+        (rng.choice("abc"), rng.uniform(lo - 10, hi + 10))
+        for _ in range(300)
+    ]
+    expect: dict[tuple, int] = {}
+    for g, v in rows:
+        if lo < v < hi:
+            b = math.floor((v - lo) / width)
+            expect[(g, b)] = expect.get((g, b), 0) + 1
+    df = spark.createDataFrame(rows, "grp_in string, v double")
+    got = {
+        (r.grp, r.bin_idx): r.n
+        for r in grouped_histogram(
+            df, "grp_in", F.col("v"), lo, hi, nbins
+        ).collect()
+    }
+    assert got == expect
+    assert sum(got.values()) == sum(
+        1 for _g, v in rows if lo < v < hi
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_morton_interleave_matches_python_reference(spark, seed):
+    """quantize + interleave2 vs a pure-Python Morton encoder on
+    random points; codes must be pure functions of the values."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.zorder import interleave2, quantize
+
+    rng = random.Random(seed)
+    bits = rng.randrange(2, 12)
+    lo_x, hi_x = 0.0, rng.uniform(1, 1000)
+    lo_y, hi_y = -rng.uniform(1, 500), rng.uniform(1, 500)
+    pts = [
+        (i, rng.uniform(lo_x - 5, hi_x + 5), rng.uniform(lo_y - 5, hi_y + 5))
+        for i in range(200)
+    ]
+
+    import math
+
+    def q(v, lo, hi):
+        n = (1 << bits) - 1
+        scaled = (v - lo) / (hi - lo) * n
+        return int(math.floor(min(max(scaled, 0.0), float(n)) + 0.5))
+
+    def morton(xc, yc):
+        z = 0
+        for i in range(bits):
+            z |= ((xc >> i) & 1) << (2 * i + 1)
+            z |= ((yc >> i) & 1) << (2 * i)
+        return z
+
+    expect = {
+        i: morton(q(x, lo_x, hi_x), q(y, lo_y, hi_y)) for i, x, y in pts
+    }
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {
+        r.id: r.z
+        for r in df.select(
+            "id",
+            interleave2(
+                quantize(F.col("x"), lo_x, hi_x, bits),
+                quantize(F.col("y"), lo_y, hi_y, bits),
+                bits,
+            ).alias("z"),
+        ).collect()
+    }
+    assert got == expect
