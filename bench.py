@@ -126,6 +126,8 @@ HEADLINE = [
     "mm15_image_dhash_neardup",
     "mm16_video_frame_neardup",
     "mm17_audio_fingerprint_neardup",
+    "j11_fuzzy_name_match",
+    "a22_robust_outliers",
 ]
 
 

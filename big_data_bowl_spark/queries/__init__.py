@@ -149,14 +149,13 @@ _FIRST = [
     "m11_bagged_ensemble",
     "v04_ivf_topk",
     "v10_ivfpq_topk",
-    "v11_ann_recall_audit",
     "e05_embedding_index_pipeline",
-    # media decode guards also touched mm02/mm04 (netpbm clamp) — those
-    # two are NOT hoisted: the change is error-path-only, both were
-    # re-verified in this round's local full gate, and their slots keep
-    # the r4 cohort fully inside the ~50-slot prefix. mm14 stays hoisted
-    # as the representative for the GIF truncation guards.
-    "mm14_gif_roundtrip_features",
+    # NOT hoisted, to keep the r4 rotation cohort fully inside the
+    # ~50-slot prefix (all were re-verified by this round's local full
+    # gates, which ran the ENTIRE registry green several times):
+    # mm02/mm04/mm14 (media decode guards — error paths only), s14
+    # (zorder degenerate-range guard — error path only), v11 (consumes
+    # the same centroid cache v04/v10 represent).
 ]
 
 

@@ -3131,3 +3131,136 @@ def dq06_k_anonymity(spark: SparkSession, sf_dir: str):
             (F.col("l_diversity") >= LDIV_L).alias("is_l_diverse"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J11: fuzzy (edit-distance) matching with prefix blocking — entity
+# resolution's candidate-generation + verify shape
+# ---------------------------------------------------------------------------
+
+FUZZY_MAX_DIST = 1     # near-matches: names within edit distance 1
+FUZZY_BLOCK_LEN = 16   # blocking key: first 16 chars
+
+
+@register(
+    "j11_fuzzy_name_match",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey, c_name,
+                      substr(c_name, 1, {FUZZY_BLOCK_LEN}) AS blk
+               FROM customer)
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM c a JOIN c b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+    """,
+    note="J11 fuzzy matching (entity resolution's canonical "
+    "candidate-generation + verify shape; Fellegi-Sunter record "
+    f"linkage): names within edit distance {FUZZY_MAX_DIST} found by "
+    f"BLOCKING on the first {FUZZY_BLOCK_LEN} chars — candidates are "
+    "bucket-local pairs (one groupBy, O(sum block^2), never the "
+    "all-pairs cross join an unblocked fuzzy join implies — THE "
+    "difference between feasible and impossible at 100 TB) — then "
+    "exact levenshtein verification on candidates only, JVM-side in "
+    "both engines. Blocking recall is the standard tradeoff: a pair "
+    "differing inside the blocking prefix is not a candidate (the "
+    "documented miss class every production blocker accepts; add a "
+    "second blocking pass on a different key to recover them).",
+)
+def j11_fuzzy_name_match(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, FUZZY_BLOCK_LEN).alias("blk"),
+    )
+    buckets = (
+        c.groupBy("blk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("c_custkey", "c_name"))
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    pairs = buckets.select(
+        F.posexplode("xs").alias("pos", "a"), "xs"
+    ).select(
+        "a",
+        F.explode(
+            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
+        ).alias("b"),
+    )
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A22: robust outlier counts (median / MAD) per group
+# ---------------------------------------------------------------------------
+
+MAD_SCALE = 1.4826   # consistency constant for normal data
+MAD_CUTOFF = 3.5     # |v - median| > cutoff * scale * MAD -> outlier
+
+
+@register(
+    "a22_robust_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, med,
+             quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1, 2)
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE d.adev
+             > {MAD_CUTOFF!r} * {MAD_SCALE!r} * m.mad) AS n_outliers,
+           m.med AS med, m.mad AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY 1, 4, 5
+    """,
+    note="A22 robust outlier audit: per-group median + MAD (median "
+    "absolute deviation) — the estimator pair that, unlike "
+    "mean/stddev, a few extreme values cannot drag (50% breakdown "
+    "point), so the fence itself is outlier-proof. Two grouped "
+    "exact-percentile passes + one conditional count; group medians "
+    "broadcast back by the join (AQE picks BHJ at dim scale). The "
+    "percentile_approx swap documented at a09/m11 applies verbatim "
+    "at 100 TB; exact percentile kept for oracle bit-parity.",
+)
+def a22_robust_outliers(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    cut = F.lit(MAD_CUTOFF) * F.lit(MAD_SCALE) * F.col("mad")
+    return (
+        dev.join(mad.select("event_type", "mad"), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("adev") > cut, 1)).alias("n_outliers"),
+        )
+        .select("event_type", "n", "n_outliers", "med", "mad")
+    )
