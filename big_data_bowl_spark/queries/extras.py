@@ -3264,3 +3264,364 @@ def a22_robust_outliers(spark: SparkSession, sf_dir: str):
         )
         .select("event_type", "n", "n_outliers", "med", "mad")
     )
+
+
+# ---------------------------------------------------------------------------
+# A23: grouped OLS regression from exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+from .base import rhu_sql  # noqa: E402
+
+
+@register(
+    "a23_grouped_ols",
+    oracle=f"""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(l_quantity) AS sx,
+             {dsum_sql('l_extendedprice')} AS sy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice
+                           AS DECIMAL(38,2))) AS DOUBLE) AS sxy,
+             SUM(l_quantity * l_quantity) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                           AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY 1),
+    fit AS (
+      SELECT l_returnflag, n, sx, sy,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (n * sxx - sx * sx) AS vx,
+             (n * syy - sy * sy) AS vy
+      FROM s)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           {rhu_sql('slope')} AS slope,
+           {rhu_sql('(sy - slope * sx) / n')} AS intercept,
+           {rhu_sql('slope * slope * vx / vy')} AS r2
+    FROM fit
+    """,
+    note="A23 grouped least-squares fit (price ~ quantity per "
+    "returnflag): the regression is rebuilt from five sufficient "
+    "statistics (n, sum x, sum y, sum xy, sum x2, sum y2) in ONE "
+    "map-side-combinable aggregation pass — the classic 'ML as an "
+    "aggregate' shape that scales as a single shuffle of k rows, "
+    "unlike iterative solvers. Cross-decimal sums are exact "
+    "(order-independent DECIMAL adds), the closed-form slope/"
+    "intercept/r2 are each one fixed IEEE expression evaluated "
+    "identically by both engines, then rhu(9) guards the final ulps. "
+    "Spark's native regr_slope/regr_r2 use streaming co-moments whose "
+    "accumulation order is partition-dependent — fine numerically, "
+    "but not bit-reproducible across engines, hence the sufficient-"
+    "statistics spelling (same policy as base.py's dsum).",
+)
+def a23_grouped_ols(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("l_quantity").alias("sx"),
+        dsum(F.col("l_extendedprice")).alias("sy"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_extendedprice")).cast(
+                "decimal(38,2)"
+            )
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast(
+                "decimal(38,4)"
+            )
+        )
+        .cast("double")
+        .alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    fit = s.select(
+        "l_returnflag",
+        n,
+        sx,
+        sy,
+        (
+            (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+        ).alias("slope"),
+        (n * F.col("sxx") - sx * sx).alias("vx"),
+        (n * F.col("syy") - sy * sy).alias("vy"),
+    )
+    slope = F.col("slope")
+    return fit.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        rhu(slope).alias("slope"),
+        rhu((sy - slope * sx) / n).alias("intercept"),
+        rhu(slope * slope * F.col("vx") / F.col("vy")).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A24: Welch two-sample t-test from exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+TTEST_A, TTEST_B = "view", "purchase"
+
+
+@register(
+    "a24_welch_ttest",
+    oracle=f"""
+    WITH s AS (
+      SELECT
+        CAST(COUNT(*) FILTER (WHERE event_type = '{TTEST_A}')
+             AS DOUBLE) AS na,
+        CAST(COUNT(*) FILTER (WHERE event_type = '{TTEST_B}')
+             AS DOUBLE) AS nb,
+        CAST(SUM(CAST(value AS DECIMAL(28,2)))
+             FILTER (WHERE event_type = '{TTEST_A}') AS DOUBLE) AS sa,
+        CAST(SUM(CAST(value AS DECIMAL(28,2)))
+             FILTER (WHERE event_type = '{TTEST_B}') AS DOUBLE) AS sb,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,4)))
+             FILTER (WHERE event_type = '{TTEST_A}') AS DOUBLE) AS qa,
+        CAST(SUM(CAST(value * value AS DECIMAL(38,4)))
+             FILTER (WHERE event_type = '{TTEST_B}') AS DOUBLE) AS qb
+      FROM events),
+    m AS (
+      SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             (qa - sa * sa / na) / (na - 1) / na AS sea,
+             (qb - sb * sb / nb) / (nb - 1) / nb AS seb
+      FROM s)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           {rhu_sql('ma')} AS mean_a, {rhu_sql('mb')} AS mean_b,
+           {rhu_sql('(ma - mb) / sqrt(sea + seb)')} AS t_stat,
+           {rhu_sql('(sea + seb) * (sea + seb)'
+                    ' / (sea * sea / (na - 1) + seb * seb / (nb - 1))')}
+             AS dof
+    FROM m
+    """,
+    note=f"A24 Welch two-sample t-test ({TTEST_A!r} vs {TTEST_B!r} "
+    "event values) — the unequal-variance A/B-test statistic with "
+    "Welch-Satterthwaite degrees of freedom, computed entirely from "
+    "one conditional-aggregation scan (no join, no second pass): "
+    "exact DECIMAL sums of value and value^2 per arm, then the "
+    "t-statistic as a fixed IEEE expression + rhu(9). The shape a "
+    "metrics platform runs per-experiment at 100 TB: map-side "
+    "combined, k=1 result row, never a shuffle of raw observations.",
+)
+def a24_welch_ttest(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    is_a = F.col("event_type") == TTEST_A
+    is_b = F.col("event_type") == TTEST_B
+
+    def _csum(cond, expr, typ):
+        return F.sum(F.when(cond, expr).cast(typ)).cast("double")
+
+    val2 = F.col("value") * F.col("value")
+    s = ev.agg(
+        F.count(F.when(is_a, 1)).cast("double").alias("na"),
+        F.count(F.when(is_b, 1)).cast("double").alias("nb"),
+        _csum(is_a, F.col("value"), "decimal(28,2)").alias("sa"),
+        _csum(is_b, F.col("value"), "decimal(28,2)").alias("sb"),
+        _csum(is_a, val2, "decimal(38,4)").alias("qa"),
+        _csum(is_b, val2, "decimal(38,4)").alias("qb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa"), F.col("sb")
+    m = s.select(
+        na,
+        nb,
+        (sa / na).alias("ma"),
+        (sb / nb).alias("mb"),
+        ((F.col("qa") - sa * sa / na) / (na - 1) / na).alias("sea"),
+        ((F.col("qb") - sb * sb / nb) / (nb - 1) / nb).alias("seb"),
+    )
+    sea, seb = F.col("sea"), F.col("seb")
+    return m.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        rhu(F.col("ma")).alias("mean_a"),
+        rhu(F.col("mb")).alias("mean_b"),
+        rhu((F.col("ma") - F.col("mb")) / F.sqrt(sea + seb)).alias(
+            "t_stat"
+        ),
+        rhu(
+            (sea + seb)
+            * (sea + seb)
+            / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+        ).alias("dof"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W11: longest same-event streak per user (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w11_longest_streak",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+           - row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS grp
+      FROM events),
+    runs AS (
+      SELECT user_id, event_type, grp, COUNT(*) AS len
+      FROM seq GROUP BY 1, 2, 3),
+    sel AS (
+      SELECT user_id, len,
+             MAX(len) OVER (PARTITION BY user_id) AS best
+      FROM runs)
+    SELECT user_id, best AS best_streak, COUNT(*) AS n_best
+    FROM sel WHERE len = best GROUP BY 1, 2
+    """,
+    note="W11 gaps-and-islands: longest run of consecutive same-type "
+    "events per user, via the rownumber-difference trick — two window "
+    "row_numbers over the SAME (user) partitioning (one shuffle, the "
+    "second window reuses the first's hash partitioning and only "
+    "re-sorts), a grouped count of run lengths, and a per-user max. "
+    "Order is (ts, event_id) so ties are deterministic. No self-join, "
+    "no iteration: the streak structure falls out of two sorts — at "
+    "100 TB this is one user-keyed shuffle + in-partition sorts, with "
+    "AQE splitting any hot user. n_best counts how many distinct runs "
+    "attain the max, so the answer is unique even when streaks tie.",
+)
+def w11_longest_streak(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    runs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias(
+                "grp"
+            ),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    w_user = Window.partitionBy("user_id")
+    sel = runs.select(
+        "user_id", "len", F.max("len").over(w_user).alias("best")
+    )
+    return (
+        sel.filter(F.col("len") == F.col("best"))
+        .groupBy("user_id", F.col("best").alias("best_streak"))
+        .agg(F.count(F.lit(1)).alias("n_best"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12: spatial radius self-join via grid bucketing
+# ---------------------------------------------------------------------------
+
+from ..functions.hashing import md5_of, md5_sql  # noqa: E402
+
+GRID_RADIUS = 0.5     # join radius (and grid cell size) in field units
+GRID_EXTENT = 100.0   # points live in [0, GRID_EXTENT)^2
+
+_JX = (
+    f"CAST(('0x' || substr({md5_sql('event_id', salt='jx')}, 1, 13)) "
+    f"AS BIGINT) / CAST(16 AS DOUBLE) ** 13 * {GRID_EXTENT!r}"
+)
+_JY = (
+    f"CAST(('0x' || substr({md5_sql('event_id', salt='jy')}, 1, 13)) "
+    f"AS BIGINT) / CAST(16 AS DOUBLE) ** 13 * {GRID_EXTENT!r}"
+)
+
+
+@register(
+    "j12_grid_radius_join",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id, x, y,
+             CAST(floor(x / {GRID_RADIUS!r}) AS INT) AS cx,
+             CAST(floor(y / {GRID_RADIUS!r}) AS INT) AS cy
+      FROM (SELECT event_id, {_JX} AS x, {_JY} AS y FROM events))
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           {rhu_sql('sqrt((a.x - b.x) * (a.x - b.x)'
+                    ' + (a.y - b.y) * (a.y - b.y))')} AS dist
+    FROM g a JOIN g b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+     AND a.event_id < b.event_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {GRID_RADIUS!r} * {GRID_RADIUS!r}
+    """,
+    note="J12 spatial radius self-join (all point pairs within r): "
+    "grid-bucket each point into an r-sized cell, replicate ONE side "
+    "to its 9 neighbor cells (explode over dx,dy in -1..0..1), "
+    "equi-join on the cell key, then exact distance filter — the "
+    "bucketed range-join plan Spark lacks natively (a naive spatial "
+    "join is a cross join; this is one equi-shuffle of 9x lightweight "
+    "(id,x,y) tuples, candidate pairs bounded by cell occupancy, the "
+    "same candidate discipline as d02's LSH bands). Each qualifying "
+    "pair appears exactly once: the expanded copy of a lands in b's "
+    "unique home cell. Coordinates derive from md5 (bit-identical in "
+    "both engines, o10's 13-hex-digit uniform); the nfl-tracking "
+    "analogue is pairwise player proximity (Tutorial.R's dist_to_ball "
+    "generalized to all pairs). At 100 TB: partition count scales "
+    "with cell count, skewed cells split by AQE; r tunes the "
+    "replicate-vs-candidate tradeoff exactly like LSH band width.",
+)
+def j12_grid_radius_join(spark: SparkSession, sf_dir: str):
+    r = float(GRID_RADIUS)
+    uni = lambda salt: (  # noqa: E731
+        F.conv(
+            F.substring(
+                md5_of(F.col("event_id"), salt=salt), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(16**13)
+        * GRID_EXTENT
+    )
+    pts = t(spark, sf_dir, "events").select(
+        "event_id", uni("jx").alias("x"), uni("jy").alias("y")
+    )
+    g = pts.select(
+        "event_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / r).cast("int").alias("cx"),
+        F.floor(F.col("y") / r).cast("int").alias("cy"),
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("int").alias("dx"),
+        (F.floor(F.col("id") / 3) - 1).cast("int").alias("dy"),
+    )
+    a = (
+        g.crossJoin(F.broadcast(offsets))
+        .select(
+            F.col("event_id").alias("id_a"),
+            F.col("x").alias("xa"),
+            F.col("y").alias("ya"),
+            (F.col("cx") + F.col("dx")).alias("jcx"),
+            (F.col("cy") + F.col("dy")).alias("jcy"),
+        )
+    )
+    b = g.select(
+        F.col("event_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(
+            b,
+            (F.col("jcx") == F.col("cx"))
+            & (F.col("jcy") == F.col("cy"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(d2 <= F.lit(r * r))
+        .select("id_a", "id_b", rhu(F.sqrt(d2)).alias("dist"))
+    )

@@ -1638,3 +1638,113 @@ def t26_streaming_histogram(spark: SparkSession, sf_dir: str):
         n_partitions=8,
     )
     return spark.table("t26_streaming_histogram_sink")
+
+
+# ---------------------------------------------------------------------------
+# T27: consecutive sequence-pattern detection (MATCH_RECOGNIZE analogue)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import Window as _W  # noqa: E402
+
+FUNNEL_PATTERN = ("view", "click", "purchase")
+
+
+@register(
+    "t27_sequence_pattern",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, COUNT(*) AS n_matches
+    FROM seq
+    WHERE event_type = '{FUNNEL_PATTERN[0]}'
+      AND e1 = '{FUNNEL_PATTERN[1]}'
+      AND e2 = '{FUNNEL_PATTERN[2]}'
+    GROUP BY 1
+    """,
+    note="T27 sequence-pattern matching (SQL:2016 MATCH_RECOGNIZE's "
+    f"strictly-contiguous {'->'.join(FUNNEL_PATTERN)} pattern, which "
+    "Spark lacks natively): lead(1)/lead(2) over one (user, time) "
+    "window turn the pattern into a row-local predicate — ONE "
+    "user-keyed shuffle + in-partition sort, both lead()s share the "
+    "same window frame so Catalyst evaluates them in a single Window "
+    "node. Contrast with t15's funnel, which counts users reaching "
+    "each stage ANYWHERE in their history; t27 counts exact "
+    "consecutive occurrences per user. Ordering ties broken by "
+    "event_id, so the lead() values — and the count — are "
+    "deterministic under any partitioning.",
+)
+def t27_sequence_pattern(spark: SparkSession, sf_dir: str):
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e1"),
+        F.lead("event_type", 2).over(w).alias("e2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == FUNNEL_PATTERN[0])
+            & (F.col("e1") == FUNNEL_PATTERN[1])
+            & (F.col("e2") == FUNNEL_PATTERN[2])
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# T28: Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t28_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events)
+    SELECT from_type, to_type, COUNT(*) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY from_type)
+                    AS DOUBLE) AS p
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    note="T28 first-order Markov transition matrix of user behavior "
+    "(the session-flow model behind next-event prediction and "
+    "anomaly scoring): lead() pairs consecutive events per user (one "
+    "user-keyed shuffle), a grouped count per (from, to) state pair "
+    "(k^2 = 25 result rows), and row-normalization via a window sum "
+    "over the TINY aggregated matrix — the normalizing pass costs "
+    "k^2 rows, not data. p is one exact-integer division, so it is "
+    "bit-reproducible without rounding. At 100 TB the plan is scan + "
+    "one shuffle + O(k^2) bookkeeping; per-user sequences never "
+    "leave their partition after the window sort.",
+)
+def t28_markov_transitions(spark: SparkSession, sf_dir: str):
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    counts = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = _W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(w_from).cast("double")
+        ).alias("p"),
+    )

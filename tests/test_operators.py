@@ -1489,3 +1489,182 @@ def test_dq06_kanon_classes_cover_table(spark, sf_dir):
         assert 1 <= r.l_diversity <= 2
         assert r.is_k_anonymous == (r.class_size >= KANON_K)
         assert r.is_l_diverse == (r.l_diversity >= LDIV_L)
+
+
+def test_a23_ols_matches_numpy_polyfit(spark, sf_dir):
+    """a23's closed-form slope/intercept must match numpy's least-
+    squares fit on the same (quantity, price) points per group."""
+    import numpy as np
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    got = {
+        r.l_returnflag: r
+        for r in REGISTRY["a23_grouped_ols"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).collect()
+    by_flag: dict = {}
+    for row in li:
+        by_flag.setdefault(row.l_returnflag, []).append(
+            (row.l_quantity, row.l_extendedprice)
+        )
+    assert set(got) == set(by_flag)
+    for flag, pts in by_flag.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[flag].n_rows == len(pts)
+        assert abs(got[flag].slope - slope) < 1e-4 * max(1, abs(slope))
+        assert abs(got[flag].intercept - intercept) < 1e-3 * max(
+            1, abs(intercept)
+        )
+        assert abs(got[flag].r2 - r * r) < 1e-6
+
+
+def test_a24_welch_matches_reference(spark, sf_dir):
+    """a24's t statistic and Welch-Satterthwaite dof must match the
+    textbook formulas evaluated in Python over the same values."""
+    import math
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import TTEST_A, TTEST_B
+    from big_data_bowl_spark.sources.io import load_table
+
+    row = REGISTRY["a24_welch_ttest"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    ).collect()
+    a = [r.value for r in ev if r.event_type == TTEST_A]
+    b = [r.value for r in ev if r.event_type == TTEST_B]
+
+    def mean_var(xs):
+        m = sum(xs) / len(xs)
+        return m, sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    ma, va = mean_var(a)
+    mb, vb = mean_var(b)
+    sea, seb = va / len(a), vb / len(b)
+    t_ref = (ma - mb) / math.sqrt(sea + seb)
+    dof_ref = (sea + seb) ** 2 / (
+        sea**2 / (len(a) - 1) + seb**2 / (len(b) - 1)
+    )
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert abs(row.mean_a - ma) < 1e-6
+    assert abs(row.mean_b - mb) < 1e-6
+    assert abs(row.t_stat - t_ref) < 1e-6
+    assert abs(row.dof - dof_ref) < 1e-3
+
+
+def test_w11_streaks_match_python_scan(spark, sf_dir):
+    """w11's per-user longest streak must equal a single-pass Python
+    scan over each user's time-ordered event sequence."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    got = {
+        r.user_id: (r.best_streak, r.n_best)
+        for r in REGISTRY["w11_longest_streak"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    seqs: dict = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type)
+    for user, types in seqs.items():
+        runs, cur = [], 1
+        for prev, nxt in zip(types, types[1:]):
+            if nxt == prev:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        best = max(runs)
+        assert got[user] == (best, runs.count(best)), user
+
+
+def test_j12_grid_join_equals_bruteforce(spark, sf_dir):
+    """j12's grid-bucketed pair set must equal the O(n^2) brute-force
+    pair set at fixture scale — the grid must lose no pairs at cell
+    boundaries and produce no duplicates."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import GRID_RADIUS
+
+    q = REGISTRY["j12_grid_radius_join"]
+    rows = q.fn(spark, sf_dir).collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert len(pairs) == len(rows)  # no duplicate pairs
+
+    # rebuild the md5-derived coordinates in Python
+    import hashlib
+
+    from big_data_bowl_spark.sources.io import load_table
+
+    ids = [
+        r.event_id
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .collect()
+    ]
+
+    def uni(eid, salt):
+        h = hashlib.md5(f"{salt}\x1f{eid}".encode()).hexdigest()
+        return int(h[:13], 16) / 16**13 * 100.0
+
+    pts = {e: (uni(e, "jx"), uni(e, "jy")) for e in ids}
+    brute = set()
+    items = sorted(pts.items())
+    for i, (ia, (xa, ya)) in enumerate(items):
+        for ib, (xb, yb) in items[i + 1 :]:
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= GRID_RADIUS**2:
+                brute.add((min(ia, ib), max(ia, ib)))
+    assert pairs == brute
+
+
+def test_t27_t28_sequence_contracts(spark, sf_dir):
+    """t27 match counts and t28 transition matrix agree with a Python
+    scan; t28 rows are a proper distribution per from-state."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.temporal import FUNNEL_PATTERN
+    from big_data_bowl_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    ).collect()
+    seqs: dict = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type)
+
+    want_matches: dict = {}
+    trans: dict = {}
+    for user, types in seqs.items():
+        n = sum(
+            1
+            for i in range(len(types) - 2)
+            if tuple(types[i : i + 3]) == FUNNEL_PATTERN
+        )
+        if n:
+            want_matches[user] = n
+        for a, b in zip(types, types[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+
+    got27 = {
+        r.user_id: r.n_matches
+        for r in REGISTRY["t27_sequence_pattern"].fn(spark, sf_dir).collect()
+    }
+    assert got27 == want_matches
+
+    got28 = REGISTRY["t28_markov_transitions"].fn(spark, sf_dir).collect()
+    assert {(r.from_type, r.to_type): r.n for r in got28} == trans
+    from collections import defaultdict
+
+    psum = defaultdict(float)
+    for r in got28:
+        psum[r.from_type] += r.p
+    for tot in psum.values():
+        assert abs(tot - 1.0) < 1e-12
