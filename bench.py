@@ -137,6 +137,12 @@ HEADLINE = [
     "j12_grid_radius_join",
     "t27_sequence_pattern",
     "t28_markov_transitions",
+    # round-9 additions: weighted median (cumulative-weight window),
+    # per-group deterministic top-k sample
+    "a25_weighted_median",
+    "o11_group_sample_topk",
+    # round-9 addition: multi-source BFS over the near-dup graph
+    "g06_bfs_hops",
 ]
 
 

@@ -3625,3 +3625,99 @@ def j12_grid_radius_join(spark: SparkSession, sf_dir: str):
         .filter(d2 <= F.lit(r * r))
         .select("id_a", "id_b", rhu(F.sqrt(d2)).alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# A25: weighted median via cumulative-weight window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a25_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem)
+    SELECT l_returnflag,
+           MIN(v) AS weighted_median,
+           CAST(MIN(tw) AS BIGINT) AS total_weight
+    FROM w WHERE 2 * cw >= tw GROUP BY 1
+    """,
+    note="A25 weighted median (the quantity-weighted 'typical price'): "
+    "neither engine has a weighted-quantile aggregate, so it is built "
+    "from the definition — sort by value within the group, running "
+    "cumulative weight, first value whose cumulative weight reaches "
+    "half the total. Both window sums share ONE group-keyed shuffle + "
+    "sort (the same cost as any exact percentile); weights are "
+    "integral doubles so every sum is exact and the crossing point is "
+    "deterministic (ties inside an equal-value block cannot move it). "
+    "At 100 TB the t-digest/percentile_approx swap does NOT apply "
+    "directly (they are unweighted); the scale path is weight-expanded "
+    "approx sketches or grouped binning (a21) — documented tradeoff.",
+)
+def a25_weighted_median(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    w_ord = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(w_ord).alias("cw"),
+        F.sum("l_quantity").over(w_all).alias("tw"),
+    )
+    return (
+        w.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O11: deterministic per-group top-k sample (grouped reservoir analogue)
+# ---------------------------------------------------------------------------
+
+GROUP_SAMPLE_K = 5
+
+
+@register(
+    "o11_group_sample_topk",
+    oracle=f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {md5_sql('doc_id', salt='o11')}, doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {GROUP_SAMPLE_K}
+    """,
+    note=f"O11 per-group deterministic sample (exactly "
+    f"{GROUP_SAMPLE_K} docs per source): rank by md5 order within the "
+    "group — the distributed, re-runnable stand-in for per-group "
+    "reservoir sampling (same marginal distribution, zero RNG state). "
+    "One group-keyed shuffle; at scale the full sort per group is "
+    "avoidable via the standard top-k refinement (rank within "
+    "partition, keep k, re-rank k x partitions rows), which AQE-era "
+    "Spark performs as a partial TopK under the window when k is "
+    "small. Eval-set carving, per-source spot-check pulls, golden-set "
+    "refreshes — every pipeline needs this exact primitive.",
+)
+def o11_group_sample_topk(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_of(F.col("doc_id"), salt="o11"), "doc_id"
+    )
+    return d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= GROUP_SAMPLE_K)

@@ -549,3 +549,80 @@ def g05_kcore(spark: SparkSession, sf_dir: str):
     return deg.join(
         nodes, deg["u"] == nodes["node"], "left_semi"
     ).select(F.col("u").alias("doc_id"), F.col("deg").alias("core_deg"))
+
+
+BFS_ROUNDS = 3
+BFS_SEED_MOD = 50  # seeds: graph nodes whose doc_id is divisible by this
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        f"WITH cand AS MATERIALIZED ({_D02_ORACLE})",
+        "sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM cand "
+        "UNION SELECT doc_b, doc_a FROM cand)",
+        f"r0 AS (SELECT DISTINCT u AS node, 0 AS hops FROM sym "
+        f"WHERE u % {BFS_SEED_MOD} = 0)",
+    ]
+    for i in range(1, BFS_ROUNDS + 1):
+        parts.append(
+            f"r{i} AS (SELECT node, MIN(hops) AS hops FROM ("
+            f"SELECT node, hops FROM r{i - 1} "
+            f"UNION ALL "
+            f"SELECT s.v AS node, r.hops + 1 AS hops "
+            f"FROM r{i - 1} r JOIN sym s ON s.u = r.node"
+            ") GROUP BY node)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT node AS doc_id, hops FROM r{BFS_ROUNDS}"
+    )
+
+
+@register(
+    "g06_bfs_hops",
+    oracle=_bfs_oracle(),
+    note=f"G6 multi-source BFS ({BFS_ROUNDS} relaxation rounds, seeds "
+    f"= nodes with doc_id % {BFS_SEED_MOD} == 0): hop distance from "
+    "the nearest seed over the d02 near-dup graph — reachability/"
+    "contamination radius (how many similarity hops separate a "
+    "document from a known-bad seed set; n19's decontamination "
+    "extended transitively). The fifth instantiation of the edges-"
+    "partitioned-once loop (g01 sum, g02 majority, g03 normalize, "
+    "g05 peel, g06 RELAX): each round is one edge join + one MIN "
+    "aggregation, shuffling only the node-sized frontier table. "
+    "All-integer arithmetic — no float policy needed; the oracle "
+    "unrolls the rounds as chained CTEs (house rule: no aggregation-"
+    "in-recursion, portable across engines).",
+)
+def g06_bfs_hops(spark: SparkSession, sf_dir: str):
+    pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .repartition("u")
+        .localCheckpoint()
+    )
+    dist = (
+        sym.select(F.col("u").alias("node"))
+        .filter(F.col("node") % BFS_SEED_MOD == 0)
+        .distinct()
+        .withColumn("hops", F.lit(0))
+    )
+    prev = None
+    for _ in range(BFS_ROUNDS):
+        frontier = sym.join(dist, sym["u"] == dist["node"]).select(
+            F.col("v").alias("node"), (F.col("hops") + 1).alias("hops")
+        )
+        new_dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint()
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = dist = new_dist
+    return dist.select(F.col("node").alias("doc_id"), "hops")

@@ -1668,3 +1668,84 @@ def test_t27_t28_sequence_contracts(spark, sf_dir):
         psum[r.from_type] += r.p
     for tot in psum.values():
         assert abs(tot - 1.0) < 1e-12
+
+
+def test_a25_weighted_median_matches_python(spark, sf_dir):
+    """a25 equals the definitional weighted median computed in Python:
+    smallest value whose cumulative weight reaches half the total."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    got = {
+        r.l_returnflag: (r.weighted_median, r.total_weight)
+        for r in REGISTRY["a25_weighted_median"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    groups: dict = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, r.l_quantity)
+        )
+    for flag, pts in groups.items():
+        pts.sort()
+        tot = sum(w for _, w in pts)
+        acc = 0.0
+        for v, w in pts:
+            acc += w
+            if 2 * acc >= tot:
+                assert got[flag] == (v, int(tot)), flag
+                break
+
+
+def test_o11_group_sample_is_stable_and_exact_k(spark, sf_dir):
+    """o11 returns exactly k docs per source, ranks 1..k, and the same
+    doc set on repeated runs (determinism, not RNG)."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import GROUP_SAMPLE_K
+
+    fn = REGISTRY["o11_group_sample_topk"].fn
+    rows1 = sorted(
+        (r.source, r.rk, r.doc_id) for r in fn(spark, sf_dir).collect()
+    )
+    rows2 = sorted(
+        (r.source, r.rk, r.doc_id) for r in fn(spark, sf_dir).collect()
+    )
+    assert rows1 == rows2
+    per_source: dict = {}
+    for source, rk, _ in rows1:
+        per_source.setdefault(source, []).append(rk)
+    for source, rks in per_source.items():
+        assert sorted(rks) == list(range(1, GROUP_SAMPLE_K + 1)), source
+
+
+def test_g06_bfs_matches_python_bfs(spark, sf_dir):
+    """g06's hop distances equal a Python BFS (bounded at BFS_ROUNDS)
+    from the same seed set over the same d02 candidate pairs."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.graph import BFS_ROUNDS, BFS_SEED_MOD
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["d02_dedup_minhash_lsh"].fn(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {n: 0 for n in adj if n % BFS_SEED_MOD == 0}
+    frontier = set(dist)
+    for hop in range(1, BFS_ROUNDS + 1):
+        frontier = {
+            v for u in frontier for v in adj[u] if v not in dist
+        }
+        for v in frontier:
+            dist[v] = hop
+    got = {
+        r.doc_id: r.hops
+        for r in REGISTRY["g06_bfs_hops"].fn(spark, sf_dir).collect()
+    }
+    assert got == dist
