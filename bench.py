@@ -143,6 +143,9 @@ HEADLINE = [
     "o11_group_sample_topk",
     # round-9 addition: multi-source BFS over the near-dup graph
     "g06_bfs_hops",
+    # round-9 additions: PMI collocations, streaming windowed top-k
+    "n23_pmi_cooccurrence",
+    "t29_streaming_topk",
 ]
 
 

@@ -1887,3 +1887,96 @@ def n22_rag_chunking(spark: SparkSession, sf_dir: str):
             F.md5(F.concat_ws(" ", "ctok")).alias("chunk_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N23: PMI term co-occurrence (collocation mining)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_CO = 20  # min docs a pair must share to be scored
+
+
+@register(
+    "n23_pmi_cooccurrence",
+    oracle=f"""
+    WITH tok AS (SELECT DISTINCT doc_id, unnest({_SQL_TOKENS}) AS tk
+                 FROM documents),
+    df AS (SELECT tk, COUNT(*) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    co AS (SELECT a.tk AS term_a, b.tk AS term_b, COUNT(*) AS n_co
+           FROM tok a JOIN tok b
+             ON a.doc_id = b.doc_id AND a.tk < b.tk
+           GROUP BY 1, 2)
+    SELECT term_a, term_b, n_co,
+           floor(ln(CAST(n.n_docs AS DOUBLE) * n_co / (da.df * db.df))
+                 * 1e9 + 0.5) / 1e9 AS pmi
+    FROM co
+    JOIN df da ON da.tk = co.term_a
+    JOIN df db ON db.tk = co.term_b
+    CROSS JOIN n
+    WHERE n_co >= {PMI_MIN_CO}
+    """,
+    note="N23 pointwise mutual information over document-level term "
+    "co-occurrence (collocation mining / topic-signal discovery; the "
+    "count-based cousin of word2vec's objective): distinct (doc, "
+    "term) presence, a doc-keyed self-join for pair counts "
+    "(candidates bounded by per-doc distinct-term count squared — "
+    "NOT corpus-quadratic; the hot-doc bound is the same story as "
+    "j12's cell occupancy), document frequencies via one grouped "
+    "count, PMI = ln(N * c_ab / (c_a * c_b)) with the corpus size "
+    f"riding a broadcast 1-row frame. Pairs below {PMI_MIN_CO} "
+    "co-occurrences are dropped (PMI's low-count instability — the "
+    "standard cutoff). Map-side combine collapses the pair explosion "
+    "to distinct-pair rows before the shuffle; rhu(9) guards ln ulps.",
+)
+def n23_pmi_cooccurrence(spark: SparkSession, sf_dir: str):
+    from ..functions.rounding import rhu
+    from ..functions.text import tokenize
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokenize(F.col("text")))).alias("tk"),
+    )
+    df = tok.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"), F.col("tk").alias("term_b")
+    )
+    co = (
+        tok.select(
+            F.col("doc_id").alias("doc_a"), F.col("tk").alias("term_a")
+        )
+        .join(
+            b,
+            (F.col("doc_a") == F.col("doc_b"))
+            & (F.col("term_a") < F.col("term_b")),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= PMI_MIN_CO)
+    )
+    return (
+        co.join(
+            df.select(F.col("tk").alias("term_a"), F.col("df").alias("dfa")),
+            "term_a",
+        )
+        .join(
+            df.select(F.col("tk").alias("term_b"), F.col("df").alias("dfb")),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "n_co",
+            rhu(
+                F.log(
+                    F.col("n_docs").cast("double")
+                    * F.col("n_co")
+                    / (F.col("dfa") * F.col("dfb"))
+                ),
+                9,
+            ).alias("pmi"),
+        )
+    )

@@ -1748,3 +1748,61 @@ def t28_markov_transitions(spark: SparkSession, sf_dir: str):
             / F.sum("n").over(w_from).cast("double")
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T29: streaming windowed top-k (rank on the drained counts table)
+# ---------------------------------------------------------------------------
+
+TOPK_PER_WINDOW = 3
+
+
+@register(
+    "t29_streaming_topk",
+    oracle=f"""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '6 hours', {_TS}) AS window_start,
+             event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events, rank FROM (
+      SELECT c.*,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type ASC)
+               AS rank
+      FROM c)
+    WHERE rank <= {TOPK_PER_WINDOW}
+    """,
+    note=f"T29 streaming top-{TOPK_PER_WINDOW} event types per 6h "
+    "window — the live 'trending' board (n15's streaming face). The "
+    "stream maintains only the windowed COUNTS (watermark-bounded "
+    "state, one row per window x type — the same bounded-state "
+    "discipline as t07/t26); the top-k RANK runs at serve time over "
+    "the drained counts table, because a global per-window rank is "
+    "not incrementally emittable under append mode (a late row can "
+    "dethrone a leader) — ranking the compacted counts at query time "
+    "is the standard serving pattern and costs k' = windows x types "
+    "rows, not data. Deterministic (count DESC, type ASC) tiebreak.",
+)
+def t29_streaming_topk(spark: SparkSession, sf_dir: str):
+    from ..streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+        tumbling_counts,
+    )
+
+    stream = tumbling_counts(
+        read_events_stream(spark, sf_dir), window="6 hours"
+    ).select("window_start", "event_type", "n_events")
+    run_to_memory(
+        stream,
+        "t29_streaming_topk_sink",
+        output_mode="complete",
+        n_partitions=8,
+    )
+    counts = spark.table("t29_streaming_topk_sink")
+    w = _W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK_PER_WINDOW
+    )

@@ -277,3 +277,44 @@ def test_token_stats_empty_and_whitespace_docs_cross_engine(
     for k in n02:
         assert n02[k] is not None and not math.isnan(n02[k]), k
         assert n02[k] == want02[k], k
+
+
+def test_n23_pmi_matches_python_counts(spark, sf_dir):
+    """n23's PMI values equal ln(N * c_ab / (c_a * c_b)) computed from
+    Python set counting over the same tokenized documents."""
+    import math
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.nlp import PMI_MIN_CO
+    from big_data_bowl_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).collect()
+    term_sets = {
+        r.doc_id: set(r.text.strip().lower().split()) for r in docs
+    }
+    n_docs = len(term_sets)
+    df: dict = {}
+    co: dict = {}
+    for terms in term_sets.values():
+        ts = sorted(terms)
+        for tk in ts:
+            df[tk] = df.get(tk, 0) + 1
+        for i, a in enumerate(ts):
+            for b in ts[i + 1 :]:
+                co[(a, b)] = co.get((a, b), 0) + 1
+
+    want = {
+        pair: (n, math.log(n_docs * n / (df[pair[0]] * df[pair[1]])))
+        for pair, n in co.items()
+        if n >= PMI_MIN_CO
+    }
+    got = {
+        (r.term_a, r.term_b): (r.n_co, r.pmi)
+        for r in REGISTRY["n23_pmi_cooccurrence"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for pair, (n, pmi) in want.items():
+        assert got[pair][0] == n
+        assert abs(got[pair][1] - pmi) < 1e-8, pair
