@@ -146,6 +146,16 @@ HEADLINE = [
     # round-9 additions: PMI collocations, streaming windowed top-k
     "n23_pmi_cooccurrence",
     "t29_streaming_topk",
+    # round-9 addition: zero-copy Arrow batch API
+    "u05_map_in_arrow",
+    # round-9 addition: last-touch attribution (last-non-null window)
+    "t30_last_touch_attribution",
+    # round-9 additions: Matryoshka truncation recall, FD audit,
+    # class-balance entropy, cumulative reach
+    "v13_dim_truncation_recall",
+    "dq07_functional_dependency",
+    "a26_class_balance_entropy",
+    "t31_cumulative_reach",
 ]
 
 

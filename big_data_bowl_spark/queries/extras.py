@@ -3721,3 +3721,301 @@ def o11_group_sample_topk(spark: SparkSession, sf_dir: str):
     return d.select(
         "doc_id", "source", F.row_number().over(w).alias("rk")
     ).filter(F.col("rk") <= GROUP_SAMPLE_K)
+
+
+# ---------------------------------------------------------------------------
+# U05: mapInArrow — the zero-copy Arrow batch API
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u05_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+                AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+    note="U5 mapInArrow: per-batch Python logic over raw pyarrow "
+    "RecordBatches — the LOWEST-overhead Python integration surface "
+    "(no pandas materialization; Arrow buffers pass zero-copy, so a "
+    "batch of N strings costs two buffer scans, not N Python "
+    "objects). Computes byte length and space count per document via "
+    "pyarrow.compute kernels (C++ vectorized, GIL released). "
+    "Completes the Python surface matrix: u01 applyInPandas / u03 "
+    "@pandas_udf / u04 @udtf / mm* mapInPandas / u05 mapInArrow. "
+    "Honest framing, as with u03/u04: these exact features ARE "
+    "native expressions (the oracle is the native spelling) — "
+    "mapInArrow's niche is Arrow-native libraries (tokenizers, "
+    "image codecs) where pandas conversion would double the copy "
+    "cost. Scale: narrow map, no shuffle, batch size bounded by "
+    "spark.sql.execution.arrow.maxRecordsPerBatch.",
+)
+def u05_map_in_arrow(spark: SparkSession, sf_dir: str):
+    def feats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(
+                        batch.schema.get_field_index("doc_id")
+                    ),
+                    pc.cast(pc.binary_length(text), pa.int64()),
+                    pc.cast(
+                        pc.count_substring(text, " "), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInArrow(feats, "doc_id long, n_bytes long, n_spaces long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# V13: dimension-truncation recall audit (Matryoshka-style ablation)
+# ---------------------------------------------------------------------------
+
+TRUNC_DIM = 16  # leading dims retained by the truncated index
+
+
+def _v13_oracle() -> str:
+    tcos = (
+        "list_dot_product(tq, tc) / (sqrt(list_dot_product(tq, tq)) "
+        "* sqrt(list_dot_product(tc, tc)))"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id, {_VEC} AS qv,
+                      ({_VEC})[1:{TRUNC_DIM}] AS tq
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id, {_VEC} AS cv, ({_VEC})[1:{TRUNC_DIM}] AS tc
+          FROM embeddings),
+    exact AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS} DESC,
+                                           c.vec_id ASC) AS rn
+        FROM q CROSS JOIN c WHERE c.vec_id <> q.vec_id)
+      WHERE rn <= {IVF_TOPK}),
+    trunc AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {tcos} DESC,
+                                           c.vec_id ASC) AS rn
+        FROM q CROSS JOIN c WHERE c.vec_id <> q.vec_id)
+      WHERE rn <= {IVF_TOPK})
+    SELECT e.query_id, {TRUNC_DIM} AS trunc_dim, {IVF_TOPK} AS k,
+           COUNT(t.cand_id) AS n_hit,
+           CAST(COUNT(t.cand_id) AS DOUBLE) / {IVF_TOPK} AS recall
+    FROM exact e LEFT JOIN trunc t
+      ON e.query_id = t.query_id AND e.cand_id = t.cand_id
+    GROUP BY e.query_id
+    """
+
+
+@register(
+    "v13_dim_truncation_recall",
+    oracle=_v13_oracle(),
+    note=f"V13 dimension-truncation recall audit: top-{IVF_TOPK} by "
+    f"cosine over the leading {TRUNC_DIM} of 64 dims, scored against "
+    "full-dim exact ground truth — the Matryoshka/MRL ablation every "
+    "embedding platform runs before committing to a cheaper serving "
+    "dim (4x less vector memory and bandwidth if recall holds). Same "
+    "audit scaffold as v11 (bounded query sample broadcast, corpus "
+    "scanned once per index variant, top-k-sized compare join); "
+    "recall is an exact integer count / k. The truncated index's "
+    "cosine re-normalizes over the kept dims — slice THEN normalize, "
+    "matching how a truncated index would actually store vectors.",
+)
+def v13_dim_truncation_recall(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        vec.alias("qv"),
+        F.slice(vec, 1, TRUNC_DIM).alias("tq"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        vec.alias("cv"),
+        F.slice(vec, 1, TRUNC_DIM).alias("tc"),
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+
+    def topk(df, a, b):
+        cos = _dot(F.col(a), F.col(b)) / (
+            F.sqrt(_dot(F.col(a), F.col(a)))
+            * F.sqrt(_dot(F.col(b), F.col(b)))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("cand_id")
+        )
+        return (
+            df.select("query_id", "cand_id", cos.alias("cosine"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= IVF_TOPK)
+            .select("query_id", "cand_id")
+        )
+
+    exact = topk(pairs, "qv", "cv")
+    trunc = topk(pairs, "tq", "tc").select(
+        F.col("query_id").alias("t_query_id"),
+        F.col("cand_id").alias("t_cand_id"),
+    )
+    return (
+        exact.join(
+            trunc,
+            (F.col("query_id") == F.col("t_query_id"))
+            & (F.col("cand_id") == F.col("t_cand_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("t_cand_id").alias("n_hit"))
+        .select(
+            "query_id",
+            F.lit(TRUNC_DIM).alias("trunc_dim"),
+            F.lit(IVF_TOPK).alias("k"),
+            "n_hit",
+            (F.col("n_hit").cast("double") / IVF_TOPK).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ7: functional-dependency audit (does X determine Y?)
+# ---------------------------------------------------------------------------
+
+FD_CANDIDATES = [
+    # (name, table, determinant, dependent) — one holding FD (key
+    # determinant, the sanity row) and two the data genuinely violates
+    ("nation_key_determines_region", "nation", "n_nationkey",
+     "n_regionkey"),
+    ("customer_determines_priority", "orders", "o_custkey",
+     "o_orderpriority"),
+    ("user_determines_event_type", "events", "user_id", "event_type"),
+]
+
+
+def _dq07_oracle() -> str:
+    parts = []
+    for name, table, det, dep in FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{name}' AS fd_name,
+           COUNT(*) AS n_keys,
+           COUNT(*) FILTER (WHERE nd > 1) AS n_violating_keys,
+           COUNT(*) FILTER (WHERE nd > 1) = 0 AS holds
+    FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS nd
+          FROM {table} GROUP BY {det})""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "dq07_functional_dependency",
+    oracle=_dq07_oracle(),
+    note="DQ7 functional-dependency audit: for each candidate X -> Y, "
+    "count determinant keys whose dependent takes more than one "
+    "value — the schema-inference / normalization check (is this "
+    "column derivable? is this 'key' actually a key?) that catches "
+    "silent denormalization drift in a lake. One COUNT(DISTINCT) "
+    "aggregation per candidate (map-side partial agg; the violating-"
+    "key count rides the same shuffle); suite rows UNION like dq05. "
+    "The holding row (a primary-key determinant) pins the audit's "
+    "negative control so an always-violated bug cannot pass silently.",
+)
+def dq07_functional_dependency(spark: SparkSession, sf_dir: str):
+    out = None
+    for name, table, det, dep in FD_CANDIDATES:
+        per_key = (
+            t(spark, sf_dir, table)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("nd"))
+        )
+        row = per_key.agg(
+            F.lit(name).alias("fd_name"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.count(F.when(F.col("nd") > 1, 1)).alias(
+                "n_violating_keys"
+            ),
+            (F.count(F.when(F.col("nd") > 1, 1)) == 0).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# A26: class-balance entropy / Gini impurity per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a26_class_balance_entropy",
+    oracle="""
+    WITH c AS (SELECT source, lang, COUNT(*) AS nc
+               FROM documents GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(nc) AS n, COUNT(*) AS n_classes
+            FROM c GROUP BY 1),
+    terms AS (
+      SELECT c.source, t.n, t.n_classes,
+             CAST(floor((CAST(c.nc AS DOUBLE) / t.n)
+                        * ln(CAST(c.nc AS DOUBLE) / t.n)
+                        * 1e12 + 0.5) / 1e12
+                  AS DECIMAL(38,12)) AS plogp,
+             CAST(floor((CAST(c.nc AS DOUBLE) / t.n)
+                        * (CAST(c.nc AS DOUBLE) / t.n)
+                        * 1e12 + 0.5) / 1e12
+                  AS DECIMAL(38,12)) AS p2
+      FROM c JOIN tot t USING (source))
+    SELECT source, CAST(MIN(n) AS BIGINT) AS n_docs,
+           CAST(MIN(n_classes) AS BIGINT) AS n_classes,
+           floor(-CAST(SUM(plogp) AS DOUBLE) * 1e9 + 0.5) / 1e9
+             AS entropy,
+           floor((1.0 - CAST(SUM(p2) AS DOUBLE)) * 1e9 + 0.5) / 1e9
+             AS gini
+    FROM terms GROUP BY source
+    """,
+    note="A26 class-balance audit: Shannon entropy and Gini impurity "
+    "of the language distribution per source — the training-mix "
+    "balance metric (a skewed source quietly drags a multilingual "
+    "mix; entropy names it in one number, and the same pair is the "
+    "split-quality metric inside m06/m10/m11's trees). Two grouped "
+    "counts (classes-per-group is tiny, so the second agg is "
+    "bookkeeping); each p*ln(p) / p^2 term is rounded half-up to 12 "
+    "decimals and DECIMAL-summed so the per-group reduction is "
+    "order-independent across engines and partitionings (base.py "
+    "float policy applied to transcendental TERMS, not just sums).",
+)
+def a26_class_balance_entropy(spark: SparkSession, sf_dir: str):
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("nc"))
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("nc").alias("n"), F.count(F.lit(1)).alias("n_classes")
+    )
+    p = F.col("nc").cast("double") / F.col("n")
+    terms = c.join(tot, "source").select(
+        "source",
+        "n",
+        "n_classes",
+        rhu(p * F.log(p), 12).cast("decimal(38,12)").alias("plogp"),
+        rhu(p * p, 12).cast("decimal(38,12)").alias("p2"),
+    )
+    return terms.groupBy("source").agg(
+        F.min("n").cast("bigint").alias("n_docs"),
+        F.min("n_classes").cast("bigint").alias("n_classes"),
+        rhu(-F.sum("plogp").cast("double"), 9).alias("entropy"),
+        rhu(F.lit(1.0) - F.sum("p2").cast("double"), 9).alias("gini"),
+    )

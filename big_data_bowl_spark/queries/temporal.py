@@ -1806,3 +1806,124 @@ def t29_streaming_topk(spark: SparkSession, sf_dir: str):
     return counts.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= TOPK_PER_WINDOW
     )
+
+
+# ---------------------------------------------------------------------------
+# T30: last-touch attribution (last-non-null over a preceding frame)
+# ---------------------------------------------------------------------------
+
+ATTR_TOUCH, ATTR_CONV = "click", "purchase"
+
+
+@register(
+    "t30_last_touch_attribution",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, event_type,
+                      {_TS} AS ts FROM events),
+    a AS (
+      SELECT user_id, event_id, event_type, ts,
+             last_value(CASE WHEN event_type = '{ATTR_TOUCH}'
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS click_id,
+             last_value(CASE WHEN event_type = '{ATTR_TOUCH}'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS click_us
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id AS purchase_id, click_id,
+           epoch_us(ts) - click_us AS gap_us
+    FROM a WHERE event_type = '{ATTR_CONV}'
+    """,
+    note=f"T30 last-touch attribution: each {ATTR_CONV!r} credits the "
+    f"user's most recent strictly-preceding {ATTR_TOUCH!r} — the "
+    "marketing-attribution join every event platform runs, spelled "
+    "as last-NON-NULL over a (user, time) window with a 1-PRECEDING "
+    "frame end instead of the naive per-conversion as-of self-join "
+    "(t06 does the two-table as-of; t30 is the single-stream "
+    "sequential form: one shuffle, one sort, zero joins). Both "
+    "last_value()s share one frame, so Catalyst evaluates a single "
+    "Window node; never-touched conversions keep NULL click_id "
+    "(outer semantics for free). Gap is exact integer microseconds.",
+)
+def t30_last_touch_attribution(spark: SparkSession, sf_dir: str):
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type") == ATTR_TOUCH
+    a = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.last(F.when(is_touch, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("click_id"),
+        F.last(
+            F.when(is_touch, F.unix_micros(F.col("ts"))),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("click_us"),
+    )
+    return a.filter(F.col("event_type") == ATTR_CONV).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "click_id",
+        (F.unix_micros(F.col("ts")) - F.col("click_us")).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T31: new users per day + cumulative distinct reach
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t31_cumulative_reach",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('hour', MIN({_TS})) AS first_hour
+      FROM events GROUP BY user_id),
+    hourly AS (
+      SELECT first_hour AS hour, COUNT(*) AS n_new_users
+      FROM firsts GROUP BY 1)
+    SELECT hour, n_new_users,
+           SUM(n_new_users) OVER (ORDER BY hour
+                                  ROWS UNBOUNDED PRECEDING)
+             AS cumulative_reach
+    FROM hourly
+    """,
+    note="T31 cumulative reach: NEW users per hour and running distinct "
+    "users to date (hourly so the fixture exercises a real series) - "
+    "the growth-dashboard staple that naive "
+    "COUNT(DISTINCT) OVER cannot express in Spark (distinct window "
+    "aggregates are unsupported) and would cost a rescan per day "
+    "per day anyway. First-occurrence reduction: MIN(ts) per "
+    "user (one user-keyed shuffle, map-side combined), an hour-level "
+    "count, and a running sum over the TINY hourly table. "
+    "The final ordered window runs on ~9k rows/year — bookkeeping, "
+    "not data; at 100 TB the only data-sized stage is the per-user "
+    "MIN, which is the minimal information the answer needs.",
+)
+def t31_cumulative_reach(spark: SparkSession, sf_dir: str):
+    firsts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(F.date_trunc("hour", "first_ts").alias("hour"))
+    )
+    hourly = firsts.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = (
+        _W.orderBy("hour")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    return hourly.select(
+        "hour",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cumulative_reach"),
+    )

@@ -1749,3 +1749,176 @@ def test_g06_bfs_matches_python_bfs(spark, sf_dir):
         for r in REGISTRY["g06_bfs_hops"].fn(spark, sf_dir).collect()
     }
     assert got == dist
+
+
+def test_t30_attribution_matches_python_scan(spark, sf_dir):
+    """t30: each purchase credits the most recent strictly-preceding
+    click in the user's (ts, event_id)-ordered sequence."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    ).collect()
+    want = {}
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rows in by_user.items():
+        last_click = None
+        for r in rows:
+            if r.event_type == "purchase":
+                want[r.event_id] = (
+                    None
+                    if last_click is None
+                    else (
+                        last_click.event_id,
+                        (lambda d: (d.days * 86_400 + d.seconds)
+                         * 1_000_000 + d.microseconds)(
+                            r.ts - last_click.ts
+                        ),
+                    )
+                )
+            if r.event_type == "click":
+                last_click = r
+    got = {
+        r.purchase_id: (
+            None if r.click_id is None else (r.click_id, r.gap_us)
+        )
+        for r in REGISTRY["t30_last_touch_attribution"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+
+
+def test_v13_truncation_recall_matches_numpy(spark, sf_dir):
+    """v13's recall equals a numpy recomputation of full-dim vs
+    truncated-dim exact top-k over the same vectors."""
+    import numpy as np
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import (
+        IVF_TOPK,
+        N_QUERIES,
+        TRUNC_DIM,
+    )
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    def topk(qid, dim):
+        q = vecs[qid][:dim]
+        scored = []
+        for cid, v in vecs.items():
+            if cid == qid:
+                continue
+            c = v[:dim]
+            cos = float(q @ c / (np.linalg.norm(q) * np.linalg.norm(c)))
+            scored.append((-cos, cid))
+        scored.sort()
+        return {cid for _, cid in scored[:IVF_TOPK]}
+
+    got = {
+        r.query_id: r
+        for r in REGISTRY["v13_dim_truncation_recall"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(range(N_QUERIES))
+    for qid in range(N_QUERIES):
+        full = topk(qid, None)
+        trunc = topk(qid, TRUNC_DIM)
+        n_hit = len(full & trunc)
+        assert got[qid].n_hit == n_hit, qid
+        assert abs(got[qid].recall - n_hit / IVF_TOPK) < 1e-12
+
+
+def test_dq07_fd_audit_contract(spark, sf_dir):
+    """dq07: the key-determinant FD holds (negative control), every
+    row's holds flag agrees with its violation count, and one FD's
+    counts match a Python recount."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = {
+        r.fd_name: r
+        for r in REGISTRY["dq07_functional_dependency"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert rows["nation_key_determines_region"].holds is True
+    for r in rows.values():
+        assert r.holds == (r.n_violating_keys == 0)
+        assert 0 <= r.n_violating_keys <= r.n_keys
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type"
+    ).collect()
+    dep: dict = {}
+    for r in ev:
+        dep.setdefault(r.user_id, set()).add(r.event_type)
+    want_viol = sum(1 for s in dep.values() if len(s) > 1)
+    got = rows["user_determines_event_type"]
+    assert got.n_keys == len(dep)
+    assert got.n_violating_keys == want_viol
+
+
+def test_a26_entropy_matches_python(spark, sf_dir):
+    """a26's entropy/gini equal the definitional computation from
+    Python counts (within the documented 12-decimal term rounding)."""
+    import math
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang"
+    ).collect()
+    counts: dict = {}
+    for r in docs:
+        counts.setdefault(r.source, {}).setdefault(r.lang, 0)
+        counts[r.source][r.lang] += 1
+    got = {
+        r.source: r
+        for r in REGISTRY["a26_class_balance_entropy"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(got) == set(counts)
+    for source, by_lang in counts.items():
+        n = sum(by_lang.values())
+        ps = [c / n for c in by_lang.values()]
+        ent = -sum(p * math.log(p) for p in ps)
+        gini = 1.0 - sum(p * p for p in ps)
+        assert got[source].n_docs == n
+        assert got[source].n_classes == len(by_lang)
+        assert abs(got[source].entropy - ent) < 1e-8
+        assert abs(got[source].gini - gini) < 1e-8
+
+
+def test_t31_reach_is_monotone_and_totals(spark, sf_dir):
+    """t31: cumulative_reach is strictly increasing, ends at the
+    distinct-user count, and each row's increment is its n_new_users."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = sorted(
+        REGISTRY["t31_cumulative_reach"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.hour,
+    )
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    acc = 0
+    for r in rows:
+        assert r.n_new_users > 0
+        acc += r.n_new_users
+        assert r.cumulative_reach == acc
+    assert acc == n_users

@@ -59,6 +59,13 @@ PIPELINES = [
     "a21_grouped_histogram",
     "t26_streaming_histogram",
     "s14_zorder_locality",
+    # round-9 batch 2: spatial radius join (pair count tracks point
+    # DENSITY squared — the replica probe raises density, not extent,
+    # so wall tracks output rows; see SCALE.md), PMI pair explosion,
+    # BFS over the 10x near-dup graph
+    "j12_grid_radius_join",
+    "n23_pmi_cooccurrence",
+    "g06_bfs_hops",
 ]
 
 
