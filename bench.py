@@ -156,6 +156,9 @@ HEADLINE = [
     "dq07_functional_dependency",
     "a26_class_balance_entropy",
     "t31_cumulative_reach",
+    # round-9 additions: calibration table, small-file compaction
+    "m12_calibration_bins",
+    "s15_small_file_compaction",
 ]
 
 

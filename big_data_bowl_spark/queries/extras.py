@@ -4019,3 +4019,52 @@ def a26_class_balance_entropy(spark: SparkSession, sf_dir: str):
         rhu(-F.sum("plogp").cast("double"), 9).alias("entropy"),
         rhu(F.lit(1.0) - F.sum("p2").cast("double"), 9).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S15: small-file compaction (lake maintenance as an operator)
+# ---------------------------------------------------------------------------
+
+COMPACT_SMALL_FILES = 64  # fragmentation factor written, then compacted
+COMPACT_TARGET_FILES = 4
+
+
+@register(
+    "s15_small_file_compaction",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+    FROM orders GROUP BY 1, 2
+    """,
+    note=f"S15 small-file compaction: the table is first written "
+    f"FRAGMENTED ({COMPACT_SMALL_FILES} files — what a streaming "
+    "sink or over-parallel job leaves behind), then compacted by a "
+    f"repartition({COMPACT_TARGET_FILES}) rewrite, and the query "
+    "re-aggregates from the compacted layout — proving compaction "
+    "preserves every row and value (the oracle reads the ORIGINAL "
+    "table; any loss or duplication in either rewrite breaks the "
+    "hash). pytest additionally asserts the file counts. THE "
+    "maintenance job every lake runs nightly: small files tax "
+    "footer/open costs and scheduler overhead at read time — at "
+    "100 TB the compactor IS the read-latency budget's owner. The "
+    "compaction itself is one round-robin shuffle sized by the "
+    "target file count; per-partition sort-order layouts (s14's "
+    "z-order) compose with it.",
+)
+def s15_small_file_compaction(spark: SparkSession, sf_dir: str):
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    frag = os.path.join(_scratch_dir(), f"frag_{sf_tag}")
+    compact = os.path.join(_scratch_dir(), f"compact_{sf_tag}")
+    o.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(
+        frag
+    )
+    spark.read.parquet(frag).repartition(
+        COMPACT_TARGET_FILES
+    ).write.mode("overwrite").parquet(compact)
+    return (
+        spark.read.parquet(compact)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

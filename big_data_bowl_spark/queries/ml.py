@@ -1537,3 +1537,88 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
             "n_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M12: calibration bins (reliability diagram as data)
+# ---------------------------------------------------------------------------
+
+CALIB_BINS = 10
+
+
+@register(
+    "m12_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(l_returnflag = 'R' AS INT) AS y,
+             floor(1.0 / (1.0 + exp(-(30.0 * l_discount + 20.0 * l_tax
+                                      - 2.5)))
+                   * 1e{AUC_BINS} + 0.5) / 1e{AUC_BINS} AS s
+      FROM lineitem)
+    SELECT CAST(least(floor(s * {CALIB_BINS}), {CALIB_BINS - 1}) AS INT)
+             AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(s AS DECIMAL(28,{AUC_BINS}))) AS DOUBLE)
+             / COUNT(*) AS mean_score,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate,
+           abs(CAST(SUM(CAST(s AS DECIMAL(28,{AUC_BINS}))) AS DOUBLE)
+                 / COUNT(*)
+               - CAST(SUM(y) AS DOUBLE) / COUNT(*)) AS abs_gap
+    FROM scored GROUP BY 1
+    """,
+    note=f"M12 calibration table ({CALIB_BINS} equal-width score bins): "
+    "mean predicted probability vs empirical positive rate per bin — "
+    "the reliability diagram as data (and |gap| is the per-bin term "
+    "of ECE), completing the eval family next to m08's AUC: same "
+    "label, same sigmoid-score template, coefficients steepened "
+    "(30/20/-2.5 vs m08's 3/2/-0.5) so the fixture's scores span "
+    "the diagram instead of pooling in two bins — any model's "
+    "calibrated output plugs into the same plan. One "
+    "map-side-combined groupBy into "
+    f"<= {CALIB_BINS} rows; the score sum is DECIMAL-exact (scores "
+    f"carry {AUC_BINS} decimals by construction), both rates are "
+    "single IEEE divisions — no rounding needed anywhere downstream. "
+    "At 100 TB this is the cheapest possible shape: scan, combine, "
+    f"{CALIB_BINS}-row result.",
+)
+def m12_calibration_bins(spark: SparkSession, sf_dir: str):
+    from ..functions.rounding import rhu
+
+    li = t(spark, sf_dir, "lineitem")
+    s = rhu(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -(
+                    30.0 * F.col("l_discount")
+                    + 20.0 * F.col("l_tax")
+                    - 2.5
+                )
+            )
+        ),
+        AUC_BINS,
+    )
+    scored = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+        s.alias("s"),
+    )
+    bin_c = F.least(
+        F.floor(F.col("s") * CALIB_BINS), F.lit(CALIB_BINS - 1)
+    ).cast("int")
+    agg = scored.groupBy(bin_c.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("s").cast(f"decimal(28,{AUC_BINS})"))
+        .cast("double")
+        .alias("sum_s"),
+        F.sum("y").alias("n_pos"),
+    )
+    mean_score = F.col("sum_s") / F.col("n")
+    pos_rate = F.col("n_pos").cast("double") / F.col("n")
+    return agg.select(
+        "bin",
+        "n",
+        mean_score.alias("mean_score"),
+        pos_rate.alias("pos_rate"),
+        F.abs(mean_score - pos_rate).alias("abs_gap"),
+    )

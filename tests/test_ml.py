@@ -411,3 +411,24 @@ def test_m11_approx_thresholds_same_tree_contract(spark, sf_dir):
         assert 0 <= r.votes_r <= r.n_oob
         want = "R" if 2 * r.votes_r >= r.n_oob else "N"
         assert r.predicted == want
+
+
+def test_m12_calibration_bins_contract(spark, sf_dir):
+    """m12: bins partition all rows, mean_score lies inside each bin's
+    score range, rates in [0,1], abs_gap consistent."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.ml import CALIB_BINS
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = REGISTRY["m12_calibration_bins"].fn(spark, sf_dir).collect()
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n for r in rows) == n_li
+    for r in rows:
+        assert 0 <= r.bin < CALIB_BINS
+        lo, hi = r.bin / CALIB_BINS, (r.bin + 1) / CALIB_BINS
+        # bin CALIB_BINS-1 also absorbs s == 1.0 exactly
+        assert lo - 1e-9 <= r.mean_score <= (
+            1.0 if r.bin == CALIB_BINS - 1 else hi
+        ) + 1e-9
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert abs(r.abs_gap - abs(r.mean_score - r.pos_rate)) < 1e-12

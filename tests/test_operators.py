@@ -1922,3 +1922,33 @@ def test_t31_reach_is_monotone_and_totals(spark, sf_dir):
         acc += r.n_new_users
         assert r.cumulative_reach == acc
     assert acc == n_users
+
+
+def test_s15_compaction_reduces_files_preserves_rows(spark, sf_dir):
+    """s15: the fragmented layout has many files, the compacted one
+    has COMPACT_TARGET_FILES, and row counts survive both rewrites."""
+    import glob
+    import os
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import (
+        COMPACT_TARGET_FILES,
+        _scratch_dir,
+    )
+    from big_data_bowl_spark.sources.io import load_table
+
+    rows = REGISTRY["s15_small_file_compaction"].fn(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    frag = glob.glob(
+        os.path.join(_scratch_dir(), f"frag_{sf_tag}", "part-*.parquet")
+    )
+    compact = glob.glob(
+        os.path.join(
+            _scratch_dir(), f"compact_{sf_tag}", "part-*.parquet"
+        )
+    )
+    assert len(compact) == COMPACT_TARGET_FILES
+    assert len(frag) > len(compact)

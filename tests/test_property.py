@@ -517,3 +517,97 @@ def test_morton_interleave_matches_python_reference(spark, seed):
         ).collect()
     }
     assert got == expect
+
+
+def _ref_weighted_median(pts):
+    """Smallest value whose cumulative weight reaches half the total."""
+    pts = sorted(pts)
+    tot = sum(w for _, w in pts)
+    acc = 0
+    for v, w in pts:
+        acc += w
+        if 2 * acc >= tot:
+            return v
+
+
+@pytest.mark.parametrize("seed", [3, 11, 99])
+def test_weighted_median_window_matches_reference(spark, seed):
+    """The a25 cumulative-weight-window spelling equals the
+    definitional weighted median on random integer-weighted points,
+    including duplicate values and weight ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(3), float(rng.randrange(20)), rng.randrange(1, 6), i)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp int, v double, wt int, rid int"
+    )
+    w_ord = (
+        Window.partitionBy("grp")
+        .orderBy("v", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("grp")
+    got = {
+        r.grp: r.wm
+        for r in df.select(
+            "grp",
+            "v",
+            F.sum("wt").over(w_ord).alias("cw"),
+            F.sum("wt").over(w_all).alias("tw"),
+        )
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("wm"))
+        .collect()
+    }
+    for grp in set(r[0] for r in rows):
+        pts = [(v, wt) for g, v, wt, _ in rows if g == grp]
+        assert got[grp] == _ref_weighted_median(pts), (seed, grp)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_ols_sufficient_stats_match_numpy(spark, seed):
+    """The a23 sufficient-statistics OLS reconstruction equals numpy's
+    least-squares fit on random 2-decimal data."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.randrange(2),
+            float(rng.randrange(1, 50)),
+            round(rng.uniform(10, 1000), 2),
+            i,
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "grp int, x double, y double, rid int")
+    s = df.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("y").cast("decimal(28,2)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    got = {
+        r.grp: (
+            (r.n * r.sxy - r.sx * r.sy) / (r.n * r.sxx - r.sx * r.sx),
+            (r.sy - (r.n * r.sxy - r.sx * r.sy)
+             / (r.n * r.sxx - r.sx * r.sx) * r.sx) / r.n,
+        )
+        for r in s.collect()
+    }
+    for grp in set(r[0] for r in rows):
+        xs = np.array([x for g, x, _, _ in rows if g == grp])
+        ys = np.array([y for g, _, y, _ in rows if g == grp])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert abs(got[grp][0] - slope) < 1e-9 * max(1, abs(slope))
+        assert abs(got[grp][1] - intercept) < 1e-7 * max(1, abs(intercept))
