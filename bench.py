@@ -159,6 +159,9 @@ HEADLINE = [
     # round-9 additions: calibration table, small-file compaction
     "m12_calibration_bins",
     "s15_small_file_compaction",
+    # round-9 additions: survivorship policy, snapshot diff
+    "d11_canonical_survivor",
+    "dq08_snapshot_diff",
 ]
 
 

@@ -4068,3 +4068,68 @@ def s15_small_file_compaction(spark: SparkSession, sf_dir: str):
         .groupBy("o_orderpriority", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ8: snapshot diff / reconciliation audit
+# ---------------------------------------------------------------------------
+
+DIFF_DROP_MOD = 97     # keys dropped in the simulated new snapshot
+DIFF_CHANGE_MOD = 101  # keys whose totalprice is restated
+DIFF_PRICE_BUMP = 1.5  # the restatement applied to changed rows
+
+
+@register(
+    "dq08_snapshot_diff",
+    oracle=f"""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % {DIFF_CHANGE_MOD} = 0
+                  THEN o_totalprice + {DIFF_PRICE_BUMP!r}
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % {DIFF_DROP_MOD} <> 0),
+    d AS (
+      SELECT CASE
+               WHEN b.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_totalprice <> b.o_totalprice THEN 'changed'
+               ELSE 'unchanged'
+             END AS diff_class
+      FROM orders a LEFT JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+    SELECT diff_class, COUNT(*) AS n
+    FROM d GROUP BY diff_class
+    """,
+    note="DQ8 snapshot reconciliation: classify every key of a table "
+    "against its next snapshot as removed / changed / unchanged via "
+    "one co-keyed outer join — the diff audit run before promoting a "
+    "rebuilt table (d10 proves incremental==full for AGGREGATES; "
+    "dq08 is the ROW-level face). The 'new snapshot' is derived "
+    "in-query by deterministic key rules (drop every 97th key, "
+    "restate every 101st price) so both engines diff identical "
+    "inputs; in production v2 is yesterday's parquet and the plan is "
+    "unchanged — one shuffle on the join key (or zero if both "
+    "snapshots share a bucketed layout, s06's point). Class counts "
+    "only move; at 100 TB add a per-class md5-XOR rollup for a "
+    "content checksum on the same shuffle.",
+)
+def dq08_snapshot_diff(spark: SparkSession, sf_dir: str):
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = base.filter(
+        F.col("o_orderkey") % DIFF_DROP_MOD != 0
+    ).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % DIFF_CHANGE_MOD == 0,
+            F.col("o_totalprice") + DIFF_PRICE_BUMP,
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("p2"),
+    )
+    d = base.join(v2, "o_orderkey", "left").select(
+        F.when(F.col("p2").isNull(), "removed")
+        .when(F.col("o_totalprice") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+        .alias("diff_class")
+    )
+    return d.groupBy("diff_class").agg(F.count(F.lit(1)).alias("n"))

@@ -1980,3 +1980,66 @@ def n23_pmi_cooccurrence(spark: SparkSession, sf_dir: str):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D11: quality-based survivor selection per duplicate cluster
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d11_canonical_survivor",
+    oracle=f"""
+    WITH canon AS ({_D05_ORACLE}),
+    m AS (
+      SELECT c.canonical_id, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.canonical_id
+                                ORDER BY d.n_chars DESC, d.doc_id ASC)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY c.canonical_id) AS n_members
+      FROM canon c JOIN documents d ON c.doc_id = d.doc_id)
+    SELECT canonical_id, doc_id AS survivor_id,
+           n_chars AS survivor_chars, n_members
+    FROM m WHERE rn = 1 AND n_members > 1
+    """,
+    note="D11 survivorship policy: within each near-dup cluster "
+    "(d05's transitive closure) keep the HIGHEST-QUALITY member "
+    "(longest text, doc_id tiebreak) instead of d05's min-id — the "
+    "keep-the-best-duplicate rule real corpus curation wants (the "
+    "longer crawl of the same page usually carries the full "
+    "content). One join from cluster labels to the quality column "
+    "and one rank window partitioned by cluster — cluster-sized "
+    "work after the components fixpoint; at 100 TB any quality "
+    "score (n02's composite, a perplexity) drops into the ORDER BY "
+    "unchanged. Deterministic tiebreak makes the survivor exact "
+    "cross-engine; only multi-member clusters emit (singletons have "
+    "nothing to survive).",
+)
+def d11_canonical_survivor(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    labels = d05_dedup_components(spark, sf_dir).select(
+        "doc_id", "canonical_id"
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = labels.join(docs, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("canonical_id")
+    return (
+        m.select(
+            "canonical_id",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_members") > 1))
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("n_chars").alias("survivor_chars"),
+            "n_members",
+        )
+    )

@@ -230,3 +230,39 @@ def test_sketches_show_real_behavior(spark):
     assert bloom.n_false_pos > 0
     assert 0.0 < bloom.fp_rate < 0.5
     assert 0 < bloom.n_members < bloom.n_probes
+
+
+def test_d11_survivor_is_best_member(spark, sf_dir):
+    """d11: every survivor belongs to its cluster and is the
+    (longest, then smallest-id) member; n_members matches d05."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    labels = {
+        r.doc_id: r.canonical_id
+        for r in REGISTRY["d05_dedup_components"].fn(spark, sf_dir).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    clusters: dict = {}
+    for doc, canon in labels.items():
+        clusters.setdefault(canon, []).append(doc)
+    want = {
+        canon: (
+            min(members, key=lambda d: (-chars[d], d)),
+            len(members),
+        )
+        for canon, members in clusters.items()
+        if len(members) > 1
+    }
+    got = {
+        r.canonical_id: (r.survivor_id, r.n_members)
+        for r in REGISTRY["d11_canonical_survivor"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    for canon, (survivor, _) in got.items():
+        assert labels[survivor] == canon

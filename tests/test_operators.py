@@ -1952,3 +1952,35 @@ def test_s15_compaction_reduces_files_preserves_rows(spark, sf_dir):
     )
     assert len(compact) == COMPACT_TARGET_FILES
     assert len(frag) > len(compact)
+
+
+def test_dq08_diff_classes_reconcile(spark, sf_dir):
+    """dq08: class counts recompute from the key rules and partition
+    the base table exactly."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import (
+        DIFF_CHANGE_MOD,
+        DIFF_DROP_MOD,
+    )
+    from big_data_bowl_spark.sources.io import load_table
+
+    keys = [
+        r.o_orderkey
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    want = {"removed": 0, "changed": 0, "unchanged": 0}
+    for k in keys:
+        if k % DIFF_DROP_MOD == 0:
+            want["removed"] += 1
+        elif k % DIFF_CHANGE_MOD == 0:
+            want["changed"] += 1
+        else:
+            want["unchanged"] += 1
+    got = {
+        r.diff_class: r.n
+        for r in REGISTRY["dq08_snapshot_diff"].fn(spark, sf_dir).collect()
+    }
+    assert got == {c: n for c, n in want.items() if n > 0}
+    assert sum(got.values()) == len(keys)
