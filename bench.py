@@ -159,9 +159,11 @@ HEADLINE = [
     # round-9 additions: calibration table, small-file compaction
     "m12_calibration_bins",
     "s15_small_file_compaction",
-    # round-9 additions: survivorship policy, snapshot diff
+    # round-9 additions: survivorship policy, snapshot diff, lag-1
+    # autocorrelation
     "d11_canonical_survivor",
     "dq08_snapshot_diff",
+    "t32_lag1_autocorr",
 ]
 
 

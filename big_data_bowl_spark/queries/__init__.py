@@ -36,16 +36,19 @@ from . import graph  # noqa: F401,E402
 #      the max round whose CORRECTNESS_rNN.json has rows+schema+hash
 #      all true, sort ascending, alphabetical within a round.
 #
-# Round-9 tradeoff, explicit: the 25 never-driver-green round-9
-# registrations (t26..t31, mm15-mm17, a21-a26, dq06/dq07, j11/j12,
-# w11, o11, g06, n23, u05, v13) sort ahead of the rotation by rule 2,
-# so with the 8 _FIRST hoists they leave ~17 rotation slots — the r3
-# stragglers and the head of the r4 cohort make the r9 prefix; the
-# r4 tail rotates back in next round. Never-verified > stale-green:
-# a query the driver has NEVER checked outranks re-greening one that
-# was driver-green in r4 and judge-re-verified since. Every round-9
-# registration passed the local full gate (tools/check_oracle.py) at
-# BOTH sf0.001 and sf0.01 before registration.
+# Round-9 tradeoff, explicit: the ~30 never-driver-green round-9
+# registrations (t26..t32, mm15-mm17, a21-a26, dq06-dq08, j11/j12,
+# w11, o11, g06, n23, u05, v13, m12, s15, d11) sort ahead of the
+# rotation by rule 2, so with the 8 _FIRST hoists they leave ~12
+# rotation slots — the r3 stragglers and the head of the r4 cohort
+# make the r9 prefix; the r4 tail rotates back over the next rounds.
+# Never-verified > stale-green: a query the driver has NEVER checked
+# outranks re-greening one that was driver-green in r4 and
+# judge-re-verified since. Every round-9 registration passed the
+# local full gate (tools/check_oracle.py) at BOTH sf0.001 and
+# sf0.01 before registration, and the round's full-registry plain-
+# session gate ran 236/236 green (d11/dq08/t32 landed after it and
+# passed the same gate individually, --plain included).
 _PRIORITY = [
     # last driver-green in r3
     "n12_sequence_packing", "n15_trending_terms", "t01_tumbling_window",

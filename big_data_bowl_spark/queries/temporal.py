@@ -1927,3 +1927,78 @@ def t31_cumulative_reach(spark: SparkSession, sf_dir: str):
         "n_new_users",
         F.sum("n_new_users").over(w).alias("cumulative_reach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T32: lag-1 autocorrelation per group (time-series diagnostics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t32_lag1_autocorr",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type, value AS v,
+             lag(value) OVER (PARTITION BY event_type
+                              ORDER BY {_TS}, event_id) AS pv
+      FROM events),
+    p AS (SELECT event_type, v, pv FROM s WHERE pv IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(pv AS DECIMAL(28,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(v * pv AS DECIMAL(38,4))) AS DOUBLE) AS svp,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,4))) AS DOUBLE) AS svv,
+             CAST(SUM(CAST(pv * pv AS DECIMAL(38,4))) AS DOUBLE) AS spp
+      FROM p GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           {{rhu}} AS lag1_autocorr
+    FROM m
+    """.replace(
+        "{rhu}",
+        "floor((n * svp - sv * sp) / (sqrt(n * svv - sv * sv) "
+        "* sqrt(n * spp - sp * sp)) * 1e9 + 0.5) / 1e9",
+    ),
+    note="T32 lag-1 autocorrelation of event values per type (ordered "
+    "by event time): the serial-dependence diagnostic behind "
+    "forecasting-readiness checks and random-walk tests. lag() pairs "
+    "each value with its predecessor inside ONE (type, time) window "
+    "shuffle; the Pearson correlation of (v, lag v) then rebuilds "
+    "from exact-DECIMAL sufficient statistics in a second combine "
+    "(a23's ML-as-aggregate discipline — the shuffle after the "
+    "window carries k rows). rhu(9) guards the final two sqrt/div "
+    "ulps; everything upstream is exact.",
+)
+def t32_lag1_autocorr(spark: SparkSession, sf_dir: str):
+    from ..functions.rounding import rhu as _rhu
+
+    w = _W.partitionBy("event_type").orderBy("ts", "event_id")
+    s = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("v"),
+        F.lag("value").over(w).alias("pv"),
+    )
+    p = s.filter(F.col("pv").isNotNull())
+
+    def dsum4(expr):
+        return F.sum(expr.cast("decimal(38,4)")).cast("double")
+
+    m = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("v").cast("decimal(28,2)")).cast("double").alias("sv"),
+        F.sum(F.col("pv").cast("decimal(28,2)")).cast("double").alias("sp"),
+        dsum4(F.col("v") * F.col("pv")).alias("svp"),
+        dsum4(F.col("v") * F.col("v")).alias("svv"),
+        dsum4(F.col("pv") * F.col("pv")).alias("spp"),
+    )
+    n, sv, sp = F.col("n"), F.col("sv"), F.col("sp")
+    corr = (n * F.col("svp") - sv * sp) / (
+        F.sqrt(n * F.col("svv") - sv * sv)
+        * F.sqrt(n * F.col("spp") - sp * sp)
+    )
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_pairs"),
+        _rhu(corr, 9).alias("lag1_autocorr"),
+    )

@@ -1984,3 +1984,28 @@ def test_dq08_diff_classes_reconcile(spark, sf_dir):
     }
     assert got == {c: n for c, n in want.items() if n > 0}
     assert sum(got.values()) == len(keys)
+
+
+def test_t32_autocorr_matches_numpy(spark, sf_dir):
+    """t32 equals numpy's Pearson correlation of (v, lag v) over each
+    type's time-ordered value sequence."""
+    import numpy as np
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "ts", "event_id"
+    ).collect()
+    seqs: dict = {}
+    for r in sorted(ev, key=lambda r: (r.event_type, r.ts, r.event_id)):
+        seqs.setdefault(r.event_type, []).append(r.value)
+    got = {
+        r.event_type: (r.n_pairs, r.lag1_autocorr)
+        for r in REGISTRY["t32_lag1_autocorr"].fn(spark, sf_dir).collect()
+    }
+    for typ, vals in seqs.items():
+        v, pv = np.array(vals[1:]), np.array(vals[:-1])
+        want = float(np.corrcoef(v, pv)[0, 1])
+        assert got[typ][0] == len(v)
+        assert abs(got[typ][1] - want) < 1e-7, typ
