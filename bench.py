@@ -164,6 +164,8 @@ HEADLINE = [
     "d11_canonical_survivor",
     "dq08_snapshot_diff",
     "t32_lag1_autocorr",
+    # round-9 addition: hybrid BM25 + dense retrieval with RRF fusion
+    "v14_hybrid_rrf_search",
 ]
 
 

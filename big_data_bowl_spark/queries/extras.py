@@ -4133,3 +4133,199 @@ def dq08_snapshot_diff(spark: SparkSession, sf_dir: str):
         .alias("diff_class")
     )
     return d.groupBy("diff_class").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# V14: hybrid retrieval — BM25 + vector cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+HYBRID_CAND = 50   # per-retriever candidate list length
+HYBRID_TOPK = 10
+HYBRID_TERMS = ("spark", "merge", "window")
+HYBRID_QVEC = 0    # query vector = embedding of this vec_id
+
+
+def _v14_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in HYBRID_TERMS)
+    bm_term = (
+        f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * {BM25_K1 + 1.0!r}"
+        f" / (tf + {BM25_K1!r} * (1.0 - {BM25_B!r} + {BM25_B!r} * dl / avgdl))"
+    )
+    return rf"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(trim(lower(text)),
+                                                     '\s+')) AS tk
+                 FROM documents),
+    len AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM len),
+    tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok
+           WHERE tk IN ({terms}) GROUP BY 1, 2),
+    df AS (SELECT tk, COUNT(*) AS df FROM tf GROUP BY 1),
+    bm AS (SELECT tf.doc_id,
+                  CAST(SUM(CAST(floor(({bm_term}) * 1e9 + 0.5) / 1e9
+                                AS DECIMAL(38,12))) AS DOUBLE) AS bm25
+           FROM tf JOIN df USING (tk) JOIN len USING (doc_id)
+           CROSS JOIN stats GROUP BY 1),
+    bm_top AS (SELECT doc_id, bm25 FROM bm
+               ORDER BY bm25 DESC, doc_id LIMIT {HYBRID_CAND}),
+    bm_rank AS (SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id)
+                         AS r_bm
+                FROM bm_top),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+           WHERE vec_id = {HYBRID_QVEC}),
+    cos AS (SELECT vec_id AS doc_id,
+                   list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv))
+                        * sqrt(list_dot_product(cv, cv))) AS cosine
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+                  FROM embeddings WHERE vec_id <> {HYBRID_QVEC})
+            CROSS JOIN qv),
+    cos_top AS (SELECT doc_id, cosine FROM cos
+                ORDER BY cosine DESC, doc_id LIMIT {HYBRID_CAND}),
+    cos_rank AS (SELECT doc_id,
+                        ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id)
+                          AS r_cos
+                 FROM cos_top),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             b.r_bm, c.r_cos,
+             COALESCE(1.0 / ({RRF_K} + b.r_bm), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + c.r_cos), 0.0) AS rrf
+      FROM bm_rank b FULL OUTER JOIN cos_rank c
+        ON b.doc_id = c.doc_id)
+    SELECT doc_id, r_bm, r_cos, rrf,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {HYBRID_TOPK}
+    """
+
+
+@register(
+    "v14_hybrid_rrf_search",
+    oracle=_v14_oracle(),
+    note=f"V14 hybrid retrieval: BM25 (k1={BM25_K1}, b={BM25_B}) over "
+    f"query terms {HYBRID_TERMS} fused with dense cosine against one "
+    "query embedding by reciprocal-rank fusion (1/(60+rank), the "
+    "rank-only fusion RAG stacks run because it needs no score "
+    "calibration between retrievers). Each retriever contributes its "
+    f"TOP-{HYBRID_CAND} list (TakeOrderedAndProject — per-task top-k "
+    "then a k-sized merge, NEVER a global sort; production fuses "
+    "k-sized lists, not full rankings, and so does this plan), ranks "
+    "run on the k survivors, fusion is one k-vs-k outer join. BM25 "
+    "per-term scores are rhu(9)-then-DECIMAL-summed (a26's "
+    "order-independence trick for transcendental terms); RRF adds "
+    "two single divisions — deterministic unrounded. Sparse side "
+    "scales as n10's tf-idf (token shuffle), dense side as v01 "
+    "(broadcast query, corpus scan): the hybrid costs its two "
+    "retrievers plus k rows.",
+)
+def v14_hybrid_rrf_search(spark: SparkSession, sf_dir: str):
+    from ..functions.text import tokenize
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("tk")
+    )
+    ln = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = ln.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf_t = (
+        tok.filter(F.col("tk").isin(*HYBRID_TERMS))
+        .groupBy("doc_id", "tk")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf_t.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    term = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+            + 1.0
+        )
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    bm = (
+        tf_t.join(F.broadcast(df_t), "tk")
+        .join(ln, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", rhu(term, 9).cast("decimal(38,12)").alias("bt")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bt").cast("double").alias("bm25"))
+    )
+    bm_top = bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(
+        HYBRID_CAND
+    )
+    w_bm = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    bm_rank = bm_top.select(
+        "doc_id", F.row_number().over(w_bm).alias("r_bm")
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    qv = e.filter(F.col("vec_id") == HYBRID_QVEC).select(
+        vec.alias("qv")
+    )
+    cos = (
+        e.filter(F.col("vec_id") != HYBRID_QVEC)
+        .select(F.col("vec_id").alias("doc_id"), vec.alias("cv"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("cosine"),
+        )
+    )
+    cos_top = cos.orderBy(F.desc("cosine"), F.asc("doc_id")).limit(
+        HYBRID_CAND
+    )
+    w_cos = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    cos_rank = cos_top.select(
+        F.col("doc_id").alias("c_doc_id"),
+        F.row_number().over(w_cos).alias("r_cos"),
+    )
+
+    fused = bm_rank.join(
+        cos_rank,
+        F.col("doc_id") == F.col("c_doc_id"),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("c_doc_id")).alias("doc_id"),
+        "r_bm",
+        "r_cos",
+        (
+            F.coalesce(1.0 / (RRF_K + F.col("r_bm")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("r_cos")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    w_f = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.select(
+            "doc_id",
+            "r_bm",
+            "r_cos",
+            "rrf",
+            F.row_number().over(w_f).alias("rank"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(HYBRID_TOPK)
+    )

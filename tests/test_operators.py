@@ -2009,3 +2009,32 @@ def test_t32_autocorr_matches_numpy(spark, sf_dir):
         want = float(np.corrcoef(v, pv)[0, 1])
         assert got[typ][0] == len(v)
         assert abs(got[typ][1] - want) < 1e-7, typ
+
+
+def test_v14_hybrid_fusion_contract(spark, sf_dir):
+    """v14: rrf recomputes from the two ranks, the result is the top
+    HYBRID_TOPK by fused score, and both rank lists are consistent
+    (1..HYBRID_CAND, no duplicate docs within a list)."""
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import (
+        HYBRID_CAND,
+        HYBRID_TOPK,
+        RRF_K,
+    )
+
+    rows = REGISTRY["v14_hybrid_rrf_search"].fn(spark, sf_dir).collect()
+    assert len(rows) == HYBRID_TOPK
+    assert [r.rank for r in rows] == list(range(1, HYBRID_TOPK + 1))
+    prev = None
+    for r in rows:
+        want = (1.0 / (RRF_K + r.r_bm) if r.r_bm is not None else 0.0) + (
+            1.0 / (RRF_K + r.r_cos) if r.r_cos is not None else 0.0
+        )
+        assert abs(r.rrf - want) < 1e-15
+        for rk in (r.r_bm, r.r_cos):
+            if rk is not None:
+                assert 1 <= rk <= HYBRID_CAND
+        if prev is not None:
+            assert (r.rrf, -r.doc_id) <= (prev.rrf, -prev.doc_id)
+        prev = r
+    assert len({r.doc_id for r in rows}) == HYBRID_TOPK
