@@ -66,6 +66,10 @@ PIPELINES = [
     "j12_grid_radius_join",
     "n23_pmi_cooccurrence",
     "g06_bfs_hops",
+    # round-9 batch 3: survivorship over the 10x components fixpoint,
+    # hybrid retrieval (two retrievers + k-vs-k fusion)
+    "d11_canonical_survivor",
+    "v14_hybrid_rrf_search",
 ]
 
 
