@@ -166,6 +166,8 @@ HEADLINE = [
     "t32_lag1_autocorr",
     # round-9 addition: hybrid BM25 + dense retrieval with RRF fusion
     "v14_hybrid_rrf_search",
+    # round-9 addition: streaming cumulative reach (min-fold stream)
+    "t33_streaming_reach",
 ]
 
 

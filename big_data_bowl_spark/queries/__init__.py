@@ -36,8 +36,8 @@ from . import graph  # noqa: F401,E402
 #      the max round whose CORRECTNESS_rNN.json has rows+schema+hash
 #      all true, sort ascending, alphabetical within a round.
 #
-# Round-9 tradeoff, explicit: the ~32 never-driver-green round-9
-# registrations (t26..t32, mm15-mm17, a21-a26, dq06-dq08, j11/j12,
+# Round-9 tradeoff, explicit: the ~33 never-driver-green round-9
+# registrations (t26..t33, mm15-mm17, a21-a26, dq06-dq08, j11/j12,
 # w11, o11, g06, n23, u05, v13/v14, m12, s15, d11) sort ahead of the
 # rotation by rule 2, so with the 8 _FIRST hoists they leave ~12
 # rotation slots — the r3 stragglers and the head of the r4 cohort

@@ -2002,3 +2002,55 @@ def t32_lag1_autocorr(spark: SparkSession, sf_dir: str):
         n.cast("bigint").alias("n_pairs"),
         _rhu(corr, 9).alias("lag1_autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T33: streaming cumulative reach (per-user MIN fold + rank-on-drain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t33_streaming_reach",
+    oracle=_REGISTRY["t31_cumulative_reach"].oracle,
+    note="T33 streaming cumulative reach — t31's growth dashboard fed "
+    "by a stream: the streaming side maintains ONLY the per-user "
+    "MIN(event time) fold (deterministic under ANY micro-batch "
+    "split, unlike dropDuplicates' first-PROCESSED-row, which would "
+    "make the user's debut hour depend on processing order); the "
+    "hourly count and running reach run at serve time over the "
+    "drained user-sized table, t29's rank-on-drain discipline. Same "
+    "oracle as t31 — stream and batch must agree exactly. State "
+    "honesty (t11's note applies): one state row per user forever is "
+    "inherent to all-time reach; a live deployment bounds it by "
+    "windowing reach (weekly/monthly cohorts) or accepting the "
+    "user-cardinality state, which is the product decision, not an "
+    "engine limit.",
+)
+def t33_streaming_reach(spark: SparkSession, sf_dir: str):
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    firsts = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    run_to_memory(
+        firsts,
+        "t33_streaming_reach_sink",
+        output_mode="complete",
+        n_partitions=8,
+    )
+    hourly = (
+        spark.table("t33_streaming_reach_sink")
+        .select(F.date_trunc("hour", "first_ts").alias("hour"))
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n_new_users"))
+    )
+    w = _W.orderBy("hour").rowsBetween(
+        _W.unboundedPreceding, _W.currentRow
+    )
+    return hourly.select(
+        "hour",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cumulative_reach"),
+    )
