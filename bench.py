@@ -168,6 +168,9 @@ HEADLINE = [
     "v14_hybrid_rrf_search",
     # round-9 addition: streaming cumulative reach (min-fold stream)
     "t33_streaming_reach",
+    # round-9 additions: higher-order array lambdas, relative standing
+    "f14_higher_order_arrays",
+    "w12_percent_rank_cume",
 ]
 
 

@@ -4329,3 +4329,91 @@ def v14_hybrid_rrf_search(spark: SparkSession, sf_dir: str):
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(HYBRID_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# F14: higher-order array functions (transform / filter / aggregate)
+# ---------------------------------------------------------------------------
+
+HOF_DOUBLE_MIN = 20.0  # keep doubled quantities above this
+
+
+@register(
+    "f14_higher_order_arrays",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_orderkey,
+             list_sort(list(l_quantity)) AS qtys
+      FROM lineitem GROUP BY 1)
+    SELECT l_orderkey,
+           len(qtys) AS n_lines,
+           len(list_filter(list_transform(qtys, x -> x * 2),
+                           x -> x > {HOF_DOUBLE_MIN!r})) AS n_kept,
+           COALESCE(list_sum(list_filter(
+                       list_transform(qtys, x -> x * 2),
+                       x -> x > {HOF_DOUBLE_MIN!r})), 0.0) AS kept_sum
+    FROM a
+    """,
+    note="F14 higher-order array functions: collect each order's "
+    "sorted quantity array, then transform -> filter -> aggregate "
+    "entirely inside the array domain (Spark F.transform/F.filter/"
+    "F.aggregate lambda expressions == DuckDB list_transform/"
+    "list_filter/list_sum) — the API family that makes nested data "
+    "first-class WITHOUT exploding (an explode+groupBy spelling of "
+    "the same answer costs a second shuffle; the HOF spelling is "
+    "zero extra shuffles after the collect). Quantities are integral "
+    "doubles, so the in-array sum is exact in any order; sort_array "
+    "pins the layout for the value hash. The same lambdas run "
+    "JVM-side inside codegen — no UDF.",
+)
+def f14_higher_order_arrays(spark: SparkSession, sf_dir: str):
+    a = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("qtys"))
+    )
+    doubled_kept = F.filter(
+        F.transform(F.col("qtys"), lambda x: x * 2),
+        lambda x: x > HOF_DOUBLE_MIN,
+    )
+    return a.select(
+        "l_orderkey",
+        F.size("qtys").cast("bigint").alias("n_lines"),
+        F.size(doubled_kept).cast("bigint").alias("n_kept"),
+        F.aggregate(
+            doubled_kept, F.lit(0.0), lambda acc, x: acc + x
+        ).alias("kept_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W12: percent_rank / cume_dist (relative-standing windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w12_percent_rank_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+    note="W12 relative standing inside a group: percent_rank "
+    "((rank-1)/(n-1)) and cume_dist (rows <= current / n) over one "
+    "(priority, price) window — the percentile-of-this-row answer "
+    "(w08's ntile assigns BUCKETS; w12 assigns the continuous "
+    "position). Both are exact integer ratios evaluated as one IEEE "
+    "division, so values hash identically with no rounding; ties "
+    "share a rank by definition in BOTH engines, making the result "
+    "well-defined even on duplicate prices. One shuffle + sort.",
+)
+def w12_percent_rank_cume(spark: SparkSession, sf_dir: str):
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
