@@ -611,3 +611,141 @@ def test_ols_sufficient_stats_match_numpy(spark, seed):
         slope, intercept = np.polyfit(xs, ys, 1)
         assert abs(got[grp][0] - slope) < 1e-9 * max(1, abs(slope))
         assert abs(got[grp][1] - intercept) < 1e-7 * max(1, abs(intercept))
+
+
+@pytest.mark.parametrize("seed", [2, 13])
+def test_grid_radius_join_boundary_points(spark, seed):
+    """Grid-bucketed radius join on ADVERSARIAL points — many exactly
+    on cell boundaries (multiples of r) and pairs at exactly distance
+    r — must equal O(n^2) brute force: the classic neighbor-cell
+    off-by-one hides exactly there."""
+    from pyspark.sql import functions as F
+
+    r = 0.5
+    rng = random.Random(seed)
+    pts = {}
+    for i in range(40):
+        if i % 3 == 0:
+            # exactly on a cell-boundary lattice point
+            x = r * rng.randrange(0, 8)
+            y = r * rng.randrange(0, 8)
+        elif i % 3 == 1:
+            # exactly r away from a previous point, axis-aligned
+            if pts:
+                px, py = pts[rng.choice(list(pts))]
+                x, y = px + r, py
+            else:
+                x = y = 0.0
+        else:
+            x = rng.uniform(0, 4)
+            y = rng.uniform(0, 4)
+        pts[i] = (x, y)
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in pts.items()],
+        "event_id long, x double, y double",
+    )
+    g = df.select(
+        "event_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / r).cast("int").alias("cx"),
+        F.floor(F.col("y") / r).cast("int").alias("cy"),
+    )
+    offsets = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("int").alias("dx"),
+        (F.floor(F.col("id") / 3) - 1).cast("int").alias("dy"),
+    )
+    a = g.crossJoin(F.broadcast(offsets)).select(
+        F.col("event_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        (F.col("cx") + F.col("dx")).alias("jcx"),
+        (F.col("cy") + F.col("dy")).alias("jcy"),
+    )
+    b = g.select(
+        F.col("event_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    d2 = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
+    got = {
+        (row.id_a, row.id_b)
+        for row in a.join(
+            b,
+            (F.col("jcx") == F.col("cx"))
+            & (F.col("jcy") == F.col("cy"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(d2 <= r * r)
+        .collect()
+    }
+    brute = {
+        (i, j)
+        for i in pts
+        for j in pts
+        if i < j
+        and (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+        <= r * r
+    }
+    assert got == brute, (seed, got.symmetric_difference(brute))
+
+
+@pytest.mark.parametrize("seed", [4, 17])
+def test_streak_rownumber_trick_random_sequences(spark, seed):
+    """The w11 rownumber-difference islands spelling equals a linear
+    scan on random sequences dense with ties and repeats."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(3), rng.choice("ab"), i)  # 2 symbols => long runs
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "u int, sym string, pos int")
+    w_all = Window.partitionBy("u").orderBy("pos")
+    w_sym = Window.partitionBy("u", "sym").orderBy("pos")
+    got = {
+        (r.u, r.best, r.n_best)
+        for r in df.select(
+            "u",
+            "sym",
+            (F.row_number().over(w_all) - F.row_number().over(w_sym)).alias(
+                "grp"
+            ),
+        )
+        .groupBy("u", "sym", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("u")
+        .agg(F.max("len").alias("best"))
+        .join(
+            df.select(
+                "u",
+                "sym",
+                (
+                    F.row_number().over(w_all) - F.row_number().over(w_sym)
+                ).alias("grp"),
+            )
+            .groupBy("u", "sym", "grp")
+            .agg(F.count(F.lit(1)).alias("len")),
+            "u",
+        )
+        .filter(F.col("len") == F.col("best"))
+        .groupBy("u", "best")
+        .agg(F.count(F.lit(1)).alias("n_best"))
+        .collect()
+    }
+    want = set()
+    by_u: dict = {}
+    for u, sym, pos in sorted(rows, key=lambda t: (t[0], t[2])):
+        by_u.setdefault(u, []).append(sym)
+    for u, syms in by_u.items():
+        runs, cur = [], 1
+        for a, b in zip(syms, syms[1:]):
+            cur = cur + 1 if a == b else (runs.append(cur), 1)[1]
+        runs.append(cur)
+        want.add((u, max(runs), runs.count(max(runs))))
+    assert got == want, seed
