@@ -265,10 +265,14 @@ def _decode_bmp_rle8(
         elif val == 1:  # end of bitmap
             break
         elif val == 2:  # delta
+            if pos + 1 >= len(payload):  # same contract as the GIF
+                raise ValueError("truncated BMP RLE8 data")  # walkers
             x = min(x + payload[pos], w)
             y += payload[pos + 1]
             pos += 2
         else:  # absolute mode: `val` literal indices, word-aligned
+            if pos + val > len(payload):
+                raise ValueError("truncated BMP RLE8 data")
             end = min(x + val, w)
             lit = np.frombuffer(payload, np.uint8, count=val, offset=pos)
             idx[y, x:end] = lit[: end - x]

@@ -1640,3 +1640,38 @@ def test_mm17_peak_detection_exact(spark, sf_dir):
         bins_a = {(r.id_a * m) % 160 + 8 for m in MM17_TONE_MULTS}
         bins_b = {(r.id_b * m) % 160 + 8 for m in MM17_TONE_MULTS}
         assert r.n_shared == len(bins_a & bins_b) >= 2
+
+
+def test_bmp_rle8_truncation_raises_value_error():
+    """RLE8 payloads cut mid-delta or mid-absolute-run must raise the
+    documented ValueError, not IndexError (the GIF walkers' contract,
+    applied to BMP)."""
+    import struct
+
+    import pytest
+
+    w, h = 6, 3
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+
+    def bmp(rle: bytes) -> bytes:
+        data_offset = 14 + 40 + len(palette)
+        hdr = (
+            b"BM"
+            + struct.pack(
+                "<IHHI", data_offset + len(rle), 0, 0, data_offset
+            )
+            + struct.pack("<Iii", 40, w, h)
+            + struct.pack("<HHI", 1, 8, 1)
+            + struct.pack("<IiiII", len(rle), 0, 0, 256, 0)
+        )
+        return hdr + palette + rle
+
+    # delta escape (0, 2) with the (dx, dy) bytes missing entirely
+    with pytest.raises(ValueError, match="truncated BMP RLE8"):
+        decode_payload(bmp(bytes([4, 1, 0, 2])), "bmp", w, h)
+    # delta escape with only dx present
+    with pytest.raises(ValueError, match="truncated BMP RLE8"):
+        decode_payload(bmp(bytes([4, 1, 0, 2, 1])), "bmp", w, h)
+    # absolute mode announcing 5 literals but carrying 2
+    with pytest.raises(ValueError, match="truncated BMP RLE8"):
+        decode_payload(bmp(bytes([0, 5, 7, 7])), "bmp", w, h)
