@@ -27,7 +27,16 @@ HIST_LO, HIST_HI, HIST_NBINS = 0.0, 100.0, 40
 
 def bin_exprs(value: Column, lo: float, hi: float, nbins: int):
     """(strict-range predicate, bin_idx LONG, bin_lo, bin_hi) column
-    pieces shared by the batch and streaming histogram spellings."""
+    pieces shared by the batch and streaming histogram spellings.
+
+    Raises ValueError on a degenerate range or bin count — silent
+    division by zero here would emit NaN bin indices that groupBy
+    collapses into one garbage bin (the zorder.py quantize guard,
+    applied to binning)."""
+    if hi <= lo:
+        raise ValueError(f"histogram range is degenerate: [{lo}, {hi}]")
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive, got {nbins}")
     width = (hi - lo) / nbins
     v = value.cast("double")
     keep = (v > lo) & (v < hi)
@@ -78,6 +87,10 @@ def grouped_histogram_sql(
 ) -> str:
     """The DuckDB mirror: identical literals, identical IEEE bin
     arithmetic, integer counts — exact."""
+    if hi <= lo:
+        raise ValueError(f"histogram range is degenerate: [{lo}, {hi}]")
+    if nbins <= 0:
+        raise ValueError(f"nbins must be positive, got {nbins}")
     width = (hi - lo) / nbins
     return f"""
     SELECT {group_expr} AS grp,

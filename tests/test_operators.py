@@ -2038,3 +2038,21 @@ def test_v14_hybrid_fusion_contract(spark, sf_dir):
             assert (r.rrf, -r.doc_id) <= (prev.rrf, -prev.doc_id)
         prev = r
     assert len({r.doc_id for r in rows}) == HYBRID_TOPK
+
+
+def test_histogram_degenerate_range_raises():
+    """bin_exprs / grouped_histogram_sql reject hi <= lo and
+    non-positive bin counts instead of emitting NaN bin indices."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.histogram import (
+        bin_exprs,
+        grouped_histogram_sql,
+    )
+
+    for lo, hi, nb in [(5.0, 5.0, 10), (7.0, 3.0, 10), (0.0, 1.0, 0)]:
+        with pytest.raises(ValueError):
+            bin_exprs(F.col("v"), lo, hi, nb)
+        with pytest.raises(ValueError):
+            grouped_histogram_sql("t", "g", "v", lo, hi, nb)
