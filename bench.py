@@ -171,6 +171,9 @@ HEADLINE = [
     # round-9 additions: higher-order array lambdas, relative standing
     "f14_higher_order_arrays",
     "w12_percent_rank_cume",
+    # round-9 final pair: scene-change detection, k-fold assignment
+    "mm18_scene_changes",
+    "o12_kfold_assignment",
 ]
 
 

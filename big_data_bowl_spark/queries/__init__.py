@@ -36,15 +36,14 @@ from . import graph  # noqa: F401,E402
 #      the max round whose CORRECTNESS_rNN.json has rows+schema+hash
 #      all true, sort ascending, alphabetical within a round.
 #
-# Round-9 tradeoff, explicit: the 35 never-driver-green round-9
-# registrations (t26..t33, mm15-mm17, a21-a26, dq06-dq08, j11/j12,
-# w11/w12, o11, g06, n23, u05, v13/v14, m12, s15, d11, f14) sort
+# Round-9 tradeoff, explicit: the 37 never-driver-green round-9
+# registrations (t26..t33, mm15-mm18, a21-a26, dq06-dq08, j11/j12,
+# w11/w12, o11/o12, g06, n23, u05, v13/v14, m12, s15, d11, f14) sort
 # ahead of the rotation by rule 2, so with the 8 _FIRST hoists they
-# fill ~43 prefix slots — the five r3 stragglers and the first two
-# r4-cohort names take the rest; the r4 tail rotates back over the
-# next rounds. Registration STOPPED at 35 for exactly this reason:
-# one more new query would push an r3 straggler out of the ~50-slot
-# prefix (VERDICT r8 item 2's floor).
+# fill 45 prefix slots — the five r3 stragglers take 46..50 exactly.
+# Registration STOPPED at 37 for exactly this reason: a 38th new
+# query would push r3 straggler u03 out of the ~50-slot prefix
+# (VERDICT r8 item 2's floor). The r4 cohort rotates back next round.
 # Never-verified > stale-green: a query the driver has NEVER checked
 # outranks re-greening one that was driver-green in r4 and
 # judge-re-verified since. Every round-9 registration passed the

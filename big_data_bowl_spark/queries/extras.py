@@ -4417,3 +4417,52 @@ def w12_percent_rank_cume(spark: SparkSession, sf_dir: str):
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O12: k-fold cross-validation assignment (deterministic, balanced audit)
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+@register(
+    "o12_kfold_assignment",
+    oracle=f"""
+    SELECT CAST(('0x' || substr({md5_sql('o_orderkey', salt='cv')},
+                 1, 13)) AS BIGINT) % {KFOLD_K} AS fold,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f
+    FROM orders GROUP BY 1
+    """,
+    note=f"O12 k-fold CV assignment (k={KFOLD_K}): fold = md5(key) mod "
+    "k — the hash-deterministic generalization of o05's two-way split "
+    "(and m05's md5-split discipline), so every engine, every rerun, "
+    "and every partitioning assigns the SAME fold to the same row; "
+    "an RNG fold column can do none of those. Emitted as the per-fold "
+    "AUDIT (row count + label count per fold) a training pipeline "
+    "logs before fitting — md5 mod k is uniform enough that fold "
+    "sizes and label balance differ only by sampling noise, which "
+    "this table makes inspectable. Fold FILTERS for the k training "
+    "runs are the same expression with `!= i`; one scan, no shuffle "
+    "beyond the k-row combine.",
+)
+def o12_kfold_assignment(spark: SparkSession, sf_dir: str):
+    fold = (
+        F.conv(
+            F.substring(md5_of(F.col("o_orderkey"), salt="cv"), 1, 13),
+            16,
+            10,
+        ).cast("bigint")
+        % KFOLD_K
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(fold.alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias(
+                "n_f"
+            ),
+        )
+    )

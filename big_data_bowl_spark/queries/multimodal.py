@@ -1517,3 +1517,64 @@ def mm17_audio_fingerprint_neardup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= MM17_SHARED_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# MM18: scene-change detection from per-frame fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm18_scene_changes",
+    oracle=_VID_DHASH_SQL
+    + """
+    , seq AS (
+      SELECT media_id, fhash,
+             lag(fhash) OVER (PARTITION BY media_id ORDER BY k)
+               AS prev_hash
+      FROM dh)
+    SELECT media_id,
+           COUNT(*) AS n_frames_hashed,
+           COUNT(DISTINCT fhash) AS n_distinct,
+           COUNT(*) FILTER (WHERE prev_hash IS NOT NULL
+                              AND fhash <> prev_hash) AS n_scene_changes
+    FROM seq GROUP BY media_id
+    """,
+    note="MM18 scene-change detection: a cut is a frame whose "
+    "fingerprint differs from its predecessor — lag() over the "
+    "(video, frame_idx) order of mm16's per-frame dHash table turns "
+    "shot segmentation into one window + one grouped count (the "
+    "temporal face of the dedup index: mm16 asks 'same frames "
+    "ANYWHERE', mm18 asks 'WHERE does the content change'). Hashes "
+    "come from the same single Arrow-batched mapInPandas decode pass "
+    "(payloads never shuffle; 16 bytes per frame move); the window "
+    "shuffles only the fingerprint table on media_id. Keyframe "
+    "extraction for a training set = keep frame_idx 0 plus each "
+    "change point — the standard sampling policy this table drives.",
+)
+def mm18_scene_changes(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from ..multimodal.media import video_frame_dhashes
+
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        (F.col("media_type") == "video") & (F.col("n_frames") > 0)
+    )
+    dh = video_frame_dhashes(media)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    seq = dh.select(
+        "media_id",
+        "fhash",
+        F.lag("fhash").over(w).alias("prev_hash"),
+    )
+    return seq.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames_hashed"),
+        F.countDistinct("fhash").alias("n_distinct"),
+        F.count(
+            F.when(
+                F.col("prev_hash").isNotNull()
+                & (F.col("fhash") != F.col("prev_hash")),
+                1,
+            )
+        ).alias("n_scene_changes"),
+    )
