@@ -36,14 +36,16 @@ from . import graph  # noqa: F401,E402
 #      the max round whose CORRECTNESS_rNN.json has rows+schema+hash
 #      all true, sort ascending, alphabetical within a round.
 #
-# Round-9 tradeoff, explicit: the 37 never-driver-green round-9
-# registrations (t26..t33, mm15-mm18, a21-a26, dq06-dq08, j11/j12,
-# w11/w12, o11/o12, g06, n23, u05, v13/v14, m12, s15, d11, f14) sort
-# ahead of the rotation by rule 2, so with the 8 _FIRST hoists they
-# fill 45 prefix slots — the five r3 stragglers take 46..50 exactly.
-# Registration STOPPED at 37 for exactly this reason: a 38th new
-# query would push r3 straggler u03 out of the ~50-slot prefix
-# (VERDICT r8 item 2's floor). The r4 cohort rotates back next round.
+# Round-9 tradeoff, explicit: the 37 round-9 registrations (36
+# never-green unranked — t26..t33, mm15-mm18, a21-a26, dq06-dq08,
+# j11/j12, w11/w12, o11/o12, g06, n23, u05, v13/v14, m12, s15, d11,
+# f14 — plus t25b inside _FIRST) sort ahead of the rotation by rule
+# 2; with the 8 _FIRST hoists they fill 44 prefix slots, the five r3
+# stragglers sit at 45..49 and the r4 cohort's head (a08) takes slot
+# 50 (layout verified against the emitted ordering). Registration
+# STOPPED here: two more new queries would evict straggler u03 from
+# the ~50-slot prefix (VERDICT r8 item 2's floor). The r4 tail
+# rotates back next round.
 # Never-verified > stale-green: a query the driver has NEVER checked
 # outranks re-greening one that was driver-green in r4 and
 # judge-re-verified since. Every round-9 registration passed the
