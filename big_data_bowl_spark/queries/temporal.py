@@ -1460,7 +1460,8 @@ def t24_streaming_merge_sink(spark: SparkSession, sf_dir: str):
     oracle=f"""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS n_high,
+           CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
            MAX({_TS}) AS last_ts
     FROM events
     GROUP BY user_id
@@ -1542,7 +1543,8 @@ def t25_stateful_running_stats(spark: SparkSession, sf_dir: str):
     oracle=f"""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS n_high,
+           CAST(SUM(CASE WHEN value > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high,
            epoch_us(MAX({_TS})) AS last_us
     FROM events
     GROUP BY user_id
@@ -1891,8 +1893,9 @@ def t30_last_touch_attribution(spark: SparkSession, sf_dir: str):
       SELECT first_hour AS hour, COUNT(*) AS n_new_users
       FROM firsts GROUP BY 1)
     SELECT hour, n_new_users,
-           SUM(n_new_users) OVER (ORDER BY hour
-                                  ROWS UNBOUNDED PRECEDING)
+           CAST(SUM(n_new_users) OVER (ORDER BY hour
+                                       ROWS UNBOUNDED PRECEDING)
+                AS BIGINT)
              AS cumulative_reach
     FROM hourly
     """,

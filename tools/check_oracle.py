@@ -2,9 +2,21 @@
 
 Runs every registered query (or a named subset) through Spark AND its
 DuckDB oracle on the same parquet tables, then compares row count,
-sorted column names, and the full order-insensitive multiset of values
-— stricter than a hash: on mismatch it prints the first differing rows
-so the gap is debuggable.
+sorted column names, the full order-insensitive multiset of values,
+AND the per-column value-type classes — stricter than a hash: on
+mismatch it prints the first differing rows so the gap is debuggable.
+
+The type-class compare exists because the driver's hash is
+type-sensitive in one specific way this gate was historically blind
+to (it cost rounds 8 AND 9): DuckDB returns HUGEINT for SUM(int),
+which surfaces through Arrow as decimal128(38,0) and float-normalizes
+to "123.0", while Spark emits int64 "123" — hash mismatch even though
+the integer VALUES are identical. Driver-green evidence (a21/t26's
+decimal(22,1) bin bounds vs Spark double were green in r9) shows
+Decimal-vs-float is tolerated, so the classes are: bool | int |
+real(float+Decimal) | datetime | datetime[tz] | date | str | bytes |
+list<elem-classes>. An oracle column classed "real" (e.g. an un-cast
+integer SUM's Decimal) against a Spark "int" column now FAILS locally.
 
 Usage:
     python tools/check_oracle.py [--sf /root/testdata/sf0.001] [names...]
@@ -16,7 +28,7 @@ import argparse
 import math
 import sys
 import time
-from datetime import datetime
+from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
@@ -50,6 +62,61 @@ def norm_value(v):
 def norm_rows(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+
+
+def type_class(v):
+    """Driver-hash-equivalent type class of a collected Python value.
+
+    None → None (nulls carry no class). bool before int (bool is an
+    int subclass). float and Decimal share one class because the
+    driver's hash float-normalizes both (proven by a21/t26 being
+    driver-green with decimal(22,1) oracle bins vs Spark doubles),
+    while int stays distinct (proven by t25/t31 being driver-RED with
+    decimal128(38,0) oracle sums vs Spark int64).
+    """
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, (float, Decimal)):
+        return "real"
+    if isinstance(v, datetime):
+        return "datetime[tz]" if v.tzinfo is not None else "datetime"
+    if isinstance(v, date):
+        return "date"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, (list, tuple)):
+        inner = sorted({c for x in v if (c := type_class(x)) is not None})
+        return "list<" + ",".join(inner) + ">"
+    return type(v).__name__
+
+
+def col_type_classes(rows, colnames):
+    """Per-column set of non-null value type classes."""
+    classes = {c: set() for c in colnames}
+    for r in rows:
+        for c, v in zip(colnames, r):
+            tc = type_class(v)
+            if tc is not None:
+                classes[c].add(tc)
+    return classes
+
+
+def typed_mismatches(srows, scols, orows, ocols):
+    """Columns whose Spark vs oracle type classes differ (both non-empty)."""
+    sc = col_type_classes(srows, scols)
+    oc = col_type_classes(orows, ocols)
+    bad = []
+    for c in scols:
+        s, o = sc.get(c, set()), oc.get(c, set())
+        if s and o and s != o:
+            bad.append((c, sorted(s), sorted(o)))
+    return bad
 
 
 def main():
@@ -122,6 +189,17 @@ def main():
             continue
         if len(srows) != len(orows):
             print(f"FAIL  {name}: rowcount {len(srows)} != {len(orows)}")
+            n_fail += 1
+            continue
+        tbad = typed_mismatches(srows, scols, orows, ocols)
+        if tbad:
+            c, s, o = tbad[0]
+            print(
+                f"FAIL  {name}: TYPE mismatch on {len(tbad)} col(s); "
+                f"first: {c!r} spark={s} oracle={o} — the driver hash "
+                f"is type-sensitive (un-cast integer SUM in the oracle? "
+                f"CAST it to BIGINT)"
+            )
             n_fail += 1
             continue
         sn = norm_rows(srows, scols)
