@@ -26,46 +26,34 @@ from . import graph  # noqa: F401,E402
 #   1. _FIRST — queries whose CODE or ORACLE changed this round
 #      (their prior green was earned by different code);
 #   2. anything NEW and not yet ranked below — always first among the
-#      rest (so a round-8 addition lands in the verified prefix
+#      rest (so a new addition lands in the verified prefix
 #      automatically);
 #   3. the explicit list below, in LEAST-RECENTLY-DRIVER-GREEN order
-#      (VERDICT r7 item 1, regenerated per VERDICT r8 item 2 from
-#      CORRECTNESS_r02..r08): the r3 stragglers (n12, n15, t01, t09,
-#      u03) and the 29-query r4 cohort fill the ~50-slot prefix first,
-#      then r5 → r8 cohorts. Regenerate each round: for each name take
-#      the max round whose CORRECTNESS_rNN.json has rows+schema+hash
-#      all true, sort ascending, alphabetical within a round.
+#      (VERDICT r7 item 1; regenerated for round 10 from
+#      CORRECTNESS_r02..r09): for each name take the max round whose
+#      CORRECTNESS_rNN.json has rows+schema+hash all true, sort
+#      ascending, alphabetical within a round.
 #
-# Round-9 tradeoff, explicit: the 37 round-9 registrations (36
-# never-green unranked — t26..t33, mm15-mm18, a21-a26, dq06-dq08,
-# j11/j12, w11/w12, o11/o12, g06, n23, u05, v13/v14, m12, s15, d11,
-# f14 — plus t25b inside _FIRST) sort ahead of the rotation by rule
-# 2; with the 8 _FIRST hoists they fill 44 prefix slots, the five r3
-# stragglers sit at 45..49 and the r4 cohort's head (a08) takes slot
-# 50 (layout verified against the emitted ordering). Registration
-# STOPPED here: two more new queries would evict straggler u03 from
-# the ~50-slot prefix (VERDICT r8 item 2's floor). The r4 tail
-# rotates back next round.
-# Never-verified > stale-green: a query the driver has NEVER checked
-# outranks re-greening one that was driver-green in r4 and
-# judge-re-verified since. Every round-9 registration passed the
-# local full gate (tools/check_oracle.py) at BOTH sf0.001 and
-# sf0.01 before registration, and the round's full-registry plain-
-# session gate ran 236/236 green (d11/dq08/t32 landed after it and
-# passed the same gate individually, --plain included).
+# Round-10 layout, explicit: _FIRST holds the four oracle-fixed
+# queries (t25/t25b/t31/t33 — never driver-green; the r9 verdict
+# proved the red was an un-cast integer SUM in their DuckDB oracles,
+# fixed this round with CAST(... AS BIGINT)). They take slots 1-4;
+# the 28-query r4 cohort (the r3 stragglers and a08 all re-greened in
+# r9) fills 5-32; the r5 cohort's alphabetical head fills the
+# remaining ~18 slots. Registration budget for round 10 is therefore
+# ~18 new queries before a new name would evict an r4-cohort entry
+# from the ~50-slot prefix (VERDICT r9 item 5: new registrations must
+# displace nothing from the r4 re-verification cohort).
 _PRIORITY = [
-    # last driver-green in r3
-    "n12_sequence_packing", "n15_trending_terms", "t01_tumbling_window",
-    "t09_interval_join", "u03_pandas_udf_scalar",
     # last driver-green in r4
-    "a08_salted_grouped_sum", "a09_grouped_quantiles", "a11_rollup_agg",
-    "a12_grouped_corr", "dq01_column_profile", "dq02_referential_orphans",
+    "a09_grouped_quantiles", "a11_rollup_agg", "a12_grouped_corr",
+    "dq01_column_profile", "dq02_referential_orphans",
     "dq03_distribution_drift", "f12_bivariate_gaussian",
     "j09_full_outer_join", "n04_fingerprint", "n05_punct_ratio",
-    "n06_bpe_token_count", "n07_rolling_hash_fingerprint",
-    "n09_vocab_topk", "n10_tfidf_top_terms", "n11_repetition_score",
-    "n13_pii_redaction", "n14_source_mixing", "o08_stratified_sample",
-    "o09_set_ops", "p14_fillna_coalesce", "s06_bucketed_colocated_join",
+    "n06_bpe_token_count", "n07_rolling_hash_fingerprint", "n09_vocab_topk",
+    "n10_tfidf_top_terms", "n11_repetition_score", "n13_pii_redaction",
+    "n14_source_mixing", "o08_stratified_sample", "o09_set_ops",
+    "p14_fillna_coalesce", "s06_bucketed_colocated_join",
     "s07_partitioned_sink_pruning", "s09_jsonl_scan", "t02_sliding_window",
     "t05_json_props", "t10_date_parts", "w07_running_total",
     "w08_ntile_quartiles",
@@ -74,20 +62,19 @@ _PRIORITY = [
     "d03_ngram_jaccard_verify", "d04_simhash", "d05_dedup_components",
     "d06_simhash_neardup", "e02_field_control", "e03_field_control_season",
     "e04_corpus_curation", "mm02_image_features",
-    "mm08_audio_spectral_features", "o10_weighted_sample",
-    "r03_unpivot_long", "s08_shuffled_shards", "s10_salted_skew_join",
-    "t03_session_window", "t04_interevent_gap", "t06_asof_join",
-    "t07_streaming_tumbling", "t08_streaming_sessionization",
-    "t11_streaming_dedup", "t12_streaming_interval_join",
-    "t13_asof_join_forward", "t14_time_weighted_avg", "t17_ewma_smoothing",
-    "v01_cosine_topk", "v02_srp_lsh_buckets",
-    "v03_bucketed_cosine_neardup", "v05_kmeans_step",
+    "mm08_audio_spectral_features", "o10_weighted_sample", "r03_unpivot_long",
+    "s08_shuffled_shards", "s10_salted_skew_join", "t03_session_window",
+    "t04_interevent_gap", "t06_asof_join", "t07_streaming_tumbling",
+    "t08_streaming_sessionization", "t11_streaming_dedup",
+    "t12_streaming_interval_join", "t13_asof_join_forward",
+    "t14_time_weighted_avg", "t17_ewma_smoothing", "v01_cosine_topk",
+    "v02_srp_lsh_buckets", "v03_bucketed_cosine_neardup", "v05_kmeans_step",
     "v06_kmeans_two_steps", "v07_int8_quantize",
     "v08_embedding_dedup_components",
     # last driver-green in r6
     "a10_approx_count_distinct", "a15_kmv_distinct_sketch", "a16_cube_agg",
-    "a17_count_min_sketch", "a18_bloom_filter_audit",
-    "a19_tdigest_quantiles", "d07_cdc_compaction", "d08_scd2_history",
+    "a17_count_min_sketch", "a18_bloom_filter_audit", "a19_tdigest_quantiles",
+    "d07_cdc_compaction", "d08_scd2_history",
     "d10_incremental_agg_maintenance", "dq04_key_skew_profile",
     "dq05_constraint_suite", "f13_winsorize", "g01_pagerank_neardup",
     "g02_label_propagation", "g03_hits_neardup", "g04_triangle_count",
@@ -102,80 +89,74 @@ _PRIORITY = [
     "t16_streaming_cdc_compaction", "t18_streaming_sliding",
     "t19_cohort_retention", "t20_gapfill_resample",
     "t21_streaming_stream_stream_join", "t23_cusum_changepoint",
-    "u04_python_udtf", "v09_product_quantization",
-    "v12_mmr_diversified_topk", "w09_rolling_mean",
+    "u04_python_udtf", "v09_product_quantization", "v12_mmr_diversified_topk",
+    "w09_rolling_mean",
     # last driver-green in r7
     "a01_grouped_sum", "a02_grouped_count_mean", "a03_grouped_mode",
     "a04_global_minmax", "a05_count_distinct", "a06_row_count",
     "a07_contingency_table", "a20_grouping_sets", "d09_merge_upsert",
     "j01_inner_join_1key", "j02_inner_join_2keys",
-    "j03_selfjoin_anchor_attach", "j04_left_outer_join",
-    "j05_crossjoin_grid", "j07_inner_join_merge",
-    "j08_semijoin_scalar_subquery", "mm11_mp4_sample_ranges",
-    "mm12_fmp4_sample_ranges", "mm13_exif_metadata", "n20_bpe_train",
-    "n21_bpe_tokenize", "n22_rag_chunking", "o01_sort_desc_topk",
-    "o02_offset_limit", "p01_project", "p02_drop_columns", "p03_rename",
-    "p04_computed_projection", "p05_filter_conjunctive",
-    "p06_filter_inlist", "p07_filter_or_chain", "p08_filter_between",
-    "p09_filter_regex", "p10_null_nan_filters", "p11_filter_modulo",
-    "p12_case_multiway", "p13_case_boolean_combo", "s01_csv_scan_inferred",
-    "s02_csv_multifile_union", "s04_generated_grid", "w01_group_flag",
-    "w02_group_broadcast_value", "w03_rownum_in_group",
+    "j03_selfjoin_anchor_attach", "j04_left_outer_join", "j05_crossjoin_grid",
+    "j07_inner_join_merge", "j08_semijoin_scalar_subquery",
+    "mm11_mp4_sample_ranges", "mm12_fmp4_sample_ranges", "mm13_exif_metadata",
+    "n20_bpe_train", "n21_bpe_tokenize", "n22_rag_chunking",
+    "o01_sort_desc_topk", "o02_offset_limit", "p01_project",
+    "p02_drop_columns", "p03_rename", "p04_computed_projection",
+    "p05_filter_conjunctive", "p06_filter_inlist", "p07_filter_or_chain",
+    "p08_filter_between", "p09_filter_regex", "p10_null_nan_filters",
+    "p11_filter_modulo", "p12_case_multiway", "p13_case_boolean_combo",
+    "s01_csv_scan_inferred", "s02_csv_multifile_union", "s04_generated_grid",
+    "w01_group_flag", "w02_group_broadcast_value", "w03_rownum_in_group",
     "w05_group_min_filter", "w06_normalize_by_group_max",
     "w10_offset_windows",
     # last driver-green in r8
-    "a14_bool_aggs", "e01_distance_at_anchor",
-    "e05_embedding_index_pipeline", "e06_streaming_pipeline",
+    "a14_bool_aggs", "e01_distance_at_anchor", "e06_streaming_pipeline",
     "f01_substring_cast", "f02_regex_replace_trim", "f03_regex_match",
     "f04_string_concat", "f05_euclidean_distance",
     "f06_velocity_decomposition", "f07_sigmoid", "f08_radius_cubic_clamp",
     "f09_clamp_least", "f10_floor_mod_round", "f11_arithmetic_projections",
-    "j06_join_rowid", "m00_ml_feature_table", "m06_decision_stump",
-    "m07b_rf_var_used", "m10_depth2_tree", "m11_bagged_ensemble",
+    "j06_join_rowid", "m00_ml_feature_table", "m07b_rf_var_used",
     "mm01_media_metadata", "mm03_frame_sample", "mm04_resize_features",
     "mm05_audio_roundtrip_features", "mm06_png_roundtrip_features",
     "mm14_gif_roundtrip_features", "n01_token_stats", "n02_quality_score",
     "n03_lang_id", "n08_source_quota", "o03_limit",
-    "o04_deterministic_sample", "o05_deterministic_split",
-    "o06_union_append", "o07_scalar_extraction", "r01_pivot_wide",
-    "r02_pivot_wide_multivalue", "s03_tsv_scan",
-    "s05_parquet_sink_roundtrip", "s13_python_datasource",
+    "o04_deterministic_sample", "o05_deterministic_split", "o06_union_append",
+    "o07_scalar_extraction", "r01_pivot_wide", "r02_pivot_wide_multivalue",
+    "s03_tsv_scan", "s05_parquet_sink_roundtrip", "s13_python_datasource",
     "s14_zorder_locality", "t24_streaming_merge_sink", "u01_groupby_apply",
-    "u02_transform_chain", "v04_ivf_topk", "v10_ivfpq_topk",
-    "v11_ann_recall_audit", "w04_global_rowid",
+    "u02_transform_chain", "v11_ann_recall_audit", "w04_global_rowid",
+    # last driver-green in r9
+    "a08_salted_grouped_sum", "a21_grouped_histogram", "a22_robust_outliers",
+    "a23_grouped_ols", "a24_welch_ttest", "a25_weighted_median",
+    "a26_class_balance_entropy", "d11_canonical_survivor", "dq06_k_anonymity",
+    "dq07_functional_dependency", "dq08_snapshot_diff",
+    "e05_embedding_index_pipeline", "f14_higher_order_arrays", "g06_bfs_hops",
+    "j11_fuzzy_name_match", "j12_grid_radius_join", "m06_decision_stump",
+    "m10_depth2_tree", "m11_bagged_ensemble", "m12_calibration_bins",
+    "mm15_image_dhash_neardup", "mm16_video_frame_neardup",
+    "mm17_audio_fingerprint_neardup", "mm18_scene_changes",
+    "n12_sequence_packing", "n15_trending_terms", "n23_pmi_cooccurrence",
+    "o11_group_sample_topk", "o12_kfold_assignment",
+    "s15_small_file_compaction", "t01_tumbling_window", "t09_interval_join",
+    "t26_streaming_histogram", "t27_sequence_pattern",
+    "t28_markov_transitions", "t29_streaming_topk",
+    "t30_last_touch_attribution", "t32_lag1_autocorr",
+    "u03_pandas_udf_scalar", "u05_map_in_arrow", "v04_ivf_topk",
+    "v10_ivfpq_topk", "v13_dim_truncation_recall", "v14_hybrid_rrf_search",
+    "w11_longest_streak", "w12_percent_rank_cume",
 ]
-
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: queries whose CODE changed in round 9 — their prior driver
-# green (or, for t25, prior red) was earned by different code, so they
-# must be re-sampled even if the driver's prefix is shorter than
-# expected.
+# names: the four queries whose ORACLE changed in round 10 (the
+# HUGEINT/decimal128-vs-int64 cast fix). They are the registry's only
+# never-driver-green entries; with the oracle typo fixed they must be
+# the first rows the driver samples.
 _FIRST = [
-    # VERDICT r8 item 1: last_us now a LONG emitted by the stateful op,
-    # timestamp materialized in-plan by F.timestamp_micros
     "t25_stateful_running_stats",
-    "t25b_stateful_running_stats_us",   # new bisection twin (all-LONG)
-    # ADVICE r8 fixes: threshold / centroid memo caches rekeyed on
-    # data fingerprint; media decode truncation/over-maxval guards
-    # (error paths, values unchanged). s14's zorder change (a
-    # degenerate-range ValueError guard) is error-path-only and NOT
-    # hoisted — its slot keeps the r4 cohort fully inside the prefix;
-    # the local full gate re-verified it this round.
-    "m06_decision_stump",
-    "m10_depth2_tree",
-    "m11_bagged_ensemble",
-    "v04_ivf_topk",
-    "v10_ivfpq_topk",
-    "e05_embedding_index_pipeline",
-    # NOT hoisted, to keep the r4 rotation cohort fully inside the
-    # ~50-slot prefix (all were re-verified by this round's local full
-    # gates, which ran the ENTIRE registry green several times):
-    # mm02/mm04/mm14 (media decode guards — error paths only), s14
-    # (zorder degenerate-range guard — error path only), v11 (consumes
-    # the same centroid cache v04/v10 represent).
+    "t25b_stateful_running_stats_us",
+    "t31_cumulative_reach",
+    "t33_streaming_reach",
 ]
-
 
 def _ordered_names():
     first = {n: i for i, n in enumerate(_FIRST)}
