@@ -215,6 +215,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    noise_retries: dict[str, dict] = {}
     # Frozen budgets, loaded up front so a reading that lands above its
     # regression threshold can be re-measured IN THIS RUN (the round-6
     # noise protocol, mechanized): host-level stalls measured at 3-5x
@@ -262,12 +263,28 @@ def main() -> None:
             if bud is not None:
                 thresh = max(2.0 * bud, bud + 0.3)
                 extra = 0
+                discarded = []
                 while best > thresh and extra < 2:
+                    discarded.append(round(best, 3))
                     t0 = time.time()
                     n_rows = fn(spark, sf_dir).count()
                     dt = time.time() - t0
                     best = dt if dt < best else best
                     extra += 1
+                if extra:
+                    # the retry only ever LOWERS a reading — record
+                    # what it discarded so a flagged-then-cleared
+                    # query is visible in the JSON, not silently
+                    # green (ADVICE r9): an intermittent regression
+                    # shows up here round after round even when the
+                    # minimum slips under the budget.
+                    noise_retries[name] = {
+                        "retries": extra,
+                        "discarded_sec": discarded,
+                        "kept_sec": round(best, 3),
+                        "threshold_sec": round(thresh, 3),
+                        "cleared": best <= thresh,
+                    }
             timings[name] = round(best, 3)
             print(
                 f"# {name}: {timings[name]:.3f}s ({n_rows} rows)",
@@ -294,6 +311,8 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    if noise_retries:
+        result["noise_retries"] = noise_retries
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)

@@ -26,8 +26,17 @@ HIST_LO, HIST_HI, HIST_NBINS = 0.0, 100.0, 40
 
 
 def bin_exprs(value: Column, lo: float, hi: float, nbins: int):
-    """(strict-range predicate, bin_idx LONG, bin_lo, bin_hi) column
+    """(strict-range predicate, bin_idx LONG, bin_bounds) column
     pieces shared by the batch and streaming histogram spellings.
+
+    `bin_bounds(idx)` maps a bin-index Column — typically the grouped
+    output column, under WHATEVER name the caller aliased it — to its
+    (bin_lo, bin_hi) edge Columns. Taking the caller's column instead
+    of hardcoding F.col("bin_idx") removes the hidden alias contract
+    (ADVICE r9): bounds are a pure function of the index they're
+    handed, so a caller grouping under a different alias gets correct
+    edges rather than an unresolved-column error (or a silent bind to
+    an unrelated bin_idx).
 
     Raises ValueError on a degenerate range or bin count — silent
     division by zero here would emit NaN bin indices that groupBy
@@ -41,9 +50,14 @@ def bin_exprs(value: Column, lo: float, hi: float, nbins: int):
     v = value.cast("double")
     keep = (v > lo) & (v < hi)
     bin_idx = F.floor((v - F.lit(lo)) / F.lit(width)).cast("long")
-    bin_lo = F.lit(lo) + F.col("bin_idx") * F.lit(width)
-    bin_hi = F.lit(lo) + (F.col("bin_idx") + 1) * F.lit(width)
-    return keep, bin_idx, bin_lo, bin_hi
+
+    def bin_bounds(idx: Column) -> tuple[Column, Column]:
+        return (
+            F.lit(lo) + idx * F.lit(width),
+            F.lit(lo) + (idx + 1) * F.lit(width),
+        )
+
+    return keep, bin_idx, bin_bounds
 
 
 def grouped_histogram(
@@ -62,7 +76,8 @@ def grouped_histogram(
         raise ValueError(f"grouped_histogram needs lo < hi, got [{lo}, {hi}]")
     if nbins < 1:
         raise ValueError(f"nbins must be >= 1, got {nbins}")
-    keep, bin_idx, bin_lo, bin_hi = bin_exprs(value, lo, hi, nbins)
+    keep, bin_idx, bin_bounds = bin_exprs(value, lo, hi, nbins)
+    bin_lo, bin_hi = bin_bounds(F.col("bin_idx"))
     return (
         df.filter(keep)
         .groupBy(F.col(group_col).alias("grp"), bin_idx.alias("bin_idx"))

@@ -379,9 +379,13 @@ def play_frames(
                     f"{sorted(_TEAM_IDX)}"
                 )
             idx = _TEAM_IDX[team]
-            # reference orientation: horizontal = field width (y),
-            # vertical = field length (x), row 0 at the top
-            c = int(round(float(d[y_col]) * px_per_yard))
+            # reference orientation: horizontal = field width, drawn
+            # MIRRORED — Tutorial.R:104 plots players at
+            # x = (xmax - y), i.e. y=0 lands on the RIGHT sideline —
+            # vertical = field length (x), row 0 at the top. The
+            # field furniture is left-right symmetric, so only player
+            # positions reveal the orientation (ADVICE r9).
+            c = int(round((_FIELD_W_YD - float(d[y_col])) * px_per_yard))
             r = h - 1 - int(round(float(d[x_col]) * px_per_yard))
             yy = np.clip(r + dy, 0, h - 1)
             xx = np.clip(c + dx, 0, w - 1)

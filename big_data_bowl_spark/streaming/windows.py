@@ -50,18 +50,39 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DIRECTORY `events.parquet/part-*.parquet` (stream the directory
     # itself — a glob on the parent would match the directory name but
     # never its part files, silently yielding 0 rows; the 10x probe
-    # lake caught exactly that in round 9).
-    import os
-
-    path = os.path.join(sf_dir, "events.parquet")
+    # lake caught exactly that in round 9). The probe goes through the
+    # Hadoop FileSystem API, not os.path (ADVICE r9): os.path.isdir is
+    # always False for non-local URIs (s3a://, hdfs://), which would
+    # silently route a remote directory-layout lake down the glob
+    # branch — the exact 0-row failure mode, just moved to remote
+    # storage. Path.getFileSystem resolves the right FS for ANY scheme
+    # and also turns a missing path into a loud error here, at the
+    # source, instead of an empty stream.
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
     reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-    if os.path.isdir(path):
+    if hadoop_is_dir(spark, path):
         raw = reader.parquet(path)
     else:
         raw = reader.option("pathGlobFilter", "events.parquet").parquet(
             sf_dir
         )
     return normalize_event_ts(raw)
+
+
+def hadoop_is_dir(spark: SparkSession, path: str) -> bool:
+    """True iff `path` is a directory on ITS OWN filesystem — local,
+    HDFS, or an object store — resolved via Hadoop's FileSystem API
+    (the same resolution Spark's own readers use), so scheme'd URIs
+    answer correctly where os.path.isdir would always say False.
+    Raises FileNotFoundError if the path does not exist at all: a
+    missing source must fail loudly, never degrade to an empty
+    stream."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        raise FileNotFoundError(f"stream source does not exist: {path}")
+    return fs.getFileStatus(jpath).isDirectory()
 
 
 def tumbling_counts(
@@ -279,7 +300,8 @@ def windowed_histogram(
     lo = HIST_LO if lo is None else lo
     hi = HIST_HI if hi is None else hi
     nbins = HIST_NBINS if nbins is None else nbins
-    keep, bin_idx, bin_lo, bin_hi = bin_exprs(F.col("value"), lo, hi, nbins)
+    keep, bin_idx, bin_bounds = bin_exprs(F.col("value"), lo, hi, nbins)
+    bin_lo, bin_hi = bin_bounds(F.col("bin_idx"))
     return (
         events.withWatermark("ts", watermark)
         .filter(keep)

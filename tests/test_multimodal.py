@@ -1675,3 +1675,25 @@ def test_bmp_rle8_truncation_raises_value_error():
     # absolute mode announcing 5 literals but carrying 2
     with pytest.raises(ValueError, match="truncated BMP RLE8"):
         decode_payload(bmp(bytes([0, 5, 7, 7])), "bmp", w, h)
+
+
+def test_play_frames_reference_orientation(spark):
+    """ADVICE r9: Tutorial.R:104 renders players at x = (xmax - y), so
+    a player at y≈0 must land near the RIGHT edge of the raster and a
+    player at y≈53.3 near the LEFT edge — the field furniture is
+    symmetric, so only this assertion pins the orientation."""
+    import numpy as np
+
+    from big_data_bowl_spark.sinks.viz import _TEAM_IDX, play_frames
+
+    df = spark.createDataFrame(
+        [(0, 60.0, 1.0, "home"), (0, 60.0, 52.0, "away")],
+        "frame_id int, px double, py double, team string",
+    )
+    (img,) = play_frames(df, px_per_yard=4)
+    h, w = img.shape
+    home_cols = np.where((img == _TEAM_IDX["home"]).any(axis=0))[0]
+    away_cols = np.where((img == _TEAM_IDX["away"]).any(axis=0))[0]
+    # y=1 → right side (mirrored), y=52 → left side
+    assert home_cols.mean() > 0.8 * w
+    assert away_cols.mean() < 0.2 * w

@@ -2056,3 +2056,28 @@ def test_histogram_degenerate_range_raises():
             bin_exprs(F.col("v"), lo, hi, nb)
         with pytest.raises(ValueError):
             grouped_histogram_sql("t", "g", "v", lo, hi, nb)
+
+
+def test_bin_bounds_follow_caller_alias(spark):
+    """ADVICE r9: bin_exprs' bounds are a function of whatever index
+    column the CALLER passes — grouping under a non-'bin_idx' alias
+    must still yield correct edges (the old F.col('bin_idx') hardcode
+    would throw unresolved-column here)."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.histogram import bin_exprs
+
+    df = spark.createDataFrame([(2.5,), (7.5,), (7.9,)], "v double")
+    keep, bin_idx, bin_bounds = bin_exprs(F.col("v"), 0.0, 10.0, 4)
+    lo_c, hi_c = bin_bounds(F.col("my_bin"))
+    rows = {
+        (r.my_bin, r.lo, r.hi, r.n)
+        for r in (
+            df.filter(keep)
+            .groupBy(bin_idx.alias("my_bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("my_bin", lo_c.alias("lo"), hi_c.alias("hi"), "n")
+            .collect()
+        )
+    }
+    assert rows == {(1, 2.5, 5.0, 1), (3, 7.5, 10.0, 2)}

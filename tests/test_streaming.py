@@ -298,9 +298,10 @@ def test_stream_matches_batch_histogram(spark, sf_dir):
     got = canon3(spark.table("stream_hist").collect())
 
     ev = load_table(spark, sf_dir, "events")
-    keep, bin_idx, bin_lo, bin_hi = bin_exprs(
+    keep, bin_idx, bin_bounds = bin_exprs(
         F.col("value"), HIST_LO, HIST_HI, 40
     )
+    bin_lo, bin_hi = bin_bounds(F.col("bin_idx"))
     want = canon3(
         ev.filter(keep)
         .groupBy(
@@ -320,3 +321,27 @@ def test_stream_matches_batch_histogram(spark, sf_dir):
     v = F.col("value").cast("double")
     n_in_range = ev.filter((v > HIST_LO) & (v < HIST_HI)).count()
     assert sum(r[-1] for r in got) == n_in_range
+
+
+def test_hadoop_is_dir_scheme_aware(spark, tmp_path):
+    """ADVICE r9: the stream-source layout probe must answer through
+    the Hadoop FileSystem API so scheme'd URIs resolve (os.path.isdir
+    is always False for them), and a missing source must raise rather
+    than degrade to an empty stream."""
+    import pytest
+
+    from big_data_bowl_spark.streaming.windows import hadoop_is_dir
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    f = tmp_path / "single.parquet"
+    f.write_bytes(b"PAR1")
+    assert hadoop_is_dir(spark, str(d)) is True
+    assert hadoop_is_dir(spark, str(f)) is False
+    # the same answers through an explicit file: URI — the case
+    # os.path.isdir can also handle is the degenerate one; the URI
+    # path proves resolution goes through Hadoop
+    assert hadoop_is_dir(spark, f"file://{d}") is True
+    assert hadoop_is_dir(spark, f"file://{f}") is False
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        hadoop_is_dir(spark, str(tmp_path / "nope.parquet"))
