@@ -174,6 +174,9 @@ HEADLINE = [
     # round-9 final pair: scene-change detection, k-fold assignment
     "mm18_scene_changes",
     "o12_kfold_assignment",
+    # round-10 addition: exact-recall fuzzy match (deletion-
+    # neighborhood blocking, ~19x key explode + bucket-local pairs)
+    "j13_fuzzy_match_deletion_blocking",
 ]
 
 

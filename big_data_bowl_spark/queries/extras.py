@@ -4466,3 +4466,87 @@ def o12_kfold_assignment(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# J13: exact-recall fuzzy matching — deletion-neighborhood blocking
+# (FastSS / SymSpell family), closing j11's documented miss class
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j13_fuzzy_match_deletion_blocking",
+    oracle="""
+    WITH k AS (
+      SELECT c_custkey, c_name,
+             substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS k
+      FROM customer
+      JOIN (SELECT CAST(r.range AS INT) AS i FROM range(1, 256) r) pos
+        ON pos.i <= length(c_name) + 1
+    )
+    SELECT DISTINCT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM k a JOIN k b ON a.k = b.k AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    note="J13 fuzzy matching with EXACT recall at edit distance <= 1 "
+    "— deletion-neighborhood blocking (FastSS, Bocek 2007; the "
+    "SymSpell index): each name emits its identity plus every "
+    "single-character deletion as blocking keys, and any two strings "
+    "within one edit provably share a key (substitution: delete the "
+    "differing position from both; insertion/deletion: the shorter "
+    "string IS a deletion variant of the longer; equality: identity) "
+    "— so unlike j11's prefix blocking there is NO miss class, the "
+    "production answer to j11's documented 'pair differing inside "
+    "the blocking prefix' gap. Cost model at 100 TB: n x (len+1) "
+    "keys (a bounded explode, ~19x here), bucket-local i<j pairs "
+    "exactly like j11 (O(sum bucket^2), never all-pairs), one "
+    "distinct to collapse the <= len+1 buckets a pair can share, "
+    "JVM levenshtein verification on candidates only. The oracle "
+    "mirrors key generation with an uncorrelated range join (DuckDB "
+    "range() cannot take lateral bounds); its 255-char cap is above "
+    "any c_name length so both engines emit identical key sets.",
+)
+def j13_fuzzy_match_deletion_blocking(spark: SparkSession, sf_dir: str):
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # identity + every single-char deletion, all JVM-side: position
+    # i = length+1 deletes nothing (substring past the end is ''),
+    # yielding the identity key
+    keys = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(c_name) + 1), i -> "
+                "concat(substring(c_name, 1, i - 1), "
+                "substring(c_name, i + 1, length(c_name))))"
+            )
+        ).alias("k"),
+    ).dropDuplicates(["c_custkey", "k"])
+    buckets = (
+        keys.groupBy("k")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("c_custkey", "c_name"))
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    pairs = buckets.select(
+        F.posexplode("xs").alias("pos", "a"), "xs"
+    ).select(
+        "a",
+        F.explode(
+            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
+        ).alias("b"),
+    )
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .distinct()
+    )

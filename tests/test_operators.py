@@ -2081,3 +2081,65 @@ def test_bin_bounds_follow_caller_alias(spark):
         )
     }
     assert rows == {(1, 2.5, 5.0, 1), (3, 7.5, 10.0, 2)}
+
+
+def test_j13_deletion_blocking_exact_recall(spark, tmp_path):
+    """j13's deletion-neighborhood blocking must equal brute-force
+    all-pairs levenshtein <= 1 — including the prefix-divergent pair
+    class j11's blocking documents as its miss (two names differing
+    at position 1), insertion pairs (length mismatch), and exact
+    duplicates (dist 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    names = [
+        "alphabetical-name-x",   # 0
+        "blphabetical-name-x",   # 1: substitution at pos 1 (j11 miss)
+        "alphabetical-name-xy",  # 2: insertion at the end
+        "alphabeticalname-x",    # 3: deletion mid-string
+        "alphabetical-name-x",   # 4: exact duplicate of 0
+        "completely-different",  # 5: no partner
+        "alphabetical-nbme-q",   # 6: 2 edits from 0 -> excluded
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(len(names)), pa.int64()),
+                "c_name": pa.array(names),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in REGISTRY["j13_fuzzy_match_deletion_blocking"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
+    # the planted j11-miss pair is really in there
+    assert (0, 1, 1) in got and (0, 4, 0) in got and (0, 2, 1) in got

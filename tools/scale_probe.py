@@ -70,6 +70,15 @@ PIPELINES = [
     # hybrid retrieval (two retrievers + k-vs-k fusion)
     "d11_canonical_survivor",
     "v14_hybrid_rrf_search",
+    # round-10 batch (VERDICT r9 item 7): cumulative/streaming reach
+    # (per-user MIN fold should be textbook sub-linear) and the
+    # perceptual near-dup triad (fingerprints computed in the decode
+    # scan; only 8-16 byte fingerprints shuffle into banded buckets)
+    "t31_cumulative_reach",
+    "t33_streaming_reach",
+    "mm15_image_dhash_neardup",
+    "mm16_video_frame_neardup",
+    "mm17_audio_fingerprint_neardup",
 ]
 
 
