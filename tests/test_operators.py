@@ -2143,3 +2143,48 @@ def test_j13_deletion_blocking_exact_recall(spark, tmp_path):
     assert got == want
     # the planted j11-miss pair is really in there
     assert (0, 1, 1) in got and (0, 4, 0) in got and (0, 2, 1) in got
+
+
+def test_lsh_bucket_cap_under_adversarial_skew(spark):
+    """VERDICT r9 item 5: an adversarial corpus (hundreds of
+    byte-identical docs) puts them all in one bucket per band; the
+    max_bucket cap must drop exactly those buckets — collapsing the
+    quadratic pair blowup — while keeping ordinary near-dup pairs,
+    and the oversized_buckets audit must name what was dropped."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.queries.nlp import (
+        _minhash_bands,
+        _pairs_from_bands,
+        oversized_buckets,
+    )
+
+    hot_text = "the quick brown fox jumps over the lazy dog again " * 4
+    near_a = "a wholly different document about spark shuffles " * 4
+    near_b = near_a + "with one extra trailing clause"
+    rows = [(i, hot_text) for i in range(200)]
+    rows += [(1000, near_a), (1001, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bands = _minhash_bands(docs).cache()
+    try:
+        uncapped = _pairs_from_bands(bands).count()
+        # 200 identical docs alone contribute C(200,2) = 19900 pairs
+        assert uncapped >= 19900
+
+        capped = {
+            (r.doc_a, r.doc_b)
+            for r in _pairs_from_bands(bands, max_bucket=50).collect()
+        }
+        # the hot cluster is gone, the genuine near-dup pair survives
+        assert (1000, 1001) in capped
+        assert not any(a < 1000 and b < 1000 for a, b in capped)
+
+        audit = oversized_buckets(bands, 50).collect()
+        assert audit and all(r.bucket_size == 200 for r in audit)
+
+        import pytest
+
+        with pytest.raises(ValueError, match="max_bucket"):
+            _pairs_from_bands(bands, max_bucket=1)
+    finally:
+        bands.unpersist()
