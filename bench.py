@@ -177,6 +177,9 @@ HEADLINE = [
     # round-10 addition: exact-recall fuzzy match (deletion-
     # neighborhood blocking, ~19x key explode + bucket-local pairs)
     "j13_fuzzy_match_deletion_blocking",
+    # round-10 addition: MapState stateful counts (Spark-4 composite
+    # state, capability-dispatched like t25)
+    "t34_stateful_type_counts",
 ]
 
 

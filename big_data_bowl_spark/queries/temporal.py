@@ -2057,3 +2057,64 @@ def t33_streaming_reach(spark: SparkSession, sf_dir: str):
         "n_new_users",
         F.sum("n_new_users").over(w).alias("cumulative_reach"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T34: per-user x event-type running counts via MapState (Spark-4
+# composite state — the API surface t25's ValueState doesn't touch)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t34_stateful_type_counts",
+    oracle="""
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    note="T34 arbitrary stateful streaming, MapState face: per-user "
+    "keyed sub-map (event_type -> count) on Spark 4's "
+    "transformWithStateInPandas — the composite-state shape (user x "
+    "action counters, device x error codes) every per-entity feature "
+    "map needs, which t25's single ValueState doesn't exercise and "
+    "the legacy API can only fake by widening the group key. Same "
+    "capability dispatch as t25: MapState where google.protobuf "
+    "imports, the key-widened applyInPandasWithState spelling "
+    "otherwise — identical emission contract (Update-mode re-emission "
+    "of the user's map, counts strictly non-decreasing), so the "
+    "max-n upsert recovers the batch GROUP BY under ANY micro-batch "
+    "split. State O(|event types|) per user; shuffle on user_id only.",
+)
+def t34_stateful_type_counts(spark: SparkSession, sf_dir: str):
+    from ..streaming.stateful import (
+        has_transform_with_state_runtime,
+        per_type_counts,
+        per_type_counts_legacy,
+        rocksdb_state_provider,
+    )
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type"
+    )
+    if has_transform_with_state_runtime():
+        # Spark-4 path: per-handle column families need RocksDB
+        with rocksdb_state_provider(spark):
+            run_to_memory(
+                per_type_counts(stream),
+                "t34_counts_sink",
+                output_mode="update",
+                n_partitions=8,
+            )
+    else:
+        run_to_memory(
+            per_type_counts_legacy(stream),
+            "t34_counts_sink",
+            output_mode="append",
+            n_partitions=8,
+        )
+    sink = spark.table("t34_counts_sink")
+    # upsert: counts strictly increase across a key's emissions
+    return sink.groupBy("user_id", "event_type").agg(
+        F.max("n").alias("n")
+    )

@@ -421,6 +421,122 @@ def running_user_stats_legacy(events: DataFrame) -> DataFrame:
     )
 
 
+def per_type_counts(events: DataFrame) -> DataFrame:
+    """Per-user, per-event-type running counts via
+    ``transformWithStateInPandas`` **MapState** — the composite-state
+    face of the Spark-4 API that t25's single ValueState doesn't
+    exercise: one keyed sub-map per user (event_type -> count), the
+    state shape of every per-entity feature map (user x action
+    counters, device x error codes) that the legacy API could only
+    fake by widening the group key.
+
+    Emission contract mirrors t25: Update mode, each batch a user
+    appears in re-emits that user's ENTIRE map (bounded by the
+    event-type domain, not by history), every count strictly
+    non-decreasing — so a max-n upsert per (user_id, event_type)
+    yields exactly the batch GROUP BY however the backlog splits.
+    O(|event types|) state per key; shuffle on user_id only.
+    """
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type STRING", "n LONG"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator["pd.DataFrame"], timerValues
+        ) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            for pdf in rows:
+                for et, delta in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self._counts.getValue((et,))[0]
+                        if self._counts.containsKey((et,))
+                        else 0
+                    )
+                    self._counts.updateValue((et,), (prev + int(delta),))
+            ets, ns = [], []
+            for (et,), (n,) in self._counts.iterator():
+                ets.append(et)
+                ns.append(n)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(ets),
+                    "event_type": ets,
+                    "n": ns,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType="user_id long, event_type string, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+TYPE_COUNTS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+TYPE_COUNTS_STATE_SCHEMA = StructType([StructField("n", LongType())])
+
+
+def per_type_counts_legacy(events: DataFrame) -> DataFrame:
+    """per_type_counts' output contract on ``applyInPandasWithState``:
+    the legacy API has no MapState, so the sub-map is flattened into
+    the group key — grouping on (user_id, event_type) with one count
+    ValueState each. Same emissions (strictly increasing n, max-n
+    upsert recovers the batch aggregate), which is exactly the
+    workaround MapState replaces: the key-widening costs a wider
+    shuffle key and loses the per-user atomicity of the map."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        user_id, event_type = key
+        if state.hasTimedOut:  # NoTimeout: unreachable, API contract
+            for _ in pdfs:
+                pass
+            return
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_type": [event_type],
+                "n": [n],
+            }
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=TYPE_COUNTS_SCHEMA,
+        stateStructType=TYPE_COUNTS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def has_transform_with_state_runtime() -> bool:
     """True when ``transformWithStateInPandas``'s runtime dependency
     (google.protobuf, its Python state-server protocol) is importable.

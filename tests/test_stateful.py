@@ -341,3 +341,89 @@ def test_legacy_running_stats_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_transform_with_state_map_state_counts(spark, sf_dir):
+    """Spark 4 MapState (t34): per-user event_type->count sub-maps
+    folded across micro-batches must equal the batch GROUP BY.
+    Requires google.protobuf — skipped where absent."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf")
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.sources.io import load_table
+    from big_data_bowl_spark.streaming.stateful import (
+        per_type_counts,
+        rocksdb_state_provider,
+    )
+    from big_data_bowl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type"
+    )
+    with rocksdb_state_provider(spark):
+        run_to_memory(
+            per_type_counts(stream), "tws_type_counts",
+            output_mode="update",
+        )
+    sink = spark.table("tws_type_counts")
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in sink.groupBy("user_id", "event_type")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_legacy_type_counts_matches_batch(spark, sf_dir):
+    """t34's key-widened applyInPandasWithState fallback must fold to
+    the same batch GROUP BY (the contract shared with MapState)."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.sources.io import load_table
+    from big_data_bowl_spark.streaming.stateful import (
+        per_type_counts_legacy,
+    )
+    from big_data_bowl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type"
+    )
+    run_to_memory(
+        per_type_counts_legacy(stream), "legacy_type_counts",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.event_type): r.n
+        for r in spark.table("legacy_type_counts")
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n").alias("n"))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
