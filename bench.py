@@ -180,6 +180,9 @@ HEADLINE = [
     # round-10 addition: MapState stateful counts (Spark-4 composite
     # state, capability-dispatched like t25)
     "t34_stateful_type_counts",
+    # round-10 addition: incremental LSH maintenance (delta bands
+    # broadcast against the banded index; old-vs-old never re-paired)
+    "d12_incremental_lsh_maintenance",
 ]
 
 

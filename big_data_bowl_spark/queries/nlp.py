@@ -2075,3 +2075,51 @@ def d11_canonical_survivor(spark: SparkSession, sf_dir: str):
             "n_members",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# D12: incremental LSH index maintenance — new arrivals pair against
+# the existing index; old-vs-old is NEVER re-paired
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d12_incremental_lsh_maintenance",
+    oracle=_D02_ORACLE
+    + " WHERE (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)",
+    note="D12 incremental near-dup maintenance — the ingestion-time "
+    "face of d02 and THE pattern that keeps 100 TB dedup affordable: "
+    "when a delta batch arrives (here the deterministic doc_id%10=0 "
+    "slice, d10's base(+)delta discipline), only delta-vs-index and "
+    "delta-vs-delta candidates are generated — the delta's band rows "
+    "join the banded index on (band, bkey), so work scales with "
+    "|delta| x bucket occupancy, never with |corpus|^2, and the "
+    "old-vs-old pairs the full d02 recompute would re-derive are "
+    "never touched. The delta band table is broadcast (a day's "
+    "arrivals vs the corpus; at larger deltas AQE falls back to a "
+    "shuffle hash join on the same keys). Equivalence contract, "
+    "driver-checked: output == the FULL d02 recompute restricted to "
+    "pairs with a delta member; the pytest invariant additionally "
+    "proves d02(full) == d02(base-only pairs) UNION this query.",
+)
+def d12_incremental_lsh_maintenance(spark: SparkSession, sf_dir: str):
+    d = tf(spark, sf_dir, "documents")
+    # ONE evaluation of the shingle->minhash->band pipeline; the
+    # "stored index" is the banded corpus, the delta is a filter of it
+    all_bands = _minhash_bands(d)
+    delta_bands = all_bands.filter(F.col("doc_id") % 10 == 0)
+    joined = all_bands.alias("x").join(
+        F.broadcast(delta_bands.alias("y")),
+        on=[
+            F.col("x.band") == F.col("y.band"),
+            F.col("x.bkey") == F.col("y.bkey"),
+            F.col("x.doc_id") != F.col("y.doc_id"),
+        ],
+    )
+    return (
+        joined.select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -2188,3 +2188,30 @@ def test_lsh_bucket_cap_under_adversarial_skew(spark):
             _pairs_from_bands(bands, max_bucket=1)
     finally:
         bands.unpersist()
+
+
+def test_d12_incremental_union_equals_full_recompute(spark, sf_dir):
+    """The incremental-maintenance contract: the full d02 candidate
+    set is EXACTLY the base-only pairs plus d12's delta-driven pairs
+    (disjointly), so applying d12 on each ingest batch converges to
+    the same index a full recompute would build."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["d02_dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    incr = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["d12_incremental_lsh_maintenance"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    is_delta = lambda i: i % 10 == 0  # noqa: E731
+    base_only = {
+        (a, b) for a, b in full if not is_delta(a) and not is_delta(b)
+    }
+    assert incr == full - base_only          # exactly the delta-driven pairs
+    assert base_only | incr == full          # disjoint decomposition
+    assert all(is_delta(a) or is_delta(b) for a, b in incr)
+    assert incr                              # non-vacuous at sf0.001+
