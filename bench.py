@@ -183,6 +183,8 @@ HEADLINE = [
     # round-10 addition: incremental LSH maintenance (delta bands
     # broadcast against the banded index; old-vs-old never re-paired)
     "d12_incremental_lsh_maintenance",
+    # round-10 addition: MinHash estimator calibration audit
+    "n24_minhash_calibration",
 ]
 
 

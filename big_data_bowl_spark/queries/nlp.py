@@ -39,7 +39,7 @@ from ..functions.text import (  # noqa: F401
     word_shingles,
 )
 from ..functions.hashing import hex_threshold
-from .base import REGISTRY, register, t, tf
+from .base import REGISTRY, dsum, dsum_sql, register, t, tf
 
 # MinHash/LSH parameters: H hashes split into B bands of R rows.
 # P[candidate | jaccard=s] = 1 - (1 - s^R)^B — with (H,B,R)=(8,4,2)
@@ -363,6 +363,15 @@ def _bands_from_shingles(sh_df):
             for i in range(MINHASH_H)
         ],
     )
+    return _bands_from_sig(sig)
+
+
+def _bands_from_sig(sig):
+    """(doc_id, m0..m{H-1}) signature rows -> exploded (doc_id, band,
+    bkey) LSH band rows — split out of _bands_from_shingles so callers
+    that materialize the signature table for OTHER work (n24's
+    calibration audit scores per-component agreement) band the same
+    signatures instead of re-deriving them."""
     band_structs = F.array(
         *[
             F.struct(
@@ -2122,4 +2131,115 @@ def d12_incremental_lsh_maintenance(spark: SparkSession, sf_dir: str):
             F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# N24: MinHash estimator calibration — does signature agreement track
+# exact Jaccard? (the d-family's analogue of v11's recall audit)
+# ---------------------------------------------------------------------------
+
+_N24_AGREE_SQL = " + ".join(
+    f"(CASE WHEN pa.m{i} = pb.m{i} THEN 1 ELSE 0 END)"
+    for i in range(MINHASH_H)
+)
+
+_N24_JAC_SQL = (
+    "round(CAST(len(list_distinct(list_intersect(sa.sh, sb.sh))) "
+    "AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))), 9)"
+)
+
+_N24_ORACLE = (
+    _sig_sql()
+    + f", bands AS ({_bands_sql()}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM bands a JOIN bands b "
+    "ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+    "scored AS (SELECT "
+    f"({_N24_AGREE_SQL}) AS n_agree, "
+    f"{_N24_JAC_SQL} AS jac "
+    "FROM cand c "
+    "JOIN sig pa ON c.doc_a = pa.doc_id "
+    "JOIN sig pb ON c.doc_b = pb.doc_id "
+    "JOIN sh_t sa ON c.doc_a = sa.doc_id "
+    "JOIN sh_t sb ON c.doc_b = sb.doc_id) "
+    "SELECT n_agree, "
+    f"CAST(n_agree AS DOUBLE) / {MINHASH_H} AS est_similarity, "
+    "COUNT(*) AS n_pairs, "
+    + dsum_sql("jac", scale=9)
+    + " AS sum_jaccard FROM scored GROUP BY 1, 2"
+)
+
+
+@register(
+    "n24_minhash_calibration",
+    oracle=_N24_ORACLE,
+    note="N24 MinHash calibration audit (the d-family's v11: measure "
+    "the estimator, don't trust it): for every LSH candidate pair, "
+    "the per-component signature agreement k (E[k/H] = true Jaccard, "
+    "Broder 1997) is binned against EXACT shingle Jaccard — the "
+    "(n_agree, n_pairs, sum_jaccard) table IS the calibration curve "
+    "(mean exact similarity per estimated level = sum/n, one "
+    "client-side division), which tells an operator whether the d02 "
+    "banding threshold is tuned for their corpus before committing "
+    "a 100 TB dedup pass to it. Costs: the signature table is "
+    "materialized ONCE (localCheckpoint at the md5 layer, the "
+    "d03-documented reuse discipline), bands and the twice-joined "
+    "per-side signatures derive from it, exact Jaccard is scored on "
+    "candidates only, and the output is <= H+1 rows. Float policy: "
+    "per-pair jaccard rhu(9) then DECIMAL-summed (base.py dsum).",
+)
+def n24_minhash_calibration(spark: SparkSession, sf_dir: str):
+    d = tf(spark, sf_dir, "documents")
+    tok = d.select("doc_id", tokenize(F.col("text")).alias("tok"))
+    sh_df = tok.select(
+        "doc_id",
+        shingles_from_tokens(F.col("tok"), k=SHINGLE_K).alias("sh"),
+    )
+    # materialize shingles + per-shingle md5 ONCE: everything below
+    # (signatures, bands, both pair sides, exact Jaccard) reads this
+    # table, and without the checkpoint Catalyst's project-collapse
+    # would inline the md5 transform into every consumer
+    hh_tbl = sh_df.select(
+        "doc_id", "sh", F.transform(F.col("sh"), F.md5).alias("hh")
+    ).localCheckpoint()
+    sig = hh_tbl.select(
+        "doc_id",
+        "sh",
+        *[
+            _spark_minhash(F.col("hh"), i).alias(f"m{i}")
+            for i in range(MINHASH_H)
+        ],
+    )
+    cand = _pairs_from_bands(
+        _bands_from_sig(sig.drop("sh"))
+    )
+    side = lambda tag: sig.select(  # noqa: E731
+        F.col("doc_id").alias(f"doc_{tag}"),
+        F.col("sh").alias(f"sh_{tag}"),
+        *[F.col(f"m{i}").alias(f"m{i}_{tag}") for i in range(MINHASH_H)],
+    )
+    paired = cand.join(side("a"), "doc_a").join(side("b"), "doc_b")
+    n_agree = sum(
+        F.when(F.col(f"m{i}_a") == F.col(f"m{i}_b"), 1).otherwise(0)
+        for i in range(MINHASH_H)
+    )
+    inter = F.size(F.array_distinct(F.array_intersect("sh_a", "sh_b")))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = F.round(inter.cast("double") / union, 9)
+    return (
+        paired.select(n_agree.alias("n_agree"), jac.alias("jac"))
+        .groupBy("n_agree")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            dsum(F.col("jac"), scale=9).alias("sum_jaccard"),
+        )
+        .select(
+            "n_agree",
+            (F.col("n_agree").cast("double") / MINHASH_H).alias(
+                "est_similarity"
+            ),
+            "n_pairs",
+            "sum_jaccard",
+        )
     )

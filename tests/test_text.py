@@ -318,3 +318,80 @@ def test_n23_pmi_matches_python_counts(spark, sf_dir):
     for pair, (n, pmi) in want.items():
         assert got[pair][0] == n
         assert abs(got[pair][1] - pmi) < 1e-8, pair
+
+
+def test_n24_calibration_matches_python_reference(spark, sf_dir):
+    """n24's calibration table recomputed in pure Python (hashlib md5,
+    same 4-hex-slice minhash, same 3-word shingles, same banding) must
+    match the Spark result bin for bin — proving both the estimator
+    arithmetic and the candidate set, independent of either engine."""
+    import hashlib
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.nlp import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_H,
+        SHINGLE_K,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def shingles(text: str) -> list[str]:
+        toks = text.strip().lower().split()
+        if len(toks) < SHINGLE_K:
+            return [" ".join(toks)]
+        return [
+            " ".join(toks[i : i + SHINGLE_K])
+            for i in range(len(toks) - SHINGLE_K + 1)
+        ]
+
+    sig = {}
+    sh_sets = {}
+    for did, text in docs.items():
+        sh = shingles(text)
+        sh_sets[did] = set(sh)
+        hh = [hashlib.md5(s.encode()).hexdigest() for s in sh]
+        sig[did] = [
+            min(h[i * 4 : i * 4 + 4] for h in hh) for i in range(MINHASH_H)
+        ]
+
+    buckets = defaultdict(list)
+    for did, m in sig.items():
+        for b in range(LSH_BANDS):
+            key = (b, "|".join([str(b)] + m[b * LSH_ROWS : (b + 1) * LSH_ROWS]))
+            buckets[key].append(did)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+
+    def rhu9(x: float) -> Decimal:
+        import math
+
+        return Decimal(math.floor(x * 1e9 + 0.5)) / Decimal(10**9)
+
+    want = defaultdict(lambda: [0, Decimal(0)])
+    for a, b in cand:
+        k = sum(sig[a][i] == sig[b][i] for i in range(MINHASH_H))
+        inter = len(sh_sets[a] & sh_sets[b])
+        union = len(sh_sets[a] | sh_sets[b])
+        want[k][0] += 1
+        want[k][1] += rhu9(inter / union)
+    got = {
+        r.n_agree: (r.n_pairs, r.est_similarity, r.sum_jaccard)
+        for r in REGISTRY["n24_minhash_calibration"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want) and got
+    for k, (n, s) in want.items():
+        gn, gest, gsum = got[k]
+        assert gn == n
+        assert gest == k / MINHASH_H
+        assert abs(gsum - float(s)) < 1e-9
