@@ -185,6 +185,8 @@ HEADLINE = [
     "d12_incremental_lsh_maintenance",
     # round-10 addition: MinHash estimator calibration audit
     "n24_minhash_calibration",
+    # round-10 addition: GROUPED_AGG pandas UDF (last Python eval type)
+    "u06_grouped_agg_pandas_udf",
 ]
 
 

@@ -4550,3 +4550,67 @@ def j13_fuzzy_match_deletion_blocking(spark: SparkSession, sf_dir: str):
         .filter(F.col("dist") <= 1)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# U6: GROUPED_AGG pandas UDF — the last Python-surface eval type
+# (u03 scalar / u01 groupby-apply / u04 UDTF / u05 mapInArrow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u06_grouped_agg_pandas_udf",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS median_value,
+           COUNT(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+    note="U6 GROUPED_AGG @pandas_udf — completing the sanctioned "
+    "Python-surface matrix (u03 SCALAR / u01 applyInPandas / u04 "
+    "UDTF / u05 mapInArrow): a whole-group reduction where the "
+    "Arrow batch carries ONE group's column and the UDF returns one "
+    "scalar. The demonstration aggregate is the median — an ORDER "
+    "STATISTIC, chosen deliberately: it is a pure function of the "
+    "group's value MULTISET, so the result is identical under any "
+    "partitioning/arrival order (a float SUM inside pandas would "
+    "not be), and pandas' linear interpolation is bit-identical to "
+    "DuckDB's quantile_cont(0.5) and Spark's percentile(0.5) — the "
+    "native spelling IS the oracle, making this (like u03) an "
+    "honest measure of the Arrow-transfer overhead. Caveat stated "
+    "where it matters at 100 TB: GROUPED_AGG is NOT map-side "
+    "combinable (the whole group ships to one task), so it is for "
+    "genuinely non-decomposable per-group logic; decomposable "
+    "reductions belong in native aggregates (a01-a26), and huge "
+    "skewed groups belong on percentile_approx (a09's documented "
+    "swap).",
+)
+def u06_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # pandas_udf infers GROUPED_AGG from Series -> scalar type hints,
+    # but this module's `from __future__ import annotations`
+    # stringifies inline hints (see u03) — so the hints are attached
+    # as REAL objects post-hoc, which typing.get_type_hints resolves
+    def _median(s):
+        return s.median()
+
+    def _size(s):
+        return s.size
+
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with native
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the
+    # count rides the same Arrow batch as a second pandas aggregate
+    _median.__annotations__ = {"s": pd.Series, "return": float}
+    _size.__annotations__ = {"s": pd.Series, "return": int}
+    pd_median = pandas_udf(_median, "double")
+    pd_size = pandas_udf(_size, "long")
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        pd_median("value").alias("median_value"),
+        pd_size("value").alias("n"),
+    )
