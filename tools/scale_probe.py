@@ -44,6 +44,11 @@ TABLES = {
     # distinct ACROSS replicas (so nothing collapses); within-replica
     # duplicate structure is part of the data being scaled
     "lineitem": "l_orderkey",
+    # round 10: j13 (fuzzy match) reads customer. NOTE the replica
+    # explode duplicates c_name 10x (only the key shifts), so exact-
+    # recall fuzzy pairs grow density-squared like mm15/j12 — the
+    # probe measures plan stability, wall tracks output rows.
+    "customer": "c_custkey",
 }
 PIPELINES = [
     "e03_field_control_season",
@@ -79,6 +84,14 @@ PIPELINES = [
     "mm15_image_dhash_neardup",
     "mm16_video_frame_neardup",
     "mm17_audio_fingerprint_neardup",
+    # round-10 batch 2: the round's registrations (j13's exact-recall
+    # pairs are density-squared under the replica lake — see TABLES
+    # note; d12's delta join, n24's candidate-only calibration and
+    # t34's MapState fold should all be plan-stable)
+    "j13_fuzzy_match_deletion_blocking",
+    "t34_stateful_type_counts",
+    "d12_incremental_lsh_maintenance",
+    "n24_minhash_calibration",
 ]
 
 
