@@ -537,6 +537,85 @@ def per_type_counts_legacy(events: DataFrame) -> DataFrame:
     )
 
 
+def recent_values_digest(events: DataFrame, keep: int = 5) -> DataFrame:
+    """Per-user bounded recency buffer via ``transformWithStateInPandas``
+    **ListState** — completing the Spark-4 typed-state matrix the repo
+    exercises (t25 ValueState, t34 MapState, this ListState): the
+    state shape of "last-N events per entity" features (recent
+    purchases, trailing error codes) that a ValueState tuple can't
+    hold and a MapState mis-models (no order, no duplicates).
+
+    State per key is the list of the `keep` LARGEST (ts_us, value)
+    pairs seen — a bounded top-N, NOT a grow-forever buffer: each
+    batch appends, re-truncates to `keep`, and rewrites the list, so
+    state is O(keep) per key under unbounded input. Emission per
+    batch: (user_id, n_buffered, sum_recent) where sum_recent sums
+    the buffered values EXACTLY (cents-integer arithmetic: values are
+    scaled by 100 and summed as int64, so the emission is identical
+    under any micro-batch split of the same input — a float fold
+    would not be). The final emission per key equals the batch top-N
+    computed over the whole input, which is what the test asserts.
+    """
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RecentDigest(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            # TWO composed handles — the multi-state composition the
+            # Spark-4 API exists for: the bounded buffer (ListState)
+            # plus a monotone total-events counter (ValueState) whose
+            # only job is giving downstream upserts a strictly
+            # increasing version stamp (post-cap, neither the buffer
+            # size nor its sum is monotonic, so neither can order a
+            # key's emissions).
+            self._recent = handle.getListState(
+                "recent", "ts_us LONG, cents LONG"
+            )
+            self._seen = handle.getValueState("seen", "n LONG")
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator["pd.DataFrame"], timerValues
+        ) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            buf = list(self._recent.get()) if self._recent.exists() else []
+            (n_seen,) = self._seen.get() if self._seen.exists() else (0,)
+            for pdf in rows:
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                cents = (
+                    (pdf["value"] * 100.0).round().astype("int64")
+                )
+                buf.extend(zip(ts_us.tolist(), cents.tolist()))
+                n_seen += len(pdf)
+            # bounded top-N by event time (ties: larger cents first so
+            # the truncation is a deterministic function of the multiset)
+            buf.sort(key=lambda t: (t[0], t[1]), reverse=True)
+            buf = buf[:keep]
+            self._recent.put([tuple(x) for x in buf])
+            self._seen.update((n_seen,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_seen": [n_seen],
+                    "n_buffered": [len(buf)],
+                    "sum_recent_cents": [sum(c for _, c in buf)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RecentDigest(),
+        outputStructType="user_id long, n_seen long, n_buffered long, "
+        "sum_recent_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def has_transform_with_state_runtime() -> bool:
     """True when ``transformWithStateInPandas``'s runtime dependency
     (google.protobuf, its Python state-server protocol) is importable.

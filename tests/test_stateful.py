@@ -427,3 +427,160 @@ def test_legacy_type_counts_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_transform_with_state_list_state_digest(spark, sf_dir):
+    """Spark 4 ListState (the third typed-state shape after t25's
+    ValueState and t34's MapState): a bounded per-user top-N recency
+    buffer must converge, across micro-batches, to the batch top-N
+    over the whole input — with O(keep) state per key. Requires
+    google.protobuf — skipped where absent."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf")
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.sources.io import load_table
+    from big_data_bowl_spark.streaming.stateful import (
+        recent_values_digest,
+        rocksdb_state_provider,
+    )
+    from big_data_bowl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "value"
+    )
+    with rocksdb_state_provider(spark):
+        run_to_memory(
+            recent_values_digest(stream, keep=5),
+            "tws_recent",
+            output_mode="update",
+        )
+    sink = spark.table("tws_recent")
+    # upsert by n_seen: the composed ValueState counter is strictly
+    # increasing across a key's emissions (post-cap, neither buffer
+    # size nor sum is monotonic), so max-n_seen IS the final emission
+    got = {
+        (r.user_id): (r.n_buffered, r.sum_recent_cents)
+        for r in sink.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_buffered", "sum_recent_cents"), "n_seen"
+            ).alias("s")
+        )
+        .select("user_id", "s.*")
+        .collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.round(F.col("value") * 100.0).cast("long").alias("cents"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("cents")
+    )
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_list_state_digest_across_microbatches(spark, tmp_path):
+    """The ListState buffer must fold across REAL micro-batch
+    boundaries: a planted 3-file lake (forced processing order) where
+    a user's top-5 window slides — later batches evict older buffered
+    events — and the max-n_seen upsert must land on the final buffer,
+    not an intermediate one whose sum happens to be larger. Requires
+    google.protobuf — skipped where absent."""
+    import os
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf")
+
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.streaming.stateful import (
+        recent_values_digest,
+        rocksdb_state_provider,
+    )
+    from big_data_bowl_spark.streaming.windows import run_to_memory
+
+    # user 1: batch 1 has 5 HIGH values (sum 50.00), batches 2-3 add
+    # 5 newer LOW values (1 cent each) -> the final top-5-by-ts sum
+    # (0.05) is SMALLER than the intermediate one (50.00), so a
+    # max-by-sum upsert would pick the wrong emission
+    def rows(batch, hours, val):
+        return [
+            (1, datetime(2024, 1, 1, h), float(val)) for h in hours
+        ]
+
+    batches = [
+        rows(1, range(0, 5), 10.0),
+        rows(2, range(5, 8), 0.01),
+        rows(3, range(8, 10), 0.01),
+    ]
+    src = tmp_path / "lake"
+    for i, data in enumerate(batches):
+        df = spark.createDataFrame(
+            data, "user_id long, ts timestamp, value double"
+        )
+        df.coalesce(1).write.parquet(str(src / f"b{i}"))
+    for i in range(len(batches)):
+        for f in (src / f"b{i}").glob("*.parquet"):
+            os.utime(f, (1_000_000 + i * 1000,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    with rocksdb_state_provider(spark):
+        run_to_memory(
+            recent_values_digest(stream, keep=5),
+            "tws_recent_split",
+            output_mode="update",
+        )
+    sink = spark.table("tws_recent_split")
+    emissions = {
+        r.n_seen: (r.n_buffered, r.sum_recent_cents)
+        for r in sink.filter(F.col("user_id") == 1).collect()
+    }
+    # three batches -> three emissions with strictly increasing n_seen
+    assert set(emissions) == {5, 8, 10}
+    assert emissions[5] == (5, 5000)     # five 10.00s buffered
+    assert emissions[8] == (5, 2003)     # three 0.01s evicted two 10.00s
+    assert emissions[10] == (5, 5)       # final: five 0.01s
+    # and the upsert rule lands on the FINAL buffer, not the max sum
+    final = (
+        sink.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_buffered", "sum_recent_cents"),
+                      "n_seen").alias("s"))
+        .select("user_id", "s.*")
+        .collect()[0]
+    )
+    assert (final.n_buffered, final.sum_recent_cents) == (5, 5)
