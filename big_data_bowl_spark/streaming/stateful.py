@@ -616,6 +616,126 @@ def recent_values_digest(events: DataFrame, keep: int = 5) -> DataFrame:
     )
 
 
+def timer_closed_sessions(
+    events: DataFrame, gap_minutes: int = 60
+) -> DataFrame:
+    """Event-time-TIMER sessionization via ``transformWithStateInPandas``
+    — the last surface of the Spark-4 stateful API this repo exercises
+    (t25 ValueState, t34 MapState, recent_values_digest ListState +
+    composition, here registerTimer/deleteTimer/handleExpiredTimer):
+    a session CLOSES on whichever comes first — the next event
+    revealing the gap (emitted inline from handleInputRows), or the
+    event-time WATERMARK passing last_event + gap with no further
+    events (emitted from handleExpiredTimer). The second path is the
+    one the legacy API can only approximate with processing-time
+    timeouts, which tie eviction to wall clock instead of stream time
+    and therefore aren't replayable; event-time timers make idle-key
+    session closure a deterministic function of the STREAM.
+
+    Choreography per key: fold the open session in a ValueState,
+    delete the previously armed timer (its expiry is derivable from
+    the stored last_us, so no timer listing is needed), re-arm at
+    last_us + gap; when the watermark passes an armed expiry, Spark
+    calls handleExpiredTimer — emit the closed (start, end, n) and
+    clear state. Sessions whose gap hasn't elapsed by end-of-input
+    stay open IN STATE (exactly the batch-t03-minus-open-sessions
+    contract the legacy tests pin). State is O(1) per key + one timer.
+
+    The input stream must carry an event-time watermark
+    (withWatermark before the groupBy) — timeMode='EventTime'
+    requires it, and the watermark IS the clock that fires timers;
+    availableNow drains still close elapsed sessions because Spark
+    runs a trailing no-data micro-batch after the watermark's final
+    advance.
+    """
+    from pyspark.sql.streaming import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_minutes * 60_000
+    gap_us = gap_minutes * US_PER_MIN
+
+    class TimerSessions(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._sess = handle.getValueState(
+                "sess", "start_us LONG, last_us LONG, n LONG"
+            )
+
+        def handleInputRows(
+            self, key: tuple, rows: Iterator["pd.DataFrame"], timerValues
+        ) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            # a session closes on whichever arrives FIRST: the next
+            # event revealing the gap (handled here — folding it into
+            # the open session would silently merge two sessions and
+            # re-arm its timer past the close), or the watermark
+            # passing last + gap with no further events (the timer).
+            ts_all: list[int] = []
+            for pdf in rows:
+                ts_all.extend(
+                    pdf["ts"].astype("datetime64[us]").astype("int64")
+                    .tolist()
+                )
+            ts_all.sort()
+            if self._sess.exists():
+                start_us, last_us, n = self._sess.get()
+                self._handle.deleteTimer(last_us // 1000 + gap_ms)
+            else:
+                start_us = last_us = None
+                n = 0
+            closed = []
+            for t in ts_all:
+                if last_us is not None and t - last_us >= gap_us:
+                    closed.append((start_us, last_us, n))
+                    start_us, n = t, 0
+                start_us = t if start_us is None else start_us
+                last_us = t if last_us is None else max(last_us, t)
+                n += 1
+            self._sess.update((start_us, last_us, n))
+            self._handle.registerTimer(last_us // 1000 + gap_ms)
+            if closed:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]] * len(closed),
+                        "session_start_us": [c[0] for c in closed],
+                        "session_last_us": [c[1] for c in closed],
+                        "n_events": [c[2] for c in closed],
+                    }
+                )
+
+        def handleExpiredTimer(
+            self, key: tuple, timerValues, expiredTimerInfo
+        ) -> Iterator["pd.DataFrame"]:
+            import pandas as pd
+
+            if not self._sess.exists():  # already closed
+                return
+            start_us, last_us, n = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_last_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TimerSessions(),
+        outputStructType="user_id long, session_start_us long, "
+        "session_last_us long, n_events long",
+        outputMode="Update",
+        timeMode="EventTime",
+    )
+
+
 def has_transform_with_state_runtime() -> bool:
     """True when ``transformWithStateInPandas``'s runtime dependency
     (google.protobuf, its Python state-server protocol) is importable.

@@ -584,3 +584,74 @@ def test_list_state_digest_across_microbatches(spark, tmp_path):
         .collect()[0]
     )
     assert (final.n_buffered, final.sum_recent_cents) == (5, 5)
+
+
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """Event-time timers (the last Spark-4 stateful surface): sessions
+    close when the WATERMARK passes last_event + gap — emission on
+    time passing, not on a closing event. Planted 2-file lake:
+    user 1's first session (2 events) and user 2's only session must
+    be closed by timers once the batch-2 watermark passes their
+    expiries (fired in the trailing no-data micro-batch); user 1's
+    final session (gap not yet elapsed) must stay open in state.
+    Requires google.protobuf — skipped where absent."""
+    import os
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf")
+
+    from datetime import datetime
+
+    from big_data_bowl_spark.streaming.stateful import (
+        rocksdb_state_provider,
+        timer_closed_sessions,
+    )
+    from big_data_bowl_spark.streaming.windows import run_to_memory
+
+    us = lambda h, m: (  # noqa: E731
+        int(datetime(2024, 1, 1, h, m).timestamp() * 1_000_000)
+    )
+    b1 = [
+        (1, datetime(2024, 1, 1, 0, 0)),
+        (1, datetime(2024, 1, 1, 0, 10)),
+        (2, datetime(2024, 1, 1, 0, 5)),
+    ]
+    b2 = [(1, datetime(2024, 1, 1, 5, 0))]
+    src = tmp_path / "lake"
+    for i, data in enumerate([b1, b2]):
+        spark.createDataFrame(
+            data, "user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+        for f in (src / f"b{i}").glob("*.parquet"):
+            os.utime(f, (1_000_000 + i * 1000,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .withWatermark("ts", "1 minute")
+    )
+    with rocksdb_state_provider(spark):
+        run_to_memory(
+            timer_closed_sessions(stream, gap_minutes=60),
+            "tws_timer_sessions",
+            output_mode="update",
+        )
+    got = {
+        (r.user_id, r.session_start_us, r.session_last_us, r.n_events)
+        for r in spark.table("tws_timer_sessions").collect()
+    }
+    # closed: user 1's (00:00..00:10, 2 events) — timer at 01:10,
+    # watermark reaches 04:59; user 2's (00:05, 1 event) — timer at
+    # 01:05. Open (NOT emitted): user 1's 05:00 session — timer at
+    # 06:00 > final watermark.
+    assert got == {
+        (1, us(0, 0), us(0, 10), 2),
+        (2, us(0, 5), us(0, 5), 1),
+    }
