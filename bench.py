@@ -187,6 +187,9 @@ HEADLINE = [
     "n24_minhash_calibration",
     # round-10 addition: GROUPED_AGG pandas UDF (last Python eval type)
     "u06_grouped_agg_pandas_udf",
+    # round-10 addition: event-time-timer sessionization (dual close
+    # paths, capability-dispatched)
+    "t35_timer_closed_sessions",
 ]
 
 

@@ -2118,3 +2118,105 @@ def t34_stateful_type_counts(spark: SparkSession, sf_dir: str):
     return sink.groupBy("user_id", "event_type").agg(
         F.max("n").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# T35: timer-closed sessions — event-time timers made driver-checkable
+# ---------------------------------------------------------------------------
+
+_T35_GAP_MIN = 10
+_T35_WM = "1 minute"
+
+
+@register(
+    "t35_timer_closed_sessions",
+    oracle=f"""
+    WITH e AS (SELECT user_id, {_TS} AS ts FROM events),
+         x AS (SELECT user_id, ts,
+                      CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w
+                                  >= INTERVAL '{_T35_GAP_MIN} minutes'
+                           THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (SELECT user_id, ts,
+                      SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x),
+         s AS (SELECT user_id, MIN(ts) AS session_start,
+                      MAX(ts) AS session_last,
+                      COUNT(*) AS n_events
+               FROM y GROUP BY user_id, sid),
+         r AS (SELECT s.*,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY session_last DESC) AS rn,
+                      (SELECT MAX(ts) FROM e) AS mx
+               FROM s)
+    SELECT user_id, session_start, session_last, n_events
+    FROM r
+    WHERE rn > 1
+       OR session_last + INTERVAL '{_T35_GAP_MIN} minutes'
+            <= mx - INTERVAL '{_T35_WM}'
+    """,
+    note="T35 timer-closed sessionization, driver-checkable: a "
+    "session emits when the NEXT event reveals the gap (inline) or "
+    "when the event-time watermark passes last + gap with no further "
+    "events (registerTimer/handleExpiredTimer on Spark 4's "
+    "transformWithStateInPandas; GroupStateTimeout.EventTimeTimeout "
+    "on the legacy fallback where google.protobuf is absent — same "
+    "capability dispatch as t25/t34). The drained result is exactly "
+    "expressible in SQL: every gaps-and-islands session EXCEPT each "
+    "user's final one, which emits only if its gap elapsed before "
+    "the final watermark (MAX(ts) - delay) — so the oracle checks "
+    "BOTH close paths with full values. Both timeout flavors used "
+    "here are deterministic functions of the STREAM (the watermark), "
+    "never wall clock; correctness inherits the watermark contract "
+    "itself (arrival disorder bounded by the delay — Spark drops "
+    "later rows before they reach the operator, like every "
+    "event-time operator t07+). State O(1) per key + one timer; "
+    "shuffle on user_id only; sessions never re-emit (state clears "
+    "on close).",
+)
+def t35_timer_closed_sessions(spark: SparkSession, sf_dir: str):
+    from ..streaming.stateful import (
+        has_transform_with_state_runtime,
+        rocksdb_state_provider,
+        timer_closed_sessions,
+        timer_closed_sessions_legacy,
+    )
+    from ..streaming.windows import read_events_stream, run_to_memory
+
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "ts")
+        .withWatermark("ts", _T35_WM)
+    )
+    if has_transform_with_state_runtime():
+        with rocksdb_state_provider(spark):
+            run_to_memory(
+                timer_closed_sessions(stream, gap_minutes=_T35_GAP_MIN),
+                "t35_sessions_sink",
+                output_mode="update",
+                n_partitions=8,
+            )
+    else:
+        run_to_memory(
+            timer_closed_sessions_legacy(
+                stream, gap_minutes=_T35_GAP_MIN
+            ),
+            "t35_sessions_sink",
+            output_mode="append",
+            n_partitions=8,
+        )
+    sink = spark.table("t35_sessions_sink")
+    # timestamps materialized in-plan from the LONG emissions — the
+    # t25 discipline: nothing on the hash path converts via pandas
+    return sink.select(
+        "user_id",
+        F.timestamp_micros(F.col("session_start_us")).alias(
+            "session_start"
+        ),
+        F.timestamp_micros(F.col("session_last_us")).alias(
+            "session_last"
+        ),
+        "n_events",
+    )

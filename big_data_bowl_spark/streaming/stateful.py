@@ -736,6 +736,97 @@ def timer_closed_sessions(
     )
 
 
+TIMER_SESSIONS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_last_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+TIMER_SESSIONS_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def timer_closed_sessions_legacy(
+    events: DataFrame, gap_minutes: int = 60
+) -> DataFrame:
+    """timer_closed_sessions' dual-path semantics on the LEGACY
+    ``applyInPandasWithState`` API: inline gap-splitting in the fold,
+    and ``GroupStateTimeout.EventTimeTimeout`` +
+    ``setTimeoutTimestamp`` standing in for the explicit timer — the
+    one legacy timeout flavor that, like a timer, is a deterministic
+    function of the STREAM (the watermark), not of wall clock. Same
+    emission contract (each closed session exactly once), so the
+    registered t35 query is driver-verifiable where google.protobuf
+    (the transformWithState state server) is absent."""
+    gap_ms = gap_minutes * 60_000
+    gap_us = gap_minutes * US_PER_MIN
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start_us": [start_us],
+                    "session_last_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(
+                pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
+            )
+        ts_all.sort()
+        start_us, last_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        closed = []
+        for t_us in ts_all:
+            if last_us is not None and t_us - last_us >= gap_us:
+                closed.append((start_us, last_us, n))
+                start_us, n = t_us, 0
+            start_us = t_us if start_us is None else start_us
+            last_us = t_us if last_us is None else max(last_us, t_us)
+            n += 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start_us": [c[0] for c in closed],
+                    "session_last_us": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=TIMER_SESSIONS_SCHEMA,
+        stateStructType=TIMER_SESSIONS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def has_transform_with_state_runtime() -> bool:
     """True when ``transformWithStateInPandas``'s runtime dependency
     (google.protobuf, its Python state-server protocol) is importable.

@@ -655,3 +655,53 @@ def test_transform_with_state_event_time_timers(spark, tmp_path):
         (1, us(0, 0), us(0, 10), 2),
         (2, us(0, 5), us(0, 5), 1),
     }
+
+
+def test_t35_timer_arm_matches_legacy_arm(spark, sf_dir):
+    """t35's two capability-dispatch arms must agree: the Spark-4
+    timer path (transformWithState, exercised here under the vendored
+    protobuf) and the legacy EventTimeTimeout path (what the driver
+    verifies against the oracle) produce the same closed-session set.
+    Requires google.protobuf — skipped where absent."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithState needs google.protobuf")
+
+    from big_data_bowl_spark.streaming.stateful import (
+        rocksdb_state_provider,
+        timer_closed_sessions,
+        timer_closed_sessions_legacy,
+    )
+    from big_data_bowl_spark.streaming.windows import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    def drain(op, sink, mode, rocksdb):
+        stream = (
+            read_events_stream(spark, sf_dir)
+            .select("user_id", "ts")
+            .withWatermark("ts", "1 minute")
+        )
+        if rocksdb:
+            with rocksdb_state_provider(spark):
+                run_to_memory(
+                    op(stream, gap_minutes=10), sink, output_mode=mode
+                )
+        else:
+            run_to_memory(
+                op(stream, gap_minutes=10), sink, output_mode=mode
+            )
+        return {
+            (r.user_id, r.session_start_us, r.session_last_us, r.n_events)
+            for r in spark.table(sink).collect()
+        }
+
+    tws = drain(timer_closed_sessions, "t35_tws", "update", True)
+    legacy = drain(
+        timer_closed_sessions_legacy, "t35_legacy", "append", False
+    )
+    assert tws == legacy and tws
