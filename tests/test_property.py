@@ -749,3 +749,62 @@ def test_streak_rownumber_trick_random_sequences(spark, seed):
         runs.append(cur)
         want.add((u, max(runs), runs.count(max(runs))))
     assert got == want, seed
+
+
+def test_deletion_blocking_exact_recall_randomized(spark, tmp_path):
+    """j13's no-miss-class guarantee on a seeded random corpus built
+    to be adversarial: a 2-letter alphabet and short lengths make
+    dist<=1 pairs dense and of every edit kind (substitution,
+    insertion, deletion, duplicates), so the candidate generator is
+    compared against brute-force all-pairs levenshtein on hundreds of
+    true pairs, not a handful of planted ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    rng = random.Random(1013)
+    names = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 8)))
+        for _ in range(120)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(len(names)), pa.int64()),
+                "c_name": pa.array(names),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in REGISTRY["j13_fuzzy_match_deletion_blocking"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
+    # the corpus really is adversarial: hundreds of pairs, all kinds
+    assert len(want) > 200
+    assert any(d == 0 for _, _, d in want)          # duplicates
+    assert any(                                      # length-mismatch
+        len(names[a]) != len(names[b]) for a, b, _ in want
+    )
