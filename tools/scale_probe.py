@@ -92,6 +92,9 @@ PIPELINES = [
     "t34_stateful_type_counts",
     "d12_incremental_lsh_maintenance",
     "n24_minhash_calibration",
+    # round-10 batch 3: timer sessionization (O(1) state + one timer
+    # per key; the fold is the only data-sized stage)
+    "t35_timer_closed_sessions",
 ]
 
 
