@@ -808,3 +808,89 @@ def test_deletion_blocking_exact_recall_randomized(spark, tmp_path):
     assert any(                                      # length-mismatch
         len(names[a]) != len(names[b]) for a, b, _ in want
     )
+
+
+def test_timer_sessions_match_python_islands_randomized(spark, tmp_path):
+    """t35's drained output on a seeded random event set must equal a
+    pure-Python gaps-and-islands computation with the closed-session
+    filter (every session except a user's last, which needs its gap
+    elapsed before the final watermark) — the full dual-close
+    contract, independent of both engines."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.temporal import (
+        _T35_GAP_MIN,
+    )
+
+    rng = random.Random(417)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for uid in range(12):
+        t_min = rng.randint(0, 60)
+        for _ in range(rng.randint(1, 40)):
+            rows.append((uid, base + timedelta(minutes=t_min)))
+            # mix of intra-session steps and gap-sized jumps
+            t_min += rng.choice([0, 1, 2, 3, 9, 10, 11, 25, 60])
+    rng.shuffle(rows)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] for r in rows], pa.timestamp("us")
+                ),
+                "value": pa.array([1.0] * len(rows)),
+                "event_type": pa.array(["x"] * len(rows)),
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+    gap = timedelta(minutes=_T35_GAP_MIN)
+    wm_delay = timedelta(minutes=1)
+    mx = max(ts for _, ts in rows)
+    by_user = {}
+    for uid, ts in rows:
+        by_user.setdefault(uid, []).append(ts)
+    want = set()
+    for uid, tss in by_user.items():
+        tss.sort()
+        sessions = []
+        start = last = tss[0]
+        n = 1
+        for ts in tss[1:]:
+            if ts - last >= gap:
+                sessions.append((start, last, n))
+                start, n = ts, 0
+            last = max(last, ts)
+            n += 1
+        sessions.append((start, last, n))
+        for i, (s, e, k) in enumerate(sessions):
+            is_last = i == len(sessions) - 1
+            if not is_last or e + gap <= mx - wm_delay:
+                want.add((uid, s, e, k))
+    got = {
+        (r.user_id, r.session_start, r.session_last, r.n_events)
+        for r in REGISTRY["t35_timer_closed_sessions"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert got == want
+    # non-vacuous: closed sessions exist AND at least one user's last
+    # session stayed open
+    assert want
+    all_sessions = 0
+    for uid, tss in by_user.items():
+        tss.sort()
+        cnt, last = 1, tss[0]
+        for ts in tss[1:]:
+            if ts - last >= gap:
+                cnt += 1
+            last = max(last, ts)
+        all_sessions += cnt
+    assert len(want) < all_sessions  # some sessions genuinely open
