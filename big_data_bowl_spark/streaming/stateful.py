@@ -679,6 +679,11 @@ def timer_closed_sessions(
                     pdf["ts"].astype("datetime64[us]").astype("int64")
                     .tolist()
                 )
+            if not ts_all and not self._sess.exists():
+                # defensive: a no-row, no-state invocation has nothing
+                # to fold and nothing to arm (registerTimer(None)
+                # would throw)
+                return
             ts_all.sort()
             if self._sess.exists():
                 start_us, last_us, n = self._sess.get()
@@ -794,6 +799,8 @@ def timer_closed_sessions_legacy(
             ts_all.extend(
                 pdf["ts"].astype("datetime64[us]").astype("int64").tolist()
             )
+        if not ts_all and not state.exists:
+            return  # defensive: nothing to fold, nothing to arm
         ts_all.sort()
         start_us, last_us, n = (
             state.get if state.exists else (None, None, 0)
