@@ -30,6 +30,54 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: one representative per operator family, weighted toward
 # the shapes that dominate at 100 TB (joins, windows, aggs, pivot, the
 # E1/E2 pipelines, dedup + similarity extensions).
+def timed_best(run_once, bud):
+    """The measurement protocol for one query, extracted so the noise
+    handling is unit-testable without Spark (tests/test_bench_protocol
+    drives it with scripted durations).
+
+    run_once() -> (seconds, n_rows) executes the query end-to-end.
+    Protocol: 2 timed runs, +1 more while the best is still
+    sub-second (host-level noise stalls — measured at 3-5x on random
+    queries in back-to-back runs — swamp short queries, and an extra
+    sub-second run is far cheaper than a false regression flag);
+    then, if `bud` is set and best still reads above the regression
+    threshold max(2*bud, bud+0.3), up to 2 noise-protocol retries —
+    a real regression stays above it every time, a GC/host stall
+    does not. The retry only ever LOWERS a reading, so everything it
+    discards is RECORDED (ADVICE r9): returns (best, n_rows,
+    retry_info|None) where retry_info names the discarded readings,
+    the kept one, the threshold, and whether the query cleared —
+    an intermittent regression stays visible in the bench JSON round
+    after round even when its minimum slips under the budget.
+    """
+    best = None
+    n_rows = 0
+    runs = 0
+    while runs < 2 or (best is not None and best < 1.0 and runs < 4):
+        dt, n_rows = run_once()
+        best = dt if best is None or dt < best else best
+        runs += 1
+    retry_info = None
+    if bud is not None:
+        thresh = max(2.0 * bud, bud + 0.3)
+        extra = 0
+        discarded = []
+        while best > thresh and extra < 2:
+            discarded.append(round(best, 3))
+            dt, n_rows = run_once()
+            best = dt if dt < best else best
+            extra += 1
+        if extra:
+            retry_info = {
+                "retries": extra,
+                "discarded_sec": discarded,
+                "kept_sec": round(best, 3),
+                "threshold_sec": round(thresh, 3),
+                "cleared": best <= thresh,
+            }
+    return best, n_rows, retry_info
+
+
 HEADLINE = [
     "e01_distance_at_anchor",
     "j02_inner_join_2keys",
@@ -258,49 +306,17 @@ def main() -> None:
         # signal — BENCH_r04 was rc 1 / no numbers because t06 threw).
         try:
             fn(spark, sf_dir).count()
-            best = None
-            # 2 timed runs, +1 more while the best is still sub-second:
-            # host-level noise stalls (measured: random queries 3-5x
-            # off in back-to-back bench runs) swamp short queries, and
-            # an extra sub-second run is far cheaper than a false
-            # regression flag.
-            runs = 0
-            while runs < 2 or (best is not None and best < 1.0 and runs < 4):
+
+            def run_once():
                 t0 = time.time()
-                n_rows = fn(spark, sf_dir).count()
-                dt = time.time() - t0
-                best = dt if best is None or dt < best else best
-                runs += 1
-            # noise-protocol retries: a reading above the regression
-            # threshold gets up to 2 extra timed runs — a real
-            # regression stays above it every time, a GC/host stall
-            # does not.
-            bud = budgets.get(name)
-            if bud is not None:
-                thresh = max(2.0 * bud, bud + 0.3)
-                extra = 0
-                discarded = []
-                while best > thresh and extra < 2:
-                    discarded.append(round(best, 3))
-                    t0 = time.time()
-                    n_rows = fn(spark, sf_dir).count()
-                    dt = time.time() - t0
-                    best = dt if dt < best else best
-                    extra += 1
-                if extra:
-                    # the retry only ever LOWERS a reading — record
-                    # what it discarded so a flagged-then-cleared
-                    # query is visible in the JSON, not silently
-                    # green (ADVICE r9): an intermittent regression
-                    # shows up here round after round even when the
-                    # minimum slips under the budget.
-                    noise_retries[name] = {
-                        "retries": extra,
-                        "discarded_sec": discarded,
-                        "kept_sec": round(best, 3),
-                        "threshold_sec": round(thresh, 3),
-                        "cleared": best <= thresh,
-                    }
+                n = fn(spark, sf_dir).count()
+                return time.time() - t0, n
+
+            best, n_rows, retry_info = timed_best(
+                run_once, budgets.get(name)
+            )
+            if retry_info is not None:
+                noise_retries[name] = retry_info
             timings[name] = round(best, 3)
             print(
                 f"# {name}: {timings[name]:.3f}s ({n_rows} rows)",
