@@ -27,9 +27,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: one representative per operator family, weighted toward
-# the shapes that dominate at 100 TB (joins, windows, aggs, pivot, the
-# E1/E2 pipelines, dedup + similarity extensions).
 def timed_best(run_once, bud):
     """The measurement protocol for one query, extracted so the noise
     handling is unit-testable without Spark (tests/test_bench_protocol
@@ -78,6 +75,9 @@ def timed_best(run_once, bud):
     return best, n_rows, retry_info
 
 
+# Headline set: one representative per operator family, weighted toward
+# the shapes that dominate at 100 TB (joins, windows, aggs, pivot, the
+# E1/E2 pipelines, dedup + similarity extensions).
 HEADLINE = [
     "e01_distance_at_anchor",
     "j02_inner_join_2keys",
@@ -238,6 +238,8 @@ HEADLINE = [
     # round-10 addition: event-time-timer sessionization (dual close
     # paths, capability-dispatched)
     "t35_timer_closed_sessions",
+    # round-10 addition: leakage-safe temporal train/test split audit
+    "o13_temporal_split",
 ]
 
 

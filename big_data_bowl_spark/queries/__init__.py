@@ -38,11 +38,11 @@ from . import graph  # noqa: F401,E402
 # queries (t25/t25b/t31/t33 — never driver-green; the r9 verdict
 # proved the red was an un-cast integer SUM in their DuckDB oracles,
 # fixed this round with CAST(... AS BIGINT)). They take slots 1-4;
-# the SIX round-10 registrations (j13, t34, d12, n24, u06, t35 — all
-# unranked, rule 2) land at 5-10; the 28-query r4 cohort (the r3
-# stragglers and a08 all re-greened in r9) fills 11-38; the r5
-# cohort's alphabetical head fills the remaining ~12 slots.
-# Registration STOPPED at six (budget was ~18): every r4 entry stays
+# the SEVEN round-10 registrations (j13, t34, d12, n24, u06, t35, o13
+# — all unranked, rule 2) land at 5-11; the 28-query r4 cohort (the r3
+# stragglers and a08 all re-greened in r9) fills 12-39; the r5
+# cohort's alphabetical head fills the remaining ~11 slots.
+# Registration STOPPED at seven (budget was ~18): every r4 entry stays
 # inside the ~50-slot prefix (VERDICT r9 item 5), with headroom for
 # prefix-length jitter. Every round-10 registration passed the local
 # typed gate (tools/check_oracle.py, now also type-class checking) at

@@ -4614,3 +4614,67 @@ def u06_grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str):
         pd_median("value").alias("median_value"),
         pd_size("value").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# O13: temporal (leakage-safe) train/test split
+# ---------------------------------------------------------------------------
+
+TSPLIT_Q = 0.8  # train fraction by time
+
+
+@register(
+    "o13_temporal_split",
+    oracle=f"""
+    WITH c AS (SELECT quantile_cont(epoch_us(CAST(ts AS TIMESTAMP)),
+                                    {TSPLIT_Q!r}) AS cut
+               FROM events)
+    SELECT CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) <= c.cut
+                THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(CAST(ts AS TIMESTAMP)) AS min_ts,
+           MAX(CAST(ts AS TIMESTAMP)) AS max_ts
+    FROM events, c
+    GROUP BY 1
+    """,
+    note="O13 temporal train/test split — the leakage-safe holdout "
+    "for anything time-dependent: a RANDOM split (o05/m05/o12) puts "
+    "future rows in training and past rows in eval, letting the "
+    "model 'predict' what it has already seen; splitting at a time "
+    "cut (here the exact 0.8 quantile of event time — Spark "
+    "percentile and DuckDB quantile_cont share the linear-"
+    "interpolation definition, the a09-proven pairing) guarantees "
+    "train strictly precedes test. Emitted as the split AUDIT a "
+    "pipeline logs before training: per-split row count, user "
+    "count, and time range (min/max prove the ordering; comparing "
+    "n_users across splits exposes cold-start users in eval). Costs "
+    "one percentile pass + one grouped scan with the scalar cut "
+    "broadcast — the split FILTER for the actual training job is "
+    "the same predicate. percentile_approx is the documented swap "
+    "at 100 TB (a09/m11), exact kept for oracle bit-parity.",
+)
+def o13_temporal_split(spark: SparkSession, sf_dir: str):
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_micros(F.col("ts")).alias("us")
+    )
+    cut = ev.select(
+        F.expr(f"percentile(us, {TSPLIT_Q!r})").alias("cut")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cut))
+        .select(
+            F.when(F.col("us") <= F.col("cut"), "train")
+            .otherwise("test")
+            .alias("split"),
+            "user_id",
+            "ts",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+    )

@@ -2215,3 +2215,29 @@ def test_d12_incremental_union_equals_full_recompute(spark, sf_dir):
     assert base_only | incr == full          # disjoint decomposition
     assert all(is_delta(a) or is_delta(b) for a, b in incr)
     assert incr                              # non-vacuous at sf0.001+
+
+
+def test_o13_temporal_split_no_leakage(spark, sf_dir):
+    """The temporal split's defining property: every training row
+    precedes every test row (max train ts <= min test ts), the counts
+    cover the table exactly, and the cut matches numpy's linear-
+    interpolation quantile on the raw timestamps."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    rows = {
+        r.split: r
+        for r in REGISTRY["o13_temporal_split"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"train", "test"}
+    tr, te = rows["train"], rows["test"]
+    assert tr.max_ts <= te.min_ts          # the no-leakage guarantee
+    assert tr.min_ts <= tr.max_ts and te.min_ts <= te.max_ts
+
+    ts = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+    us = np.sort(ts.cast("int64").to_numpy())
+    assert tr.n_rows + te.n_rows == len(us)
+    cut = np.quantile(us, 0.8, method="linear")
+    assert tr.n_rows == int((us <= cut).sum())
