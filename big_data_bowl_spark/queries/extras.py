@@ -4511,18 +4511,25 @@ def j13_fuzzy_match_deletion_blocking(spark: SparkSession, sf_dir: str):
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     # identity + every single-char deletion, all JVM-side: position
     # i = length+1 deletes nothing (substring past the end is ''),
-    # yielding the identity key
+    # yielding the identity key. array_distinct dedups a doc's
+    # repeated keys (e.g. "aab" -> "ab" via either deletion) PER ROW
+    # before the explode — the row-local equivalent of
+    # dropDuplicates(doc, k), which would compile to an extra
+    # (doc, k) exchange + two sorts of the 19x key table (measured:
+    # that was the most expensive stage of the first plan).
     keys = c.select(
         "c_custkey",
         "c_name",
         F.explode(
-            F.expr(
-                "transform(sequence(1, length(c_name) + 1), i -> "
-                "concat(substring(c_name, 1, i - 1), "
-                "substring(c_name, i + 1, length(c_name))))"
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, length(c_name) + 1), i -> "
+                    "concat(substring(c_name, 1, i - 1), "
+                    "substring(c_name, i + 1, length(c_name))))"
+                )
             )
         ).alias("k"),
-    ).dropDuplicates(["c_custkey", "k"])
+    )
     buckets = (
         keys.groupBy("k")
         .agg(
