@@ -95,6 +95,9 @@ PIPELINES = [
     # round-10 batch 3: timer sessionization (O(1) state + one timer
     # per key; the fold is the only data-sized stage)
     "t35_timer_closed_sessions",
+    # round-10 batch 4: scan-bound audits (2-row / 5-row outputs)
+    "o13_temporal_split",
+    "u06_grouped_agg_pandas_udf",
 ]
 
 
