@@ -229,3 +229,44 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_j13_deletion_keys_dedup_in_place_no_extra_shuffle(spark):
+    """j13's per-doc key dedup must stay a row-local array_distinct —
+    the dropDuplicates spelling it replaced compiled to an extra
+    (doc, key) exchange plus two sorts of the 19x key table (measured
+    as the plan's most expensive stage). Pin: no SortAggregate, no
+    sort anywhere before the bucket groupBy, and exactly the two
+    intended exchanges (bucket key, pair distinct)."""
+    plan = _plan(spark, "j13_fuzzy_match_deletion_blocking")
+    assert "SortAggregate" not in plan
+    assert "CartesianProduct" not in plan
+    # count unique exchange plan_ids (the AQE toString prints the tree
+    # twice, so a raw substring count double-counts)
+    import re
+
+    ex = {
+        m
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert len(ex) == 2, ex  # bucket-key shuffle + pair-distinct shuffle
+
+
+def test_d12_delta_join_broadcasts_and_never_cartesian(spark):
+    """d12's delta-vs-index candidate join must be a broadcast hash
+    join (the delta side is the bounded arrivals batch) — never a
+    cartesian or nested loop, which would be the all-pairs recompute
+    the operator exists to avoid."""
+    plan = _plan(spark, "d12_incremental_lsh_maintenance")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_o13_cut_is_broadcast_scalar(spark):
+    """o13's percentile cut must reach the split predicate as a
+    broadcast single-row side — the grouped scan must not shuffle the
+    events table to meet it."""
+    plan = _plan(spark, "o13_temporal_split")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the 1-row cut
