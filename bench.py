@@ -41,8 +41,11 @@ def timed_best(run_once, bud):
     threshold max(2*bud, bud+0.3), up to 2 noise-protocol retries —
     a real regression stays above it every time, a GC/host stall
     does not. The retry only ever LOWERS a reading, so everything it
-    discards is RECORDED (ADVICE r9): returns (best, n_rows,
-    retry_info|None) where retry_info names the discarded readings,
+    discards is RECORDED (ADVICE r9; recording fixed r11 — the
+    non-kept reading is logged whichever side loses, so a worse retry
+    records ITSELF rather than duplicating the kept best): returns
+    (best, n_rows, retry_info|None) where retry_info names the
+    discarded readings,
     the kept one, the threshold, and whether the query cleared —
     an intermittent regression stays visible in the bench JSON round
     after round even when its minimum slips under the budget.
@@ -60,9 +63,12 @@ def timed_best(run_once, bud):
         extra = 0
         discarded = []
         while best > thresh and extra < 2:
-            discarded.append(round(best, 3))
             dt, n_rows = run_once()
-            best = dt if dt < best else best
+            if dt < best:
+                discarded.append(round(best, 3))
+                best = dt
+            else:
+                discarded.append(round(dt, 3))
             extra += 1
         if extra:
             retry_info = {
@@ -240,6 +246,11 @@ HEADLINE = [
     "t35_timer_closed_sessions",
     # round-10 addition: leakage-safe temporal train/test split audit
     "o13_temporal_split",
+    # round-11 additions: the production approx twins, gate-registered
+    # (VERDICT r10 item 3) — percentile_approx grouped tail quantiles
+    # and the percentile_approx-trained bagged ensemble
+    "a09b_grouped_quantiles_approx",
+    "m13_bagged_ensemble_approx",
 ]
 
 

@@ -467,6 +467,65 @@ def a09_grouped_quantiles(spark: SparkSession, sf_dir: str):
     )
 
 
+A09B_ACCURACY = 10000   # percentile_approx sketch accuracy parameter
+A09B_RTOL = 0.02        # approx must land within 2% of exact
+
+
+@register(
+    "a09b_grouped_quantiles_approx",
+    oracle=f"""
+    SELECT l_returnflag, {_A09_SELECT},
+           TRUE AS p50_within, TRUE AS p90_within, TRUE AS p99_within
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    note="A09b — a09's documented 100 TB swap registered as executed, "
+    "gate-verified code (VERDICT r10 item 3) instead of prose: the "
+    "SAME grouped p50/p90/p99 shape with percentile_approx "
+    f"(accuracy {A09B_ACCURACY}), Spark's mergeable bounded-memory "
+    "quantile sketch whose map-side partials combine — the spelling "
+    "a09's exact percentile (which buffers each group's values on "
+    "one reducer) must become when groups are huge. Sketch "
+    "internals are engine-specific, so the a10/a19 invariant "
+    "pattern applies: both engines emit the exact quantiles (a09 "
+    "proved percentile == quantile_cont cross-engine) and Spark "
+    f"additionally pins its estimate within {A09B_RTOL:.0%} "
+    "relative of each exact value as booleans the oracle fixes to "
+    "TRUE. Complements a19, which audits CENTRAL quartiles "
+    "(p25/p50/p75): this registers the TAIL set (p90/p99) where "
+    "rank-error translates to the largest value error on skewed "
+    "data — the quantiles feature pipelines (f13 winsorize, m11 "
+    "split candidates) actually consume.",
+)
+def a09b_grouped_quantiles_approx(spark: SparkSession, sf_dir: str):
+    li = t(spark, sf_dir, "lineitem")
+    aggs = []
+    for p in _QUANTILE_PS:
+        tag = f"p{int(p * 100)}"
+        aggs.append(
+            rhu(F.expr(f"percentile(l_extendedprice, {p})"), 9).alias(
+                tag
+            )
+        )
+        aggs.append(
+            F.expr(
+                f"percentile_approx(l_extendedprice, {p}, "
+                f"{A09B_ACCURACY})"
+            ).alias(f"{tag}_approx")
+        )
+    g = li.groupBy("l_returnflag").agg(*aggs)
+    out = [F.col("l_returnflag")]
+    out += [F.col(f"p{int(p * 100)}") for p in _QUANTILE_PS]
+    for p in _QUANTILE_PS:
+        tag = f"p{int(p * 100)}"
+        out.append(
+            (
+                F.abs(F.col(f"{tag}_approx") - F.col(tag))
+                <= A09B_RTOL * F.abs(F.col(tag))
+            ).alias(f"{tag}_within")
+        )
+    return g.select(*out)
+
+
 @register(
     "s07_partitioned_sink_pruning",
     oracle="""
@@ -3142,6 +3201,65 @@ FUZZY_MAX_DIST = 1     # near-matches: names within edit distance 1
 FUZZY_BLOCK_LEN = 16   # blocking key: first 16 chars
 
 
+def _fuzzy_blocked_pairs(keyed, key_col: str, max_bucket: int | None = None):
+    """Bucket-local i<j candidate pairs from a blocking table with
+    columns (`key_col`, c_custkey, c_name) — the shared candidate
+    generator behind j11 (prefix keys) and j13 (deletion-neighborhood
+    keys). One groupBy on the blocking key, sorted-struct buckets,
+    pair emission bucket-locally: O(sum bucket^2), never all-pairs.
+
+    `max_bucket` threads the d02 family's adversarial-skew guard
+    (nlp._pairs_from_bands; VERDICT r10 item 2) through the fuzzy
+    family: a hot blocking key — thousands of near-identical names
+    sharing one prefix or one deletion variant — concentrates
+    O(bucket^2) pair emission in ONE task at 100 TB (C(100k,2) ≈ 5e9
+    pairs from a single group). Capping drops buckets larger than
+    `max_bucket` from pair generation: a bucket that hot is a
+    duplicate CLUSTER, better handled by exact grouping + survivorship
+    (d01/d05) than by pairwise levenshtein. Callers that cap MUST
+    audit what was dropped via `fuzzy_oversized_buckets` — silent
+    truncation reads as full coverage. Default None preserves the
+    registered queries' exact semantics (and their oracles).
+    """
+    buckets = (
+        keyed.groupBy(key_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("c_custkey", "c_name"))
+            ).alias("xs")
+        )
+        .filter(F.size("xs") > 1)
+    )
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(
+                f"max_bucket must be >= 2, got {max_bucket} — a cap "
+                "below 2 drops every pair-generating bucket"
+            )
+        buckets = buckets.filter(F.size("xs") <= max_bucket)
+    return buckets.select(
+        F.posexplode("xs").alias("pos", "a"), "xs"
+    ).select(
+        "a",
+        F.explode(
+            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
+        ).alias("b"),
+    )
+
+
+def fuzzy_oversized_buckets(keyed, key_col: str, max_bucket: int):
+    """(key, bucket_size) rows for blocking buckets the `max_bucket`
+    cap would drop — the audit companion of
+    `_fuzzy_blocked_pairs(..., max_bucket=...)`, mirroring
+    nlp.oversized_buckets: one extra count-aggregation over the SAME
+    blocking rows, output bounded by the number of hot keys."""
+    return (
+        keyed.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
 @register(
     "j11_fuzzy_name_match",
     oracle=f"""
@@ -3165,31 +3283,15 @@ FUZZY_BLOCK_LEN = 16   # blocking key: first 16 chars
     "both engines. Blocking recall is the standard tradeoff: a pair "
     "differing inside the blocking prefix is not a candidate (the "
     "documented miss class every production blocker accepts; add a "
-    "second blocking pass on a different key to recover them).",
+    "second blocking pass on a different key to recover them). "
+    "Adversarial skew (r11): the capped spelling "
+    "j11_fuzzy_name_match_capped threads the d02 max_bucket guard + "
+    "oversized-bucket audit through this blocker for corpora where "
+    "one prefix collects thousands of rows; the registered default "
+    "stays uncapped (TPC-H names bound the buckets here).",
 )
 def j11_fuzzy_name_match(spark: SparkSession, sf_dir: str):
-    c = t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        F.substring("c_name", 1, FUZZY_BLOCK_LEN).alias("blk"),
-    )
-    buckets = (
-        c.groupBy("blk")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("c_custkey", "c_name"))
-            ).alias("xs")
-        )
-        .filter(F.size("xs") > 1)
-    )
-    pairs = buckets.select(
-        F.posexplode("xs").alias("pos", "a"), "xs"
-    ).select(
-        "a",
-        F.explode(
-            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
-        ).alias("b"),
-    )
+    pairs = _fuzzy_blocked_pairs(_j11_blocking_table(spark, sf_dir), "blk")
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (
         pairs.select(
@@ -3199,6 +3301,37 @@ def j11_fuzzy_name_match(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("dist") <= FUZZY_MAX_DIST)
     )
+
+
+def _j11_blocking_table(spark: SparkSession, sf_dir: str):
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.substring("c_name", 1, FUZZY_BLOCK_LEN).alias("blk"),
+    )
+
+
+def j11_fuzzy_name_match_capped(
+    spark: SparkSession, sf_dir: str, max_bucket: int
+):
+    """j11 with the adversarial-skew cap: returns (matches, audit)
+    where `audit` lists every blocking bucket the cap excluded from
+    pair generation (fuzzy_oversized_buckets — run it or the
+    truncation is silent). Production spelling for corpora with hot
+    prefixes; identical to the registered j11 wherever no bucket
+    exceeds `max_bucket`."""
+    keyed = _j11_blocking_table(spark, sf_dir)
+    pairs = _fuzzy_blocked_pairs(keyed, "blk", max_bucket=max_bucket)
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    matches = (
+        pairs.select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+    return matches, fuzzy_oversized_buckets(keyed, "blk", max_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -4505,9 +4638,29 @@ def o12_kfold_assignment(spark: SparkSession, sf_dir: str):
     "JVM levenshtein verification on candidates only. The oracle "
     "mirrors key generation with an uncorrelated range join (DuckDB "
     "range() cannot take lateral bounds); its 255-char cap is above "
-    "any c_name length so both engines emit identical key sets.",
+    "any c_name length so both engines emit identical key sets. "
+    "Adversarial skew (r11): j13_fuzzy_match_deletion_blocking_capped "
+    "threads the d02 max_bucket guard + oversized-bucket audit "
+    "through this blocker — a hot deletion variant shared by "
+    "thousands of near-identical names is a duplicate CLUSTER for "
+    "d01/d05, not a pairwise-verification bucket; the registered "
+    "default stays uncapped (TPC-H names bound the buckets here).",
 )
 def j13_fuzzy_match_deletion_blocking(spark: SparkSession, sf_dir: str):
+    pairs = _fuzzy_blocked_pairs(_j13_key_table(spark, sf_dir), "k")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        pairs.select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+        .distinct()
+    )
+
+
+def _j13_key_table(spark: SparkSession, sf_dir: str):
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     # identity + every single-char deletion, all JVM-side: position
     # i = length+1 deletes nothing (substring past the end is ''),
@@ -4517,7 +4670,7 @@ def j13_fuzzy_match_deletion_blocking(spark: SparkSession, sf_dir: str):
     # dropDuplicates(doc, k), which would compile to an extra
     # (doc, k) exchange + two sorts of the 19x key table (measured:
     # that was the most expensive stage of the first plan).
-    keys = c.select(
+    return c.select(
         "c_custkey",
         "c_name",
         F.explode(
@@ -4530,25 +4683,23 @@ def j13_fuzzy_match_deletion_blocking(spark: SparkSession, sf_dir: str):
             )
         ).alias("k"),
     )
-    buckets = (
-        keys.groupBy("k")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("c_custkey", "c_name"))
-            ).alias("xs")
-        )
-        .filter(F.size("xs") > 1)
-    )
-    pairs = buckets.select(
-        F.posexplode("xs").alias("pos", "a"), "xs"
-    ).select(
-        "a",
-        F.explode(
-            F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
-        ).alias("b"),
-    )
+
+
+def j13_fuzzy_match_deletion_blocking_capped(
+    spark: SparkSession, sf_dir: str, max_bucket: int
+):
+    """j13 with the adversarial-skew cap: returns (matches, audit)
+    where `audit` lists every deletion-key bucket the cap excluded
+    from pair generation (fuzzy_oversized_buckets — run it or the
+    truncation is silent). Note the recall contract under the cap:
+    edit-distance-<=1 pairs whose EVERY shared deletion key sits in a
+    dropped bucket are not emitted — exactly the near-identical
+    clusters d01/d05's exact grouping + survivorship handles; pairs
+    sharing at least one surviving key are still found."""
+    keyed = _j13_key_table(spark, sf_dir)
+    pairs = _fuzzy_blocked_pairs(keyed, "k", max_bucket=max_bucket)
     dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-    return (
+    matches = (
         pairs.select(
             F.col("a.c_custkey").alias("key_a"),
             F.col("b.c_custkey").alias("key_b"),
@@ -4557,6 +4708,7 @@ def j13_fuzzy_match_deletion_blocking(spark: SparkSession, sf_dir: str):
         .filter(F.col("dist") <= 1)
         .distinct()
     )
+    return matches, fuzzy_oversized_buckets(keyed, "k", max_bucket)
 
 
 # ---------------------------------------------------------------------------

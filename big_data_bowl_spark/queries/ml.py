@@ -1622,3 +1622,70 @@ def m12_calibration_bins(spark: SparkSession, sf_dir: str):
         pos_rate.alias("pos_rate"),
         F.abs(mean_score - pos_rate).alias("abs_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M13: the production percentile_approx ensemble, gate-verified
+# ---------------------------------------------------------------------------
+
+
+def _m13_oracle() -> str:
+    th_hex = hex_threshold(BAG_FRACTION, BAG_DIGITS)
+    n_oob = " + ".join(
+        f"CASE WHEN substr("
+        f"{md5_sql('l_orderkey', 'l_linenumber', salt='bag')}, "
+        f"{BAG_DIGITS * tid + 1}, {BAG_DIGITS}) < '{th_hex}' "
+        f"THEN 0 ELSE 1 END"
+        for tid in range(T_TREES)
+    )
+    return f"""
+    WITH per_row AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+             {n_oob} AS n_oob
+      FROM lineitem)
+    SELECT CASE WHEN pos = 1 THEN 'R' ELSE 'N' END AS actual,
+           CAST(COUNT(*) AS BIGINT) AS n_oob_rows,
+           TRUE AS majority_rule_ok,
+           TRUE AS votes_bounded
+    FROM per_row WHERE n_oob > 0
+    GROUP BY 1
+    """
+
+
+@register(
+    "m13_bagged_ensemble_approx",
+    oracle=_m13_oracle(),
+    note="M13 — bagged_ensemble_approx (m11's documented production "
+    "swap: split candidates from percentile_approx's mergeable "
+    "bounded-memory sketch instead of exact percentile's O(rows) "
+    "buffer) registered as a driver-checked query (VERDICT r10 "
+    "item 3) rather than pytest-only executed code. Approx "
+    "thresholds are engine-specific, so no bit-parity confusion "
+    "matrix exists; the a10/a19 invariant pattern applies to the "
+    "TREE CONTRACT instead: (1) per-class OOB row totals — exact "
+    "integers DuckDB re-derives from the md5 bagging membership "
+    "alone, which approx thresholds cannot move; any row the approx "
+    "trainer loses, duplicates, or mis-buckets out of the OOB vote "
+    "breaks the count — plus (2) majority-rule consistency "
+    "(predicted == 'R' iff 2*votes_r >= n_oob on every output row) "
+    "and (3) vote bounds (0 <= votes_r <= n_oob <= T) as booleans "
+    "the oracle pins to TRUE. Same 5-scan layout and cost model as "
+    "m11; the ONLY plan delta is the threshold aggregate "
+    "(percentile -> percentile_approx).",
+)
+def m13_bagged_ensemble_approx(spark, sf_dir):
+    ens = bagged_ensemble_approx(spark, sf_dir)
+    maj_ok = (F.col("predicted") == "R") == (
+        2 * F.col("votes_r") >= F.col("n_oob")
+    )
+    votes_ok = (
+        (F.col("votes_r") >= 0)
+        & (F.col("votes_r") <= F.col("n_oob"))
+        & (F.col("n_oob") >= 1)
+        & (F.col("n_oob") <= T_TREES)
+    )
+    return ens.groupBy("actual").agg(
+        F.sum("n_rows").alias("n_oob_rows"),
+        F.bool_and(maj_ok).alias("majority_rule_ok"),
+        F.bool_and(votes_ok).alias("votes_bounded"),
+    )

@@ -2104,9 +2104,12 @@ def d11_canonical_survivor(spark: SparkSession, sf_dir: str):
     "join the banded index on (band, bkey), so work scales with "
     "|delta| x bucket occupancy, never with |corpus|^2, and the "
     "old-vs-old pairs the full d02 recompute would re-derive are "
-    "never touched. The delta band table is broadcast (a day's "
-    "arrivals vs the corpus; at larger deltas AQE falls back to a "
-    "shuffle hash join on the same keys). Equivalence contract, "
+    "never touched. The delta side carries NO broadcast hint (r11, "
+    "ADVICE: F.broadcast is mandatory and AQE never demotes it — an "
+    "unconditional hint OOMs when a backfill-sized delta arrives); "
+    "AQE sizes the runtime strategy itself, broadcasting a "
+    "day's-arrivals delta and falling back to a shuffled join on the "
+    "same (band, bkey) keys for large ones. Equivalence contract, "
     "driver-checked: output == the FULL d02 recompute restricted to "
     "pairs with a delta member; the pytest invariant additionally "
     "proves d02(full) == d02(base-only pairs) UNION this query.",
@@ -2117,8 +2120,11 @@ def d12_incremental_lsh_maintenance(spark: SparkSession, sf_dir: str):
     # "stored index" is the banded corpus, the delta is a filter of it
     all_bands = _minhash_bands(d)
     delta_bands = all_bands.filter(F.col("doc_id") % 10 == 0)
+    # no broadcast hint: AQE picks broadcast for small deltas on its
+    # own and keeps the shuffled-join escape hatch for large ones —
+    # a mandatory hint would pin broadcast at ANY delta size
     joined = all_bands.alias("x").join(
-        F.broadcast(delta_bands.alias("y")),
+        delta_bands.alias("y"),
         on=[
             F.col("x.band") == F.col("y.band"),
             F.col("x.bkey") == F.col("y.bkey"),

@@ -2126,6 +2126,8 @@ def t34_stateful_type_counts(spark: SparkSession, sf_dir: str):
 
 _T35_GAP_MIN = 10
 _T35_WM = "1 minute"
+_T35_WM_MS = 60_000
+_T35_GAP_MS = _T35_GAP_MIN * 60_000
 
 
 @register(
@@ -2154,8 +2156,8 @@ _T35_WM = "1 minute"
     SELECT user_id, session_start, session_last, n_events
     FROM r
     WHERE rn > 1
-       OR session_last + INTERVAL '{_T35_GAP_MIN} minutes'
-            <= mx - INTERVAL '{_T35_WM}'
+       OR epoch_us(session_last) // 1000 + {_T35_GAP_MS}
+            < epoch_us(mx) // 1000 - {_T35_WM_MS}
     """,
     note="T35 timer-closed sessionization, driver-checkable: a "
     "session emits when the NEXT event reveals the gap (inline) or "
@@ -2167,7 +2169,17 @@ _T35_WM = "1 minute"
     "expressible in SQL: every gaps-and-islands session EXCEPT each "
     "user's final one, which emits only if its gap elapsed before "
     "the final watermark (MAX(ts) - delay) — so the oracle checks "
-    "BOTH close paths with full values. Both timeout flavors used "
+    "BOTH close paths with full values. Boundary contract (r11, "
+    "ADVICE): both stream arms close a final session iff "
+    "watermark_ms > floor(last_us/1000) + gap_ms — the legacy "
+    "EventTimeTimeout fires strictly past its expiry while "
+    "transformWithState fires inclusively AT it (observed at exact "
+    "ms equality), so the TWS arm arms its timer one ms later to "
+    "equalize — and the oracle applies the identical ms-floored "
+    "strict inequality, so a last event landing in the exact 1 ms "
+    "equality window stays OPEN everywhere instead of flaking the "
+    "gate (pinned by test_timer_sessions_millisecond_boundary_"
+    "window). Both timeout flavors used "
     "here are deterministic functions of the STREAM (the watermark), "
     "never wall clock; correctness inherits the watermark contract "
     "itself (arrival disorder bounded by the delay — Spark drops "

@@ -687,7 +687,7 @@ def timer_closed_sessions(
             ts_all.sort()
             if self._sess.exists():
                 start_us, last_us, n = self._sess.get()
-                self._handle.deleteTimer(last_us // 1000 + gap_ms)
+                self._handle.deleteTimer(last_us // 1000 + gap_ms + 1)
             else:
                 start_us = last_us = None
                 n = 0
@@ -700,7 +700,15 @@ def timer_closed_sessions(
                 last_us = t if last_us is None else max(last_us, t)
                 n += 1
             self._sess.update((start_us, last_us, n))
-            self._handle.registerTimer(last_us // 1000 + gap_ms)
+            # +1 ms: transformWithState fires a timer when the
+            # watermark REACHES the expiry (inclusive, observed at
+            # exact ms equality), while the legacy EventTimeTimeout
+            # fires only when the watermark strictly EXCEEDS it —
+            # arming one tick later makes both arms (and the
+            # registered t35 oracle's ms-floored strict inequality)
+            # close sessions under the identical condition:
+            # watermark_ms > floor(last_us/1000) + gap_ms
+            self._handle.registerTimer(last_us // 1000 + gap_ms + 1)
             if closed:
                 yield pd.DataFrame(
                     {

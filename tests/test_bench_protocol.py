@@ -48,11 +48,14 @@ def test_retry_fires_records_and_clears():
 
 
 def test_retry_exhausts_and_stays_flagged():
-    # every reading stays above threshold: 2 retries, cleared=False
+    # every reading stays above threshold: 2 retries, cleared=False.
+    # The worse retry readings are what's discarded (r11 fix: a
+    # non-improving retry records ITSELF, not a copy of the kept best)
     best, _, info = timed_best(scripted([3.0, 2.9, 3.1, 3.2]), 1.0)
     assert best == 2.9
     assert info["retries"] == 2
-    assert info["discarded_sec"] == [2.9, 2.9]
+    assert info["discarded_sec"] == [3.1, 3.2]
+    assert info["kept_sec"] == 2.9
     assert info["cleared"] is False
 
 

@@ -432,3 +432,56 @@ def test_m12_calibration_bins_contract(spark, sf_dir):
         ) + 1e-9
         assert 0.0 <= r.pos_rate <= 1.0
         assert abs(r.abs_gap - abs(r.mean_score - r.pos_rate)) < 1e-12
+
+
+def test_m13_registered_approx_invariants(spark, sf_dir):
+    """m13 (the registered face of bagged_ensemble_approx) must
+    aggregate the approx ensemble faithfully: per-class n_oob_rows
+    equal to the underlying cell totals AND to a pure-Python count of
+    rows OOB in >=1 tree from the md5 bagging membership; both
+    contract booleans genuinely computed (TRUE here, and flipping the
+    majority rule would flip them)."""
+    import hashlib
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.ml import (
+        BAG_DIGITS,
+        BAG_FRACTION,
+        T_TREES,
+        bagged_ensemble_approx,
+    )
+    from big_data_bowl_spark.functions.hashing import hex_threshold
+    from big_data_bowl_spark.sources.io import load_table
+
+    got = {
+        r.actual: r
+        for r in REGISTRY["m13_bagged_ensemble_approx"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    cells = bagged_ensemble_approx(spark, sf_dir).collect()
+    want = {}
+    for c in cells:
+        want[c.actual] = want.get(c.actual, 0) + c.n_rows
+    assert {a: r.n_oob_rows for a, r in got.items()} == want
+    assert all(r.majority_rule_ok and r.votes_bounded for r in got.values())
+
+    # independent python recount of the md5 OOB membership
+    th = hex_threshold(BAG_FRACTION, BAG_DIGITS)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    ).collect()
+    counts = {}
+    for r in li:
+        h = hashlib.md5(
+            f"bag\x1f{r.l_orderkey}\x1f{r.l_linenumber}".encode()
+        ).hexdigest()
+        n_oob = sum(
+            1
+            for tid in range(T_TREES)
+            if not h[BAG_DIGITS * tid : BAG_DIGITS * (tid + 1)] < th
+        )
+        if n_oob > 0:
+            a = "R" if r.l_returnflag == "R" else "N"
+            counts[a] = counts.get(a, 0) + 1
+    assert {a: r.n_oob_rows for a, r in got.items()} == counts

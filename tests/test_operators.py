@@ -2145,6 +2145,67 @@ def test_j13_deletion_blocking_exact_recall(spark, tmp_path):
     assert (0, 1, 1) in got and (0, 4, 0) in got and (0, 2, 1) in got
 
 
+def test_fuzzy_bucket_cap_under_adversarial_skew(spark, tmp_path):
+    """VERDICT r10 item 2: a hot blocking key — here 150 byte-identical
+    names, which share EVERY deletion variant (j13) and the prefix
+    (j11) — concentrates O(bucket^2) pair emission in one task; the
+    max_bucket cap threaded from the d02 family must drop exactly
+    those buckets while keeping ordinary fuzzy pairs, and the
+    fuzzy_oversized_buckets audit must name what was dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from big_data_bowl_spark.queries.extras import (
+        _fuzzy_blocked_pairs,
+        _j11_blocking_table,
+        j11_fuzzy_name_match_capped,
+        j13_fuzzy_match_deletion_blocking_capped,
+    )
+
+    hot = "hotname-duplicate-cluster"
+    names = [hot] * 150 + [
+        "unique-alice-smith1",   # 150: genuine near-pair (sub at the
+        "unique-alice-smith2",   # 151: last char, inside j11's prefix)
+        "completely-unrelated",  # 152
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(len(names)), pa.int64()),
+                "c_name": pa.array(names),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    sf = str(tmp_path)
+
+    for capped_fn in (
+        j13_fuzzy_match_deletion_blocking_capped,
+        j11_fuzzy_name_match_capped,
+    ):
+        matches, audit = capped_fn(spark, sf, 50)
+        got = {(r.key_a, r.key_b) for r in matches.collect()}
+        # the hot cluster is gone, the genuine near-pair survives
+        assert (150, 151) in got
+        assert not any(a < 150 and b < 150 for a, b in got)
+        audit_rows = audit.collect()
+        assert audit_rows and all(
+            r.bucket_size == 150 for r in audit_rows
+        )
+    # j13: every one of the hot name's len+1 deletion keys (deduped
+    # per row) is its own oversized bucket; j11: exactly one prefix
+    _, j13_audit = j13_fuzzy_match_deletion_blocking_capped(spark, sf, 50)
+    assert j13_audit.count() == len(hot) + 1
+    _, j11_audit = j11_fuzzy_name_match_capped(spark, sf, 50)
+    assert j11_audit.count() == 1
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        _fuzzy_blocked_pairs(
+            _j11_blocking_table(spark, sf), "blk", max_bucket=1
+        ).count()
+
+
 def test_lsh_bucket_cap_under_adversarial_skew(spark):
     """VERDICT r9 item 5: an adversarial corpus (hundreds of
     byte-identical docs) puts them all in one bucket per band; the
@@ -2241,3 +2302,38 @@ def test_o13_temporal_split_no_leakage(spark, sf_dir):
     assert tr.n_rows + te.n_rows == len(us)
     cut = np.quantile(us, 0.8, method="linear")
     assert tr.n_rows == int((us <= cut).sum())
+
+
+def test_a09b_approx_quantiles_vs_numpy(spark, sf_dir):
+    """a09b: the exact p50/p90/p99 must match numpy's linear
+    interpolation on the raw column (the a09 definition), and every
+    within-tolerance boolean must be genuinely TRUE — the invariant
+    the driver oracle pins."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import os
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.extras import _QUANTILE_PS
+
+    rows = {
+        r.l_returnflag: r
+        for r in REGISTRY["a09b_grouped_quantiles_approx"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    ).to_pandas()
+    for flag, grp in tbl.groupby("l_returnflag"):
+        r = rows[flag]
+        for p in _QUANTILE_PS:
+            want = float(
+                np.quantile(
+                    grp["l_extendedprice"].to_numpy(), p, method="linear"
+                )
+            )
+            got = getattr(r, f"p{int(p * 100)}")
+            assert abs(got - round(want, 9)) < 1e-6, (flag, p)
+            assert getattr(r, f"p{int(p * 100)}_within") is True

@@ -252,13 +252,21 @@ def test_j13_deletion_keys_dedup_in_place_no_extra_shuffle(spark):
     assert len(ex) == 2, ex  # bucket-key shuffle + pair-distinct shuffle
 
 
-def test_d12_delta_join_broadcasts_and_never_cartesian(spark):
-    """d12's delta-vs-index candidate join must be a broadcast hash
-    join (the delta side is the bounded arrivals batch) — never a
-    cartesian or nested loop, which would be the all-pairs recompute
-    the operator exists to avoid."""
+def test_d12_delta_join_is_equi_and_never_cartesian(spark):
+    """d12's delta-vs-index candidate join must be a hash-keyed
+    equi-join on (band, bkey) — never a cartesian or nested loop,
+    which would be the all-pairs recompute the operator exists to
+    avoid. Since r11 the delta side carries NO broadcast hint
+    (ADVICE: a mandatory hint OOMs on backfill-sized deltas), so the
+    static plan may read SortMergeJoin; AQE converts it to broadcast
+    at runtime when the delta is small. What matters is the join is
+    keyed, not its physical flavor."""
     plan = _plan(spark, "d12_incremental_lsh_maintenance")
-    assert "BroadcastHashJoin" in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 

@@ -872,7 +872,14 @@ def test_timer_sessions_match_python_islands_randomized(spark, tmp_path):
         sessions.append((start, last, n))
         for i, (s, e, k) in enumerate(sessions):
             is_last = i == len(sessions) - 1
-            if not is_last or e + gap <= mx - wm_delay:
+            # the stream's exact timer contract (r11): expiry is
+            # ms-floored and fires only when the (ms-floored)
+            # watermark STRICTLY exceeds it
+            e_ms = (e - base) // timedelta(milliseconds=1)
+            mx_ms = (mx - base) // timedelta(milliseconds=1)
+            gap_ms = gap // timedelta(milliseconds=1)
+            wm_ms = wm_delay // timedelta(milliseconds=1)
+            if not is_last or e_ms + gap_ms < mx_ms - wm_ms:
                 want.add((uid, s, e, k))
     got = {
         (r.user_id, r.session_start, r.session_last, r.n_events)
@@ -894,3 +901,94 @@ def test_timer_sessions_match_python_islands_randomized(spark, tmp_path):
             last = max(last, ts)
         all_sessions += cnt
     assert len(want) < all_sessions  # some sessions genuinely open
+
+
+def test_timer_sessions_millisecond_boundary_window(spark, tmp_path):
+    """The ADVICE-r10 flake class, pinned: a user whose last event
+    lands so that last + gap == final-watermark EXACTLY at microsecond
+    precision (but whose ms-floored timer expiry therefore does NOT
+    strictly precede the ms-floored watermark) must stay OPEN — in
+    the stream (Spark only fires an event-time timer when the
+    watermark strictly exceeds the expiry), in the registered oracle
+    (ms-floored strict inequality since r11), and in DuckDB actually
+    executing that oracle. Before the r11 oracle fix the SQL side
+    emitted this session and the gate could flake on any corpus with
+    sub-millisecond timestamp components."""
+    from datetime import datetime, timedelta
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.queries.temporal import (
+        _T35_GAP_MIN,
+        _T35_WM_MS,
+    )
+
+    base = datetime(2024, 3, 1)
+    us = timedelta(microseconds=500)  # sub-ms component
+    gap = timedelta(minutes=_T35_GAP_MIN)
+    wm = timedelta(milliseconds=_T35_WM_MS)
+    # user 1: an old session closed inline by the gap (non-vacuous),
+    # then a final session whose expiry hits the EXACT equality
+    # window: last + gap + wm == mx to the microsecond
+    t_old = base - timedelta(minutes=30)
+    t_last = base + us
+    mx = t_last + gap + wm  # user 2's event defines the watermark
+    rows = [(1, t_old), (1, t_last), (2, mx)]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "value": pa.array([1.0] * len(rows)),
+                "event_type": pa.array(["x"] * len(rows)),
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    q = REGISTRY["t35_timer_closed_sessions"]
+    got = {
+        (r.user_id, r.session_start, r.session_last, r.n_events)
+        for r in q.fn(spark, str(tmp_path)).collect()
+    }
+    # only user 1's OLD session closed (inline, by the gap); the
+    # boundary session and user 2's session stay open
+    assert got == {(1, t_old, t_old, 1)}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {tuple(r) for r in con.execute(q.oracle).fetchall()}
+    assert oracle == {(1, t_old, t_old, 1)}
+    # one microsecond earlier and the strict inequality admits it:
+    # the window is exactly the boundary, not a broad exclusion
+    con.execute("DROP VIEW events")
+    rows2 = [(1, t_old), (1, t_last - timedelta(milliseconds=1)), (2, mx)]
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows2], pa.int64()),
+                "ts": pa.array([r[1] for r in rows2], pa.timestamp("us")),
+                "value": pa.array([1.0] * len(rows2)),
+                "event_type": pa.array(["x"] * len(rows2)),
+                "event_id": pa.array(range(len(rows2)), pa.int64()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle2 = {tuple(r) for r in con.execute(q.oracle).fetchall()}
+    assert (1, t_old, t_old, 1) in oracle2
+    assert (
+        1,
+        t_last - timedelta(milliseconds=1),
+        t_last - timedelta(milliseconds=1),
+        1,
+    ) in oracle2
