@@ -49,7 +49,9 @@ still raise NotImplementedError at the same seam — plug PIL/ffmpeg
 into ``decode_payload`` where the marked dispatch is. PNG decodes
 every legal depth/color/filter/interlace combination (16-bit
 included); netpbm decodes 8- and 16-bit P5/P6; BMP decodes
-uncompressed 8/24-bit and RLE8.
+uncompressed 8/24-bit and RLE8; GIF decodes global AND per-frame
+local color tables (r11), with or without a global table —
+interlaced frames are the one remaining GIF seam.
 """
 
 from __future__ import annotations
@@ -2972,13 +2974,20 @@ def encode_gif(
     palette: "np.ndarray | None" = None,
     delay_cs: int = 10,
     loop: bool = True,
+    local_palettes: "list | None" = None,
+    include_global: bool = True,
 ) -> bytes:
     """Encode (h, w) uint8 index frames as an animated GIF89a.
 
     ``palette``: (256, 3) uint8 RGB global color table (grayscale
     identity when None). ``delay_cs`` is per-frame delay in 1/100 s;
-    ``loop`` adds the NETSCAPE2.0 infinite-loop extension. Lossless:
-    decode_gif_frames(encode_gif(frames)) == frames exactly.
+    ``loop`` adds the NETSCAPE2.0 infinite-loop extension.
+    ``local_palettes`` (r11): optional per-frame (256, 3) local color
+    tables (None entries fall back to the global table) — the
+    optimized-animation layout; ``include_global=False`` omits the
+    global table entirely (legal when every frame carries a local
+    one). Lossless on indices under every combination:
+    decode_gif_frames(encode_gif(frames, ...)) == frames exactly.
     """
     import struct
 
@@ -2992,20 +3001,40 @@ def encode_gif(
         palette = np.stack([g, g, g], axis=1)
     if palette.shape != (256, 3):
         raise ValueError("palette must be (256, 3) uint8 RGB")
+    if local_palettes is not None and len(local_palettes) != len(frames):
+        raise ValueError("local_palettes must match frames 1:1")
+    if not include_global and (
+        local_palettes is None or any(p is None for p in local_palettes)
+    ):
+        raise ValueError(
+            "include_global=False needs a local palette on every frame"
+        )
 
     out = bytearray(b"GIF89a")
-    # logical screen: global color table, 8 bits/channel, 256 entries
-    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
-    out += palette.astype(np.uint8).tobytes()
+    if include_global:
+        # logical screen: global color table, 8 bits/channel, 256 entries
+        out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        out += palette.astype(np.uint8).tobytes()
+    else:
+        out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)
     if loop:
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
-    for fr in frames:
+    for i, fr in enumerate(frames):
         if fr.shape != (h, w):
             raise ValueError("all frames must share one shape")
+        local = local_palettes[i] if local_palettes is not None else None
         # graphic control: delay, no transparency, no disposal
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
-        # image descriptor: full-frame, no local table, not interlaced
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        if local is None:
+            # image descriptor: full-frame, no local table, not interlaced
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        else:
+            local = np.asarray(local, dtype=np.uint8)
+            if local.shape != (256, 3):
+                raise ValueError("local palette must be (256, 3) uint8")
+            # local-color-table flag + size 7 (256 entries)
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x87)
+            out += local.tobytes()
         out.append(8)  # LZW minimum code size
         out += _gif_lzw_encode(fr.reshape(-1))
     out += b"\x3b"
@@ -3059,14 +3088,11 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> "list[int]":
         prev = code
 
 
-def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
-    """Decode a GIF into ([(h, w) uint8 index frames], (n, 3) palette).
-
-    Covers what encode_gif emits plus plain single/multi-frame GIFs
-    with a global color table; local color tables and interlaced
-    frames raise at the seam (plug PIL in at decode_payload). CRC-less
-    format — structural errors raise ValueError.
-    """
+def _parse_gif(payload: bytes):
+    """Shared GIF parser: -> ([(h, w) uint8 index frames],
+    [per-frame local color table or None], global table or None).
+    CRC-less format — structural errors raise ValueError; interlaced
+    and partial-frame images raise at the documented seam."""
     import struct
 
     import numpy as np
@@ -3085,6 +3111,7 @@ def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
         )
         pos += n_colors * 3
     frames: list = []
+    local_tables: list = []
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -3104,10 +3131,19 @@ def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
                 raise ValueError("truncated GIF")
             x0, y0, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
-            if iflags & 0x80:
-                raise NotImplementedError(
-                    "GIF local color tables not supported"
+            local = None
+            if iflags & 0x80:  # local color table (r11: seam closed)
+                n_local = 2 << (iflags & 0x07)
+                if pos + n_local * 3 > len(payload):
+                    raise ValueError("truncated GIF local color table")
+                local = (
+                    np.frombuffer(
+                        payload, np.uint8, count=n_local * 3, offset=pos
+                    )
+                    .reshape(n_local, 3)
+                    .copy()
                 )
+                pos += n_local * 3
             if iflags & 0x40:
                 raise NotImplementedError(
                     "interlaced GIF frames not supported"
@@ -3138,11 +3174,49 @@ def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
             frames.append(
                 np.array(idx[: w * h], dtype=np.uint8).reshape(h, w)
             )
+            local_tables.append(local)
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    if palette is None:
-        raise NotImplementedError("GIF without global color table")
+    return frames, local_tables, palette
+
+
+def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
+    """Decode a GIF into ([(h, w) uint8 index frames], (n, 3) global
+    color table — or None when the GIF omits one, legal whenever every
+    frame carries a LOCAL table; use decode_gif_frames_rgb to resolve
+    per-frame colors).
+
+    Covers what encode_gif emits plus plain single/multi-frame GIFs:
+    global color table, per-frame local color tables (r11 — the
+    optimized-animation layout real GIF corpora are full of), and
+    table-less index streams; interlaced frames still raise at the
+    seam (plug PIL in at decode_payload).
+    """
+    frames, _locals, palette = _parse_gif(payload)
     return frames, palette
+
+
+def decode_gif_frames_rgb(payload: bytes) -> "list[np.ndarray]":
+    """Decode a GIF into [(h, w, 3) uint8 RGB frames], resolving each
+    frame's indices through its LOCAL color table when present, else
+    the global one (GIF89a §20-21: a local table overrides the global
+    table for exactly its own image). Raises ValueError when a frame
+    has neither — such a stream has no defined colors. The color-true
+    face of decode_gif_frames for perceptual pipelines (mm15's dHash
+    luma, viz): index equality is not color equality once local
+    tables differ per frame."""
+    frames, local_tables, palette = _parse_gif(payload)
+    out = []
+    for fr, local in zip(frames, local_tables):
+        table = local if local is not None else palette
+        if table is None:
+            raise ValueError(
+                "GIF frame has neither a local nor a global color table"
+            )
+        if int(fr.max(initial=0)) >= table.shape[0]:
+            raise ValueError("GIF index exceeds its color table")
+        out.append(table[fr])
+    return out
 
 
 def image_dhash(media: DataFrame) -> DataFrame:

@@ -190,7 +190,6 @@ _PRIORITY = [
     "mm04_resize_features",
     "mm05_audio_roundtrip_features",
     "mm06_png_roundtrip_features",
-    "mm14_gif_roundtrip_features",
     "n01_token_stats",
     "n02_quality_score",
     "n03_lang_id",
@@ -316,6 +315,7 @@ _PRIORITY = [
 # greens were earned by different code, so they re-verify first.
 _FIRST = [
     "t35_timer_closed_sessions",
+    "mm14_gif_roundtrip_features",
     "d12_incremental_lsh_maintenance",
     "j11_fuzzy_name_match",
     "j13_fuzzy_match_deletion_blocking",

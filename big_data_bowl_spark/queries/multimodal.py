@@ -1099,9 +1099,15 @@ def mm13_exif_metadata(spark, sf_dir):
     "this query is the driver-gated proof of that sink's codec. The "
     "oracle recomputes the statistics from the pixel formula — LZW "
     "is lossless, so any bit divergence anywhere in "
-    "encode/sub-blocking/decode fails the value hash. Narrow plan: "
-    "payloads exist only inside the Python worker, zero bytes "
-    "shuffle.",
+    "encode/sub-blocking/decode fails the value hash. Rows rotate "
+    "the three color-table layouts by (media_id//3) %% 3 (r11, "
+    "VERDICT item 6 — local-table seam closed): global-only, "
+    "per-frame LOCAL tables over a global, and local-tables-with-NO-"
+    "global (the optimized-animation layouts real GIF corpora are "
+    "full of); indices are layout-invariant, so the SAME oracle "
+    "formula verifies all three and a mis-parsed table length "
+    "desyncs the stream and fails the hash. Narrow plan: payloads "
+    "exist only inside the Python worker, zero bytes shuffle.",
 )
 def mm14_gif_roundtrip_features(spark, sf_dir):
     from collections.abc import Iterator
@@ -1133,7 +1139,26 @@ def mm14_gif_roundtrip_features(spark, sf_dir):
                     seq[k * w * h : (k + 1) * w * h].reshape(h, w)
                     for k in range(nf)
                 ]
-                payload = encode_gif(frames, delay_cs=mid % 20 + 2)
+                # rotate the three color-table layouts; indices (and
+                # therefore every feature below) are layout-invariant
+                layout = (mid // 3) % 3
+                if layout == 0:
+                    payload = encode_gif(frames, delay_cs=mid % 20 + 2)
+                else:
+                    locs = [
+                        np.roll(
+                            np.stack([np.arange(256, dtype=np.uint8)] * 3,
+                                     axis=1),
+                            (mid + k) % 256, axis=0,
+                        )
+                        for k in range(nf)
+                    ]
+                    payload = encode_gif(
+                        frames,
+                        delay_cs=mid % 20 + 2,
+                        local_palettes=locs,
+                        include_global=(layout == 1),
+                    )
                 decoded, _pal = decode_gif_frames(payload)
                 flat = np.concatenate([f.reshape(-1) for f in decoded])
                 rows.append(

@@ -1697,3 +1697,57 @@ def test_play_frames_reference_orientation(spark):
     # y=1 → right side (mirrored), y=52 → left side
     assert home_cols.mean() > 0.8 * w
     assert away_cols.mean() < 0.2 * w
+
+
+def test_gif_local_color_tables_roundtrip_and_rgb():
+    """r11 seam closure: per-frame local color tables (with and
+    without a global table) must round-trip indices exactly, and
+    decode_gif_frames_rgb must resolve each frame through ITS table —
+    local overriding global per GIF89a §20-21 — against a pure-numpy
+    palette lookup."""
+    import numpy as np
+    import pytest
+
+    from big_data_bowl_spark.multimodal.media import (
+        decode_gif_frames,
+        decode_gif_frames_rgb,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+        for _ in range(3)
+    ]
+    ident = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    locs = [np.roll(ident, k * 17, axis=0) for k in range(3)]
+
+    # locals over a global: indices survive, rgb uses the LOCAL table
+    payload = encode_gif(frames, local_palettes=locs)
+    got, pal = decode_gif_frames(payload)
+    assert all((g == f).all() for g, f in zip(got, frames))
+    assert pal is not None and pal.shape == (256, 3)
+    rgb = decode_gif_frames_rgb(payload)
+    for r, f, lp in zip(rgb, frames, locs):
+        assert (r == lp[f]).all()
+
+    # mixed: frame 1 falls back to the global table
+    payload = encode_gif(frames, local_palettes=[locs[0], None, locs[2]])
+    rgb = decode_gif_frames_rgb(payload)
+    assert (rgb[1] == ident[frames[1]]).all()
+    assert (rgb[0] == locs[0][frames[0]]).all()
+
+    # no global table at all: decode still yields indices, palette None
+    payload = encode_gif(frames, local_palettes=locs, include_global=False)
+    got, pal = decode_gif_frames(payload)
+    assert pal is None
+    assert all((g == f).all() for g, f in zip(got, frames))
+    rgb = decode_gif_frames_rgb(payload)
+    for r, f, lp in zip(rgb, frames, locs):
+        assert (r == lp[f]).all()
+
+    # spec guards: omitting the global needs a local on EVERY frame;
+    # a colorless stream has no defined rgb
+    with pytest.raises(ValueError, match="local palette on every frame"):
+        encode_gif(frames, local_palettes=[locs[0], None, locs[2]],
+                   include_global=False)
