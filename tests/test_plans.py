@@ -278,3 +278,123 @@ def test_o13_cut_is_broadcast_scalar(spark):
     plan = _plan(spark, "o13_temporal_split")
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # the 1-row cut
+
+
+def test_a09b_one_shuffle_serves_exact_and_approx(spark):
+    """a09b computes exact percentile AND the percentile_approx sketch
+    in ONE grouped aggregate — a second exchange would mean the swap
+    costs an extra pass. The sketch family plans as
+    ObjectHashAggregate (TypedImperativeAggregate), which is the
+    map-side-combinable shape the 100 TB claim rests on."""
+    import re
+
+    plan = _plan(spark, "a09b_grouped_quantiles_approx")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ObjectHashAggregate" in plan
+    ex = {
+        m
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert len(ex) == 1, ex  # the single l_returnflag shuffle
+
+
+def test_m13_vote_plan_matches_m11_shape(spark):
+    """m13's registered plan (the OOB vote scan + the per-class
+    invariant aggregate) must stay join-free with metadata-sized
+    exchanges — the approx trainer changes THRESHOLD VALUES, never
+    the plan shape m11 froze."""
+    import re
+
+    plan = _plan(spark, "m13_bagged_ensemble_approx")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan  # pure scan -> agg -> agg
+    ex = {
+        m
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    # vote-histogram shuffle + per-class rollup shuffle, nothing else
+    assert len(ex) == 2, ex
+
+
+def test_aqe_skew_split_on_dq04s_measured_hot_key(spark):
+    """VERDICT r10 item 7 (deepen): close the measure->handle loop on
+    REAL data. dq04 profiles the corpus's join-key heavy hitters; this
+    test takes its rank-1 key for events.event_type — measured, not
+    planted — pads rows to cluster-scale bytes, joins events on that
+    column under the same lowered AQE thresholds as the synthetic
+    skew test, and asserts the final adaptive plan carries a
+    skew=true split WITH exact results. The demonstration dq04's note
+    promises ('the measurement that decides which keys need ... AQE
+    skew-join handling') is thereby executed code, not prose."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.sources.io import load_table
+
+    sf01 = "/root/testdata/sf0.01"
+    prof = REGISTRY["dq04_key_skew_profile"].fn(spark, sf01).collect()
+    hot = next(
+        r
+        for r in prof
+        if r.key_col == "events.event_type" and r.rank == 1
+    )
+    # non-vacuous: the measured head key really is a heavy hitter
+    assert hot.share >= 1.5 / 32  # heavier than a uniform 32-way split
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "100KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        ev = load_table(spark, sf01, "events").select(
+            "event_type", "event_id"
+        )
+        # pad to cluster-scale shuffle bytes (incompressible): the
+        # local corpus is small, the skew RATIO is the real thing
+        pad = F.concat(
+            *[
+                F.sha2(
+                    F.concat(F.col("event_id").cast("string"), F.lit(i)),
+                    512,
+                )
+                for i in range(4)
+            ]
+        )
+        # round-robin fan-out first: AQE splits a skewed reduce
+        # partition along MAPPER boundaries, and the single-file
+        # local scan would otherwise feed the shuffle from one mapper
+        # (nothing to split — at cluster scale the scan has thousands
+        # of mappers and this is free)
+        left = ev.select("event_type", pad.alias("pad")).repartition(16)
+        # the dim is MATERIALIZED (metadata-sized collect):
+        # OptimizeSkewedJoin pattern-matches SMJ(Sort+ShuffleRead,
+        # Sort+ShuffleRead) — an aggregate between the right shuffle
+        # and the join would opt the join out of skew handling
+        types = [
+            r.event_type
+            for r in ev.select("event_type").distinct().collect()
+        ]
+        right = spark.createDataFrame(
+            [(t_, 1) for t_ in types], "event_type string, v int"
+        )
+        j = left.join(right.hint("merge"), "event_type").select(
+            F.length("pad").alias("n")
+        )
+        rows = len(j._jdf.queryExecution().executedPlan().executeCollect())
+        assert rows == ev.count()  # dim is distinct: row-preserving
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert plan.count("skew=true") >= 1
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -98,6 +98,12 @@ PIPELINES = [
     # round-10 batch 4: scan-bound audits (2-row / 5-row outputs)
     "o13_temporal_split",
     "u06_grouped_agg_pandas_udf",
+    # round-11 batch: the production approx twins — a09b's grouped
+    # percentile_approx sketch (mergeable, map-side combinable, the
+    # point of the swap) and m13's approx-trained ensemble (same
+    # 5-scan layout as m11; the threshold aggregate is the only delta)
+    "a09b_grouped_quantiles_approx",
+    "m13_bagged_ensemble_approx",
 ]
 
 
@@ -120,6 +126,37 @@ def build_probe_lake(spark, sf_dir: str, out_dir: str, factor: int):
         exploded.write.mode("overwrite").parquet(
             f"{out_dir}/{table}.parquet"
         )
+
+
+def build_key_exploded_events(spark, sf_dir: str, out_dir: str, factor: int):
+    """The t35 timer-coalescing probe lake (VERDICT r10 item 7): the
+    replica explode shifts USER ids (not event ids), so the key count
+    — and therefore the number of live ValueStates AND armed timers —
+    grows by `factor` while per-key event volume stays fixed. The
+    default lake does the opposite (same keys, 10x events/key); this
+    one stresses the state/timer registry itself: 100x keys means
+    100x timers armed, deleted and re-armed per micro-batch, the axis
+    a 100 TB user corpus actually grows along."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exploded = (
+        df.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        .withColumn(
+            "user_id",
+            F.col("user_id").cast("long")
+            + F.col("_rep").cast("long") * F.lit(ID_OFFSET),
+        )
+        .withColumn(
+            "event_id",
+            F.col("event_id").cast("long")
+            + F.col("_rep").cast("long") * F.lit(ID_OFFSET),
+        )
+        .drop("_rep")
+    )
+    exploded.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
 def n_exchanges(df) -> int:
@@ -158,6 +195,15 @@ def main() -> None:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--md", action="store_true")
     ap.add_argument(
+        "--t35-keys",
+        type=int,
+        default=0,
+        metavar="FACTOR",
+        help="run the t35 timer-coalescing probe instead: explode "
+        "events by FACTOR along the USER-ID axis (FACTORx keys => "
+        "FACTORx live timers) and compare walls/plans",
+    )
+    ap.add_argument(
         "queries",
         nargs="*",
         help="subset of PIPELINES to probe (default: all)",
@@ -168,6 +214,31 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.t35_keys:
+        name = "t35_timer_closed_sessions"
+        with tempfile.TemporaryDirectory(prefix="t35_keys_") as probe:
+            build_key_exploded_events(
+                spark, args.sf, probe, args.t35_keys
+            )
+            w1, r1, x1 = run_one(spark, name, args.sf)
+            wN, rN, xN = run_one(spark, name, probe)
+            print(
+                json.dumps(
+                    {
+                        "probe": f"t35 @ {args.t35_keys}x KEYS",
+                        "wall_1x_s": round(w1, 2),
+                        f"wall_{args.t35_keys}x_s": round(wN, 2),
+                        "wall_ratio": round(wN / w1, 2),
+                        "sessions_1x": r1,
+                        f"sessions_{args.t35_keys}x": rN,
+                        "rows_ratio": round(rN / r1, 2),
+                        "exchanges": [x1, xN],
+                        "plan_shape_stable": x1 == xN,
+                    }
+                )
+            )
+        return
 
     results = []
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as probe:
