@@ -50,8 +50,9 @@ into ``decode_payload`` where the marked dispatch is. PNG decodes
 every legal depth/color/filter/interlace combination (16-bit
 included); netpbm decodes 8- and 16-bit P5/P6; BMP decodes
 uncompressed 8/24-bit and RLE8; GIF decodes global AND per-frame
-local color tables (r11), with or without a global table —
-interlaced frames are the one remaining GIF seam.
+local color tables (with or without a global table) and interlaced
+frames (both r11) — partial-frame images are the one remaining GIF
+seam.
 """
 
 from __future__ import annotations
@@ -2976,6 +2977,7 @@ def encode_gif(
     loop: bool = True,
     local_palettes: "list | None" = None,
     include_global: bool = True,
+    interlace: bool = False,
 ) -> bytes:
     """Encode (h, w) uint8 index frames as an animated GIF89a.
 
@@ -2986,7 +2988,9 @@ def encode_gif(
     tables (None entries fall back to the global table) — the
     optimized-animation layout; ``include_global=False`` omits the
     global table entirely (legal when every frame carries a local
-    one). Lossless on indices under every combination:
+    one). ``interlace`` (r11) stores every frame in the Appendix-E
+    4-pass row order with the interlace flag set. Lossless on
+    indices under every combination:
     decode_gif_frames(encode_gif(frames, ...)) == frames exactly.
     """
     import struct
@@ -3025,18 +3029,22 @@ def encode_gif(
         local = local_palettes[i] if local_palettes is not None else None
         # graphic control: delay, no transparency, no disposal
         out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        iflags = 0x40 if interlace else 0
         if local is None:
-            # image descriptor: full-frame, no local table, not interlaced
-            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            # image descriptor: full-frame, no local table
+            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
         else:
             local = np.asarray(local, dtype=np.uint8)
             if local.shape != (256, 3):
                 raise ValueError("local palette must be (256, 3) uint8")
             # local-color-table flag + size 7 (256 entries)
-            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x87)
+            out += b"\x2c" + struct.pack(
+                "<HHHHB", 0, 0, w, h, 0x87 | iflags
+            )
             out += local.tobytes()
         out.append(8)  # LZW minimum code size
-        out += _gif_lzw_encode(fr.reshape(-1))
+        stored = fr[_gif_interlace_order(h)] if interlace else fr
+        out += _gif_lzw_encode(stored.reshape(-1))
     out += b"\x3b"
     return bytes(out)
 
@@ -3088,11 +3096,23 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> "list[int]":
         prev = code
 
 
+def _gif_interlace_order(h: int) -> "list[int]":
+    """GIF89a Appendix E row transmission order: pass 1 every 8th row
+    from 0, pass 2 every 8th from 4, pass 3 every 4th from 2, pass 4
+    every 2nd from 1. stored_row_i lands at display row order[i]."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
 def _parse_gif(payload: bytes):
     """Shared GIF parser: -> ([(h, w) uint8 index frames],
     [per-frame local color table or None], global table or None).
-    CRC-less format — structural errors raise ValueError; interlaced
-    and partial-frame images raise at the documented seam."""
+    CRC-less format — structural errors raise ValueError;
+    partial-frame images raise at the documented seam."""
     import struct
 
     import numpy as np
@@ -3144,10 +3164,7 @@ def _parse_gif(payload: bytes):
                     .copy()
                 )
                 pos += n_local * 3
-            if iflags & 0x40:
-                raise NotImplementedError(
-                    "interlaced GIF frames not supported"
-                )
+            interlaced = bool(iflags & 0x40)
             if (x0, y0, w, h) != (0, 0, sw, sh):
                 raise NotImplementedError(
                     "partial-frame GIF images not supported"
@@ -3171,9 +3188,12 @@ def _parse_gif(payload: bytes):
             idx = _gif_lzw_decode(bytes(data), min_code)
             if len(idx) < w * h:
                 raise ValueError("GIF frame under-decoded")
-            frames.append(
-                np.array(idx[: w * h], dtype=np.uint8).reshape(h, w)
-            )
+            fr = np.array(idx[: w * h], dtype=np.uint8).reshape(h, w)
+            if interlaced:  # r11: 4-pass de-interleave (App. E)
+                out = np.empty_like(fr)
+                out[_gif_interlace_order(h)] = fr
+                fr = out
+            frames.append(fr)
             local_tables.append(local)
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
@@ -3188,9 +3208,10 @@ def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
 
     Covers what encode_gif emits plus plain single/multi-frame GIFs:
     global color table, per-frame local color tables (r11 — the
-    optimized-animation layout real GIF corpora are full of), and
-    table-less index streams; interlaced frames still raise at the
-    seam (plug PIL in at decode_payload).
+    optimized-animation layout real GIF corpora are full of),
+    table-less index streams, and Appendix-E interlaced frames
+    (r11); partial-frame images still raise at the seam (plug PIL
+    in at decode_payload).
     """
     frames, _locals, palette = _parse_gif(payload)
     return frames, palette

@@ -1104,10 +1104,13 @@ def mm13_exif_metadata(spark, sf_dir):
     "VERDICT item 6 — local-table seam closed): global-only, "
     "per-frame LOCAL tables over a global, and local-tables-with-NO-"
     "global (the optimized-animation layouts real GIF corpora are "
-    "full of); indices are layout-invariant, so the SAME oracle "
-    "formula verifies all three and a mis-parsed table length "
-    "desyncs the stream and fails the hash. Narrow plan: payloads "
-    "exist only inside the Python worker, zero bytes shuffle.",
+    "full of), crossed with the Appendix-E INTERLACE axis by "
+    "(media_id//9) %% 2 (4-pass row transmission order, also r11); "
+    "indices are layout-invariant, so the SAME oracle formula "
+    "verifies every combination — a mis-parsed table length desyncs "
+    "the LZW stream and a wrong de-interleave permutes rows, either "
+    "failing the hash. Narrow plan: payloads exist only inside the "
+    "Python worker, zero bytes shuffle.",
 )
 def mm14_gif_roundtrip_features(spark, sf_dir):
     from collections.abc import Iterator
@@ -1139,11 +1142,15 @@ def mm14_gif_roundtrip_features(spark, sf_dir):
                     seq[k * w * h : (k + 1) * w * h].reshape(h, w)
                     for k in range(nf)
                 ]
-                # rotate the three color-table layouts; indices (and
+                # rotate the three color-table layouts and the
+                # interlace axis independently; indices (and
                 # therefore every feature below) are layout-invariant
                 layout = (mid // 3) % 3
+                ilace = (mid // 9) % 2 == 1
                 if layout == 0:
-                    payload = encode_gif(frames, delay_cs=mid % 20 + 2)
+                    payload = encode_gif(
+                        frames, delay_cs=mid % 20 + 2, interlace=ilace
+                    )
                 else:
                     locs = [
                         np.roll(
@@ -1158,6 +1165,7 @@ def mm14_gif_roundtrip_features(spark, sf_dir):
                         delay_cs=mid % 20 + 2,
                         local_palettes=locs,
                         include_global=(layout == 1),
+                        interlace=ilace,
                     )
                 decoded, _pal = decode_gif_frames(payload)
                 flat = np.concatenate([f.reshape(-1) for f in decoded])

@@ -1751,3 +1751,63 @@ def test_gif_local_color_tables_roundtrip_and_rgb():
     with pytest.raises(ValueError, match="local palette on every frame"):
         encode_gif(frames, local_palettes=[locs[0], None, locs[2]],
                    include_global=False)
+
+
+def test_gif_interlaced_roundtrip_and_known_order():
+    """r11 seam closure #2: Appendix-E interlacing. The 4-pass row
+    order is pinned on a tiny known case (h=5 -> stored order
+    [0,4,2,1,3]), the encode->decode round-trip must recover indices
+    exactly at several awkward heights (including h<8 where passes
+    are empty), interlace must compose with local color tables, and
+    a NON-interlaced decode of interlaced bytes must NOT equal the
+    original (the de-interleave is real, not a no-op)."""
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import (
+        _gif_interlace_order,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    assert _gif_interlace_order(5) == [0, 4, 2, 1, 3]
+    assert _gif_interlace_order(1) == [0]
+    assert _gif_interlace_order(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    # every order is a permutation
+    for h in (1, 2, 3, 7, 8, 9, 16, 23):
+        assert sorted(_gif_interlace_order(h)) == list(range(h))
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 4), (2, 3), (5, 5), (9, 4), (23, 3)]:
+        frames = [
+            rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            for _ in range(2)
+        ]
+        payload = encode_gif(frames, interlace=True)
+        got, _ = decode_gif_frames(payload)
+        assert all((g == f).all() for g, f in zip(got, frames))
+
+    # composes with local tables; and the row permutation is real:
+    # clearing the interlace flag on the same bytes mis-orders rows
+    frames = [rng.integers(0, 256, size=(11, 6), dtype=np.uint8)]
+    ident = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    payload = encode_gif(
+        frames, local_palettes=[np.roll(ident, 3, axis=0)],
+        interlace=True,
+    )
+    got, _ = decode_gif_frames(payload)
+    assert (got[0] == frames[0]).all()
+    flat = bytearray(payload)
+    # image descriptor lives at a computable offset: header+global
+    # table (13+768) + netscape ext (19) + graphic control (8);
+    # clear bit 6 of its flags byte (offset +9)
+    i = 13 + 768 + 19 + 8
+    assert flat[i] == 0x2C
+    assert flat[i + 9] & 0x40
+    flat[i + 9] &= ~0x40
+    wrong, _ = decode_gif_frames(bytes(flat))
+    assert not (wrong[0] == frames[0]).all()
+    # ...and it differs by exactly the documented row permutation:
+    # the raw raster IS the frame in transmission order
+    assert (
+        wrong[0] == frames[0][_gif_interlace_order(11)]
+    ).all()
