@@ -49,10 +49,11 @@ still raise NotImplementedError at the same seam — plug PIL/ffmpeg
 into ``decode_payload`` where the marked dispatch is. PNG decodes
 every legal depth/color/filter/interlace combination (16-bit
 included); netpbm decodes 8- and 16-bit P5/P6; BMP decodes
-uncompressed 8/24-bit and RLE8; GIF decodes global AND per-frame
-local color tables (with or without a global table) and interlaced
-frames (both r11) — partial-frame images are the one remaining GIF
-seam.
+uncompressed 8/24-bit and RLE8; GIF decodes the full GIF89a layout
+space (r11): global AND per-frame local color tables (with or
+without a global table), Appendix-E interlaced frames, and
+partial-frame delta animations with disposal methods 0-3 and
+transparency, composited per §23 — no GIF seams remain.
 """
 
 from __future__ import annotations
@@ -2978,6 +2979,10 @@ def encode_gif(
     local_palettes: "list | None" = None,
     include_global: bool = True,
     interlace: bool = False,
+    offsets: "list | None" = None,
+    screen: "tuple[int, int] | None" = None,
+    disposals: "list | None" = None,
+    transparent_idx: "int | None" = None,
 ) -> bytes:
     """Encode (h, w) uint8 index frames as an animated GIF89a.
 
@@ -2989,9 +2994,16 @@ def encode_gif(
     optimized-animation layout; ``include_global=False`` omits the
     global table entirely (legal when every frame carries a local
     one). ``interlace`` (r11) stores every frame in the Appendix-E
-    4-pass row order with the interlace flag set. Lossless on
-    indices under every combination:
-    decode_gif_frames(encode_gif(frames, ...)) == frames exactly.
+    4-pass row order with the interlace flag set. ``offsets`` /
+    ``screen`` / ``disposals`` / ``transparent_idx`` (r11): emit
+    PARTIAL frames — frame i (any shape) paints at offsets[i]=(x0,y0)
+    on a screen of ``screen``=(sw,sh) (default frames[0]'s shape),
+    with per-frame disposal 0-3 and an optional shared transparent
+    index carried in each graphic-control extension. Lossless on
+    indices under every combination — for full-frame default
+    encodes, decode_gif_frames(encode_gif(frames, ...)) == frames
+    exactly; for partial encodes the decoder returns the COMPOSITED
+    screens the spec mandates.
     """
     import struct
 
@@ -2999,7 +3011,10 @@ def encode_gif(
 
     if not frames:
         raise ValueError("encode_gif needs at least one frame")
-    h, w = frames[0].shape
+    if screen is None:
+        sh0, sw0 = frames[0].shape
+        screen = (sw0, sh0)
+    sw0, sh0 = screen
     if palette is None:
         g = np.arange(256, dtype=np.uint8)
         palette = np.stack([g, g, g], axis=1)
@@ -3007,6 +3022,10 @@ def encode_gif(
         raise ValueError("palette must be (256, 3) uint8 RGB")
     if local_palettes is not None and len(local_palettes) != len(frames):
         raise ValueError("local_palettes must match frames 1:1")
+    if offsets is not None and len(offsets) != len(frames):
+        raise ValueError("offsets must match frames 1:1")
+    if disposals is not None and len(disposals) != len(frames):
+        raise ValueError("disposals must match frames 1:1")
     if not include_global and (
         local_palettes is None or any(p is None for p in local_palettes)
     ):
@@ -3017,29 +3036,43 @@ def encode_gif(
     out = bytearray(b"GIF89a")
     if include_global:
         # logical screen: global color table, 8 bits/channel, 256 entries
-        out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        out += struct.pack("<HHBBB", sw0, sh0, 0xF7, 0, 0)
         out += palette.astype(np.uint8).tobytes()
     else:
-        out += struct.pack("<HHBBB", w, h, 0x70, 0, 0)
+        out += struct.pack("<HHBBB", sw0, sh0, 0x70, 0, 0)
     if loop:
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     for i, fr in enumerate(frames):
-        if fr.shape != (h, w):
+        h, w = fr.shape
+        x0, y0 = offsets[i] if offsets is not None else (0, 0)
+        if x0 + w > sw0 or y0 + h > sh0:
+            raise ValueError("frame rect outside the logical screen")
+        if offsets is None and (h, w) != (sh0, sw0):
             raise ValueError("all frames must share one shape")
         local = local_palettes[i] if local_palettes is not None else None
-        # graphic control: delay, no transparency, no disposal
-        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        # graphic control: disposal + optional transparency + delay
+        disp = disposals[i] if disposals is not None else 0
+        if not 0 <= disp <= 3:
+            raise ValueError(f"disposal method {disp} not in 0..3")
+        packed = (disp << 2) | (1 if transparent_idx is not None else 0)
+        out += (
+            b"\x21\xf9\x04"
+            + bytes([packed])
+            + struct.pack("<H", delay_cs)
+            + bytes([transparent_idx or 0])
+            + b"\x00"
+        )
         iflags = 0x40 if interlace else 0
         if local is None:
-            # image descriptor: full-frame, no local table
-            out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+            # image descriptor, no local table
+            out += b"\x2c" + struct.pack("<HHHHB", x0, y0, w, h, iflags)
         else:
             local = np.asarray(local, dtype=np.uint8)
             if local.shape != (256, 3):
                 raise ValueError("local palette must be (256, 3) uint8")
             # local-color-table flag + size 7 (256 entries)
             out += b"\x2c" + struct.pack(
-                "<HHHHB", 0, 0, w, h, 0x87 | iflags
+                "<HHHHB", x0, y0, w, h, 0x87 | iflags
             )
             out += local.tobytes()
         out.append(8)  # LZW minimum code size
@@ -3109,17 +3142,20 @@ def _gif_interlace_order(h: int) -> "list[int]":
 
 
 def _parse_gif(payload: bytes):
-    """Shared GIF parser: -> ([(h, w) uint8 index frames],
-    [per-frame local color table or None], global table or None).
-    CRC-less format — structural errors raise ValueError;
-    partial-frame images raise at the documented seam."""
+    """Shared GIF parser: -> (images, palette, (sw, sh, bg_index))
+    where each image is a dict {"idx": (h, w) uint8 subrect indices,
+    "x0", "y0", "local": local color table or None, "disposal": 0-3,
+    "transparent": index or None}. Graphic-control extensions are
+    parsed (disposal method, transparency index — GIF89a §23, each
+    applying to the NEXT image only); other extensions are skipped.
+    CRC-less format — structural errors raise ValueError."""
     import struct
 
     import numpy as np
 
     if payload[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     palette = None
     if flags & 0x80:
@@ -3130,15 +3166,21 @@ def _parse_gif(payload: bytes):
             .copy()
         )
         pos += n_colors * 3
-    frames: list = []
-    local_tables: list = []
+    if palette is None or bg >= palette.shape[0]:
+        bg = 0  # background index undefined without a global table
+    images: list = []
+    disposal, transparent = 0, None  # pending GCE, next image only
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("truncated GIF")
+            label = payload[pos]
             pos += 1
+            sub0 = pos  # first sub-block start (length byte)
             while True:
                 if pos >= len(payload):
                     raise ValueError("truncated GIF")
@@ -3146,11 +3188,19 @@ def _parse_gif(payload: bytes):
                     break
                 pos += 1 + payload[pos]
             pos += 1
+            if label == 0xF9 and payload[sub0] >= 4:  # graphic control
+                packed = payload[sub0 + 1]
+                disposal = (packed >> 2) & 0x7
+                transparent = (
+                    payload[sub0 + 4] if packed & 0x1 else None
+                )
         elif block == 0x2C:  # image descriptor
             if pos + 9 > len(payload):
                 raise ValueError("truncated GIF")
             x0, y0, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
             pos += 9
+            if x0 + w > sw or y0 + h > sh or w == 0 or h == 0:
+                raise ValueError("GIF image rect outside logical screen")
             local = None
             if iflags & 0x80:  # local color table (r11: seam closed)
                 n_local = 2 << (iflags & 0x07)
@@ -3165,10 +3215,6 @@ def _parse_gif(payload: bytes):
                 )
                 pos += n_local * 3
             interlaced = bool(iflags & 0x40)
-            if (x0, y0, w, h) != (0, 0, sw, sh):
-                raise NotImplementedError(
-                    "partial-frame GIF images not supported"
-                )
             if pos >= len(payload):
                 raise ValueError("truncated GIF")
             min_code = payload[pos]
@@ -3193,11 +3239,20 @@ def _parse_gif(payload: bytes):
                 out = np.empty_like(fr)
                 out[_gif_interlace_order(h)] = fr
                 fr = out
-            frames.append(fr)
-            local_tables.append(local)
+            images.append(
+                {
+                    "idx": fr,
+                    "x0": x0,
+                    "y0": y0,
+                    "local": local,
+                    "disposal": disposal,
+                    "transparent": transparent,
+                }
+            )
+            disposal, transparent = 0, None  # GCE consumed
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
-    return frames, local_tables, palette
+    return images, palette, (sw, sh, bg)
 
 
 def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
@@ -3209,34 +3264,79 @@ def decode_gif_frames(payload: bytes) -> "tuple[list, np.ndarray]":
     Covers what encode_gif emits plus plain single/multi-frame GIFs:
     global color table, per-frame local color tables (r11 — the
     optimized-animation layout real GIF corpora are full of),
-    table-less index streams, and Appendix-E interlaced frames
-    (r11); partial-frame images still raise at the seam (plug PIL
-    in at decode_payload).
+    table-less index streams, Appendix-E interlaced frames (r11),
+    and PARTIAL-FRAME images with disposal methods 0-3 and
+    transparency (r11 — the delta-encoded animations GIF optimizers
+    emit): each emitted frame is the full logical screen AFTER
+    compositing that image (paint subrect, transparent indices leave
+    the canvas untouched; disposal then keeps / restores background /
+    restores previous per GIF89a §23). Full-frame GIFs compose to
+    exactly their raw rasters, so the pre-r11 contract is unchanged.
     """
-    frames, _locals, palette = _parse_gif(payload)
+    import numpy as np
+
+    images, palette, (sw, sh, bg) = _parse_gif(payload)
+    frames = []
+    canvas = np.full((sh, sw), bg, np.uint8)
+    for im in images:
+        before = canvas.copy() if im["disposal"] == 3 else None
+        y0, x0 = im["y0"], im["x0"]
+        h, w = im["idx"].shape
+        region = canvas[y0 : y0 + h, x0 : x0 + w]
+        if im["transparent"] is not None:
+            m = im["idx"] != im["transparent"]
+            region[m] = im["idx"][m]
+        else:
+            region[...] = im["idx"]
+        frames.append(canvas.copy())
+        if im["disposal"] == 2:  # restore background
+            canvas[y0 : y0 + h, x0 : x0 + w] = bg
+        elif im["disposal"] == 3:  # restore previous
+            canvas = before
     return frames, palette
 
 
 def decode_gif_frames_rgb(payload: bytes) -> "list[np.ndarray]":
-    """Decode a GIF into [(h, w, 3) uint8 RGB frames], resolving each
-    frame's indices through its LOCAL color table when present, else
-    the global one (GIF89a §20-21: a local table overrides the global
-    table for exactly its own image). Raises ValueError when a frame
-    has neither — such a stream has no defined colors. The color-true
-    face of decode_gif_frames for perceptual pipelines (mm15's dHash
-    luma, viz): index equality is not color equality once local
-    tables differ per frame."""
-    frames, local_tables, palette = _parse_gif(payload)
+    """Decode a GIF into [(h, w, 3) uint8 RGB frames], compositing in
+    COLOR space: each image's indices resolve through its LOCAL color
+    table when present, else the global one (GIF89a §20-21: a local
+    table overrides the global table for exactly its own image), AT
+    PAINT TIME — so a canvas can legitimately mix pixels painted by
+    images with different tables, which no single index view can
+    express. Raises ValueError when an image has neither table — such
+    a stream has no defined colors. The color-true face of
+    decode_gif_frames for perceptual pipelines (mm15's dHash luma,
+    viz)."""
+    import numpy as np
+
+    images, palette, (sw, sh, bg) = _parse_gif(payload)
+    bg_rgb = (
+        palette[bg] if palette is not None else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).astype(np.uint8)
     out = []
-    for fr, local in zip(frames, local_tables):
-        table = local if local is not None else palette
+    for im in images:
+        table = im["local"] if im["local"] is not None else palette
         if table is None:
             raise ValueError(
                 "GIF frame has neither a local nor a global color table"
             )
-        if int(fr.max(initial=0)) >= table.shape[0]:
+        if int(im["idx"].max(initial=0)) >= table.shape[0]:
             raise ValueError("GIF index exceeds its color table")
-        out.append(table[fr])
+        before = canvas.copy() if im["disposal"] == 3 else None
+        y0, x0 = im["y0"], im["x0"]
+        h, w = im["idx"].shape
+        region = canvas[y0 : y0 + h, x0 : x0 + w]
+        if im["transparent"] is not None:
+            m = im["idx"] != im["transparent"]
+            region[m] = table[im["idx"][m]]
+        else:
+            region[...] = table[im["idx"]]
+        out.append(canvas.copy())
+        if im["disposal"] == 2:
+            canvas[y0 : y0 + h, x0 : x0 + w] = bg_rgb
+        elif im["disposal"] == 3:
+            canvas = before
     return out
 
 

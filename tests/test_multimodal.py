@@ -1811,3 +1811,100 @@ def test_gif_interlaced_roundtrip_and_known_order():
     assert (
         wrong[0] == frames[0][_gif_interlace_order(11)]
     ).all()
+
+
+def test_gif_partial_frames_composite_like_reference():
+    """r11 seam closure #3 (the last GIF seam): partial-frame delta
+    animations. Random subrect paints with all four disposal methods
+    and a transparent index must composite exactly like a pure-numpy
+    reference of GIF89a §23, in both the index view and the RGB view
+    (which resolves tables at paint time)."""
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import (
+        decode_gif_frames,
+        decode_gif_frames_rgb,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(23)
+    sw, sh = 13, 9
+    t_idx = 7
+    n = 6
+    frames, offsets, disposals = [], [], []
+    first = rng.integers(0, 256, size=(sh, sw), dtype=np.uint8)
+    frames.append(first); offsets.append((0, 0)); disposals.append(0)
+    for i in range(1, n):
+        fh = int(rng.integers(1, sh + 1))
+        fw = int(rng.integers(1, sw + 1))
+        fr = rng.integers(0, 256, size=(fh, fw), dtype=np.uint8)
+        fr.flat[0] = t_idx  # plant a transparent pixel per frame
+        frames.append(fr)
+        offsets.append(
+            (int(rng.integers(0, sw - fw + 1)),
+             int(rng.integers(0, sh - fh + 1)))
+        )
+        disposals.append(int(rng.integers(0, 4)))
+
+    payload = encode_gif(
+        frames,
+        offsets=offsets,
+        screen=(sw, sh),
+        disposals=disposals,
+        transparent_idx=t_idx,
+    )
+    got, pal = decode_gif_frames(payload)
+
+    # pure-python §23 reference (background index 0: header bg byte)
+    canvas = np.zeros((sh, sw), np.uint8)
+    want = []
+    for fr, (x0, y0), disp in zip(frames, offsets, disposals):
+        before = canvas.copy()
+        fh, fw = fr.shape
+        sub = canvas[y0:y0 + fh, x0:x0 + fw]
+        m = fr != t_idx
+        sub[m] = fr[m]
+        want.append(canvas.copy())
+        if disp == 2:
+            canvas[y0:y0 + fh, x0:x0 + fw] = 0
+        elif disp == 3:
+            canvas = before
+    assert len(got) == n
+    for g, w_ in zip(got, want):
+        assert g.shape == (sh, sw)
+        assert (g == w_).all()
+    # rgb view agrees through the (identity) global table
+    rgb = decode_gif_frames_rgb(payload)
+    for r, w_ in zip(rgb, want):
+        assert (r == np.stack([w_] * 3, axis=2)).all()
+    # non-vacuous: disposal 2 and 3 both occurred, and at least one
+    # transparent pixel actually preserved an underlying value
+    assert {2, 3} <= set(disposals)
+    assert any((fr == t_idx).any() for fr in frames[1:])
+
+
+def test_gif_partial_frames_rgb_mixes_tables_at_paint_time():
+    """A canvas painted by images with DIFFERENT local tables has no
+    single index interpretation — the RGB compositor must resolve
+    each subrect through its own table at paint time."""
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import (
+        decode_gif_frames_rgb,
+        encode_gif,
+    )
+
+    ident = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    red = ident.copy(); red[:, 1] = 0; red[:, 2] = 0
+    base = np.full((4, 6), 9, np.uint8)
+    patch = np.full((2, 2), 9, np.uint8)
+    payload = encode_gif(
+        [base, patch],
+        local_palettes=[ident, red],
+        offsets=[(0, 0), (2, 1)],
+        screen=(6, 4),
+    )
+    rgb = decode_gif_frames_rgb(payload)
+    # frame 2: the patch is red-table 9 = (9,0,0), the rest identity
+    assert (rgb[1][1:3, 2:4] == np.array([9, 0, 0], np.uint8)).all()
+    assert (rgb[1][0, 0] == np.array([9, 9, 9], np.uint8)).all()
