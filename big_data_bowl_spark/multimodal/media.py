@@ -1709,10 +1709,12 @@ def decode_payload(
 
 def decode_audio(payload: bytes, fmt: str) -> "np.ndarray":
     """Decode an audio payload to MONO int16 samples (stdlib `wave`):
-    8-bit unsigned PCM is re-centered and scaled to int16; multi-
-    channel audio downmixes by per-frame mean — the standardization
-    every audio-feature pass (mm05/mm08) assumes. 24/32-bit PCM
-    raise at the seam."""
+    8-bit unsigned PCM is re-centered and scaled up; 24-bit (the
+    studio/broadcast width real audio lakes are full of — r11, seam
+    closed) and 32-bit integer PCM scale DOWN by dropping low bits
+    (arithmetic shift, so int16-valued content round-trips exactly);
+    multi-channel audio downmixes by per-frame mean — the
+    standardization every audio-feature pass (mm05/mm08) assumes."""
     import io
     import wave
 
@@ -1731,10 +1733,20 @@ def decode_audio(payload: bytes, fmt: str) -> "np.ndarray":
         samples = (
             (np.frombuffer(frames, np.uint8).astype(np.int16) - 128) << 8
         )
+    elif width == 3:
+        # 24-bit signed little-endian: assemble 3 bytes, sign-extend,
+        # arithmetic-shift to int16 range
+        b = np.frombuffer(frames, np.uint8).reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v >= (1 << 23)) << 24
+        samples = (v >> 8).astype(np.int16)
+    elif width == 4:
+        # 32-bit signed integer PCM
+        samples = (
+            np.frombuffer(frames, dtype="<i4") >> 16
+        ).astype(np.int16)
     else:
-        raise NotImplementedError(
-            f"{8 * width}-bit PCM WAV not supported (8/16-bit only)"
-        )
+        raise ValueError(f"invalid PCM sample width {width}")
     if nch > 1:
         samples = (
             samples.reshape(-1, nch)
@@ -1839,17 +1851,39 @@ def encode_png(img: "np.ndarray", filter_type: int = 0) -> bytes:
     )
 
 
-def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
-    """Encode int16 samples as a mono 16-bit PCM WAV."""
+def encode_wav(
+    samples: "np.ndarray", rate: int = 16000, sample_width: int = 2
+) -> bytes:
+    """Encode int16 samples as a mono PCM WAV. ``sample_width`` (r11):
+    2 = 16-bit (default), 3 = 24-bit, 4 = 32-bit — wider widths carry
+    the int16 values shifted into the high bits (v << 8 / v << 16),
+    the exact inverse of decode_audio's down-shift, so the round-trip
+    is lossless at every width."""
     import io
     import wave
 
+    import numpy as np
+
     buf = io.BytesIO()
+    if sample_width == 2:
+        frames = samples.astype("<i2").tobytes()
+    elif sample_width == 3:
+        v = samples.astype(np.int32) << 8
+        v = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        b = np.empty((len(v), 3), np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        frames = b.tobytes()
+    elif sample_width == 4:
+        frames = (samples.astype(np.int32) << 16).astype("<i4").tobytes()
+    else:
+        raise ValueError(f"sample_width {sample_width} not in (2, 3, 4)")
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
-        wf.setsampwidth(2)
+        wf.setsampwidth(sample_width)
         wf.setframerate(rate)
-        wf.writeframes(samples.astype("<i2").tobytes())
+        wf.writeframes(frames)
     return buf.getvalue()
 
 

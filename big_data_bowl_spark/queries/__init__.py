@@ -188,7 +188,6 @@ _PRIORITY = [
     "mm01_media_metadata",
     "mm03_frame_sample",
     "mm04_resize_features",
-    "mm05_audio_roundtrip_features",
     "mm06_png_roundtrip_features",
     "n01_token_stats",
     "n02_quality_score",
@@ -316,6 +315,7 @@ _PRIORITY = [
 _FIRST = [
     "t35_timer_closed_sessions",
     "mm14_gif_roundtrip_features",
+    "mm05_audio_roundtrip_features",
     "d12_incremental_lsh_maintenance",
     "j11_fuzzy_name_match",
     "j13_fuzzy_match_deletion_blocking",

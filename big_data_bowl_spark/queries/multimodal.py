@@ -209,10 +209,15 @@ _WAV_N = 64  # samples per synthetic clip
     note="MM5 audio: deterministic int16 clips are ENCODED to real RIFF "
     "WAV bytes and DECODED back through the stdlib codec "
     "(multimodal/media.py encode_wav/decode_audio) inside one "
-    "mapInPandas pass; the oracle computes the same statistics from "
-    "the sample formula directly, so any bit-loss in the container "
-    "round-trip fails the value check. Narrow, payloads never "
-    "shuffle; swap the codec seam for ffmpeg for compressed audio.",
+    "mapInPandas pass; rows rotate the PCM sample width by "
+    "(media_id//3) %% 3 across 16-, 24- and 32-bit layouts (r11 — "
+    "24-bit is the studio/broadcast width real audio lakes are full "
+    "of; wider widths carry the values in the high bits and the "
+    "decoder's arithmetic down-shift recovers them exactly), so the "
+    "SAME oracle formula verifies every width and a byte-order or "
+    "sign-extension slip fails the value check. Narrow, payloads "
+    "never shuffle; swap the codec seam for ffmpeg for compressed "
+    "audio.",
 )
 def mm05_audio_roundtrip_features(spark, sf_dir):
     from collections.abc import Iterator
@@ -233,7 +238,12 @@ def mm05_audio_roundtrip_features(spark, sf_dir):
                 samples = (
                     (int(mid) * 37 + np.arange(_WAV_N) * 11) % 2003 - 1001
                 ).astype(np.int16)
-                decoded = decode_audio(encode_wav(samples), "wav")
+                # rotate 16/24/32-bit PCM layouts; the down-shift
+                # recovers the int16 values exactly at every width
+                width = (2, 3, 4)[(int(mid) // 3) % 3]
+                decoded = decode_audio(
+                    encode_wav(samples, sample_width=width), "wav"
+                )
                 rows.append(
                     (
                         int(mid),

@@ -1114,8 +1114,17 @@ def test_wav_8bit_and_stereo_variants():
     got = decode_audio(wav(2, 2, frames), "wav")
     assert got.tolist() == [200, 0, 8]  # (7+8)/2 rounds half-even -> 8
 
-    with _pytest.raises(NotImplementedError, match="24-bit"):
-        decode_audio(wav(3, 1, b"\x00" * 6), "wav")
+    # 24-bit decodes since r11 (seam closed): two zero samples
+    got = decode_audio(wav(3, 1, b"\x00" * 6), "wav")
+    assert got.tolist() == [0, 0]
+    # stereo 24-bit downmix composes with the width conversion
+    frames = b"".join(
+        bytes([(v >> 0) & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+        for v in [100 << 8, 300 << 8, (-50 << 8) + (1 << 24), 50 << 8]
+    )
+    got = decode_audio(wav(3, 2, frames), "wav")
+    assert got.tolist() == [200, 0]
+    _ = _pytest  # seam removed; decode_audio no longer raises here
 
 
 def test_exif_roundtrip_both_endians_and_edge_cases():
@@ -1908,3 +1917,39 @@ def test_gif_partial_frames_rgb_mixes_tables_at_paint_time():
     # frame 2: the patch is red-table 9 = (9,0,0), the rest identity
     assert (rgb[1][1:3, 2:4] == np.array([9, 0, 0], np.uint8)).all()
     assert (rgb[1][0, 0] == np.array([9, 9, 9], np.uint8)).all()
+
+
+def test_wav_24_and_32_bit_roundtrip():
+    """r11 WAV seam closure: 24-bit (3-byte little-endian, sign
+    extension by hand) and 32-bit PCM round-trip int16 content
+    exactly, including negative extremes; a reference 24-bit byte
+    assembly pins the layout independent of the codec."""
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import (
+        decode_audio,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(24)
+    samples = np.concatenate(
+        [
+            np.array([-32768, -1, 0, 1, 32767], np.int16),
+            rng.integers(-32768, 32768, size=200).astype(np.int16),
+        ]
+    )
+    for width in (2, 3, 4):
+        got = decode_audio(encode_wav(samples, sample_width=width), "wav")
+        assert got.dtype == np.int16 and (got == samples).all(), width
+
+    # independent byte-level reference for the 24-bit layout: value v
+    # occupies the high 16 bits of a 3-byte little-endian word
+    payload = encode_wav(np.array([-2, 3], np.int16), sample_width=3)
+    data = payload[payload.rindex(b"data") + 8 :]
+    # -2 << 8 = -512 -> 0xFFFE00 LE = 00 FE FF ; 3 << 8 = 768 -> 00 03 00
+    assert data == bytes([0x00, 0xFE, 0xFF, 0x00, 0x03, 0x00])
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sample_width"):
+        encode_wav(samples, sample_width=5)
