@@ -2022,6 +2022,7 @@ def encode_mp4_container(
     sample_data: "list[list[bytes]] | None" = None,
     use_co64: bool = False,
     fragment_samples: "int | None" = None,
+    trex_default_sizes: bool = False,
 ) -> bytes:
     """Build a minimal ISO BMFF metadata skeleton: ftyp + moov(mvhd +
     n_tracks x trak(tkhd [+ mdia/minf/stbl])) + mdat. The media payload
@@ -2053,7 +2054,11 @@ def encode_mp4_container(
     per-sample sizes in the trun, default-base-is-moof addressing
     and an explicit trun data_offset. mvhd duration is 0 with the
     total in mehd, the streaming convention. Mutually exclusive with
-    the stco chunk options.
+    the stco chunk options. ``trex_default_sizes`` (r11): each
+    track's (then necessarily constant) sample size is carried ONLY
+    in its mvex/trex default — truns omit per-sample sizes and tfhd
+    carries just the track id, the minimal-overhead DASH layout that
+    exercises the 8.8.7.1 precedence chain's last link.
     """
     import struct
 
@@ -2122,9 +2127,24 @@ def encode_mp4_container(
                 mk_tkhd(tid)
                 + box(b"mdia", mk_mdhd() + box(b"minf", empty_stbl)),
             )
+        trex_defaults = [0] * n_tracks
+        if trex_default_sizes:
+            for tk in range(n_tracks):
+                sizes = sample_sizes[tk] if tk < len(sample_sizes) else []
+                if sizes and len(set(sizes)) != 1:
+                    raise ValueError(
+                        "trex_default_sizes needs a constant sample "
+                        "size per track"
+                    )
+                trex_defaults[tk] = sizes[0] if sizes else 0
         mehd = box(b"mehd", struct.pack(">II", 0, duration))
         trexes = b"".join(
-            box(b"trex", struct.pack(">IIIIII", 0, tid, 1, 0, 0, 0))
+            box(
+                b"trex",
+                struct.pack(
+                    ">IIIIII", 0, tid, 1, 0, trex_defaults[tid - 1], 0
+                ),
+            )
             for tid in range(1, n_tracks + 1)
         )
         moov = box(
@@ -2146,6 +2166,15 @@ def encode_mp4_container(
                 )
 
                 def mk_trun(data_offset: int) -> bytes:
+                    if trex_default_sizes:
+                        # flags: data-offset-present only — sizes come
+                        # from the mvex/trex default (r11)
+                        return box(
+                            b"trun",
+                            struct.pack(
+                                ">IIi", 0x0001, len(fs), data_offset
+                            ),
+                        )
                     # flags: data-offset-present | sample-size-present
                     return box(
                         b"trun",
@@ -2494,19 +2523,35 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
     a data offset — default-base-is-moof or an explicit
     base_data_offset, plus the trun's (mandatory here) data_offset.
     chunk_idx then numbers the track's fragments, and sample_idx
-    keeps counting across them. Fragment features beyond that
-    (offset-less truns, trex-default sizes) raise at the documented
-    seam.
+    keeps counting across them. Sample-size precedence follows
+    14496-12 8.8.7.1: per-sample trun sizes, else the tfhd default,
+    else the mvex/trex default (r11 — the DASH layout whose tfhd
+    carries only the track id). Offset-less truns raise at the one
+    remaining documented seam.
     """
     import struct
 
     out: list = []
     track_idx = -1
     tid_to_idx: dict = {}  # tkhd track_ID -> positional track index
+    trex_size: dict = {}  # track_ID -> trex default_sample_size (r11)
     for typ, b0, b1 in _mp4_children(payload, 0, len(payload)):
         if typ != b"moov":
             continue
         for t2, c0, c1 in _mp4_children(payload, b0, b1):
+            if t2 == b"mvex":
+                # movie-extends: per-track trex carries the fragment
+                # DEFAULTS a tfhd may rely on (14496-12 8.8.3) —
+                # the r11 seam closure for DASH streams whose sample
+                # size lives neither in trun nor tfhd
+                for t3, d0, d1 in _mp4_children(payload, c0, c1):
+                    if t3 != b"trex" or d0 + 24 > d1:
+                        continue
+                    _vf, tid, _desc, _dur, dsize, _fl = (
+                        struct.unpack_from(">IIIIII", payload, d0)
+                    )
+                    trex_size[tid] = dsize
+                continue
             if t2 != b"trak":
                 continue
             track_idx += 1
@@ -2638,6 +2683,10 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
             if tf_flags & 0x10:
                 default_size = struct.unpack_from(">I", payload, off)[0]
                 off += 4
+            elif trex_size.get(trk_id):
+                # tfhd carries no default: the trex default applies
+                # (14496-12 8.8.7.1 precedence — r11 seam closure)
+                default_size = trex_size[trk_id]
             if base_data_offset is not None:
                 base = base_data_offset
             elif tf_flags & 0x020000:  # default-base-is-moof
@@ -2683,9 +2732,9 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
                     if tr_flags & 0x800:
                         off += 4  # composition time offset
                     if size is None:
-                        raise NotImplementedError(
-                            "sample size neither in trun nor tfhd "
-                            "defaults (trex defaults not consulted)"
+                        raise ValueError(
+                            "sample size in none of trun, tfhd "
+                            "defaults, or mvex/trex defaults"
                         )
                     if cur + size > len(payload):
                         raise ValueError(

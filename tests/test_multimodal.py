@@ -1953,3 +1953,61 @@ def test_wav_24_and_32_bit_roundtrip():
 
     with pytest.raises(ValueError, match="sample_width"):
         encode_wav(samples, sample_width=5)
+
+
+def test_fmp4_trex_default_sample_sizes():
+    """r11 seam closure: DASH fragments whose sample size lives ONLY
+    in the mvex/trex default (tfhd carries just the track id, truns
+    carry just a data_offset — the minimal-overhead layout). The seek
+    layer must resolve identical (track, chunk, ordinal, bytes)
+    records to the explicit-per-sample-size build, and a stream with
+    the size in none of trun/tfhd/trex must raise ValueError naming
+    all three."""
+    import struct
+
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import (
+        encode_mp4_container,
+        parse_mp4_sample_ranges,
+    )
+
+    sizes = [[16] * 5, [9] * 3]  # constant per track, as trex requires
+    data = [
+        [bytes([0x30 + t * 16 + i]) * s for i, s in enumerate(tk)]
+        for t, tk in enumerate(sizes)
+    ]
+    explicit = encode_mp4_container(
+        5000, n_tracks=2, sample_sizes=sizes, sample_data=data,
+        fragment_samples=2,
+    )
+    via_trex = encode_mp4_container(
+        5000, n_tracks=2, sample_sizes=sizes, sample_data=data,
+        fragment_samples=2, trex_default_sizes=True,
+    )
+    assert len(via_trex) < len(explicit)  # truns really shrank
+    re_, rt = (
+        parse_mp4_sample_ranges(explicit),
+        parse_mp4_sample_ranges(via_trex),
+    )
+    key = lambda s: (s["track_idx"], s["chunk_idx"], s["sample_idx"])  # noqa: E731
+    assert [key(s) for s in rt] == [key(s) for s in re_]
+    for s in rt:
+        assert (
+            via_trex[s["offset"]:s["offset"] + s["size"]]
+            == data[s["track_idx"]][s["sample_idx"]]
+        )
+
+    # varying sizes cannot ride a single trex default
+    with _pytest.raises(ValueError, match="constant sample size"):
+        encode_mp4_container(
+            5000, n_tracks=1, sample_sizes=[[1, 2]],
+            fragment_samples=2, trex_default_sizes=True,
+        )
+
+    # zero out the trex default: size now defined nowhere -> honest error
+    i = via_trex.index(b"trex")
+    broken = bytearray(via_trex)
+    struct.pack_into(">I", broken, i + 4 + 16, 0)
+    with _pytest.raises(ValueError, match="none of trun, tfhd"):
+        parse_mp4_sample_ranges(bytes(broken))
