@@ -192,48 +192,80 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
         return _decode_bmp_rle8(
             payload, data_offset, hdr_size, w, h
         )
+    if compression == 2 and bpp == 4:
+        return _decode_bmp_rle4(
+            payload, data_offset, hdr_size, w, h
+        )
     if compression != 0:
         raise NotImplementedError(
-            f"BMP compression {compression} not supported (BI_RGB and "
-            "8-bit BI_RLE8 decode; plug PIL in at decode_payload)"
+            f"BMP compression {compression} not supported (BI_RGB, "
+            "BI_RLE8 and BI_RLE4 decode; plug PIL in at decode_payload)"
         )
-    if bpp not in (8, 24):
-        raise NotImplementedError(f"BMP bit depth {bpp} not supported")
+    if bpp not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"invalid BMP bit depth {bpp}")
     bottom_up = h > 0
     h = abs(h)
-    row_bytes = (w * bpp // 8 + 3) & ~3  # rows pad to 4 bytes
+    row_bytes = ((w * bpp + 7) // 8 + 3) & ~3  # rows pad to 4 bytes
     lut = None
-    if bpp == 8:
-        # palettized: indices go through the color table (BGRx entries
-        # after the info header), BT.601 over the RGB triple — NOT
-        # index-as-gray, which is only exact for an identity-gray
-        # palette (ADVICE r3)
-        lut = _bmp_palette_lut(payload, hdr_size)
+    if bpp in (1, 4, 8):
+        lut = _bmp_palette_lut(payload, hdr_size, 1 << bpp)
+    # palettized depths go through the color table (BGRx entries after
+    # the info header), BT.601 over the RGB triple — NOT index-as-gray,
+    # which is only exact for an identity-gray palette (ADVICE r3)
     rows = []
     for y in range(h):
         off = data_offset + y * row_bytes
-        row = np.frombuffer(payload, np.uint8, count=w * bpp // 8, offset=off)
+        packed = np.frombuffer(
+            payload, np.uint8, count=(w * bpp + 7) // 8, offset=off
+        )
         if bpp == 24:
-            bgr = row.reshape(w, 3).astype(np.float64)
+            bgr = packed.reshape(w, 3).astype(np.float64)
             row = (
                 0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
             ).astype(np.uint8)
-        else:
-            row = lut[row]
+        elif bpp == 32:  # BGRx, 4th byte ignored (r11)
+            bgr = packed.reshape(w, 4).astype(np.float64)
+            row = (
+                0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
+            ).astype(np.uint8)
+        elif bpp == 16:  # BI_RGB 16-bit is RGB555 (r11)
+            v = packed.view("<u2")[:w].astype(np.uint32)
+            r5 = (v >> 10) & 0x1F
+            g5 = (v >> 5) & 0x1F
+            b5 = v & 0x1F
+            row = np.floor(
+                (
+                    0.299 * r5 + 0.587 * g5 + 0.114 * b5
+                ) * (255.0 / 31.0) + 0.5
+            ).astype(np.uint8)
+        elif bpp == 8:
+            row = lut[packed]
+        elif bpp == 4:  # high nibble first (r11: sub-byte seam closed)
+            nib = np.empty(len(packed) * 2, np.uint8)
+            nib[0::2] = packed >> 4
+            nib[1::2] = packed & 0x0F
+            row = lut[nib[:w]]
+        else:  # 1-bit, MSB first
+            bits = np.unpackbits(packed)[:w]
+            row = lut[bits]
         rows.append(row)
     img = np.stack(rows)
     return img[::-1] if bottom_up else img
 
 
-def _bmp_palette_lut(payload: bytes, hdr_size: int) -> "np.ndarray":
-    """BGRx color table -> BT.601 luma LUT (shared by the uncompressed
-    and RLE8 8-bit paths; floor(x+0.5) keeps identity-gray ramps
-    bit-exact despite the coefficient float error)."""
+def _bmp_palette_lut(
+    payload: bytes, hdr_size: int, default_colors: int = 256
+) -> "np.ndarray":
+    """BGRx color table -> BT.601 luma LUT (shared by every
+    palettized path; floor(x+0.5) keeps identity-gray ramps
+    bit-exact despite the coefficient float error). ``default_colors``
+    is the 2^bpp fallback when biClrUsed is 0 (r11: sub-byte depths
+    default to 2 or 16 entries, not 256)."""
     import struct
 
     import numpy as np
 
-    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or default_colors
     pal = np.frombuffer(
         payload, np.uint8, count=n_colors * 4, offset=14 + hdr_size
     ).reshape(n_colors, 4).astype(np.float64)
@@ -283,6 +315,59 @@ def _decode_bmp_rle8(
             x = end
             pos += val + (val & 1)
     lut = _bmp_palette_lut(payload, hdr_size)
+    img = lut[idx]
+    return img[::-1] if bottom_up else img
+
+
+def _decode_bmp_rle4(
+    payload: bytes, data_offset: int, hdr_size: int, w: int, h: int
+) -> "np.ndarray":
+    """BI_RLE4 (r11 seam closure): like RLE8 but nibble-granular —
+    an encoded run's data byte paints `count` pixels ALTERNATING its
+    high and low nibbles; absolute mode carries `val` literal pixels
+    as packed nibbles (high first), padded so the mode spans a
+    2-byte boundary. Escapes (end-of-line / end-of-bitmap / delta)
+    are byte-identical to RLE8."""
+    import numpy as np
+
+    bottom_up = h > 0
+    h = abs(h)
+    idx = np.zeros((h, w), np.uint8)
+    x = y = 0
+    pos = data_offset
+    while pos + 1 < len(payload) and y < h:
+        count, val = payload[pos], payload[pos + 1]
+        pos += 2
+        if count > 0:  # encoded run: alternate the two nibbles
+            end = min(x + count, w)
+            pair = np.array([val >> 4, val & 0x0F], np.uint8)
+            idx[y, x:end] = np.tile(pair, (count + 1) // 2)[: end - x]
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 1 >= len(payload):
+                raise ValueError("truncated BMP RLE4 data")
+            x = min(x + payload[pos], w)
+            y += payload[pos + 1]
+            pos += 2
+        else:  # absolute mode: `val` packed nibbles, word-aligned
+            nbytes = (val + 1) // 2
+            if pos + nbytes > len(payload):
+                raise ValueError("truncated BMP RLE4 data")
+            packed = np.frombuffer(
+                payload, np.uint8, count=nbytes, offset=pos
+            )
+            nib = np.empty(nbytes * 2, np.uint8)
+            nib[0::2] = packed >> 4
+            nib[1::2] = packed & 0x0F
+            end = min(x + val, w)
+            idx[y, x:end] = nib[:val][: end - x]
+            x = end
+            pos += nbytes + (nbytes & 1)
+    lut = _bmp_palette_lut(payload, hdr_size, 16)
     img = lut[idx]
     return img[::-1] if bottom_up else img
 

@@ -2011,3 +2011,72 @@ def test_fmp4_trex_default_sample_sizes():
     struct.pack_into(">I", broken, i + 4 + 16, 0)
     with _pytest.raises(ValueError, match="none of trun, tfhd"):
         parse_mp4_sample_ranges(bytes(broken))
+
+
+def _bmp_header(w, h, bpp, compression, palette_bgrx=b"", img_bytes=b"",
+                clr_used=0):
+    import struct
+
+    off = 14 + 40 + len(palette_bgrx)
+    size = off + len(img_bytes)
+    return (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, off)
+        + struct.pack("<Iii", 40, w, h)
+        + struct.pack("<HHI", 1, bpp, compression)
+        + struct.pack("<IiiII", len(img_bytes), 0, 0, clr_used, 0)
+        + palette_bgrx + img_bytes
+    )
+
+
+def test_bmp_subbyte_16_32_bit_and_rle4():
+    """r11 BMP seam closure: 1/4-bit palettized, 16-bit RGB555,
+    32-bit BGRx, and BI_RLE4 (encoded runs with alternating nibbles,
+    absolute mode with nibble packing, EOL/EOB/delta escapes) — each
+    against hand-assembled fixtures with known luma."""
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import _decode_bmp
+
+    # 4-bit, top-down (negative height): palette entry i -> gray 17*i
+    pal = b"".join(bytes([17 * i, 17 * i, 17 * i, 0]) for i in range(16))
+    # 5 px/row: nibbles [1,2,3,4,5] -> bytes 12 34 50 + pad to 4
+    rows = bytes([0x12, 0x34, 0x50, 0x00]) + bytes([0xFE, 0xDC, 0xB0, 0x00])
+    img = _decode_bmp(_bmp_header(5, -2, 4, 0, pal, rows))
+    assert img.tolist() == [
+        [17, 34, 51, 68, 85],
+        [255, 238, 221, 204, 187],
+    ]
+
+    # 1-bit: palette [black, white]; row 0b10110000 -> w=4: 1,0,1,1
+    pal1 = bytes([0, 0, 0, 0]) + bytes([255, 255, 255, 0])
+    img = _decode_bmp(
+        _bmp_header(4, -1, 1, 0, pal1, bytes([0b10110000, 0, 0, 0]))
+    )
+    assert img.tolist() == [[255, 0, 255, 255]]
+
+    # 32-bit BGRx: pure blue / pure white (BT.601: blue -> 29)
+    px = bytes([255, 0, 0, 9]) + bytes([255, 255, 255, 0])
+    img = _decode_bmp(_bmp_header(2, -1, 32, 0, b"", px))
+    assert img.tolist() == [[29, 255]]
+
+    # 16-bit RGB555: white = 0x7FFF -> 255; black = 0 -> 0
+    px = (0x7FFF).to_bytes(2, "little") + (0).to_bytes(2, "little")
+    img = _decode_bmp(_bmp_header(2, -1, 16, 0, b"", px))
+    assert img.tolist() == [[255, 0]]
+
+    # RLE4, bottom-up 2x7: run of 5 alternating nibbles 1,2 then EOL;
+    # absolute mode 3 literals 3,4,5 then delta(2,0) then EOB
+    pal = b"".join(bytes([17 * i, 17 * i, 17 * i, 0]) for i in range(16))
+    rle = bytes(
+        [5, 0x12, 0, 0,            # row y=0: 1,2,1,2,1 then EOL
+         0, 3, 0x34, 0x50,         # absolute: 3,4,5 (2 bytes, word pad)
+         2, 0x66,                  # run of 2 nibble 6
+         0, 2, 2, 0,               # delta +2 right
+         0, 1]                     # end of bitmap
+    )
+    img = _decode_bmp(_bmp_header(7, 2, 4, 2, pal, rle, clr_used=16))
+    # bottom-up: file row 0 is DISPLAY row 1
+    assert img.tolist() == [
+        [51, 68, 85, 102, 102, 0, 0],   # abs 3,4,5 + run 6,6 + delta skip
+        [17, 34, 17, 34, 17, 0, 0],     # run of 5 alternating
+    ]
