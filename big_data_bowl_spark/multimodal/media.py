@@ -44,9 +44,10 @@ container, so ``decode_payload`` implements, pure-Python:
   restart markers.
 
 Formats needing non-stdlib codecs (real video codecs inside mp4,
-12-bit/arithmetic/lossless JPEG, BMP compressions beyond BI_RLE8)
-still raise NotImplementedError at the same seam — plug PIL/ffmpeg
-into ``decode_payload`` where the marked dispatch is. PNG decodes
+arithmetic/lossless JPEG, BMP BI_BITFIELDS) still raise
+NotImplementedError at the same seam — plug PIL/ffmpeg into
+``decode_payload`` where the marked dispatch is. JPEG decodes 8- AND
+12-bit sequential (SOF0/SOF1) plus full progressive (SOF2). PNG decodes
 every legal depth/color/filter/interlace combination (16-bit
 included); netpbm decodes 8- and 16-bit P5/P6; BMP decodes
 uncompressed 8/24-bit and RLE8; GIF decodes the full GIF89a layout
@@ -554,6 +555,11 @@ _JPEG_ZIGZAG = [
 # Annex K standard luminance tables (T.81 §K.3): (BITS counts, HUFFVAL)
 _JPEG_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_STD_DC_VALS = list(range(12))
+# 12-bit DC table (T.81 Annex K publishes 8-bit tables only): the
+# Annex K shape extended canonically to the 16 difference categories
+# extended-sequential DC differences need (|diff| <= 32767 -> SSSS 15)
+_JPEG_EXT_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0]
+_JPEG_EXT_DC_VALS = list(range(16))
 _JPEG_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 _JPEG_STD_AC_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
@@ -806,6 +812,12 @@ def _encode_progressive(
                 bw.write(code, ln)
                 run -= 16
             cat = _jpeg_category(v)
+            if (run << 4) | cat not in ac_codes:
+                raise ValueError(
+                    f"AC coefficient {v} exceeds the Annex K AC "
+                    "table's SSSS range — use a coarser quant for "
+                    "12-bit content"
+                )
             code, ln = ac_codes[(run << 4) | cat]
             bw.write(code, ln)
             bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
@@ -979,6 +991,7 @@ def encode_jpeg(
     interleaved: bool = True,
     progressive: bool = False,
     successive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Encode a (h, w) uint8 array as a baseline sequential JPEG
     (SOF0, Annex K standard Huffman tables).
@@ -1020,7 +1033,15 @@ def encode_jpeg(
     splits every scan into a point-transformed first pass (Al=1)
     and a refinement pass (Ah=1, Al=0) — the full two-dimensional
     progression real libjpeg files use. Incompatible with
-    restart_interval / interleaved=False / scan_order here."""
+    restart_interval / interleaved=False / scan_order here.
+
+    `precision=12` (r11) writes EXTENDED SEQUENTIAL (SOF1, T.81
+    Table B.2): grayscale uint16 samples in 0..4095, level shift
+    2048, a canonically-extended 16-category DC table (Annex K only
+    publishes 8-bit tables), the Annex K AC table — so AC coefficient
+    magnitudes must stay <= 1023 (guarded with a clear error; pick a
+    coarser quant for high-contrast content). Grayscale sequential
+    only."""
     import struct
 
     import numpy as np
@@ -1029,12 +1050,18 @@ def encode_jpeg(
         raise ValueError("scan_order must be a permutation of (0, 1, 2)")
 
     quant = list(quant) if quant is not None else list(_JPEG_STD_QUANT)
+    if precision not in (8, 12):
+        raise ValueError(f"precision {precision} not in (8, 12)")
+    if precision == 12 and (color_420 or progressive):
+        raise ValueError(
+            "12-bit encoding is grayscale sequential only here"
+        )
     h, w = img.shape
     # pad to the MCU grid by edge replication (the conventional choice
     # — minimizes ringing; decoder trims back to (h, w))
     mcu = 16 if color_420 else 8
     ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
-    padded = np.empty((ph, pw), np.uint8)
+    padded = np.empty((ph, pw), np.uint8 if precision == 8 else np.uint16)
     padded[:h, :w] = img
     padded[h:, :w] = img[-1:, :]
     padded[:h, w:] = img[:, -1:]
@@ -1045,7 +1072,12 @@ def encode_jpeg(
     qmat[_JPEG_ZIGZAG] = quant  # zigzag-order table -> natural order
     qmat = qmat.reshape(8, 8)
 
-    dc_codes = _huffman_codes(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    dc_bits, dc_vals = (
+        (_JPEG_EXT_DC_BITS, _JPEG_EXT_DC_VALS)
+        if precision == 12
+        else (_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    )
+    dc_codes = _huffman_codes(dc_bits, dc_vals)
     ac_codes = _huffman_codes(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS)
     bw = _BitWriter()
 
@@ -1056,6 +1088,11 @@ def encode_jpeg(
         zz = coef.reshape(64)[_JPEG_ZIGZAG]
         diff = int(zz[0]) - prev_dc
         cat = _jpeg_category(diff)
+        if cat not in dc_codes:
+            raise ValueError(
+                f"DC difference {diff} exceeds the emitted DC "
+                "table's SSSS range — use a coarser quant"
+            )
         code, ln = dc_codes[cat]
         bw.write(code, ln)
         if cat:
@@ -1071,6 +1108,12 @@ def encode_jpeg(
                 bw.write(code, ln)
                 run -= 16
             cat = _jpeg_category(v)
+            if (run << 4) | cat not in ac_codes:
+                raise ValueError(
+                    f"AC coefficient {v} exceeds the Annex K AC "
+                    "table's SSSS range — use a coarser quant for "
+                    "12-bit content"
+                )
             code, ln = ac_codes[(run << 4) | cat]
             bw.write(code, ln)
             bw.write(v if v > 0 else v + (1 << cat) - 1, cat)
@@ -1080,8 +1123,8 @@ def encode_jpeg(
             bw.write(code, ln)
         return int(zz[0])
 
-    shifted = padded.astype(np.float64) - 128.0
-    chroma = np.zeros((8, 8), np.float64)  # neutral 128 after shift
+    shifted = padded.astype(np.float64) - float(1 << (precision - 1))
+    chroma = np.zeros((8, 8), np.float64)  # neutral mid-level after shift
 
     if progressive:
         if restart_interval or not interleaved or scan_order != (0, 1, 2):
@@ -1172,10 +1215,13 @@ def encode_jpeg(
         comp_sof = bytes([1, 0x11, 0])
         comp_sos = bytes([1, 1, 0x00])
         nc = 1
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, nc) + comp_sof)
+    sof = seg(
+        0xFFC1 if precision == 12 else 0xFFC0,
+        struct.pack(">BHHB", precision, h, w, nc) + comp_sof,
+    )
     dht = seg(
         0xFFC4,
-        bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS),
+        bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals),
     ) + seg(
         0xFFC4,
         bytes([0x10]) + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS),
@@ -1455,6 +1501,7 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     progressive = False
+    precision = 8  # sample precision: 8 (baseline) or 12 (extended)
     restart_interval = 0
     comps: list[tuple[int, int, int, int]] = []  # id, hs, vs, tq
     comp_planes: dict[int, "np.ndarray"] = {}  # SOF comp idx -> plane
@@ -1505,10 +1552,14 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                     code <<= 1
                 htables[(tc, th)] = table
                 off += 17 + n
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential / SOF2
+            # progressive — SOF1 is decode-identical to SOF0, it just
+            # admits 12-bit samples (T.81 Table B.2; r11 seam closed)
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG supported")
+            if prec not in (8, 12):
+                raise ValueError(f"invalid JPEG sample precision {prec}")
+            precision = prec
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -1522,12 +1573,12 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 )
             sof = (h, w, nc)
             progressive = marker == 0xC2
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (extended/lossless/"
-                "arithmetic) not supported — baseline sequential and "
-                "progressive (SOF0/SOF2) only"
+                f"JPEG SOF{marker - 0xC0} (lossless/arithmetic/"
+                "differential) not supported — sequential (SOF0/SOF1, "
+                "8- and 12-bit) and progressive (SOF2) only"
             )
         elif marker == 0xDD:  # DRI: restart every N MCUs
             restart_interval = struct.unpack_from(">H", body, 0)[0]
@@ -1620,7 +1671,7 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                             mcu_y * comps[idx][2] * 8,
                             mcu_x * comps[idx][1] * 8,
                         ),
-                        np.uint8,
+                        np.uint8 if precision == 8 else np.uint16,
                     )
             deq = []
             for ci, (_cs, _td, _ta) in enumerate(scan_comps):
@@ -1653,8 +1704,11 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 coef = np.zeros(64, np.float64)
                 coef[_JPEG_ZIGZAG] = zz
                 block = c.T @ (coef.reshape(8, 8) * dq) @ c
+                level = 1 << (precision - 1)
                 return (
-                    np.clip(np.rint(block) + 128, 0, 255).astype(np.uint8),
+                    np.clip(
+                        np.rint(block) + level, 0, 2 * level - 1
+                    ).astype(np.uint8 if precision == 8 else np.uint16),
                     dc,
                 )
 
@@ -1746,19 +1800,34 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
         blocks = np.einsum(
             "ji,yxjk,kl->yxil", c, nat.reshape(by, bx, 8, 8) * q, c
         )
+        level = 1 << (precision - 1)
         plane = (
-            np.clip(np.rint(blocks) + 128, 0, 255)
-            .astype(np.uint8)
+            np.clip(np.rint(blocks) + level, 0, 2 * level - 1)
             .transpose(0, 2, 1, 3)
             .reshape(by * 8, bx * 8)
         )
-        return plane[:h, :w]
+        return _jpeg_to_uint8(plane[:h, :w], precision)
     if sof is not None and 0 in comp_planes:
         # Y == BT.601 luma == FIRST SOF component, wherever the scans
         # happened to place it
         h, w, _nc = sof
-        return comp_planes[0][:h, :w]
+        return _jpeg_to_uint8(comp_planes[0][:h, :w], precision)
     raise ValueError("JPEG has no scan data")
+
+
+def _jpeg_to_uint8(plane: "np.ndarray", precision: int) -> "np.ndarray":
+    """Collapse a decoded luma plane to the uint8 contract: identity
+    at 8-bit; 12-bit samples rescale by rint(v * 255/4095), so a
+    sample widened as v = rint(u * 4095/255) recovers u exactly
+    (the widening error is < 0.5 of a 16-unit step) — the same
+    lossless-round-trip convention as the 16-bit PNG path."""
+    import numpy as np
+
+    if precision == 8:
+        return plane.astype(np.uint8)
+    return np.rint(plane.astype(np.float64) * (255.0 / 4095.0)).astype(
+        np.uint8
+    )
 
 
 def decode_payload(

@@ -349,9 +349,14 @@ def test_jpeg_unsupported_variants_raise():
     img = np.zeros((8, 8), np.uint8)
     payload = encode_jpeg(img)
     assert payload.count(b"\xff\xc0") == 1
-    # SOF1 (extended sequential) stays an honest seam
-    with _pytest.raises(NotImplementedError):
-        _decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc1"))
+    # SOF1 (extended sequential) decodes since r11 — an 8-bit SOF1 is
+    # decode-identical to SOF0 (T.81 Table B.2), so the marker flip
+    # yields the same plane, not a seam
+    flipped = _decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc1"))
+    assert (flipped == _decode_jpeg(payload)).all()
+    # a lossless/arithmetic SOF still raises honestly
+    with _pytest.raises(NotImplementedError, match="SOF3"):
+        _decode_jpeg(payload.replace(b"\xff\xc0", b"\xff\xc3"))
     # SOF2 is now SUPPORTED — but flipping the marker on a BASELINE
     # single full-band scan yields an inconsistent progressive header
     # (a DC scan with Se=63), which must be rejected, not misdecoded
@@ -2080,3 +2085,63 @@ def test_bmp_subbyte_16_32_bit_and_rle4():
         [51, 68, 85, 102, 102, 0, 0],   # abs 3,4,5 + run 6,6 + delta skip
         [17, 34, 17, 34, 17, 0, 0],     # run of 5 alternating
     ]
+
+
+def test_jpeg_12bit_extended_sequential_roundtrip():
+    """r11 JPEG seam closure: 12-bit extended sequential (SOF1).
+    Block-constant 12-bit content with quant[0]=8 round-trips
+    bit-exactly through the 2048 level shift and the extended
+    16-category DC table (values way above the 8-bit range included);
+    smooth 12-bit gradients survive within quantization error; the
+    wire really is SOF1/12-bit; and amplitude overflows raise the
+    documented guard instead of emitting an undecodable stream."""
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import (
+        _decode_jpeg,
+        _jpeg_to_uint8,
+        encode_jpeg,
+    )
+
+    flat8 = [8] + [1] * 63
+
+    # block-constant: DC-only, exact (the mm07 property at 12 bits)
+    vals = np.array(
+        [[0, 1000], [2048, 4095]], np.uint16
+    ).repeat(8, axis=0).repeat(8, axis=1)
+    payload = encode_jpeg(vals, quant=flat8, precision=12)
+    assert b"\xff\xc1" in payload and b"\xff\xc0" not in payload
+    assert payload[payload.index(b"\xff\xc1") + 4] == 12  # precision byte
+    dec8 = _decode_jpeg(payload)
+    assert dec8.dtype == np.uint8
+    want = _jpeg_to_uint8(vals, 12)
+    assert (dec8 == want).all()
+
+    # a value with no 8-bit preimage survives the 12-bit pipeline:
+    # 2048 -> uint8 128 only via rint(2048*255/4095), and the DC
+    # diff 0->4095*8/8 range exercises categories > 11
+    grad = np.rint(
+        np.linspace(0, 4095, 24 * 16).reshape(24, 16)
+    ).astype(np.uint16)
+    dec = _decode_jpeg(encode_jpeg(grad, quant=[4] * 64, precision=12))
+    want = _jpeg_to_uint8(grad, 12)
+    assert int(np.abs(dec.astype(int) - want.astype(int)).max()) <= 1
+
+    # widen-then-narrow is lossless for every uint8 value
+    u = np.arange(256, dtype=np.float64)
+    v = np.rint(u * 4095.0 / 255.0)
+    back = np.rint(v * 255.0 / 4095.0)
+    assert (back == u).all()
+
+    import pytest as _pytest
+
+    # high-contrast content at quant 1 overflows the Annex K AC SSSS
+    checker = np.zeros((8, 8), np.uint16)
+    checker[::2, 1::2] = 4095
+    checker[1::2, ::2] = 4095
+    with _pytest.raises(ValueError, match="SSSS range"):
+        encode_jpeg(checker, quant=[1] * 64, precision=12)
+    with _pytest.raises(ValueError, match="grayscale sequential"):
+        encode_jpeg(checker, precision=12, color_420=True)
+    with _pytest.raises(ValueError, match="precision"):
+        encode_jpeg(checker, precision=10)
