@@ -2145,3 +2145,198 @@ def test_jpeg_12bit_extended_sequential_roundtrip():
         encode_jpeg(checker, precision=12, color_420=True)
     with _pytest.raises(ValueError, match="precision"):
         encode_jpeg(checker, precision=10)
+
+
+def test_gif_r11_layouts_match_javax_imageio(tmp_path):
+    """Independent-decoder cross-check for every r11 GIF layout:
+    javax.imageio reads each IMAGE as stored (de-interlaced rows,
+    colors through the applicable local-over-global table, subrect
+    dimensions, transparency as alpha) — so a symmetric bug in the
+    new interlace permutation, local-table byte walk, or subrect
+    emission that self-round-trips would fail HERE."""
+    import os
+    import subprocess
+
+    java_home = os.environ.get("JAVA_HOME")
+    if not java_home or not os.path.exists(f"{java_home}/bin/java"):
+        pytest.skip("no JAVA_HOME")
+
+    from big_data_bowl_spark.multimodal.media import encode_gif
+
+    src = tmp_path / "GifDump2.java"
+    src.write_text(
+        """
+import javax.imageio.ImageIO;
+import javax.imageio.ImageReader;
+import javax.imageio.stream.ImageInputStream;
+import java.awt.image.BufferedImage;
+import java.io.*;
+import java.util.Iterator;
+public class GifDump2 {
+  public static void main(String[] a) throws Exception {
+    ImageInputStream s = ImageIO.createImageInputStream(new File(a[0]));
+    Iterator<ImageReader> it = ImageIO.getImageReaders(s);
+    ImageReader r = it.next();
+    r.setInput(s);
+    DataOutputStream o = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(a[1])));
+    for (int i = 0; i < r.getNumImages(true); i++) {
+      BufferedImage b = r.read(i);
+      o.writeInt(b.getWidth()); o.writeInt(b.getHeight());
+      for (int y = 0; y < b.getHeight(); y++)
+        for (int x = 0; x < b.getWidth(); x++)
+          o.writeInt(b.getRGB(x, y));
+    }
+    o.close();
+  }
+}
+"""
+    )
+    subprocess.run(
+        [f"{java_home}/bin/javac", str(src)], check=True, cwd=tmp_path
+    )
+
+    def javax_frames(payload):
+        gif = tmp_path / "t2.gif"
+        gif.write_bytes(payload)
+        raw = tmp_path / "t2.raw"
+        subprocess.run(
+            [f"{java_home}/bin/java", "-cp", str(tmp_path), "GifDump2",
+             str(gif), str(raw)],
+            check=True,
+        )
+        buf = np.fromfile(raw, dtype=">i4")
+        frames, pos = [], 0
+        while pos < len(buf):
+            w, h = int(buf[pos]), int(buf[pos + 1])
+            pos += 2
+            frames.append(
+                buf[pos : pos + w * h].reshape(h, w).astype(np.int64)
+            )
+            pos += w * h
+        return frames  # ARGB ints
+
+    ident = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    rng = np.random.default_rng(31)
+
+    def rgb_of(argb):
+        return np.stack(
+            [(argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF],
+            axis=2,
+        )
+
+    # 1) interlaced + local tables without a global table
+    frames = [rng.integers(0, 256, (23, 31), dtype=np.uint8)
+              for _ in range(2)]
+    locs = [np.roll(ident, 50 * k + 3, axis=0) for k in range(2)]
+    jf = javax_frames(
+        encode_gif(frames, local_palettes=locs, include_global=False,
+                   interlace=True)
+    )
+    assert len(jf) == 2
+    for got, fr, lp in zip(jf, frames, locs):
+        assert (rgb_of(got) == lp[fr]).all()
+
+    # 2) partial frames with transparency + disposal: javax returns
+    # each image AS STORED (subrect dims, alpha 0 at the transparent
+    # index)
+    t_idx = 5
+    base = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    patch = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    patch[0, 0] = t_idx
+    payload = encode_gif(
+        [base, patch],
+        offsets=[(0, 0), (3, 2)],
+        screen=(13, 9),
+        disposals=[0, 2],
+        transparent_idx=t_idx,
+    )
+    jf = javax_frames(payload)
+    assert jf[1].shape == (4, 6)
+    alpha = (jf[1] >> 24) & 0xFF
+    assert (alpha == np.where(patch == t_idx, 0, 255)).all()
+    opaque = patch != t_idx
+    assert (rgb_of(jf[1])[opaque] == ident[patch][opaque]).all()
+
+
+def test_jpeg_encoder_matches_javax_imageio(tmp_path):
+    """Independent-decoder cross-check of the JPEG ENCODER: javax's
+    own Huffman+IDCT pipeline decodes our baseline, restart-marker,
+    4:2:0 (interleaved AND one-scan-per-component) and progressive
+    (spectral + successive) streams to within IDCT rounding of the
+    source — a symmetric entropy-coding bug that self-round-trips
+    would fail here."""
+    import os
+    import subprocess
+
+    java_home = os.environ.get("JAVA_HOME")
+    if not java_home or not os.path.exists(f"{java_home}/bin/java"):
+        pytest.skip("no JAVA_HOME")
+
+    from big_data_bowl_spark.multimodal.media import encode_jpeg
+
+    src = tmp_path / "JpegDump.java"
+    src.write_text(
+        """
+import javax.imageio.ImageIO;
+import java.awt.image.BufferedImage;
+import java.io.*;
+public class JpegDump {
+  public static void main(String[] a) throws Exception {
+    BufferedImage b = ImageIO.read(new File(a[0]));
+    DataOutputStream o = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(a[1])));
+    int bands = b.getRaster().getNumBands();
+    o.writeInt(b.getWidth()); o.writeInt(b.getHeight());
+    o.writeInt(bands);
+    // raw raster samples: getRGB would push grayscale through the
+    // colorimetric CS_GRAY->sRGB transform and wreck the comparison
+    for (int y = 0; y < b.getHeight(); y++)
+      for (int x = 0; x < b.getWidth(); x++)
+        for (int c = 0; c < bands; c++)
+          o.writeInt(b.getRaster().getSample(x, y, c));
+    o.close();
+  }
+}
+"""
+    )
+    subprocess.run(
+        [f"{java_home}/bin/javac", str(src)], check=True, cwd=tmp_path
+    )
+
+    def javax_gray(payload):
+        f = tmp_path / "t.jpg"
+        f.write_bytes(payload)
+        raw = tmp_path / "t.jraw"
+        subprocess.run(
+            [f"{java_home}/bin/java", "-cp", str(tmp_path), "JpegDump",
+             str(f), str(raw)],
+            check=True,
+        )
+        buf = np.fromfile(raw, dtype=">i4")
+        w, h, bands = int(buf[0]), int(buf[1]), int(buf[2])
+        px = buf[3:].reshape(h, w, bands).astype(np.float64)
+        if bands == 1:
+            g = px[:, :, 0]
+            return g, (g, g, g)
+        r, g, bch = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        return ((r + g + bch) / 3.0), (r, g, bch)
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(30, 226, (24, 40), dtype=np.uint8)  # headroom
+    ones = [1] * 64
+    cases = [
+        encode_jpeg(img, quant=ones),
+        encode_jpeg(img, quant=ones, restart_interval=3),
+        encode_jpeg(img, quant=ones, color_420=True),
+        encode_jpeg(img, quant=ones, color_420=True, interleaved=False),
+        encode_jpeg(img, quant=ones, progressive=True),
+        encode_jpeg(img, quant=ones, progressive=True, successive=True),
+        encode_jpeg(img, quant=ones, color_420=True, progressive=True),
+    ]
+    for n, payload in enumerate(cases):
+        gray, (r, g, bch) = javax_gray(payload)
+        # neutral-chroma color decodes to R=G=B within chroma rounding
+        assert int(np.abs(r - bch).max()) <= 3, n
+        err = np.abs(gray - img.astype(np.float64))
+        assert float(err.max()) <= 3.5, (n, float(err.max()))
