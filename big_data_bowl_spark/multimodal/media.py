@@ -38,10 +38,12 @@ container, so ``decode_payload`` implements, pure-Python:
   decode, dequantize, zigzag, float IDCT, restart intervals
   (DRI/RSTn with DC-predictor reset + sequence verification), and
   interleaved MCUs with subsampled chroma (4:2:0/4:2:2/4:4:4 — any
-  1/2/4 sampling factors). The Y plane is returned; JPEG's Y IS the
-  BT.601 luma. Encoder emits grayscale baseline or grayscale-content
-  4:2:0 color with the Annex K standard tables, optionally with
-  restart markers.
+  1/2/4 sampling factors), fully OR partially interleaved scans (any
+  component subset per scan, r11). The Y plane is returned; JPEG's Y
+  IS the BT.601 luma. Encoder emits grayscale sequential (8- or
+  12-bit) or grayscale-content 4:2:0 color with the Annex K standard
+  tables, in interleaved / per-component / grouped-scan layouts,
+  optionally with restart markers.
 
 Formats needing non-stdlib codecs (real video codecs inside mp4,
 arithmetic/lossless JPEG, BMP BI_BITFIELDS) still raise
@@ -992,6 +994,7 @@ def encode_jpeg(
     progressive: bool = False,
     successive: bool = False,
     precision: int = 8,
+    scan_groups: "tuple | None" = None,
 ) -> bytes:
     """Encode a (h, w) uint8 array as a baseline sequential JPEG
     (SOF0, Annex K standard Huffman tables).
@@ -1035,6 +1038,13 @@ def encode_jpeg(
     progression real libjpeg files use. Incompatible with
     restart_interval / interleaved=False / scan_order here.
 
+    `scan_groups` (color_420 sequential only, r11): partition the
+    components into scans, e.g. ((0, 1), (2,)) — groups of two or
+    more components emit a PARTIALLY INTERLEAVED scan (1 < Ns < Nf,
+    frame-MCU walk restricted to the group, T.81 A.2.3), singleton
+    groups emit the component-grid non-interleaved form; entropy
+    segment and RST numbering reset per scan as always.
+
     `precision=12` (r11) writes EXTENDED SEQUENTIAL (SOF1, T.81
     Table B.2): grayscale uint16 samples in 0..4095, level shift
     2048, a canonically-extended 16-category DC table (Annex K only
@@ -1056,6 +1066,13 @@ def encode_jpeg(
         raise ValueError(
             "12-bit encoding is grayscale sequential only here"
         )
+    if scan_groups is not None:
+        flat = [c for g in scan_groups for c in g]
+        if sorted(flat) != [0, 1, 2] or not color_420 or progressive:
+            raise ValueError(
+                "scan_groups must partition (0, 1, 2) on a color_420 "
+                "sequential encode"
+            )
     h, w = img.shape
     # pad to the MCU grid by edge replication (the conventional choice
     # — minimizes ringing; decoder trims back to (h, w))
@@ -1138,7 +1155,73 @@ def encode_jpeg(
         )
 
     scan_payloads: list = []  # non-interleaved: (comp, entropy bytes)
-    if color_420 and not interleaved:
+    group_payloads: list = []  # scan_groups: (group tuple, entropy)
+    if scan_groups is not None:
+        for group in scan_groups:
+            bw = _BitWriter()  # fresh entropy segment per scan
+            if len(group) == 1:
+                # singleton: the component-grid non-interleaved walk
+                comp = group[0]
+                prev_c = 0
+                rst_n = 0
+                blk_idx = 0
+                if comp == 0:
+                    by, bx = -(-h // 8), -(-w // 8)
+                else:
+                    by, bx = -(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8)
+                for my in range(by):
+                    for mx in range(bx):
+                        if (
+                            restart_interval
+                            and blk_idx
+                            and blk_idx % restart_interval == 0
+                        ):
+                            bw.emit_marker(0xD0 + rst_n)
+                            rst_n = (rst_n + 1) % 8
+                            prev_c = 0
+                        blk_idx += 1
+                        if comp == 0:
+                            y0, x0 = my * 8, mx * 8
+                            prev_c = enc_block(
+                                shifted[y0 : y0 + 8, x0 : x0 + 8], prev_c
+                            )
+                        else:
+                            prev_c = enc_block(chroma, prev_c)
+            else:
+                # partially interleaved: frame-MCU walk, but only the
+                # group's components contribute data units per MCU
+                prev = [0, 0, 0]
+                rst_n = 0
+                mcu_idx = 0
+                for my in range(ph // 16):
+                    for mx in range(pw // 16):
+                        if (
+                            restart_interval
+                            and mcu_idx
+                            and mcu_idx % restart_interval == 0
+                        ):
+                            bw.emit_marker(0xD0 + rst_n)
+                            rst_n = (rst_n + 1) % 8
+                            prev = [0, 0, 0]
+                        mcu_idx += 1
+                        for comp in group:
+                            if comp == 0:
+                                for v in range(2):
+                                    for u in range(2):
+                                        y0 = my * 16 + v * 8
+                                        x0 = mx * 16 + u * 8
+                                        prev[0] = enc_block(
+                                            shifted[
+                                                y0 : y0 + 8, x0 : x0 + 8
+                                            ],
+                                            prev[0],
+                                        )
+                            else:
+                                prev[comp] = enc_block(
+                                    chroma, prev[comp]
+                                )
+            group_payloads.append((group, bw.flush()))
+    elif color_420 and not interleaved:
         for comp in scan_order:
             bw = _BitWriter()  # fresh entropy segment per scan
             prev_c = 0
@@ -1231,7 +1314,18 @@ def encode_jpeg(
         if restart_interval
         else b""
     )
-    if color_420 and not interleaved:
+    if scan_groups is not None:
+        scans = b"".join(
+            seg(
+                0xFFDA,
+                bytes([len(group)])
+                + b"".join(bytes([comp + 1, 0x00]) for comp in group)
+                + bytes([0, 63, 0]),
+            )
+            + data
+            for group, data in group_payloads
+        )
+    elif color_420 and not interleaved:
         scans = b"".join(
             seg(0xFFDA, bytes([1, comp + 1, 0x00, 0, 63, 0])) + data
             for comp, data in scan_payloads
@@ -1330,7 +1424,7 @@ def _decode_progressive_scan(
             prev_dc[ci] += diff
             cell[0] = prev_dc[ci] << al
 
-        if ns == len(comps):  # interleaved over the frame MCU grid
+        if ns > 1:  # (partially-)interleaved over the frame MCU grid
             mcu_idx = 0
             for my in range(mcu_y):
                 for mx in range(mcu_x):
@@ -1472,13 +1566,15 @@ def _decode_progressive_scan(
 
 
 def _decode_jpeg(payload: bytes) -> "np.ndarray":
-    """JPEG decode: baseline sequential (SOF0) and spectral-selection
-    progressive (SOF2). Grayscale or YCbCr with any 1/2/4 sampling
-    factors (4:4:4, 4:2:2, 4:2:0). Baseline scan layouts: one
-    fully-interleaved scan (MCUs over the frame grid) or one
-    component per scan (T.81 non-interleaved — MCU = one block over
-    the component's own block grid, the libjpeg non-interleaved
-    form). Progressive: an interleaved (or Ns=1) DC scan plus
+    """JPEG decode: sequential (SOF0 baseline / SOF1 extended, 8- and
+    12-bit) and spectral-selection progressive (SOF2). Grayscale or
+    YCbCr with any 1/2/4 sampling factors (4:4:4, 4:2:2, 4:2:0).
+    Sequential scan layouts: fully interleaved (MCUs over the frame
+    grid), PARTIALLY interleaved (1 < Ns < Nf, r11 — any component
+    subset per scan, frame-derived MCU geometry per T.81 B.2.2), or
+    one component per scan (MCU = one block over the component's own
+    block grid, the libjpeg non-interleaved form). Progressive: an
+    interleaved (full or subset) or Ns=1 DC scan plus
     per-component AC band scans with EOB-run codes — including
     successive approximation (point-transformed first scans and
     Ah=Al+1 refinement scans with correction bits); coefficients
@@ -1488,8 +1584,8 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
     the stream but not color-converted. Restart intervals (DRI/RSTn)
     are honored with DC-predictor / EOB-run reset and
     marker-sequence verification; RST numbering restarts each scan.
-    12-bit precision, arithmetic coding and partially-interleaved
-    scans (1 < Ns < Nf) raise at the documented seam."""
+    Arithmetic coding and lossless/hierarchical modes raise at the
+    documented seam."""
     import struct
 
     import numpy as np
@@ -1591,12 +1687,6 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append((cs, tables >> 4, tables & 0x0F))
             h, w, nc = sof
-            if ns != nc and ns != 1:
-                raise NotImplementedError(
-                    "partially-interleaved JPEG scans (1 < Ns < Nf) "
-                    "not supported — fully interleaved or one "
-                    "component per scan only"
-                )
             # Bind each scan component to its SOF component by the Cs
             # selector (T.81 B.2.3) — scan order is NOT required to
             # match SOF order, so positional binding decodes a
@@ -1732,8 +1822,14 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
 
             prev_dc = [0] * ns
             expected_rst = 0
-            if ns == nc:
-                # interleaved: one pass over the frame MCU grid
+            if ns > 1:
+                # interleaved (ns == nc) or PARTIALLY interleaved
+                # (1 < ns < nc, r11 seam closed): one pass over the
+                # frame MCU grid — T.81 B.2.2 defines Hmax/Vmax over
+                # the FRAME's components, so the MCU geometry is
+                # unchanged when a scan carries only a subset; each
+                # scan component still contributes its own hs x vs
+                # data units per MCU
                 mcu_idx = 0
                 for my in range(mcu_y):
                     for mx in range(mcu_x):

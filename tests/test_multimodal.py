@@ -571,25 +571,41 @@ def test_jpeg_progressive_invalid_sa_header_rejected():
             )
 
 
-def test_jpeg_partially_interleaved_scan_raises():
-    """1 < Ns < Nf (partial interleave) stays an honest
-    NotImplementedError seam, not a silent misdecode."""
+def test_jpeg_partially_interleaved_scans_roundtrip():
+    """r11 seam closure: 1 < Ns < Nf. A color stream split as
+    ([Y, Cb] interleaved, [Cr] non-interleaved) — and the reverse
+    grouping — must decode to the same Y plane as the fully
+    interleaved encode, with restart markers working per scan; a
+    malformed group (unknown component id) still raises."""
     import pytest as _pytest
 
     from big_data_bowl_spark.multimodal.media import _decode_jpeg, encode_jpeg
 
-    img = np.zeros((16, 16), np.uint8)
-    payload = encode_jpeg(img, quant=[1] * 64, color_420=True)
-    # SOS for the 3-component file: FF DA 00 0C 03 ... -> patch Ns to
-    # 2 and drop one (Cs, Td/Ta) pair so the header stays consistent
-    i = payload.index(b"\xff\xda")
-    body = payload[i + 4 : i + 4 + payload[i + 3] - 2]
-    assert body[0] == 3
-    new_body = bytes([2]) + body[1:5] + body[7:]
-    new_seg = b"\xff\xda" + (len(new_body) + 2).to_bytes(2, "big") + new_body
-    patched = payload[:i] + new_seg + payload[i + 4 + len(body) :]
-    with _pytest.raises(NotImplementedError):
-        _decode_jpeg(patched)
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    ones = [1] * 64
+    want = _decode_jpeg(encode_jpeg(img, quant=ones, color_420=True))
+    for groups in (((0, 1), (2,)), ((2,), (0, 1)), ((1, 2), (0,))):
+        payload = encode_jpeg(
+            img, quant=ones, color_420=True, scan_groups=groups
+        )
+        # the wire really carries a 2-component scan
+        i = payload.index(b"\xff\xda")
+        assert payload[i + 4] == len(groups[0])
+        got = _decode_jpeg(payload)
+        assert (got == want).all(), groups
+    # restart markers per scan
+    payload = encode_jpeg(
+        img, quant=ones, color_420=True,
+        scan_groups=((0, 1), (2,)), restart_interval=2,
+    )
+    assert payload.count(b"\xff\xd0") >= 2
+    assert (_decode_jpeg(payload) == want).all()
+    with _pytest.raises(ValueError, match="partition"):
+        encode_jpeg(img, quant=ones, color_420=True,
+                    scan_groups=((0, 1),))
+    with _pytest.raises(ValueError, match="partition"):
+        encode_jpeg(img, quant=ones, scan_groups=((0, 1), (2,)))
 
 
 def test_mp4_container_roundtrip_and_edge_boxes():
@@ -2333,6 +2349,8 @@ public class JpegDump {
         encode_jpeg(img, quant=ones, progressive=True),
         encode_jpeg(img, quant=ones, progressive=True, successive=True),
         encode_jpeg(img, quant=ones, color_420=True, progressive=True),
+        encode_jpeg(img, quant=ones, color_420=True,
+                    scan_groups=((0, 1), (2,))),
     ]
     for n, payload in enumerate(cases):
         gray, (r, g, bch) = javax_gray(payload)
