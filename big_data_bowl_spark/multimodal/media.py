@@ -46,7 +46,7 @@ container, so ``decode_payload`` implements, pure-Python:
   optionally with restart markers.
 
 Formats needing non-stdlib codecs (real video codecs inside mp4,
-arithmetic/lossless JPEG, BMP BI_BITFIELDS) still raise
+compressed audio, arithmetic/lossless/hierarchical JPEG) still raise
 NotImplementedError at the same seam — plug PIL/ffmpeg into
 ``decode_payload`` where the marked dispatch is. JPEG decodes 8- AND
 12-bit sequential (SOF0/SOF1) plus full progressive (SOF2). PNG decodes
@@ -199,10 +199,20 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
         return _decode_bmp_rle4(
             payload, data_offset, hdr_size, w, h
         )
-    if compression != 0:
+    masks = None
+    if compression == 3 and bpp in (16, 32):
+        # BI_BITFIELDS (r11 seam closed): three DWORD channel masks.
+        # They sit at file offset 54 either way: appended right after
+        # a 40-byte BITMAPINFOHEADER, or at bV4RedMask (header-relative
+        # +40) inside BITMAPV4HEADER and up
+        masks = struct.unpack_from("<III", payload, 14 + 40)
+        if any(m == 0 for m in masks):
+            raise ValueError("BI_BITFIELDS with a zero channel mask")
+    elif compression != 0:
         raise NotImplementedError(
             f"BMP compression {compression} not supported (BI_RGB, "
-            "BI_RLE8 and BI_RLE4 decode; plug PIL in at decode_payload)"
+            "BI_RLE8, BI_RLE4 and BI_BITFIELDS decode; plug PIL in "
+            "at decode_payload)"
         )
     if bpp not in (1, 4, 8, 16, 24, 32):
         raise ValueError(f"invalid BMP bit depth {bpp}")
@@ -226,10 +236,28 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
             row = (
                 0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
             ).astype(np.uint8)
-        elif bpp == 32:  # BGRx, 4th byte ignored (r11)
+        elif bpp == 32 and masks is None:  # BGRx, 4th byte ignored (r11)
             bgr = packed.reshape(w, 4).astype(np.float64)
             row = (
                 0.299 * bgr[:, 2] + 0.587 * bgr[:, 1] + 0.114 * bgr[:, 0]
+            ).astype(np.uint8)
+        elif bpp in (16, 32) and masks is not None:
+            # BI_BITFIELDS: extract each channel through its mask,
+            # scale to 0..255 by the mask's own width (565, 555,
+            # 8888, 1010102 ... all reduce to the same arithmetic)
+            v = (
+                packed.view("<u2") if bpp == 16 else packed.view("<u4")
+            )[:w].astype(np.uint64)
+            chans = []
+            for m in masks:
+                shift = (m & -m).bit_length() - 1
+                top = m >> shift
+                chans.append(
+                    ((v & m) >> shift).astype(np.float64) * (255.0 / top)
+                )
+            r8, g8, b8 = chans
+            row = np.floor(
+                0.299 * r8 + 0.587 * g8 + 0.114 * b8 + 0.5
             ).astype(np.uint8)
         elif bpp == 16:  # BI_RGB 16-bit is RGB555 (r11)
             v = packed.view("<u2")[:w].astype(np.uint32)
@@ -2273,6 +2301,7 @@ def encode_mp4_container(
     use_co64: bool = False,
     fragment_samples: "int | None" = None,
     trex_default_sizes: bool = False,
+    trun_data_offsets: bool = True,
 ) -> bytes:
     """Build a minimal ISO BMFF metadata skeleton: ftyp + moov(mvhd +
     n_tracks x trak(tkhd [+ mdia/minf/stbl])) + mdat. The media payload
@@ -2309,6 +2338,10 @@ def encode_mp4_container(
     in its mvex/trex default — truns omit per-sample sizes and tfhd
     carries just the track id, the minimal-overhead DASH layout that
     exercises the 8.8.7.1 precedence chain's last link.
+    ``trun_data_offsets=False`` (r11): tfhd carries an explicit
+    base_data_offset pointing at the mdat body and truns omit their
+    data_offset entirely — the 8.8.8.1 offset-less layout where each
+    run's data follows the previous run's (first run at the base).
     """
     import struct
 
@@ -2401,6 +2434,7 @@ def encode_mp4_container(
             b"moov", mk_mvhd(0) + traks + box(b"mvex", mehd + trexes)
         )
         frags = b""
+        header_len = len(ftyp) + len(moov)
         seq = 0
         for tk in range(n_tracks):
             sizes = (
@@ -2410,36 +2444,62 @@ def encode_mp4_container(
                 seq += 1
                 fs = sizes[f0 : f0 + fragment_samples]
                 mfhd = box(b"mfhd", struct.pack(">II", 0, seq))
-                # tfhd: default-base-is-moof (0x020000), track_ID only
-                tfhd = box(
-                    b"tfhd", struct.pack(">II", 0x0002_0000, tk + 1)
-                )
 
-                def mk_trun(data_offset: int) -> bytes:
-                    if trex_default_sizes:
-                        # flags: data-offset-present only — sizes come
-                        # from the mvex/trex default (r11)
-                        return box(
-                            b"trun",
-                            struct.pack(
-                                ">IIi", 0x0001, len(fs), data_offset
-                            ),
+                def mk_trun(data_offset: "int | None") -> bytes:
+                    size_flag = 0 if trex_default_sizes else 0x200
+                    if data_offset is None:
+                        # offset-less (8.8.8.1): run data follows the
+                        # base / the previous run (r11)
+                        body = struct.pack(
+                            ">II", size_flag, len(fs)
                         )
-                    # flags: data-offset-present | sample-size-present
-                    return box(
-                        b"trun",
-                        struct.pack(">IIi", 0x0201, len(fs), data_offset)
-                        + b"".join(struct.pack(">I", s) for s in fs),
-                    )
+                    else:
+                        body = struct.pack(
+                            ">IIi", 0x1 | size_flag, len(fs), data_offset
+                        )
+                    if not trex_default_sizes:
+                        body += b"".join(
+                            struct.pack(">I", s) for s in fs
+                        )
+                    return box(b"trun", body)
 
-                # two-pass: trun's size is offset-independent, so size
-                # the moof with a placeholder then write the real
-                # moof-relative offset of the first sample byte
-                moof = box(b"moof", mfhd + box(b"traf", tfhd + mk_trun(0)))
-                moof = box(
-                    b"moof",
-                    mfhd + box(b"traf", tfhd + mk_trun(len(moof) + 8)),
-                )
+                if trun_data_offsets:
+                    # tfhd: default-base-is-moof, track_ID only;
+                    # two-pass: trun's size is offset-independent, so
+                    # size the moof with a placeholder then write the
+                    # real moof-relative offset of the first sample
+                    tfhd = box(
+                        b"tfhd", struct.pack(">II", 0x0002_0000, tk + 1)
+                    )
+                    moof = box(
+                        b"moof", mfhd + box(b"traf", tfhd + mk_trun(0))
+                    )
+                    moof = box(
+                        b"moof",
+                        mfhd
+                        + box(b"traf", tfhd + mk_trun(len(moof) + 8)),
+                    )
+                else:
+                    # explicit base_data_offset at the mdat body,
+                    # offset-less trun; moof size is base-independent
+                    # so one sizing pass suffices
+                    def mk_tfhd(b0: int) -> bytes:
+                        return box(
+                            b"tfhd",
+                            struct.pack(">II", 0x0000_0001, tk + 1)
+                            + struct.pack(">Q", b0),
+                        )
+
+                    moof = box(
+                        b"moof",
+                        mfhd + box(b"traf", mk_tfhd(0) + mk_trun(None)),
+                    )
+                    base0 = header_len + len(frags) + len(moof) + 8
+                    moof = box(
+                        b"moof",
+                        mfhd
+                        + box(b"traf", mk_tfhd(base0) + mk_trun(None)),
+                    )
                 if sample_data is not None:
                     mdat_body = b"".join(
                         sample_data[tk][f0 : f0 + fragment_samples]
@@ -2776,8 +2836,10 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
     keeps counting across them. Sample-size precedence follows
     14496-12 8.8.7.1: per-sample trun sizes, else the tfhd default,
     else the mvex/trex default (r11 — the DASH layout whose tfhd
-    carries only the track id). Offset-less truns raise at the one
-    remaining documented seam.
+    carries only the track id). Offset-less truns (8.8.8.1) resolve
+    too (r11): a run without a data_offset starts where the previous
+    run's data ended, the first at the traf's base — no fragment
+    seams remain.
     """
     import struct
 
@@ -2953,6 +3015,7 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
                 )
             fi = frag_count.get(idx, 0)
             frag_count[idx] = fi + 1
+            next_data = None  # running cursor for offset-less truns
             for t3, d0, _d1 in _mp4_children(payload, c0, c1):
                 if t3 != b"trun":
                     continue
@@ -2961,15 +3024,21 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
                 )
                 count = struct.unpack_from(">I", payload, d0 + 4)[0]
                 off = d0 + 8
-                if not tr_flags & 0x1:
-                    raise NotImplementedError(
-                        "trun without data_offset not supported"
-                    )
-                data_offset = struct.unpack_from(">i", payload, off)[0]
-                off += 4
+                if tr_flags & 0x1:
+                    data_offset = struct.unpack_from(">i", payload, off)[0]
+                    off += 4
+                    cur = base + data_offset
+                elif next_data is not None:
+                    # 14496-12 8.8.8.1 (r11 seam closed): without a
+                    # data_offset, this run's data follows the
+                    # previous run's data immediately...
+                    cur = next_data
+                else:
+                    # ...and a FIRST offset-less run starts at the
+                    # traf's base (base_data_offset or moof start)
+                    cur = base
                 if tr_flags & 0x4:
                     off += 4  # first_sample_flags
-                cur = base + data_offset
                 for _ in range(count):
                     size = default_size
                     if tr_flags & 0x100:
@@ -3002,6 +3071,7 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
                         }
                     )
                     cur += size
+                next_data = cur  # where an offset-less next run begins
     return out
 
 

@@ -715,13 +715,22 @@ def test_fmp4_fragmented_seek_layer():
             s["sample_idx"] for s in rr if s["track_idx"] == tk
         ) == list(range(n))
 
-    # a trun without data_offset is an honest seam, not a misparse
-    i = p.index(b"trun") - 4
-    import struct
-
-    noflag = p[:i + 8] + struct.pack(">I", 0x0200) + p[i + 12:]
-    with _pytest.raises(NotImplementedError, match="data_offset"):
-        parse_mp4_sample_ranges(noflag)
+    # offset-less truns (8.8.8.1) decode since r11: the builder's
+    # base_data_offset layout omits every trun data_offset, and the
+    # seek layer must resolve byte-identical sample content
+    p2 = encode_mp4_container(
+        5000, n_tracks=2, sample_sizes=sizes, sample_data=data,
+        fragment_samples=2, trun_data_offsets=False,
+    )
+    assert p2.count(b"trun") == 5
+    rr2 = parse_mp4_sample_ranges(p2)
+    assert len(rr2) == 8
+    for s in rr2:
+        assert (
+            p2[s["offset"]:s["offset"] + s["size"]]
+            == data[s["track_idx"]][s["sample_idx"]]
+        )
+    _ = _pytest  # the seam is closed; nothing raises here any more
 
 
 def test_sample_frames_range_reads_fmp4(spark):
@@ -2358,3 +2367,40 @@ public class JpegDump {
         assert int(np.abs(r - bch).max()) <= 3, n
         err = np.abs(gray - img.astype(np.float64))
         assert float(err.max()) <= 3.5, (n, float(err.max()))
+
+
+def test_bmp_bitfields_565_and_32bit():
+    """r11: BI_BITFIELDS masks — RGB565 16-bit and an ARGB8888 32-bit
+    layout, channels extracted through their masks and scaled by each
+    mask's own width."""
+    import struct
+
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import _decode_bmp
+
+    masks565 = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    # white (all ones) -> 255; pure green 0x07E0 -> 0.587*255 = 150
+    px = (0xFFFF).to_bytes(2, "little") + (0x07E0).to_bytes(2, "little")
+    img = _decode_bmp(_bmp_header(2, -1, 16, 3, masks565, px))
+    assert img.tolist() == [[255, 150]]
+
+    masks8888 = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    px = struct.pack("<II", 0x00FF0000, 0x12FFFFFF)  # pure red, white
+    img = _decode_bmp(_bmp_header(2, -1, 32, 3, masks8888, px))
+    assert img.tolist() == [[76, 255]]  # 0.299*255 = 76.245 -> 76
+
+    # a 10-bit channel (1010102 layout) scales by ITS width
+    masks101010 = struct.pack("<III", 0x3FF00000, 0x000FFC00, 0x000003FF)
+    px = struct.pack("<I", 0x3FF)  # pure blue at full 10-bit amplitude
+    img = _decode_bmp(_bmp_header(1, -1, 32, 3, masks101010, px))
+    assert img.tolist() == [[29]]  # 0.114*255 = 29.07 -> 29
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="zero channel mask"):
+        _decode_bmp(
+            _bmp_header(1, -1, 16, 3,
+                        struct.pack("<III", 0, 0x07E0, 0x001F),
+                        b"\x00\x00")
+        )
