@@ -2973,6 +2973,7 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
     ):
         if typ != b"moof":
             continue
+        prev_traf_end = None  # implicit-base chain resets per moof
         for t2, c0, c1 in _mp4_children(payload, b0, b1):
             if t2 != b"traf":
                 continue
@@ -3003,11 +3004,13 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
                 base = base_data_offset
             elif tf_flags & 0x020000:  # default-base-is-moof
                 base = moof_start
+            elif prev_traf_end is not None:
+                # neither flag (r11, 14496-12 8.8.7.1): the implicit
+                # base is where the PREVIOUS traf's data ended...
+                base = prev_traf_end
             else:
-                raise NotImplementedError(
-                    "tfhd without base_data_offset or "
-                    "default-base-is-moof addressing not supported"
-                )
+                # ...and the moof's first traf starts from the moof
+                base = moof_start
             idx = tid_to_idx.get(trk_id)
             if idx is None:
                 raise ValueError(
@@ -3072,6 +3075,11 @@ def parse_mp4_sample_ranges(payload: bytes) -> list:
                     )
                     cur += size
                 next_data = cur  # where an offset-less next run begins
+                prev_traf_end = (
+                    cur
+                    if prev_traf_end is None
+                    else max(prev_traf_end, cur)
+                )
     return out
 
 

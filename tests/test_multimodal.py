@@ -2404,3 +2404,47 @@ def test_bmp_bitfields_565_and_32bit():
                         struct.pack("<III", 0, 0x07E0, 0x001F),
                         b"\x00\x00")
         )
+
+
+def test_fmp4_implicit_tfhd_base_addressing():
+    """r11: a tfhd with NEITHER base_data_offset NOR
+    default-base-is-moof uses the implicit base (14496-12 8.8.7.1):
+    the moof start for a moof's first traf — so clearing the
+    default-base-is-moof flag on a conforming stream must decode
+    identically, not raise."""
+    import struct
+
+    from big_data_bowl_spark.multimodal.media import (
+        encode_mp4_container,
+        parse_mp4_sample_ranges,
+    )
+
+    sizes = [[10, 20, 30]]
+    data = [[bytes([0x50 + i]) * s for i, s in enumerate(sizes[0])]]
+    p = encode_mp4_container(
+        3000, n_tracks=1, sample_sizes=sizes, sample_data=data,
+        fragment_samples=2,
+    )
+    want = [
+        (s["track_idx"], s["sample_idx"], s["offset"], s["size"])
+        for s in parse_mp4_sample_ranges(p)
+    ]
+    # clear default-base-is-moof (0x020000) in every tfhd flags field
+    patched = bytearray(p)
+    pos = 0
+    n_patched = 0
+    while True:
+        i = patched.find(b"tfhd", pos)
+        if i < 0:
+            break
+        flags = struct.unpack_from(">I", patched, i + 4)[0]
+        assert flags & 0x020000
+        struct.pack_into(">I", patched, i + 4, flags & ~0x020000)
+        n_patched += 1
+        pos = i + 4
+    assert n_patched == 2  # ceil(3/2) fragments
+    got = [
+        (s["track_idx"], s["sample_idx"], s["offset"], s["size"])
+        for s in parse_mp4_sample_ranges(bytes(patched))
+    ]
+    assert got == want
