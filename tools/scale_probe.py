@@ -204,6 +204,13 @@ def main() -> None:
         "FACTORx live timers) and compare walls/plans",
     )
     ap.add_argument(
+        "--keys-query",
+        default="t35_timer_closed_sessions",
+        help="which stateful query the --t35-keys lake drives "
+        "(t34_stateful_type_counts probes the MapState axis: FACTORx "
+        "keys => FACTORx live per-user sub-maps)",
+    )
+    ap.add_argument(
         "queries",
         nargs="*",
         help="subset of PIPELINES to probe (default: all)",
@@ -216,7 +223,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.t35_keys:
-        name = "t35_timer_closed_sessions"
+        name = args.keys_query
         with tempfile.TemporaryDirectory(prefix="t35_keys_") as probe:
             build_key_exploded_events(
                 spark, args.sf, probe, args.t35_keys
@@ -226,7 +233,7 @@ def main() -> None:
             print(
                 json.dumps(
                     {
-                        "probe": f"t35 @ {args.t35_keys}x KEYS",
+                        "probe": f"{name} @ {args.t35_keys}x KEYS",
                         "wall_1x_s": round(w1, 2),
                         f"wall_{args.t35_keys}x_s": round(wN, 2),
                         "wall_ratio": round(wN / w1, 2),
