@@ -37,8 +37,9 @@ container, so ``decode_payload`` implements, pure-Python:
 - 'jpeg' — baseline sequential JPEG (ITU T.81): Huffman entropy
   decode, dequantize, zigzag, float IDCT, restart intervals
   (DRI/RSTn with DC-predictor reset + sequence verification), and
-  interleaved MCUs with subsampled chroma (4:2:0/4:2:2/4:4:4 — any
-  1/2/4 sampling factors), fully OR partially interleaved scans (any
+  interleaved MCUs with subsampled chroma (4:2:0/4:2:2/4:4:4 — the
+  full T.81 1..4 sampling-factor range), fully OR partially
+  interleaved scans (any
   component subset per scan, r11). The Y plane is returned; JPEG's Y
   IS the BT.601 luma. Encoder emits grayscale sequential (8- or
   12-bit) or grayscale-content 4:2:0 color with the Annex K standard
@@ -1689,11 +1690,14 @@ def _decode_jpeg(payload: bytes) -> "np.ndarray":
                 cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
             if any(
-                hs not in (1, 2, 4) or vs not in (1, 2, 4)
+                not (1 <= hs <= 4) or not (1 <= vs <= 4)
                 for _, hs, vs, _ in comps
             ):
-                raise NotImplementedError(
-                    "JPEG sampling factors beyond 1/2/4 not supported"
+                # T.81 B.2.2: Hi/Vi legal range is exactly 1..4 —
+                # factor 3 decodes like any other (r11), above 4 the
+                # stream is invalid, not unsupported
+                raise ValueError(
+                    "JPEG sampling factor outside T.81's 1..4 range"
                 )
             sof = (h, w, nc)
             progressive = marker == 0xC2

@@ -2448,3 +2448,83 @@ def test_fmp4_implicit_tfhd_base_addressing():
         for s in parse_mp4_sample_ranges(bytes(patched))
     ]
     assert got == want
+
+
+def test_jpeg_sampling_factor_three():
+    """r11: T.81 allows sampling factors 1..4 — a hand-assembled
+    3:1:1 stream (Y at hs=3, one 24x8 MCU of [Y0 Y1 Y2 Cb Cr]
+    DC-only blocks) must decode to the three constant Y stripes;
+    factors above 4 are now a ValueError (invalid per spec), not a
+    NotImplementedError seam."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import (
+        _BitWriter,
+        _decode_jpeg,
+        _huffman_codes,
+        _JPEG_STD_AC_BITS,
+        _JPEG_STD_AC_VALS,
+        _JPEG_STD_DC_BITS,
+        _JPEG_STD_DC_VALS,
+        _jpeg_category,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    quant = [8] + [1] * 63
+    dc = _huffman_codes(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    ac = _huffman_codes(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS)
+    bw = _BitWriter()
+    prev = {0: 0, 1: 0, 2: 0}
+
+    def dc_block(comp, value):
+        # constant block: DC = 8*(value-128)/quant[0] = value-128
+        coef = value - 128
+        diff = coef - prev[comp]
+        prev[comp] = coef
+        cat = _jpeg_category(diff)
+        code, ln = dc[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+        code, ln = ac[0x00]  # EOB: all AC zero
+        bw.write(code, ln)
+
+    stripes = [40, 128, 220]
+    for v in stripes:       # Y0 Y1 Y2 (hs=3)
+        dc_block(0, v)
+    dc_block(1, 128)        # Cb
+    dc_block(2, 128)        # Cr
+
+    payload = (
+        b"\xff\xd8"
+        + seg(0xFFDB, bytes([0]) + bytes(quant))
+        # SOF0: 8-bit, 8 rows x 24 cols, Y 3x1, Cb 1x1, Cr 1x1
+        + seg(
+            0xFFC0,
+            struct.pack(">BHHB", 8, 8, 24, 3)
+            + bytes([1, 0x31, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_STD_DC_BITS)
+              + bytes(_JPEG_STD_DC_VALS))
+        + seg(0xFFC4, bytes([0x10]) + bytes(_JPEG_STD_AC_BITS)
+              + bytes(_JPEG_STD_AC_VALS))
+        + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+    got = _decode_jpeg(payload)
+    assert got.shape == (8, 24)
+    want = np.repeat(np.array(stripes, np.uint8), 8)[None, :].repeat(
+        8, axis=0
+    )
+    assert (got == want).all()
+
+    # factor 5 is invalid per spec, not a seam
+    bad = payload.replace(bytes([1, 0x31, 0]), bytes([1, 0x51, 0]))
+    with _pytest.raises(ValueError, match="1..4"):
+        _decode_jpeg(bad)
