@@ -1976,6 +1976,16 @@ def decode_payload(
         return _decode_png(payload)
     if fmt in ("jpeg", "jpg"):
         return _decode_jpeg(payload)
+    if fmt == "gif":
+        # still image: the FIRST composited frame's BT.601 luma,
+        # color-resolved through the applicable table (r11 — a GIF in
+        # an image column decodes like any other still format;
+        # multi-frame pipelines use decode_gif_frames/_rgb directly)
+        rgb = decode_gif_frames_rgb(payload)[0].astype(np.float64)
+        luma = (
+            0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        )
+        return np.floor(luma + 0.5).astype(np.uint8)
     if fmt != "fake":
         raise NotImplementedError(
             f"codec for format {fmt!r} not available in this environment; "

@@ -2528,3 +2528,28 @@ def test_jpeg_sampling_factor_three():
     bad = payload.replace(bytes([1, 0x31, 0]), bytes([1, 0x51, 0]))
     with _pytest.raises(ValueError, match="1..4"):
         _decode_jpeg(bad)
+
+
+def test_decode_payload_routes_gif():
+    """decode_payload('gif'): the first composited frame's luma,
+    resolved through the applicable color table — so GIFs sitting in
+    an image column flow through the same feature extraction as
+    PNG/JPEG/BMP rows."""
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import (
+        decode_payload,
+        encode_gif,
+    )
+
+    ident = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    # identity-gray palette: luma == index
+    got = decode_payload(encode_gif([img]), "gif", 8, 6)
+    assert (got == img).all()
+    # a rolled LOCAL table changes the luma (table really resolved)
+    got2 = decode_payload(
+        encode_gif([img], local_palettes=[np.roll(ident, 7, axis=0)]),
+        "gif", 8, 6,
+    )
+    assert not (got2 == img).all()
