@@ -189,6 +189,8 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 34:
+        raise ValueError("truncated BMP header")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
@@ -206,6 +208,8 @@ def _decode_bmp(payload: bytes) -> "np.ndarray":
         # They sit at file offset 54 either way: appended right after
         # a 40-byte BITMAPINFOHEADER, or at bV4RedMask (header-relative
         # +40) inside BITMAPV4HEADER and up
+        if len(payload) < 66:
+            raise ValueError("truncated BMP BITFIELDS masks")
         masks = struct.unpack_from("<III", payload, 14 + 40)
         if any(m == 0 for m in masks):
             raise ValueError("BI_BITFIELDS with a zero channel mask")
@@ -1958,34 +1962,61 @@ def _jpeg_to_uint8(plane: "np.ndarray", precision: int) -> "np.ndarray":
     )
 
 
+def _fail_closed(fn, payload: bytes, what: str):
+    """Parser-boundary error normalization (r11, fuzz-driven): a
+    malformed payload must surface as ValueError — never a raw
+    zlib.error / struct.error / IndexError escaping from codec
+    internals, which reads as an engine crash instead of bad data
+    when a 100 TB lake inevitably contains one truncated file. The
+    original exception rides along as __cause__."""
+    try:
+        return fn(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as e:
+        raise ValueError(
+            f"malformed {what} payload: {type(e).__name__}: {e}"
+        ) from e
+
+
 def decode_payload(
     payload: bytes, fmt: str, width: int, height: int
 ) -> "np.ndarray":
     """Decode a payload to a (height, width) uint8 grayscale array.
 
     Dispatches on `fmt`; this is the seam where heavier codecs (PIL,
-    ffmpeg) plug in for compressed formats.
+    ffmpeg) plug in for compressed formats. Malformed payloads raise
+    ValueError (see _fail_closed), unsupported formats
+    NotImplementedError.
     """
     import numpy as np
 
     if fmt in ("pgm", "ppm"):
-        return _decode_netpbm(payload)
+        return _fail_closed(_decode_netpbm, payload, "netpbm")
     if fmt == "bmp":
-        return _decode_bmp(payload)
+        return _fail_closed(_decode_bmp, payload, "bmp")
     if fmt == "png":
-        return _decode_png(payload)
+        return _fail_closed(_decode_png, payload, "png")
     if fmt in ("jpeg", "jpg"):
-        return _decode_jpeg(payload)
+        return _fail_closed(_decode_jpeg, payload, "jpeg")
     if fmt == "gif":
         # still image: the FIRST composited frame's BT.601 luma,
         # color-resolved through the applicable table (r11 — a GIF in
         # an image column decodes like any other still format;
         # multi-frame pipelines use decode_gif_frames/_rgb directly)
-        rgb = decode_gif_frames_rgb(payload)[0].astype(np.float64)
-        luma = (
-            0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        )
-        return np.floor(luma + 0.5).astype(np.uint8)
+        def first_luma(b: bytes):
+            frames = decode_gif_frames_rgb(b)
+            if not frames:
+                raise ValueError("GIF carries no image")
+            rgb = frames[0].astype(np.float64)
+            luma = (
+                0.299 * rgb[..., 0]
+                + 0.587 * rgb[..., 1]
+                + 0.114 * rgb[..., 2]
+            )
+            return np.floor(luma + 0.5).astype(np.uint8)
+
+        return _fail_closed(first_luma, payload, "gif")
     if fmt != "fake":
         raise NotImplementedError(
             f"codec for format {fmt!r} not available in this environment; "
@@ -2014,10 +2045,16 @@ def decode_audio(payload: bytes, fmt: str) -> "np.ndarray":
 
     if fmt != "wav":
         raise NotImplementedError(f"audio codec for {fmt!r} not available")
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        width = wf.getsampwidth()
-        nch = wf.getnchannels()
-        frames = wf.readframes(wf.getnframes())
+
+    def parse(b: bytes):
+        with wave.open(io.BytesIO(b), "rb") as wf:
+            return (
+                wf.getsampwidth(),
+                wf.getnchannels(),
+                wf.readframes(wf.getnframes()),
+            )
+
+    width, nch, frames = _fail_closed(parse, payload, "wav")
     if width == 2:
         samples = np.frombuffer(frames, dtype="<i2")
     elif width == 1:
@@ -3580,6 +3617,8 @@ def _parse_gif(payload: bytes):
 
     if payload[:6] not in (b"GIF89a", b"GIF87a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     palette = None

@@ -2553,3 +2553,120 @@ def test_decode_payload_routes_gif():
         "gif", 8, 6,
     )
     assert not (got2 == img).all()
+
+
+def test_r11_parsers_fail_closed_on_corruption():
+    """Adversarial robustness for the r11 parser surface: every
+    truncation and a byte-flip sweep of valid GIF (partial-frame /
+    local-table / interlaced), BMP (BITFIELDS / RLE4) and fMP4
+    (offset-less trun) payloads must either decode or raise a clean
+    ValueError/NotImplementedError — never an IndexError, numpy
+    broadcast error, or hang."""
+    import struct
+
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import (
+        _decode_bmp,
+        decode_gif_frames,
+        decode_gif_frames_rgb,
+        encode_gif,
+        encode_mp4_container,
+        parse_mp4_sample_ranges,
+    )
+
+    rng = np.random.default_rng(59)
+    ident = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    gif = encode_gif(
+        [rng.integers(0, 256, (7, 9), dtype=np.uint8),
+         rng.integers(0, 256, (3, 4), dtype=np.uint8)],
+        offsets=[(0, 0), (2, 1)],
+        screen=(9, 7),
+        disposals=[0, 3],
+        transparent_idx=3,
+        local_palettes=[None, np.roll(ident, 5, axis=0)],
+        interlace=True,
+    )
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    bmp = _bmp_header(
+        3, -2, 16, 3, masks, bytes(16)
+    )
+    mp4 = encode_mp4_container(
+        1000, n_tracks=1, sample_sizes=[[6, 7]],
+        sample_data=[[b"a" * 6, b"b" * 7]],
+        fragment_samples=2, trun_data_offsets=False,
+    )
+
+    cases = [
+        (gif, lambda b: (decode_gif_frames(b), decode_gif_frames_rgb(b))),
+        (bmp, _decode_bmp),
+        (mp4, parse_mp4_sample_ranges),
+    ]
+    for payload, fn in cases:
+        for cut in range(0, len(payload), max(1, len(payload) // 60)):
+            try:
+                fn(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for i in range(0, len(payload), max(1, len(payload) // 80)):
+            mut = bytearray(payload)
+            mut[i] ^= 0xFF
+            try:
+                fn(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_decode_dispatch_fails_closed_all_formats():
+    """The r11 parser-boundary contract on the whole dispatch surface:
+    decode_payload / decode_audio convert ANY codec-internal blowup on
+    truncated or bit-flipped payloads into ValueError (chaining the
+    original as __cause__) — zlib.error, struct.error, IndexError,
+    wave.Error and friends never escape to a Spark task."""
+    import numpy as np
+
+    from big_data_bowl_spark.multimodal.media import (
+        decode_audio,
+        decode_payload,
+        encode_bmp,
+        encode_gif,
+        encode_jpeg,
+        encode_pgm,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    fixtures = [
+        ("png", encode_png(img)),
+        ("jpeg", encode_jpeg(img, quant=[1] * 64)),
+        ("jpeg", encode_jpeg(img, quant=[1] * 64, progressive=True)),
+        ("bmp", encode_bmp(img)),
+        ("pgm", encode_pgm(img)),
+        ("gif", encode_gif([img])),
+    ]
+    for fmt, payload in fixtures:
+        for cut in range(0, len(payload), max(1, len(payload) // 40)):
+            try:
+                decode_payload(payload[:cut], fmt, 11, 9)
+            except (ValueError, NotImplementedError):
+                pass
+        for i in range(0, len(payload), max(1, len(payload) // 60)):
+            mut = bytearray(payload)
+            mut[i] ^= 0xFF
+            try:
+                decode_payload(bytes(mut), fmt, 11, 9)
+            except (ValueError, NotImplementedError):
+                pass
+    wav = encode_wav(rng.integers(-100, 100, 50).astype(np.int16))
+    for cut in range(0, len(wav), 3):
+        try:
+            decode_audio(wav[:cut], "wav")
+        except (ValueError, NotImplementedError):
+            pass
+    # the cause rides along for debugging
+    try:
+        decode_payload(encode_png(img)[:30], "png", 11, 9)
+    except ValueError as e:
+        assert e.__cause__ is not None or "PNG" in str(e)
