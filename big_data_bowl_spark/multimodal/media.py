@@ -1095,9 +1095,22 @@ def encode_jpeg(
     quant = list(quant) if quant is not None else list(_JPEG_STD_QUANT)
     if precision not in (8, 12):
         raise ValueError(f"precision {precision} not in (8, 12)")
+    if len(quant) != 64 or any(not (1 <= int(q) <= 255) for q in quant):
+        # the DQT segment below is emitted with Pq=0 (8-bit entries)
+        # at either precision, so "use a coarser quant" tops out at
+        # 255 — reject early instead of crashing in bytes(quant)
+        raise ValueError(
+            "quant must be 64 entries in 1..255 (DQT is written "
+            "Pq=0 / 8-bit here)"
+        )
     if precision == 12 and (color_420 or progressive):
         raise ValueError(
             "12-bit encoding is grayscale sequential only here"
+        )
+    if precision == 12 and img.size and int(img.max()) > 4095:
+        raise ValueError(
+            f"12-bit samples must fit 0..4095 (got max {int(img.max())});"
+            " rescale before encoding"
         )
     if scan_groups is not None:
         flat = [c for g in scan_groups for c in g]
@@ -1972,6 +1985,10 @@ def _fail_closed(fn, payload: bytes, what: str):
     try:
         return fn(payload)
     except (ValueError, NotImplementedError):
+        raise
+    except MemoryError:
+        # a decompression bomb exhausting memory is a resource
+        # failure, not bad data — keep it distinguishable
         raise
     except Exception as e:
         raise ValueError(

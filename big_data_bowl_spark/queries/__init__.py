@@ -306,12 +306,14 @@ _PRIORITY = [
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: the four queries whose CODE or ORACLE changed in round 11 —
+# names: the six queries whose CODE or ORACLE changed in round 11 —
 # t35 (oracle boundary aligned to the stream's ms-floored strict
 # timer contract + the TWS arm's +1 ms registration), d12 (broadcast
 # hint removed, AQE owns the strategy), j11/j13 (bucket builder
-# refactored through the shared skew-cappable helper). Their r9/r10
-# greens were earned by different code, so they re-verify first.
+# refactored through the shared skew-cappable helper), and mm05/mm14
+# (the codec-rotation sweep changed their WAV/GIF decode paths).
+# Their earlier greens were earned by different code, so they
+# re-verify first.
 _FIRST = [
     "t35_timer_closed_sessions",
     "mm14_gif_roundtrip_features",

@@ -2171,6 +2171,49 @@ def test_jpeg_12bit_extended_sequential_roundtrip():
     with _pytest.raises(ValueError, match="precision"):
         encode_jpeg(checker, precision=10)
 
+    # r12 (ADVICE): the DQT is written Pq=0 (8-bit entries) at either
+    # precision, so "use a coarser quant" tops out at 255 — a quant
+    # past that must fail up front with a clear message, not crash in
+    # bytes(quant) mid-emit; ditto entries of 0 (T.81 forbids them)
+    with _pytest.raises(ValueError, match="1..255"):
+        encode_jpeg(vals, quant=[256] * 64, precision=12)
+    with _pytest.raises(ValueError, match="1..255"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), quant=[0] * 64)
+    # ...and q=255 itself encodes and decodes (the advice IS
+    # followable right up to the cap)
+    p255 = encode_jpeg(vals, quant=[255] * 64, precision=12)
+    assert _decode_jpeg(p255).shape == vals.shape
+
+    # r12 (ADVICE): 12-bit input outside 0..4095 is rejected at the
+    # door, mirroring the uint8 contract of the 8-bit path — a uint16
+    # sample of 5000 previously level-shifted wrong silently
+    hot = vals.copy()
+    hot[0, 0] = 5000
+    with _pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg(hot, quant=flat8, precision=12)
+
+
+def test_fail_closed_lets_memory_error_through():
+    """r12 (ADVICE): _fail_closed normalizes parser bugs to
+    ValueError, but a MemoryError from a decompression bomb is
+    resource exhaustion, not bad data — it must NOT be re-labeled
+    'malformed payload'."""
+    import pytest as _pytest
+
+    from big_data_bowl_spark.multimodal.media import _fail_closed
+
+    def bomb(_payload):
+        raise MemoryError("simulated decompression bomb")
+
+    with _pytest.raises(MemoryError):
+        _fail_closed(bomb, b"x", "png")
+
+    def buggy(_payload):
+        raise IndexError("oob")
+
+    with _pytest.raises(ValueError, match="malformed png"):
+        _fail_closed(buggy, b"x", "png")
+
 
 def test_gif_r11_layouts_match_javax_imageio(tmp_path):
     """Independent-decoder cross-check for every r11 GIF layout:
