@@ -75,3 +75,20 @@ def test_absolute_floor_suppresses_noise_on_tiny_budgets():
     # budget 0.01 -> threshold 0.31: a 0.25s reading is NOT retried
     best, _, info = timed_best(scripted([0.25, 0.26, 0.27, 0.25]), 0.01)
     assert best == 0.25 and info is None
+
+
+def test_ambient_ratio_takes_min_of_runs():
+    # r12 (VERDICT item 2): the canary takes the min of its runs so a
+    # one-off stall on one run cannot read as host drift
+    from bench import ambient_ratio
+
+    assert ambient_ratio(scripted([0.60, 0.42]), 0.28) == 1.5
+    # order-independent
+    assert ambient_ratio(scripted([0.42, 0.60]), 0.28) == 1.5
+
+
+def test_ambient_ratio_none_without_budget():
+    from bench import ambient_ratio
+
+    assert ambient_ratio(scripted([0.5, 0.5]), None) is None
+    assert ambient_ratio(scripted([0.5, 0.5]), 0.0) is None
