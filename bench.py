@@ -271,6 +271,11 @@ HEADLINE = [
     # and the percentile_approx-trained bagged ensemble
     "a09b_grouped_quantiles_approx",
     "m13_bagged_ensemble_approx",
+    # round-12 additions: the capped fuzzy production spellings,
+    # gate-registered with match + oversized-bucket audit facets
+    # (VERDICT r11 item 3)
+    "j11b_fuzzy_capped_audit",
+    "j13b_fuzzy_capped_audit",
 ]
 
 

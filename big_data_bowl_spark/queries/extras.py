@@ -4711,6 +4711,130 @@ def j13_fuzzy_match_deletion_blocking_capped(
     return matches, fuzzy_oversized_buckets(keyed, "k", max_bucket)
 
 
+# Gate-registered caps (VERDICT r11 item 3). Semantics of the cap:
+# a blocking bucket with MORE members than the cap is excluded from
+# pairwise verification and reported in the audit facet instead — at
+# 100 TB a bucket that hot is a duplicate CLUSTER, routed to exact
+# grouping + survivorship (d01/d05), not O(bucket^2) levenshtein.
+FUZZY_MAX_BUCKET_J11 = 64   # TPC-H blk16 buckets are uniformly 100
+FUZZY_MAX_BUCKET_J13 = 24   # splits the sf0.01 deletion-key mix 29/24
+
+
+def _fuzzy_capped_facets(matches, audit, key_col: str):
+    """(matches, audit) -> one driver-checkable DataFrame: 'match'
+    rows carry the verified pair, 'oversized_bucket' rows carry the
+    audited hot key + size. One schema so the oracle verifies BOTH
+    facets cell-for-cell — the truncation the cap performs is never
+    silent in the gate either."""
+    nb = F.lit(None).cast("bigint")
+    m = matches.select(
+        F.lit("match").alias("facet"),
+        F.lit(None).cast("string").alias("bkey"),
+        F.col("key_a").cast("bigint").alias("key_a"),
+        F.col("key_b").cast("bigint").alias("key_b"),
+        F.col("dist").cast("bigint").alias("dist"),
+        nb.alias("bucket_size"),
+    )
+    a = audit.select(
+        F.lit("oversized_bucket").alias("facet"),
+        F.col(key_col).alias("bkey"),
+        nb.alias("key_a"),
+        nb.alias("key_b"),
+        nb.alias("dist"),
+        F.col("bucket_size").cast("bigint").alias("bucket_size"),
+    )
+    return m.unionByName(a)
+
+
+@register(
+    "j11b_fuzzy_capped_audit",
+    oracle=f"""
+    WITH c AS (SELECT c_custkey, c_name,
+                      substr(c_name, 1, {FUZZY_BLOCK_LEN}) AS blk
+               FROM customer),
+    sz AS (SELECT blk, CAST(COUNT(*) AS BIGINT) AS n
+           FROM c GROUP BY 1)
+    SELECT 'match' AS facet, CAST(NULL AS VARCHAR) AS bkey,
+           CAST(a.c_custkey AS BIGINT) AS key_a,
+           CAST(b.c_custkey AS BIGINT) AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+           CAST(NULL AS BIGINT) AS bucket_size
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    JOIN sz s ON s.blk = a.blk AND s.n <= {FUZZY_MAX_BUCKET_J11}
+    WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+    UNION ALL
+    SELECT 'oversized_bucket', blk, NULL, NULL, NULL, n
+    FROM sz WHERE n > {FUZZY_MAX_BUCKET_J11}
+    """,
+    note="J11b: the PRODUCTION spelling of j11 — "
+    f"j11_fuzzy_name_match_capped(max_bucket={FUZZY_MAX_BUCKET_J11}) "
+    "executed and gate-verified (VERDICT r11 item 3, the a09b/m13 "
+    "registered-twin pattern), match facet + oversized-bucket audit "
+    "facet in one cell-for-cell-oracled output so the cap's "
+    "truncation is never silent. On TPC-H's uniform name space every "
+    "blk16 bucket holds exactly 100 rows at gate scale, so the cap "
+    "classifies ALL of them as duplicate clusters (audit facet; "
+    "route to d01/d05's exact grouping + survivorship) — the "
+    "partial-bite regime, where hot buckets drop but normal buckets "
+    "still pair, is pinned by the planted-hot-key pytest "
+    "(tests/test_operators.py "
+    "test_fuzzy_bucket_cap_under_adversarial_skew) and by "
+    "j13b's mixed deletion-key distribution. capped == uncapped "
+    "minus dropped-bucket pairs is the same pytest's equivalence "
+    "check.",
+)
+def j11b_fuzzy_capped_audit(spark: SparkSession, sf_dir: str):
+    matches, audit = j11_fuzzy_name_match_capped(
+        spark, sf_dir, FUZZY_MAX_BUCKET_J11
+    )
+    return _fuzzy_capped_facets(matches, audit, "blk")
+
+
+@register(
+    "j13b_fuzzy_capped_audit",
+    oracle=f"""
+    WITH k AS (
+      SELECT DISTINCT c_custkey, c_name,
+             substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS k
+      FROM customer
+      JOIN (SELECT CAST(r.range AS INT) AS i FROM range(1, 256) r) pos
+        ON pos.i <= length(c_name) + 1),
+    sz AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM k GROUP BY 1)
+    SELECT DISTINCT 'match' AS facet, CAST(NULL AS VARCHAR) AS bkey,
+           CAST(a.c_custkey AS BIGINT) AS key_a,
+           CAST(b.c_custkey AS BIGINT) AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist,
+           CAST(NULL AS BIGINT) AS bucket_size
+    FROM k a JOIN k b ON a.k = b.k AND a.c_custkey < b.c_custkey
+    JOIN sz s ON s.k = a.k AND s.n <= {FUZZY_MAX_BUCKET_J13}
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    UNION ALL
+    SELECT 'oversized_bucket', k, NULL, NULL, NULL, n
+    FROM sz WHERE n > {FUZZY_MAX_BUCKET_J13}
+    """,
+    note="J13b: the PRODUCTION spelling of j13 — "
+    "j13_fuzzy_match_deletion_blocking_capped(max_bucket="
+    f"{FUZZY_MAX_BUCKET_J13}) executed and gate-verified (VERDICT "
+    "r11 item 3), match + oversized-bucket facets in one "
+    "cell-for-cell-oracled output. The cap BITES PARTIALLY on the "
+    "real deletion-key mix (sf0.01: the 100 size-29 buckets are "
+    "audited out, sizes <= 24 keep pairing — 5,900 of 19,500 "
+    "uncapped pairs survive via smaller shared keys), exercising "
+    "the exact recall contract under the cap: a pair is lost only "
+    "when EVERY shared deletion key is oversized, i.e. when the "
+    "pair sits inside a near-identical cluster that d01/d05 exact "
+    "grouping handles. Equivalence (capped == uncapped minus "
+    "dropped-bucket-only pairs) is pinned by the planted-hot-key "
+    "pytest (tests/test_operators.py "
+    "test_fuzzy_bucket_cap_under_adversarial_skew).",
+)
+def j13b_fuzzy_capped_audit(spark: SparkSession, sf_dir: str):
+    matches, audit = j13_fuzzy_match_deletion_blocking_capped(
+        spark, sf_dir, FUZZY_MAX_BUCKET_J13
+    )
+    return _fuzzy_capped_facets(matches, audit, "k")
+
+
 # ---------------------------------------------------------------------------
 # U6: GROUPED_AGG pandas UDF — the last Python-surface eval type
 # (u03 scalar / u01 groupby-apply / u04 UDTF / u05 mapInArrow)

@@ -2337,3 +2337,80 @@ def test_a09b_approx_quantiles_vs_numpy(spark, sf_dir):
             got = getattr(r, f"p{int(p * 100)}")
             assert abs(got - round(want, 9)) < 1e-6, (flag, p)
             assert getattr(r, f"p{int(p * 100)}_within") is True
+
+
+def test_fuzzy_capped_registered_facets(spark, sf_dir):
+    """r12 (VERDICT r11 item 3): the gate-registered capped spellings
+    j11b/j13b must (a) carry the executed production function's
+    matches verbatim in the 'match' facet, (b) name every dropped
+    bucket in the audit facet, and (c) satisfy the cap equivalence:
+    capped matches == uncapped matches minus the pairs whose EVERY
+    shared blocking key was audited out."""
+    from big_data_bowl_spark.queries.extras import (
+        FUZZY_MAX_BUCKET_J13,
+        j13_fuzzy_match_deletion_blocking,
+        j13_fuzzy_match_deletion_blocking_capped,
+        j13b_fuzzy_capped_audit,
+        j11b_fuzzy_capped_audit,
+        FUZZY_MAX_BUCKET_J11,
+        fuzzy_oversized_buckets,
+        _j11_blocking_table,
+        _j13_key_table,
+    )
+
+    out = j13b_fuzzy_capped_audit(spark, sf_dir).collect()
+    got_pairs = {
+        (r.key_a, r.key_b, r.dist) for r in out if r.facet == "match"
+    }
+    got_audit = {
+        (r.bkey, r.bucket_size)
+        for r in out
+        if r.facet == "oversized_bucket"
+    }
+    matches, audit = j13_fuzzy_match_deletion_blocking_capped(
+        spark, sf_dir, FUZZY_MAX_BUCKET_J13
+    )
+    assert got_pairs == {
+        (r.key_a, r.key_b, r.dist) for r in matches.collect()
+    }
+    assert got_audit == {
+        (r.k, r.bucket_size) for r in audit.collect()
+    }
+    # every audited bucket really exceeds the cap
+    assert all(n > FUZZY_MAX_BUCKET_J13 for _, n in got_audit)
+
+    # cap equivalence on the real table: a pair drops iff every
+    # shared deletion key is oversized
+    unc = {
+        (r.key_a, r.key_b)
+        for r in j13_fuzzy_match_deletion_blocking(spark, sf_dir)
+        .collect()
+    }
+    capped_keys = {(a, b) for a, b, _ in got_pairs}
+    assert capped_keys <= unc
+    dropped = unc - capped_keys
+    if dropped:  # sf0.01 bites; tiny sf may not
+        hot = {k for k, _ in got_audit}
+        keyed = {
+            r.c_custkey: set()
+            for r in _j13_key_table(spark, sf_dir).collect()
+        }
+        for r in _j13_key_table(spark, sf_dir).collect():
+            keyed[r.c_custkey].add(r.k)
+        for a, b in dropped:
+            assert keyed[a] & keyed[b] <= hot
+
+    # j11b at any sf: audit facet == fuzzy_oversized_buckets exactly
+    out11 = j11b_fuzzy_capped_audit(spark, sf_dir).collect()
+    audit11 = {
+        (r.bkey, r.bucket_size)
+        for r in out11
+        if r.facet == "oversized_bucket"
+    }
+    want11 = {
+        (r.blk, r.bucket_size)
+        for r in fuzzy_oversized_buckets(
+            _j11_blocking_table(spark, sf_dir), "blk", FUZZY_MAX_BUCKET_J11
+        ).collect()
+    }
+    assert audit11 == want11 and want11

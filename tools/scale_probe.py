@@ -104,6 +104,16 @@ PIPELINES = [
     # 5-scan layout as m11; the threshold aggregate is the only delta)
     "a09b_grouped_quantiles_approx",
     "m13_bagged_ensemble_approx",
+    # round-12 batch: the capped fuzzy production spellings. The
+    # replica lake duplicates c_name 10x (only keys shift), so
+    # blocking-bucket SIZE grows 10x — exactly the density regime
+    # the cap exists for: the uncapped spellings' pair output grows
+    # density-squared (j13's r10 probe measured that), the capped
+    # ones route every now-oversized bucket to the audit facet and
+    # stay ~input-linear. The probe demonstrates the cap IS the
+    # 100 TB safety valve, not just a pytest prop.
+    "j11b_fuzzy_capped_audit",
+    "j13b_fuzzy_capped_audit",
 ]
 
 
