@@ -1399,44 +1399,57 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
             for tid in range(T_TREES)
         ],
     )
+    # r12 (VERDICT r11 item 4): only the LEFT side is aggregated —
+    # the right side is bag minus left, and scan 1 already holds the
+    # whole-bag sums (n_{tid}, p_{tid}, nl_{tid}_{i}, pl_{tid}_{i}).
+    # Every term is an exact integer sum of 0/1 products, so
+    # R = bag − L is the same arithmetic the dropped aggregates
+    # performed; this halves scan 2's aggregation buffers and its
+    # codegen size (byte-identical output, pinned by the m11 goldens).
     aggs = []
     for tid in range(T_TREES):
-        for s in ("L", "R"):
-            si = (
-                F.col(f"s{tid}")
-                if s == "L"
-                else 1 - F.col(f"s{tid}")
+        si = F.col(f"s{tid}")
+        for i, _f, _th in cands[tid]:
+            aggs.append(
+                F.sum(w[tid] * si * F.col(f"l{i}")).alias(f"nl_{tid}L{i}")
             )
-            for i, _f, _th in cands[tid]:
-                aggs.append(
-                    F.sum(w[tid] * si * F.col(f"l{i}")).alias(
-                        f"nl_{tid}{s}{i}"
-                    )
+            aggs.append(
+                F.sum(w[tid] * si * F.col(f"l{i}") * pos).alias(
+                    f"pl_{tid}L{i}"
                 )
-                aggs.append(
-                    F.sum(w[tid] * si * F.col(f"l{i}") * pos).alias(
-                        f"pl_{tid}{s}{i}"
-                    )
-                )
-            aggs.append(F.sum(w[tid] * si).alias(f"n_{tid}{s}"))
-            aggs.append(F.sum(w[tid] * si * pos).alias(f"p_{tid}{s}"))
+            )
+        aggs.append(F.sum(w[tid] * si).alias(f"n_{tid}L"))
+        aggs.append(F.sum(w[tid] * si * pos).alias(f"p_{tid}L"))
     crow = proj.agg(*aggs).collect()[0]
 
-    child, side_tot = {}, {}
+    side_tot, csum = {}, {}
+    for tid in range(T_TREES):
+        n_l = crow[f"n_{tid}L"] or 0
+        p_l = crow[f"p_{tid}L"] or 0
+        n_t, p_t = tree_tot[tid]
+        side_tot[(tid, "L")] = (n_l, p_l)
+        side_tot[(tid, "R")] = (n_t - n_l, p_t - p_l)
+        for i, _f, _th in cands[tid]:
+            nl_l = crow[f"nl_{tid}L{i}"] or 0
+            pl_l = crow[f"pl_{tid}L{i}"] or 0
+            nl_all = row[f"nl_{tid}_{i}"] or 0
+            pl_all = row[f"pl_{tid}_{i}"] or 0
+            csum[(tid, "L", i)] = (nl_l, pl_l)
+            csum[(tid, "R", i)] = (nl_all - nl_l, pl_all - pl_l)
+
+    child = {}
     for tid in range(T_TREES):
         for s in ("L", "R"):
-            n_s = crow[f"n_{tid}{s}"] or 0
-            p_s = crow[f"p_{tid}{s}"] or 0
-            side_tot[(tid, s)] = (n_s, p_s)
+            n_s, p_s = side_tot[(tid, s)]
             won = _pick_split(
                 [
                     (
                         f,
                         thv,
-                        crow[f"nl_{tid}{s}{i}"],
-                        n_s - crow[f"nl_{tid}{s}{i}"],
-                        crow[f"pl_{tid}{s}{i}"],
-                        p_s - crow[f"pl_{tid}{s}{i}"],
+                        csum[(tid, s, i)][0],
+                        n_s - csum[(tid, s, i)][0],
+                        csum[(tid, s, i)][1],
+                        p_s - csum[(tid, s, i)][1],
                         n_s,
                         p_s,
                     )
@@ -1447,7 +1460,16 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
             )
             child[(tid, s)] = won if won else ("none", TREE_FALLBACK_TH)
 
-    # -- scan 3: ALL 20 leaf training stats in one scan ---------------
+    # -- leaf training stats: DERIVED from scan 2, not a fourth scan
+    # (r12, VERDICT r11 item 4). The chosen child split for side s is
+    # one of the CANDIDATES i whose conditional sums over that side
+    # scan 2 already aggregated: leaf (s,'L') is exactly
+    # (nl_{tid}{s}{i*}, pl_{tid}{s}{i*}) and (s,'R') its complement
+    # against the side totals; a 'none' child routes the whole side
+    # to its 'L' leaf. Every quantity is an exact integer sum of 0/1
+    # products, so this is the SAME arithmetic the former scan 3
+    # re-computed against the data — minus one full pass over
+    # lineitem (byte-identical output, pinned by the m11 goldens).
     leaves = ("LL", "LR", "RL", "RR")
 
     def leaf_cond(tid: int, leaf: str):
@@ -1460,44 +1482,37 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
             c2 = cc if leaf[1] == "L" else ~cc
         return c1 & c2
 
-    proj = base.select(
-        "pos",
-        *[w[tid] for tid in range(T_TREES)],
-        *[
-            F.when(leaf_cond(tid, leaf), 1)
-            .otherwise(0)
-            .alias(f"ind_{tid}{leaf}")
-            for tid in range(T_TREES)
-            for leaf in leaves
-        ],
-    )
-    aggs = []
-    for tid in range(T_TREES):
-        for leaf in leaves:
-            ind = F.col(f"ind_{tid}{leaf}")
-            aggs.append(F.sum(w[tid] * ind).alias(f"n_{tid}{leaf}"))
-            aggs.append(
-                F.sum(w[tid] * ind * pos).alias(f"p_{tid}{leaf}")
-            )
-    lrow = proj.agg(*aggs).collect()[0]
-
     leaf_pred = {}
     for tid in range(T_TREES):
         for leaf in leaves:
-            n_lf = lrow[f"n_{tid}{leaf}"] or 0
-            p_lf = lrow[f"p_{tid}{leaf}"] or 0
-            ns, nps = side_tot[(tid, leaf[0])]
+            s = leaf[0]
+            f_w, th_w = child[(tid, s)]
+            n_s, p_s = side_tot[(tid, s)]
+            if f_w == "none":
+                n_lf, p_lf = (n_s, p_s) if leaf[1] == "L" else (0, 0)
+            else:
+                # candidates can share identical (f, th) when adjacent
+                # quantiles coincide; their l_i columns are then equal,
+                # so first-match lookup is value-safe
+                i_w = next(
+                    i
+                    for i, f, thv in cands[tid]
+                    if f == f_w and thv == th_w
+                )
+                n_left, p_left = csum[(tid, s, i_w)]
+                n_lf = n_left if leaf[1] == "L" else n_s - n_left
+                p_lf = p_left if leaf[1] == "L" else p_s - p_left
             nt, npt = tree_tot[tid]
             if n_lf > 0:
                 leaf_pred[(tid, leaf)] = _maj(p_lf, n_lf)
-            elif ns > 0:
-                leaf_pred[(tid, leaf)] = _maj(nps, ns)
+            elif n_s > 0:
+                leaf_pred[(tid, leaf)] = _maj(p_s, n_s)
             elif nt > 0:
                 leaf_pred[(tid, leaf)] = _maj(npt, nt)
             else:
                 leaf_pred[(tid, leaf)] = "N"
 
-    # -- scan 4: OOB majority-vote confusion matrix -------------------
+    # -- scan 3 (was 4): OOB majority-vote confusion matrix -----------
     votes_r = None
     n_oob = None
     for tid in range(T_TREES):
