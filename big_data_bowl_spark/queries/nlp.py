@@ -2115,11 +2115,23 @@ def d11_canonical_survivor(spark: SparkSession, sf_dir: str):
     "proves d02(full) == d02(base-only pairs) UNION this query.",
 )
 def d12_incremental_lsh_maintenance(spark: SparkSession, sf_dir: str):
+    return incremental_lsh_pairs(spark, sf_dir, delta_mod=10)
+
+
+def incremental_lsh_pairs(
+    spark: SparkSession, sf_dir: str, delta_mod: int
+):
+    """d12's parameterized core: pairs with at least one member in
+    the doc_id % `delta_mod` == 0 delta slice. `delta_mod=10` is the
+    registered day's-arrivals shape; `delta_mod=1` is a BACKFILL —
+    the delta IS the corpus, output == the full d02 pair set — used
+    by the r12 AQE probe (tests/test_plans.py) to show the runtime
+    picks a shuffled join once the delta outgrows broadcast size."""
     d = tf(spark, sf_dir, "documents")
     # ONE evaluation of the shingle->minhash->band pipeline; the
     # "stored index" is the banded corpus, the delta is a filter of it
     all_bands = _minhash_bands(d)
-    delta_bands = all_bands.filter(F.col("doc_id") % 10 == 0)
+    delta_bands = all_bands.filter(F.col("doc_id") % delta_mod == 0)
     # no broadcast hint: AQE picks broadcast for small deltas on its
     # own and keeps the shuffled-join escape hatch for large ones —
     # a mandatory hint would pin broadcast at ANY delta size
