@@ -29,72 +29,28 @@ from . import graph  # noqa: F401,E402
 #      rest (so a new addition lands in the verified prefix
 #      automatically);
 #   3. the explicit list below, in LEAST-RECENTLY-DRIVER-GREEN order
-#      (VERDICT r7 item 1; regenerated for round 11 from
-#      CORRECTNESS_r02..r10): for each name take the max round whose
+#      (VERDICT r7 item 1; regenerated for round 12 from
+#      CORRECTNESS_r02..r11): for each name take the max round whose
 #      CORRECTNESS_rNN.json has rows+schema+hash all true (rows+err
 #      for the rows-only entries), sort ascending, alphabetical
 #      within a round.
 #
-# Round-11 layout, explicit (VERDICT r10 item 1 — retire the <=r5
-# staleness cohort): _FIRST holds the four queries whose code or
-# oracle changed this round (t35's boundary-aligned oracle + TWS
-# timer arm; d12's dropped broadcast hint; j11/j13's shared
-# skew-cappable bucket builder — all plan-verified, but their prior
-# green was earned by different code). They take slots 1-4; the TWO
-# round-11 registrations (a09b, m13 — the production approx twins,
-# VERDICT r10 item 3, unranked rule 2) land at 5-6; the full
-# 22-query r5 cohort (v01-v03, v05-v08, t03/t04/t06-t08, t11-t14,
-# t17, s08, s10, r03, o10, mm08) fills 7-28; the r6 cohort's
-# alphabetical head fills the remaining ~22 slots. Registration
-# STOPPED at two (VERDICT r10 item 7: deepen, don't widen): prefix
-# arithmetic leaves every r5 entry inside the ~50-slot prefix with
-# headroom for jitter. Both round-11 registrations passed the local
-# typed gate (tools/check_oracle.py) at sf0.001 AND sf0.01 --plain.
+# Round-12 layout, explicit (VERDICT r11 item 1 — retire the r6
+# staleness cohort): _FIRST holds the four queries whose CODE changed
+# this round (d12's core parameterized for the AQE backfill probe;
+# m11/m13's trainer cut from 5 to 3 data scans — byte-identical by
+# arithmetic, but the executed code is new; mm07, whose encode_jpeg
+# path gained the quant/range validation). They take slots 1-4; the
+# TWO round-12 registrations (j11b/j13b — the capped fuzzy production
+# spellings, VERDICT r11 item 3, unranked rule 2) land at 5-6; the
+# full 25-query r6 cohort fills 7-31; the r7 cohort's alphabetical
+# head fills the remaining ~19 slots. Registration STOPPED at two
+# (VERDICT r11 item 7: hold the line at 254 + the capped pair):
+# prefix arithmetic leaves every r6 entry inside the ~50-slot prefix
+# with headroom for jitter. Both round-12 registrations passed the
+# local typed gate at sf0.001 AND sf0.01 --plain.
 _PRIORITY = [
-    # last driver-green in r5
-    "mm08_audio_spectral_features",
-    "o10_weighted_sample",
-    "r03_unpivot_long",
-    "s08_shuffled_shards",
-    "s10_salted_skew_join",
-    "t03_session_window",
-    "t04_interevent_gap",
-    "t06_asof_join",
-    "t07_streaming_tumbling",
-    "t08_streaming_sessionization",
-    "t11_streaming_dedup",
-    "t12_streaming_interval_join",
-    "t13_asof_join_forward",
-    "t14_time_weighted_avg",
-    "t17_ewma_smoothing",
-    "v01_cosine_topk",
-    "v02_srp_lsh_buckets",
-    "v03_bucketed_cosine_neardup",
-    "v05_kmeans_step",
-    "v06_kmeans_two_steps",
-    "v07_int8_quantize",
-    "v08_embedding_dedup_components",
     # last driver-green in r6
-    "a10_approx_count_distinct",
-    "a15_kmv_distinct_sketch",
-    "a16_cube_agg",
-    "a17_count_min_sketch",
-    "a18_bloom_filter_audit",
-    "a19_tdigest_quantiles",
-    "d07_cdc_compaction",
-    "d08_scd2_history",
-    "d10_incremental_agg_maintenance",
-    "dq04_key_skew_profile",
-    "dq05_constraint_suite",
-    "f13_winsorize",
-    "g01_pagerank_neardup",
-    "g02_label_propagation",
-    "g03_hits_neardup",
-    "g04_triangle_count",
-    "g05_kcore",
-    "j10_anti_join",
-    "m01_rf_train_confusion",
-    "m02_rf_predict_counts",
     "m04_rf_feature_importances",
     "m05_random_split_counts",
     "m07_rf_tree_stats",
@@ -303,24 +259,73 @@ _PRIORITY = [
     "u06_grouped_agg_pandas_udf",
     "w07_running_total",
     "w08_ntile_quartiles",
+    # last driver-green in r11
+    "a09b_grouped_quantiles_approx",
+    "a10_approx_count_distinct",
+    "a15_kmv_distinct_sketch",
+    "a16_cube_agg",
+    "a17_count_min_sketch",
+    "a18_bloom_filter_audit",
+    "a19_tdigest_quantiles",
+    "d07_cdc_compaction",
+    "d08_scd2_history",
+    "d10_incremental_agg_maintenance",
+    "d12_incremental_lsh_maintenance",
+    "dq04_key_skew_profile",
+    "dq05_constraint_suite",
+    "f13_winsorize",
+    "g01_pagerank_neardup",
+    "g02_label_propagation",
+    "g03_hits_neardup",
+    "g04_triangle_count",
+    "g05_kcore",
+    "j10_anti_join",
+    "j11_fuzzy_name_match",
+    "j13_fuzzy_match_deletion_blocking",
+    "m01_rf_train_confusion",
+    "m02_rf_predict_counts",
+    "m13_bagged_ensemble_approx",
+    "mm05_audio_roundtrip_features",
+    "mm08_audio_spectral_features",
+    "mm14_gif_roundtrip_features",
+    "o10_weighted_sample",
+    "r03_unpivot_long",
+    "s08_shuffled_shards",
+    "s10_salted_skew_join",
+    "t03_session_window",
+    "t04_interevent_gap",
+    "t06_asof_join",
+    "t07_streaming_tumbling",
+    "t08_streaming_sessionization",
+    "t11_streaming_dedup",
+    "t12_streaming_interval_join",
+    "t13_asof_join_forward",
+    "t14_time_weighted_avg",
+    "t17_ewma_smoothing",
+    "t35_timer_closed_sessions",
+    "v01_cosine_topk",
+    "v02_srp_lsh_buckets",
+    "v03_bucketed_cosine_neardup",
+    "v05_kmeans_step",
+    "v06_kmeans_two_steps",
+    "v07_int8_quantize",
+    "v08_embedding_dedup_components",
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: the six queries whose CODE or ORACLE changed in round 11 —
-# t35 (oracle boundary aligned to the stream's ms-floored strict
-# timer contract + the TWS arm's +1 ms registration), d12 (broadcast
-# hint removed, AQE owns the strategy), j11/j13 (bucket builder
-# refactored through the shared skew-cappable helper), and mm05/mm14
-# (the codec-rotation sweep changed their WAV/GIF decode paths).
+# names: the four queries whose CODE changed in round 12 — d12 (core
+# parameterized as incremental_lsh_pairs for the backfill AQE probe;
+# registered semantics identical), m11/m13 (the bagged trainer's leaf
+# and right-side scans folded into arithmetic on scan 1/2 sums —
+# byte-identical output, new executed code), mm07 (encode_jpeg gained
+# quant-range and 12-bit sample validation ahead of its emit path).
 # Their earlier greens were earned by different code, so they
 # re-verify first.
 _FIRST = [
-    "t35_timer_closed_sessions",
-    "mm14_gif_roundtrip_features",
-    "mm05_audio_roundtrip_features",
     "d12_incremental_lsh_maintenance",
-    "j11_fuzzy_name_match",
-    "j13_fuzzy_match_deletion_blocking",
+    "m13_bagged_ensemble_approx",
+    "m11_bagged_ensemble",
+    "mm07_jpeg_roundtrip_features",
 ]
 
 
