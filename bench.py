@@ -423,6 +423,17 @@ def main() -> None:
                 if timings[name] > max(2.0 * base["queries"][name],
                                        base["queries"][name] + 0.3)
             }
+            # drift context per flagged query (r12): the same-run
+            # ambient_factor divided out, so the reader can tell a
+            # plan regression (corrected ratio still >> 1) from a
+            # slow host (corrected ratio near the pack). The GATE is
+            # unchanged — this is reporting, not rescaling.
+            if ambient:
+                for r in regressions.values():
+                    if r["ratio"] != float("inf"):
+                        r["ratio_drift_corrected"] = round(
+                            r["ratio"] / ambient, 2
+                        )
             # ratio over the queries that HAVE budgets, so a new
             # (unbudgeted) headline entry can't skew the comparison
             base_common = sum(base["queries"][n] for n in common)
