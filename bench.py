@@ -328,21 +328,20 @@ def main() -> None:
     base_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json"
     )
-    budgets: dict[str, float] = {}
+    base = None
     if os.path.exists(base_path):
         with open(base_path) as f:
-            budgets = json.load(f).get("queries", {})
+            base = json.load(f)
+    budgets: dict[str, float] = base.get("queries", {}) if base else {}
     # Host-drift canary: a01_grouped_sum is the oldest frozen budget
     # (round 2) with the simplest plan (one scan + one exchange), so
     # its wall/budget ratio isolates HOST state from plan changes.
     # Measured after warmup, before the headline loop, so it reflects
-    # the same session state the timings below see.
+    # the same session state the timings below see. Only meaningful
+    # when this run's SF matches the one the budgets were frozen at.
     ambient = None
     canary = "a01_grouped_sum"
-    base_sf_matches = False
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            base_sf_matches = json.load(f).get("sf") == sf
+    base_sf_matches = base is not None and base.get("sf") == sf
     if base_sf_matches and canary in REGISTRY and budgets.get(canary):
         cfn = REGISTRY[canary].fn
         cfn(spark, sf_dir).count()  # canary's own codegen warmup
@@ -408,10 +407,8 @@ def main() -> None:
         result["errors"] = errors
     if noise_retries:
         result["noise_retries"] = noise_retries
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            base = json.load(f)
-        if base.get("sf") == sf:
+    if base is not None:
+        if base_sf_matches:
             common = [n for n in base["queries"] if n in timings]
             # a baseline rounded to 0.0 (sub-ms query) must not divide:
             # report ratio as inf instead of crashing the bench run

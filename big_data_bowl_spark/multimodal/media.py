@@ -1095,22 +1095,29 @@ def encode_jpeg(
     quant = list(quant) if quant is not None else list(_JPEG_STD_QUANT)
     if precision not in (8, 12):
         raise ValueError(f"precision {precision} not in (8, 12)")
-    if len(quant) != 64 or any(not (1 <= int(q) <= 255) for q in quant):
+    if len(quant) != 64 or any(
+        q != int(q) or not (1 <= q <= 255) for q in quant
+    ):
         # the DQT segment below is emitted with Pq=0 (8-bit entries)
         # at either precision, so "use a coarser quant" tops out at
-        # 255 — reject early instead of crashing in bytes(quant)
+        # 255 — reject early (integral 1..255 only) instead of
+        # crashing in bytes(quant)
         raise ValueError(
-            "quant must be 64 entries in 1..255 (DQT is written "
-            "Pq=0 / 8-bit here)"
+            "quant must be 64 integral entries in 1..255 (DQT is "
+            "written Pq=0 / 8-bit here)"
         )
+    quant = [int(q) for q in quant]
     if precision == 12 and (color_420 or progressive):
         raise ValueError(
             "12-bit encoding is grayscale sequential only here"
         )
-    if precision == 12 and img.size and int(img.max()) > 4095:
+    if precision == 12 and img.size and (
+        int(img.min()) < 0 or int(img.max()) > 4095
+    ):
         raise ValueError(
-            f"12-bit samples must fit 0..4095 (got max {int(img.max())});"
-            " rescale before encoding"
+            "12-bit samples must fit 0..4095 (got "
+            f"{int(img.min())}..{int(img.max())}); rescale before "
+            "encoding"
         )
     if scan_groups is not None:
         flat = [c for g in scan_groups for c in g]

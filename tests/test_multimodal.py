@@ -2191,6 +2191,19 @@ def test_jpeg_12bit_extended_sequential_roundtrip():
     hot[0, 0] = 5000
     with _pytest.raises(ValueError, match="0..4095"):
         encode_jpeg(hot, quant=flat8, precision=12)
+    # ...and the LOWER bound too: a negative int16 sample would wrap
+    # to 65532 in the uint16 MCU padding buffer with no error
+    with _pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg(
+            np.full((8, 8), -4, np.int16), quant=flat8, precision=12
+        )
+    # non-integral quant entries would pass an int()-based range
+    # check and still crash in bytes(quant) mid-emit
+    with _pytest.raises(ValueError, match="integral"):
+        encode_jpeg(vals, quant=[200.5] * 64, precision=12)
+    # integral floats are fine (they carry an exact byte value)
+    pf = encode_jpeg(vals, quant=[8.0] + [1.0] * 63, precision=12)
+    assert (_decode_jpeg(pf) == _jpeg_to_uint8(vals, 12)).all()
 
 
 def test_fail_closed_lets_memory_error_through():

@@ -2391,12 +2391,9 @@ def test_fuzzy_capped_registered_facets(spark, sf_dir):
     dropped = unc - capped_keys
     if dropped:  # sf0.01 bites; tiny sf may not
         hot = {k for k, _ in got_audit}
-        keyed = {
-            r.c_custkey: set()
-            for r in _j13_key_table(spark, sf_dir).collect()
-        }
+        keyed = {}
         for r in _j13_key_table(spark, sf_dir).collect():
-            keyed[r.c_custkey].add(r.k)
+            keyed.setdefault(r.c_custkey, set()).add(r.k)
         for a, b in dropped:
             assert keyed[a] & keyed[b] <= hot
 

@@ -436,15 +436,15 @@ def test_d12_aqe_sizes_delta_join_small_vs_backfill(spark):
         rows = {}
         for mod in (10, 1):
             df = incremental_lsh_pairs(spark, sf01, mod)
+            # collect() runs through the DataFrame's own lazy
+            # queryExecution, so the adaptive plan we read below is
+            # the finalized plan of THIS execution (verified:
+            # isFinalPlan=true right after collect)
             qe = df._jdf.queryExecution()
             rows[mod] = {
                 (r.doc_a, r.doc_b)
                 for r in df.collect()
             }
-            # re-derive the executed adaptive plan from a fresh run
-            # whose queryExecution we hold (collect() above built its
-            # own); executeCollect forces THIS plan final
-            qe.executedPlan().executeCollect()
             plans[mod] = qe.executedPlan().toString()
 
         assert "isFinalPlan=true" in plans[10]
