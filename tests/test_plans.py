@@ -423,6 +423,10 @@ def test_d12_aqe_sizes_delta_join_small_vs_backfill(spark):
     from big_data_bowl_spark.queries.nlp import tf
 
     sf01 = "/root/testdata/sf0.01"
+    # 64KB margin check (measured r12): the 10% delta broadcasts even
+    # at a 24KB threshold and the backfill flips to broadcast only at
+    # ~128KB, so the pin sits >=1.5x from both boundaries — testdata
+    # regeneration would need to move band-row sizes >50% to flip it
     overrides = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold": "64KB",
