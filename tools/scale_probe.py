@@ -169,6 +169,56 @@ def build_key_exploded_events(spark, sf_dir: str, out_dir: str, factor: int):
     exploded.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
 
 
+def build_name_shifted_customers(
+    spark, sf_dir: str, out_dir: str, factor: int
+):
+    """The fuzzy bucket-COUNT probe lake (r12): the default replica
+    lake duplicates c_name verbatim, so blocking buckets grow in
+    SIZE (the density axis the max_bucket cap defends against). This
+    lake appends the replica index to the NAME as well as shifting
+    the key, so every replica lands in its own prefix/deletion
+    buckets: bucket count grows by `factor`, bucket sizes stay at
+    base-corpus levels — the axis a 100 TB corpus with bounded
+    per-entity duplication actually grows along, where the capped
+    spellings must stay ~linear with the cap never engaging more
+    than at 1x."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    # Names are REGENERATED from replica-disjoint id ranges (20k
+    # spacing holds every digit string inside %09d at any sane
+    # factor) rather than suffixed: a suffix leaves j11's first-16
+    # prefix untouched (buckets would grow in SIZE, the axis the
+    # density probe already covers) and plants cross-replica
+    # distance-1 pairs ("...-3" vs "...-7"). Disjoint digit ranges
+    # keep per-replica bucket geometry identical to the base corpus;
+    # the handful of cross-replica single-digit neighbors j13 can
+    # legitimately reach stay O(digits) per name — linear corpus
+    # growth, not quadratic.
+    exploded = (
+        df.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        .withColumn(
+            "c_name",
+            F.format_string(
+                "Customer#%09d",
+                F.col("c_custkey").cast("long")
+                + F.col("_rep").cast("long") * F.lit(20000),
+            ),
+        )
+        .withColumn(
+            "c_custkey",
+            F.col("c_custkey").cast("long")
+            + F.col("_rep").cast("long") * F.lit(ID_OFFSET),
+        )
+        .drop("_rep")
+    )
+    exploded.write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+
+
 def n_exchanges(df) -> int:
     """Shuffle-exchange count from the FINAL adaptive plan.
 
@@ -221,6 +271,16 @@ def main() -> None:
         "keys => FACTORx live per-user sub-maps)",
     )
     ap.add_argument(
+        "--fuzzy-buckets",
+        type=int,
+        default=0,
+        metavar="FACTOR",
+        help="run the fuzzy bucket-COUNT probe instead: replicate "
+        "customers with per-replica names (FACTORx blocking buckets "
+        "at unchanged bucket size) and compare the capped spellings' "
+        "walls/plans on the healthy growth axis",
+    )
+    ap.add_argument(
         "queries",
         nargs="*",
         help="subset of PIPELINES to probe (default: all)",
@@ -255,6 +315,33 @@ def main() -> None:
                     }
                 )
             )
+        return
+
+    if args.fuzzy_buckets:
+        f = args.fuzzy_buckets
+        with tempfile.TemporaryDirectory(prefix="fuzzy_keys_") as probe:
+            build_name_shifted_customers(spark, args.sf, probe, f)
+            for name in (
+                args.queries
+                or ["j11b_fuzzy_capped_audit", "j13b_fuzzy_capped_audit"]
+            ):
+                w1, r1, x1 = run_one(spark, name, args.sf)
+                wN, rN, xN = run_one(spark, name, probe)
+                print(
+                    json.dumps(
+                        {
+                            "probe": f"{name} @ {f}x BUCKETS",
+                            "wall_1x_s": round(w1, 2),
+                            f"wall_{f}x_s": round(wN, 2),
+                            "wall_ratio": round(wN / w1, 2),
+                            "rows_1x": r1,
+                            f"rows_{f}x": rN,
+                            "rows_ratio": round(rN / r1, 2),
+                            "exchanges": [x1, xN],
+                            "plan_shape_stable": x1 == xN,
+                        }
+                    )
+                )
         return
 
     results = []
