@@ -1035,12 +1035,15 @@ def m10_depth2_tree(spark, sf_dir):
 # NOT train on it; rows in-bag everywhere are excluded).
 # Reference: all coverages.R:201-214 (train -> OOB confusion).
 #
-# Scan profile (the 100 TB shape): 1 quantile scan + 3 conditional-agg
-# training scans (ALL 5 roots in one scan, ALL 10 children in one
-# scan, ALL 20 leaf stats in one scan — map-side combined integer
-# sums) + 1 vote scan. Driver actions are metadata-sized: 9 quantiles,
-# ~80 root integers, ~160 child integers, 40 leaf integers. 5 scans
-# total at ANY data size.
+# Scan profile (the 100 TB shape, r12): 1 quantile scan (memoized
+# per sf via _TH_CACHE) + 2 conditional-agg training scans (ALL 5
+# roots in one scan; ALL 10 children's LEFT sides in one scan — the
+# R sides are bag-minus-left against scan 1's whole-bag sums, and
+# ALL 20 leaf stats are the chosen child candidates' sums from scan
+# 2, both pure integer arithmetic on already-collected values) + 1
+# vote scan. Driver actions are metadata-sized: 9 quantiles, ~80
+# root integers, ~80 child integers. 3 data scans steady-state at
+# ANY data size (4 cold).
 # ---------------------------------------------------------------------------
 
 T_TREES = 5
@@ -1687,9 +1690,10 @@ def _m13_oracle() -> str:
     "breaks the count — plus (2) majority-rule consistency "
     "(predicted == 'R' iff 2*votes_r >= n_oob on every output row) "
     "and (3) vote bounds (0 <= votes_r <= n_oob <= T) as booleans "
-    "the oracle pins to TRUE. Same 5-scan layout and cost model as "
-    "m11; the ONLY plan delta is the threshold aggregate "
-    "(percentile -> percentile_approx).",
+    "the oracle pins to TRUE. Same 3-scan layout and cost model as "
+    "m11 (r12: roots scan + children-left scan + vote scan, leaf "
+    "stats and R sides derived arithmetically); the ONLY plan delta "
+    "is the threshold aggregate (percentile -> percentile_approx).",
 )
 def m13_bagged_ensemble_approx(spark, sf_dir):
     ens = bagged_ensemble_approx(spark, sf_dir)
