@@ -473,3 +473,52 @@ def test_d12_aqe_sizes_delta_join_small_vs_backfill(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_results_independent_of_shuffle_partition_count(spark, sf_dir):
+    """r12: partition-count independence, TESTED instead of prose.
+    SCALE.md's 1000-executor section claims `spark.sql.shuffle.
+    partitions` is a knob, not a semantic: no operator may derive
+    values from partitioning. The suite already exercises this
+    implicitly (pytest sessions run 4 shuffle partitions, the oracle
+    gate 32); this makes it explicit for the operators MOST at risk
+    — global row ids, deterministic samples/splits/folds, collected
+    arrays, LSH pair generation, CC labels, salted aggregation —
+    by comparing full results at 4 vs 13 partitions."""
+    from big_data_bowl_spark.queries import REGISTRY
+
+    AT_RISK = [
+        "w04_global_rowid",
+        "o04_deterministic_sample",
+        "o05_deterministic_split",
+        "o12_kfold_assignment",
+        "a13_collect_sorted_array",
+        "d02_dedup_minhash_lsh",
+        "d05_dedup_components",
+        "a08_salted_grouped_sum",
+        "n07_rolling_hash_fingerprint",
+    ]
+
+    def freeze(v):
+        if isinstance(v, list):
+            return tuple(freeze(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, freeze(x)) for k, x in v.items()))
+        return v
+
+    def snap(name):
+        rows = REGISTRY[name].fn(spark, sf_dir).collect()
+        return sorted(tuple(freeze(v) for v in r) for r in rows)
+
+    key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(key)
+    try:
+        results = {}
+        for nparts in ("4", "13"):
+            spark.conf.set(key, nparts)
+            results[nparts] = {n: snap(n) for n in AT_RISK}
+    finally:
+        spark.conf.set(key, saved)
+    for n in AT_RISK:
+        assert results["4"][n] == results["13"][n], n
+        assert results["4"][n], f"{n} returned no rows"
