@@ -313,19 +313,24 @@ _PRIORITY = [
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: the four queries whose CODE changed in round 12 — d12 (core
+# names: the six queries whose CODE changed in round 12 — d12 (core
 # parameterized as incremental_lsh_pairs for the backfill AQE probe;
 # registered semantics identical), m11/m13 (the bagged trainer's leaf
 # and right-side scans folded into arithmetic on scan 1/2 sums —
 # byte-identical output, new executed code), mm07 (encode_jpeg gained
-# quant-range and 12-bit sample validation ahead of its emit path).
-# Their earlier greens were earned by different code, so they
-# re-verify first.
+# quant-range and 12-bit sample validation ahead of its emit path),
+# e04 (the row-local stages n02/n03/n14 fused into the base documents
+# scan — 8 -> 4 scans, 2 joins dropped, same rows), n03 (its argmax
+# expression extracted into the shared _pred_lang_expr helper e04
+# reuses). Their earlier greens were earned by different code, so
+# they re-verify first.
 _FIRST = [
     "d12_incremental_lsh_maintenance",
     "m13_bagged_ensemble_approx",
     "m11_bagged_ensemble",
     "mm07_jpeg_roundtrip_features",
+    "e04_corpus_curation",
+    "n03_lang_id",
 ]
 
 

@@ -192,15 +192,10 @@ _LANG_ID_ORACLE = (
 )
 
 
-@register(
-    "n03_lang_id",
-    oracle=_LANG_ID_ORACLE,
-    note="Language ID via stopword-hit argmax (ties broken by lang code "
-    "asc) — the n-gram heuristic shape; fastText et al. slot in behind "
-    "the same column contract",
-)
-def n03_lang_id(spark: SparkSession, sf_dir: str):
-    d = t(spark, sf_dir, "documents")
+def _pred_lang_expr() -> "F.Column":
+    """The n03 stopword-hit argmax over `text` (ties -> lang code asc),
+    as a reusable Column so compositions (e04) can evaluate it inline
+    on their own documents scan instead of re-scanning via a join."""
     hits = {
         lang: stopword_hits(F.col("text"), LANG_STOPWORDS[lang])
         for lang in _LANGS
@@ -210,7 +205,19 @@ def n03_lang_id(spark: SparkSession, sf_dir: str):
     for lang in _LANGS:
         cond = hits[lang] == best
         expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    return d.select("doc_id", "lang", expr.alias("pred_lang"))
+    return expr
+
+
+@register(
+    "n03_lang_id",
+    oracle=_LANG_ID_ORACLE,
+    note="Language ID via stopword-hit argmax (ties broken by lang code "
+    "asc) — the n-gram heuristic shape; fastText et al. slot in behind "
+    "the same column contract",
+)
+def n03_lang_id(spark: SparkSession, sf_dir: str):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", _pred_lang_expr().alias("pred_lang"))
 
 
 @register(
@@ -1183,19 +1190,20 @@ E4_SHARDS = 8
     "consistency (n03 pred == recorded lang), near-dup keep-one "
     "(d02->d03->d05 canonical docs only), source-weighted mixing "
     "(n14), md5 shard assignment (s08). The oracle nests the same "
-    "registered CTE chains. Plan: three narrow filter joins on "
-    "doc_id (AQE picks broadcast/SMJ), the dedup chain's shuffles, "
-    "zero extra passes — the LLM-data e01-style flagship.",
+    "registered CTE chains as doc_id joins; the Spark side FUSES the "
+    "row-local stages instead (r12): quality (n02), the lang-id "
+    "argmax (n03) and the mixing predicate (n14) are all projections "
+    "of the same row, and an inner join on the unique doc_id key "
+    "against a 1:1 projection of the same table IS a filter — so all "
+    "three evaluate inline on ONE documents scan. Only the dedup "
+    "chain, which genuinely shuffles, remains a join. Saves 3 scans "
+    "of the wide text column + 2 joins vs the naive composition — "
+    "at 100 TB the difference between reading the corpus once or "
+    "four times.",
 )
 def e04_corpus_curation(spark: SparkSession, sf_dir: str):
     docs = t(spark, sf_dir, "documents")
     canon = d05_dedup_components(spark, sf_dir).filter(~F.col("is_dup"))
-    quality = n02_quality_score(spark, sf_dir).filter(
-        F.col("quality") >= E4_QUALITY_MIN
-    )
-    lang_ok = n03_lang_id(spark, sf_dir).filter(
-        F.col("pred_lang") == F.col("lang")
-    )
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
         .cast("bigint")
@@ -1203,9 +1211,9 @@ def e04_corpus_curation(spark: SparkSession, sf_dir: str):
     )
     return (
         docs.filter(mixing_keep_expr())
+        .filter(quality_score(F.col("text")) >= E4_QUALITY_MIN)
+        .filter(_pred_lang_expr() == F.col("lang"))
         .join(canon.select("doc_id"), "doc_id")
-        .join(quality.select("doc_id"), "doc_id")
-        .join(lang_ok.select("doc_id"), "doc_id")
         .select("doc_id", "source", shard.alias("shard"))
     )
 
