@@ -313,7 +313,7 @@ _PRIORITY = [
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: the six queries whose CODE changed in round 12 — d12 (core
+# names: the eight queries whose CODE changed in round 12 — d12 (core
 # parameterized as incremental_lsh_pairs for the backfill AQE probe;
 # registered semantics identical), m11/m13 (the bagged trainer's leaf
 # and right-side scans folded into arithmetic on scan 1/2 sums —
@@ -322,8 +322,13 @@ _PRIORITY = [
 # e04 (the row-local stages n02/n03/n14 fused into the base documents
 # scan — 8 -> 4 scans, 2 joins dropped, same rows), n03 (its argmax
 # expression extracted into the shared _pred_lang_expr helper e04
-# reuses). Their earlier greens were earned by different code, so
-# they re-verify first.
+# reuses), dq05 (per-table constraints now genuinely share one
+# conditional-aggregation scan each, unstacked to report rows —
+# 7 -> 4 scans, matching what its note always claimed), m09 (the
+# groupBy on the unique o_orderkey only ever merged features of the
+# same row — now a pure projection: 3 scans -> 1, 1 shuffle -> 0).
+# Their earlier greens were earned by different code, so they
+# re-verify first.
 _FIRST = [
     "d12_incremental_lsh_maintenance",
     "m13_bagged_ensemble_approx",
@@ -331,6 +336,8 @@ _FIRST = [
     "mm07_jpeg_roundtrip_features",
     "e04_corpus_curation",
     "n03_lang_id",
+    "dq05_constraint_suite",
+    "m09_feature_hashing",
 ]
 
 

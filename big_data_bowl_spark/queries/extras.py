@@ -1883,7 +1883,9 @@ def v11_ann_recall_audit(spark: SparkSession, sf_dir: str):
     "checked/violation counts rather than failing fast — the "
     "pre-ingest gate a training pipeline runs before accepting a "
     "lake drop. Per-table constraints share ONE scan each "
-    "(conditional aggregation, map-side combined); the referential "
+    "(conditional aggregation, map-side combined; r12 made the code "
+    "match this claim — one wide agg per table unstacked to report "
+    "rows, 7 -> 4 scans); the referential "
     "check is a key-pruned join against the distinct parent keys "
     "(broadcast at dim scale, shuffle at fact scale — AQE decides). "
     "The tax<=5% expectation intentionally FAILS on this data "
@@ -1895,52 +1897,64 @@ def dq05_constraint_suite(spark: SparkSession, sf_dir: str):
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
 
-    def audit(df, name, cond):
-        return df.agg(
-            F.lit(name).alias("constraint_name"),
-            F.count(F.lit(1)).alias("n_checked"),
-            F.count(F.when(~cond, 1)).alias("n_violations"),
-        )
-
     enum_vals = [
         "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
     ]
-    uniq = o.agg(
-        F.lit("orders_key_unique").alias("constraint_name"),
-        F.count(F.lit(1)).alias("n_checked"),
+    # ALL row-local constraints on a table evaluate in ONE conditional
+    # aggregation over ONE scan (r12 — the note always promised this;
+    # the previous spelling unioned one agg per constraint and read
+    # orders 4x / lineitem 3x). The single wide agg row then unstacks
+    # into the per-constraint report rows — stack() over an already
+    # aggregated single row is free.
+    viol = lambda cond: F.count(F.when(~cond, 1))  # noqa: E731
+    o_rows = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("o_totalprice") > 0).alias("v_price"),
+        viol(F.col("o_orderpriority").isin(enum_vals)).alias("v_enum"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
-            "n_violations"
+            "v_uniq"
         ),
+    ).select(
+        F.expr(
+            "stack(3, "
+            "'orders_price_positive', n, v_price, "
+            "'orders_priority_enum', n, v_enum, "
+            "'orders_key_unique', n, v_uniq) "
+            "AS (constraint_name, n_checked, n_violations)"
+        )
     )
-    ref = li.select("l_orderkey").join(
-        o.select("o_orderkey").distinct(),
-        F.col("l_orderkey") == F.col("o_orderkey"),
-        "left",
+    li_rows = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        viol(F.col("l_discount").between(0, 0.1)).alias("v_disc"),
+        viol(F.col("l_tax") <= 0.05).alias("v_tax"),
+    ).select(
+        F.expr(
+            "stack(2, "
+            "'lineitem_discount_range', n, v_disc, "
+            "'lineitem_tax_le_5pct', n, v_tax) "
+            "AS (constraint_name, n_checked, n_violations)"
+        )
     )
-    parts = [
-        audit(o, "orders_price_positive", F.col("o_totalprice") > 0),
-        audit(
-            o,
-            "orders_priority_enum",
-            F.col("o_orderpriority").isin(enum_vals),
-        ),
-        uniq,
-        audit(
-            li,
-            "lineitem_discount_range",
-            F.col("l_discount").between(0, 0.1),
-        ),
-        audit(li, "lineitem_tax_le_5pct", F.col("l_tax") <= 0.05),
-        audit(
-            ref,
-            "lineitem_orderkey_references_orders",
-            F.col("o_orderkey").isNotNull(),
-        ),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # the referential expectation is the one constraint that is NOT
+    # row-local — it re-reads only the two key COLUMNS for the join
+    ref = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey").distinct(),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.lit("lineitem_orderkey_references_orders").alias(
+                "constraint_name"
+            ),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias(
+                "n_violations"
+            ),
+        )
+    )
+    return o_rows.unionByName(li_rows).unionByName(ref)
 
 
 # ---------------------------------------------------------------------------

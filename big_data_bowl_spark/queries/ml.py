@@ -700,10 +700,14 @@ def _m09_oracle() -> str:
     "shuffle, no train/serve skew: the encoding is a pure row-local "
     "function, so train and inference compute it independently and "
     "identically — THE property that makes it the default encoder "
-    "for web-scale sparse models. Plan: 3 narrow per-row hash "
-    "projections union'd, one groupBy(o_orderkey) conditional "
-    "aggregation (map-side combined); everything integer and "
-    "md5-derived, so the vectors hash-match the oracle exactly.",
+    "for web-scale sparse models. Plan: ONE projection, ZERO "
+    "shuffles (r12 — the previous spelling union'd 3 scans and "
+    "grouped by o_orderkey, but o_orderkey is the row's unique key, "
+    "so that aggregation only ever merged features of the SAME row: "
+    "the whole encoder is the row-local sum of 3 conditional ±1 "
+    "terms per bucket, the shape the note always claimed); "
+    "everything integer and md5-derived, so the vectors hash-match "
+    "the oracle exactly.",
 )
 def m09_feature_hashing(spark: SparkSession, sf_dir: str):
     o = t(spark, sf_dir, "orders")
@@ -715,26 +719,21 @@ def m09_feature_hashing(spark: SparkSession, sf_dir: str):
             % FH_DIM
         )
         sgn = F.when(F.substring(digest, 14, 1) < "8", 1).otherwise(-1)
-        return o.select(
-            "o_orderkey", idx.alias("idx"), sgn.alias("sgn")
-        )
+        return idx, sgn
 
-    f = (
-        feat("priority", F.col("o_orderpriority"))
-        .unionByName(feat("status", F.col("o_orderstatus")))
-        .unionByName(feat("cust", F.col("o_custkey").cast("string")))
-    )
-    return f.groupBy("o_orderkey").agg(
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col("idx") == d, F.col("sgn"))),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias(f"h{d}")
-            for d in range(FH_DIM)
-        ]
-    )
+    feats = [
+        feat("priority", F.col("o_orderpriority")),
+        feat("status", F.col("o_orderstatus")),
+        feat("cust", F.col("o_custkey").cast("string")),
+    ]
+    cols = []
+    for d in range(FH_DIM):
+        h = None
+        for idx, sgn in feats:
+            term = F.when(idx == d, sgn).otherwise(0)
+            h = term if h is None else h + term
+        cols.append(h.cast("long").alias(f"h{d}"))
+    return o.select("o_orderkey", *cols)
 
 
 # ---------------------------------------------------------------------------

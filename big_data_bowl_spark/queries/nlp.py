@@ -1976,7 +1976,12 @@ PMI_MIN_CO = 20  # min docs a pair must share to be scored
     f"riding a broadcast 1-row frame. Pairs below {PMI_MIN_CO} "
     "co-occurrences are dropped (PMI's low-count instability — the "
     "standard cutoff). Map-side combine collapses the pair explosion "
-    "to distinct-pair rows before the shuffle; rhu(9) guards ln ulps.",
+    "to distinct-pair rows before the shuffle; rhu(9) guards ln ulps. "
+    "(A doc-local pair generator over each document's distinct-token "
+    "array — zero token shuffle — was measured in r12 and REJECTED: "
+    "Spark's higher-order functions evaluate their lambdas outside "
+    "whole-stage codegen, reading 1.4x the join spelling at sf0.1 "
+    "while the join's exchange-reuse already shuffles tokens once.)",
 )
 def n23_pmi_cooccurrence(spark: SparkSession, sf_dir: str):
     from ..functions.rounding import rhu

@@ -64,6 +64,18 @@ def audit(plan: str) -> dict:
             joins.append(f"{label}x{n}" if n > 1 else label)
 
     scans = [nid for name, nid in nodes if name.strip() == "Scan parquet"]
+    # per-table scan counts: the table is named in the scan node's
+    # detail block (Location: InMemoryFileIndex [... <table>.parquet]).
+    # A table scanned N times is read N times at 100 TB — the pattern
+    # that hid in e04 until r12 (its row-local stages were carried by
+    # doc_id self-joins, re-reading the wide text column 3 extra
+    # times). Informational, not a flag: some rescans are the
+    # operator's semantics (m11/m13's 3-scan trainer, the d05 chain).
+    scan_tables: dict[str, int] = {}
+    for nid in scans:
+        m = re.search(r"(\w+)\.parquet", block_of.get(nid, ""))
+        tbl = m.group(1) if m else "?"
+        scan_tables[tbl] = scan_tables.get(tbl, 0) + 1
     pushed_vals = [
         bool(re.search(r"PushedFilters: \[[^\]]", block_of.get(nid, "")))
         for nid in scans
@@ -107,7 +119,17 @@ def audit(plan: str) -> dict:
             single_agg += 1  # benign: partial-agg merge
         else:
             single += 1
+    rescanned = {t: n for t, n in scan_tables.items() if n > 1}
+    scans_label = str(len(scans)) + (
+        " ("
+        + ", ".join(f"{t}×{n}" for t, n in sorted(rescanned.items()))
+        + ")"
+        if rescanned
+        else ""
+    )
     return {
+        "scans": scans_label,
+        "scan_tables": scan_tables,
         "exchanges": sum(
             1 for name, _ in nodes if name.strip() == "Exchange"
         ),
@@ -166,13 +188,17 @@ def main() -> None:
         "aggregate — are counted separately in 'agg-merge' and are "
         "NOT flags; review r7 made this distinction explicit when "
         "fixing the previously-vacuous detector), "
-        "parquet filter pushdown, WholeStageCodegen span count, and "
+        "parquet filter pushdown, WholeStageCodegen span count, "
         "whether any Python (Arrow) stage exists — 'yes' only for the "
         "multimodal/groupby-apply operators where Python is the "
-        "point.",
+        "point — and parquet scan count with per-table rescan "
+        "breakdown (a table scanned N times is read N times at "
+        "100 TB; informational, since some rescans ARE the "
+        "operator — but this column is what exposed e04's 3 "
+        "redundant reads of the wide text column in r12).",
         "",
-        "| query | shuffles | 1-part | agg-merge | reused | joins | pushdown | codegen spans | python |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | shuffles | 1-part | agg-merge | reused | joins | pushdown | codegen spans | python | scans |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name in HEADLINE:
         if name not in REGISTRY:
@@ -189,7 +215,8 @@ def main() -> None:
         lines.append(
             f"| {name} | {a['exchanges']} | {a['single_partition']} "
             f"| {a['single_agg_merge']} | {a['reused']} | {a['joins']} "
-            f"| {a['pushed']} | {a['codegen']} | {a['python']} |"
+            f"| {a['pushed']} | {a['codegen']} | {a['python']} "
+            f"| {a['scans']} |"
         )
         if a["single_partition"]:
             print(
@@ -203,6 +230,7 @@ def main() -> None:
             "t11_streaming_dedup",
         }  # streaming plans have no batch explain
         flagged = []
+        rescans = []
         for name, spec in REGISTRY.items():
             if name in streaming:
                 continue
@@ -214,6 +242,9 @@ def main() -> None:
             a = audit(buf.getvalue())
             if a["single_partition"] or "CART" in a["joins"]:
                 flagged.append((name, a))
+            worst = max(a["scan_tables"].values(), default=0)
+            if worst >= 3:
+                rescans.append((worst, name, a["scans"]))
         lines += [
             "",
             f"Full-registry sweep ({len(REGISTRY) - len(streaming)} batch "
@@ -226,6 +257,34 @@ def main() -> None:
                 if flagged
                 else " (zero scale-killers registry-wide)."
             ),
+            "",
+            "Rescan watch (any table scanned >= 3x in one plan — "
+            "candidates for the e04-style row-local fusion unless the "
+            "rescans are the operator's semantics): "
+            + (
+                ", ".join(
+                    f"{n} [{s}]"
+                    for _, n, s in sorted(rescans, reverse=True)
+                )
+                if rescans
+                else "none."
+            ),
+            "",
+            "r12 adjudication of the watch: this column exposed and "
+            "fixed e04 (8->4 scans, 2 joins dropped), dq05 (7->4) and "
+            "m09 (3->1, shuffle eliminated). Of what remains: the "
+            "v-family rescans are training/audit semantics (Lloyd "
+            "steps re-read vectors per iteration; recall audits need "
+            "an exact arm AND an approximate arm by definition); "
+            "d10 re-reads events because proving base+delta == full "
+            "recompute requires computing both sides; t19/t20 read "
+            "events in genuinely different roles (cohort anchor vs "
+            "activity; bounds vs samples); n23's zero-rescan "
+            "alternative was measured and rejected (higher-order "
+            "functions run outside codegen — 1.4x slower, see its "
+            "note). v14's documents x4 is the one plausible future "
+            "fusion (its BM25 arm re-derives token stats), parked "
+            "because the query is bench-budgeted and green.",
         ]
     out = "\n".join(lines) + "\n"
     print(out)
