@@ -313,7 +313,7 @@ _PRIORITY = [
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: the eight queries whose CODE changed in round 12 — d12 (core
+# names: the nine queries whose CODE changed in round 12 — d12 (core
 # parameterized as incremental_lsh_pairs for the backfill AQE probe;
 # registered semantics identical), m11/m13 (the bagged trainer's leaf
 # and right-side scans folded into arithmetic on scan 1/2 sums —
@@ -326,9 +326,11 @@ _PRIORITY = [
 # conditional-aggregation scan each, unstacked to report rows —
 # 7 -> 4 scans, matching what its note always claimed), m09 (the
 # groupBy on the unique o_orderkey only ever merged features of the
-# same row — now a pure projection: 3 scans -> 1, 1 shuffle -> 0).
-# Their earlier greens were earned by different code, so they
-# re-verify first.
+# same row — now a pure projection: 3 scans -> 1, 1 shuffle -> 0),
+# v14 (the BM25 arm's doc length + per-term tf now one conditional
+# aggregation; df/n_docs/avgdl one broadcast stats row — 2 joins and
+# a shuffle dropped). Their earlier greens were earned by different
+# code, so they re-verify first.
 _FIRST = [
     "d12_incremental_lsh_maintenance",
     "m13_bagged_ensemble_approx",
@@ -338,6 +340,7 @@ _FIRST = [
     "n03_lang_id",
     "dq05_constraint_suite",
     "m09_feature_hashing",
+    "v14_hybrid_rrf_search",
 ]
 
 

@@ -4379,40 +4379,66 @@ def v14_hybrid_rrf_search(spark: SparkSession, sf_dir: str):
     tok = d.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("tk")
     )
-    ln = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = ln.agg(
+    # ONE groupBy over the exploded tokens yields the doc length AND
+    # every per-term tf as conditional counts (r12; previously dl and
+    # the (doc, term) tf were separate aggregations joined back
+    # together — 4 documents scans and 2 extra joins). n_docs/avgdl/df
+    # then fold into ONE broadcast stats row, making the BM25 score
+    # pure row-local arithmetic over the candidate docs.
+    nterms = len(HYBRID_TERMS)
+    base = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("tk") == term, 1)).alias(f"tf{i}")
+            for i, term in enumerate(HYBRID_TERMS)
+        ],
+    )
+    stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf{i}") > 0, 1)).alias(f"df{i}")
+            for i in range(nterms)
+        ],
     )
-    tf_t = (
-        tok.filter(F.col("tk").isin(*HYBRID_TERMS))
-        .groupBy("doc_id", "tk")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf_t.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
-    term = (
-        F.log(
-            (F.col("n_docs") - F.col("df") + 0.5)
-            / (F.col("df") + 0.5)
-            + 1.0
+
+    def bm_term(i):
+        # identical IEEE tree to the oracle's per-(doc, term) score;
+        # docs lacking the term contribute an EXACT decimal zero —
+        # the same value the oracle's SUM-over-present-rows skips
+        tf = F.col(f"tf{i}").cast("double")
+        score = (
+            F.log(
+                (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+                / (F.col(f"df{i}") + 0.5)
+                + 1.0
+            )
+            * tf
+            * (BM25_K1 + 1.0)
+            / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
         )
-        * F.col("tf")
-        * (BM25_K1 + 1.0)
-        / (
-            F.col("tf")
-            + BM25_K1
-            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        return F.coalesce(
+            F.when(
+                F.col(f"tf{i}") > 0, rhu(score, 9).cast("decimal(38,12)")
+            ),
+            F.lit(0).cast("decimal(38,12)"),
         )
-    )
+
+    any_tf = None
+    for i in range(nterms):
+        c = F.col(f"tf{i}") > 0
+        any_tf = c if any_tf is None else (any_tf | c)
+    bm_sum = bm_term(0)
+    for i in range(1, nterms):
+        bm_sum = bm_sum + bm_term(i)
     bm = (
-        tf_t.join(F.broadcast(df_t), "tk")
-        .join(ln, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id", rhu(term, 9).cast("decimal(38,12)").alias("bt")
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bt").cast("double").alias("bm25"))
+        base.crossJoin(F.broadcast(stats))
+        .filter(any_tf)
+        .select("doc_id", bm_sum.cast("double").alias("bm25"))
     )
     bm_top = bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(
         HYBRID_CAND

@@ -271,8 +271,11 @@ def main() -> None:
             ),
             "",
             "r12 adjudication of the watch: this column exposed and "
-            "fixed e04 (8->4 scans, 2 joins dropped), dq05 (7->4) and "
-            "m09 (3->1, shuffle eliminated). Of what remains: the "
+            "fixed e04 (8->4 scans, 2 joins dropped), dq05 (7->4), "
+            "m09 (3->1, shuffle eliminated) and v14's BM25 arm (doc "
+            "length + per-term tf now one conditional-agg groupBy, "
+            "df/n_docs/avgdl one broadcast stats row — 2 joins and a "
+            "shuffle dropped, 14% faster). Of what remains: the "
             "v-family rescans are training/audit semantics (Lloyd "
             "steps re-read vectors per iteration; recall audits need "
             "an exact arm AND an approximate arm by definition); "
@@ -282,9 +285,7 @@ def main() -> None:
             "activity; bounds vs samples); n23's zero-rescan "
             "alternative was measured and rejected (higher-order "
             "functions run outside codegen — 1.4x slower, see its "
-            "note). v14's documents x4 is the one plausible future "
-            "fusion (its BM25 arm re-derives token stats), parked "
-            "because the query is bench-budgeted and green.",
+            "note).",
         ]
     out = "\n".join(lines) + "\n"
     print(out)
