@@ -497,6 +497,13 @@ def test_results_independent_of_shuffle_partition_count(spark, sf_dir):
         "d05_dedup_components",
         "a08_salted_grouped_sum",
         "n07_rolling_hash_fingerprint",
+        # the r12 scan-fusion rewrites: lock in that fusing joins into
+        # row-local projections / single-pass aggregations did not
+        # introduce any partitioning sensitivity
+        "e04_corpus_curation",
+        "dq05_constraint_suite",
+        "m09_feature_hashing",
+        "v14_hybrid_rrf_search",
     ]
 
     def freeze(v):
