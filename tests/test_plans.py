@@ -529,3 +529,27 @@ def test_results_independent_of_shuffle_partition_count(spark, sf_dir):
     for n in AT_RISK:
         assert results["4"][n] == results["13"][n], n
         assert results["4"][n], f"{n} returned no rows"
+
+
+def test_fan_out_is_a_noop_on_well_partitioned_input(spark):
+    """r12: the wide-column shuffle audit (PLANS.md) traced every hit
+    to fan_out's test-scale compute redistribution (sources/io.py) —
+    a round-robin of (doc_id, text) inserted because a small parquet
+    file scans as ONE split. Its docstring claims the guard makes it
+    a NO-OP at scale, where the scan already carries >= default-
+    parallelism splits. This pins that claim: fan_out must not
+    insert any Exchange on well-partitioned input (the 100 TB case),
+    and must redistribute the single-split case (the test-scale
+    case) without changing the row set."""
+    from big_data_bowl_spark.sources.io import fan_out
+
+    target = spark.sparkContext.defaultParallelism
+
+    wide = spark.range(0, 1000).repartition(target + 3)
+    out = fan_out(wide)
+    assert out is wide  # guard short-circuits: no new plan node at all
+
+    narrow = spark.range(0, 1000).coalesce(1)
+    fanned = fan_out(narrow)
+    assert fanned.rdd.getNumPartitions() == target
+    assert sorted(r.id for r in fanned.collect()) == list(range(1000))

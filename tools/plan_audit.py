@@ -119,6 +119,24 @@ def audit(plan: str) -> dict:
             single_agg += 1  # benign: partial-agg merge
         else:
             single += 1
+    # wide-column shuffle detector: several query notes CLAIM "only
+    # hashes shuffle, payloads don't" (d01/d02, the mm dedup passes,
+    # e05) — this makes the claim a checked number. An Exchange whose
+    # Input still carries one of the lake's wide raw columns (text,
+    # payload, embedding) moves the heavy bytes through the network at
+    # 100 TB. Scope: raw source columns only — a derived alias (cv =
+    # cast embedding) escapes, and partial-agg sum buffers are not
+    # raw columns; treat hits as candidates, not automatic flags
+    # (an operator whose SEMANTICS move payloads, e.g. a shard
+    # writer, legitimately shuffles them).
+    wide = 0
+    for name, nid in nodes:
+        if name.strip() != "Exchange":
+            continue
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block_of.get(nid, ""))
+        attrs = m.group(1) if m else ""
+        if re.search(r"\b(text|payload|embedding)#", attrs):
+            wide += 1
     rescanned = {t: n for t, n in scan_tables.items() if n > 1}
     scans_label = str(len(scans)) + (
         " ("
@@ -130,6 +148,7 @@ def audit(plan: str) -> dict:
     return {
         "scans": scans_label,
         "scan_tables": scan_tables,
+        "wide_shuffles": wide,
         "exchanges": sum(
             1 for name, _ in nodes if name.strip() == "Exchange"
         ),
@@ -231,6 +250,7 @@ def main() -> None:
         }  # streaming plans have no batch explain
         flagged = []
         rescans = []
+        wides = []
         for name, spec in REGISTRY.items():
             if name in streaming:
                 continue
@@ -245,6 +265,8 @@ def main() -> None:
             worst = max(a["scan_tables"].values(), default=0)
             if worst >= 3:
                 rescans.append((worst, name, a["scans"]))
+            if a["wide_shuffles"]:
+                wides.append((a["wide_shuffles"], name))
         lines += [
             "",
             f"Full-registry sweep ({len(REGISTRY) - len(streaming)} batch "
@@ -286,6 +308,34 @@ def main() -> None:
             "alternative was measured and rejected (higher-order "
             "functions run outside codegen — 1.4x slower, see its "
             "note).",
+            "",
+            "Wide-column shuffle audit (Exchanges whose Input still "
+            "carries a raw text/payload/embedding column — the bytes "
+            "that must NOT ride the network at 100 TB unless moving "
+            "them IS the operator): "
+            + (
+                ", ".join(
+                    f"{n} [{c}]" for c, n in sorted(wides, reverse=True)
+                )
+                if wides
+                else "none — every dedup/ANN/fingerprint pass "
+                "shuffles digests and ids only, as the query notes "
+                "claim; this line verifies that mechanically."
+            ),
+            "",
+            "r12 adjudication of the wide-column hits: every one is "
+            "fan_out's GUARDED test-scale compute redistribution "
+            "(sources/io.py — a small parquet file scans as one "
+            "split, so per-row-expensive signature/codec work would "
+            "otherwise run on a single core; the round-robin is "
+            "RoundRobinPartitioning/REPARTITION_BY_NUM in each hit). "
+            "The guard repartitions ONLY when the scan has fewer "
+            "splits than defaultParallelism — at 100 TB it is a "
+            "no-op and no wide column rides any exchange, pinned by "
+            "tests/test_plans.py::"
+            "test_fan_out_is_a_noop_on_well_partitioned_input. "
+            "Every KEYED exchange registry-wide shuffles digests/ids "
+            "only.",
         ]
     out = "\n".join(lines) + "\n"
     print(out)
