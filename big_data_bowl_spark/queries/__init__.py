@@ -313,7 +313,7 @@ _PRIORITY = [
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: the nine queries whose CODE changed in round 12 — d12 (core
+# names: the ten queries whose CODE changed in round 12 — d12 (core
 # parameterized as incremental_lsh_pairs for the backfill AQE probe;
 # registered semantics identical), m11/m13 (the bagged trainer's leaf
 # and right-side scans folded into arithmetic on scan 1/2 sums —
@@ -329,8 +329,10 @@ _PRIORITY = [
 # same row — now a pure projection: 3 scans -> 1, 1 shuffle -> 0),
 # v14 (the BM25 arm's doc length + per-term tf now one conditional
 # aggregation; df/n_docs/avgdl one broadcast stats row — 2 joins and
-# a shuffle dropped). Their earlier greens were earned by different
-# code, so they re-verify first.
+# a shuffle dropped), u04 (the UDTF ships rows over Arrow instead of
+# pickle — the registry's last row-at-a-time Python stage, now
+# flagged to zero by the plan audit). Their earlier greens were
+# earned by different code, so they re-verify first.
 _FIRST = [
     "d12_incremental_lsh_maintenance",
     "m13_bagged_ensemble_approx",
@@ -341,6 +343,7 @@ _FIRST = [
     "dq05_constraint_suite",
     "m09_feature_hashing",
     "v14_hybrid_rrf_search",
+    "u04_python_udtf",
 ]
 
 

@@ -2002,7 +2002,15 @@ UDTF_CHUNK = 20
 def u04_python_udtf(spark: SparkSession, sf_dir: str):
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx bigint, n_tokens bigint, chunk_text string")
+    # useArrow: the UDTF ships rows over Arrow batches instead of
+    # pickle (r12 — the plan node becomes ArrowEvalPythonUDTF; the
+    # pickled BatchEvalPythonUDTF was the one row-at-a-time Python
+    # stage in the registry, and the plan-audit flag now enforces
+    # zero). Per-row eval() semantics are unchanged.
+    @udtf(
+        returnType="chunk_idx bigint, n_tokens bigint, chunk_text string",
+        useArrow=True,
+    )
     class ChunkDoc:
         def eval(self, text: str):
             # EXACT replica of the engine tokenize() / oracle

@@ -167,6 +167,12 @@ def audit(plan: str) -> dict:
             tree,
         )
         else "no",
+        # row-at-a-time Python (pickle serialization, no Arrow): the
+        # anti-pattern the repo claims to have zero of — BatchEvalPython
+        # is the physical node a plain @udf plans as; every intended
+        # Python stage here is Arrow-batched (ArrowEvalPython /
+        # MapInPandas / FlatMapGroupsInPandas)
+        "row_python": bool(re.search(r"BatchEvalPython", tree)),
     }
 
 
@@ -260,7 +266,11 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             a = audit(buf.getvalue())
-            if a["single_partition"] or "CART" in a["joins"]:
+            if (
+                a["single_partition"]
+                or "CART" in a["joins"]
+                or a["row_python"]
+            ):
                 flagged.append((name, a))
             worst = max(a["scan_tables"].values(), default=0)
             if worst >= 3:
@@ -271,9 +281,11 @@ def main() -> None:
             "",
             f"Full-registry sweep ({len(REGISTRY) - len(streaming)} batch "
             f"queries audited): **{len(flagged)} plans flagged** for "
-            "data-sized single-partition exchanges or cartesian "
-            "products (benign global-aggregate merges excluded — see "
-            "column note above)"
+            "data-sized single-partition exchanges, cartesian "
+            "products, or row-at-a-time Python stages "
+            "(BatchEvalPython — a plain @udf; every intended Python "
+            "stage is Arrow-batched) (benign global-aggregate merges "
+            "excluded — see column note above)"
             + (
                 " — " + ", ".join(n for n, _ in flagged)
                 if flagged
