@@ -1,0 +1,84 @@
+"""Source lints: prose claims about the engine's discipline, frozen
+as executed checks (r12).
+
+Two claims the external review previously verified by hand-sweep:
+
+1. "Module-level imports are stdlib+pyspark only; numpy/pandas load
+   lazily inside Arrow stages." Heavy imports at module scope would
+   (a) ship to every Python worker fork even for pure-JVM queries
+   and (b) couple driver startup to libraries only codec/UDF paths
+   need.
+2. "collect()/toPandas() sites are metadata-sized or size-guarded" —
+   nothing data-sized ever funnels through the driver. Rather than a
+   brittle line-number allowlist, the lint freezes the per-file SITE
+   COUNT: adding a driver-side materialization anywhere forces this
+   file to be updated consciously, with the justification reviewed.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent / "big_data_bowl_spark"
+
+HEAVY = {"numpy", "pandas", "pyarrow", "duckdb"}
+
+# Every driver-side materialization in the engine, by file, with why
+# it is bounded. Counts are exact on purpose: a new .collect() in a
+# data path should FAIL here and be argued about, not slip through.
+COLLECT_ALLOWED = {
+    "operators/kmeans.py": 1,  # max centroid movement — 1 scalar row
+    "operators/rank.py": 2,  # bucket stats — num_buckets-sized
+    "queries/extras.py": 1,  # trained coarse codebook — k-sized LUT
+    "queries/ml.py": 5,  # trained split thresholds / sufficient
+    #   statistics — bounded by features x quantiles, never rows
+    "queries/nlp.py": 1,  # BPE's next merge pair — limit(1), 1 row
+    #   per train step, bounded by the merge budget
+}
+TOPANDAS_ALLOWED = {
+    "queries/core.py": 1,  # S5 sink demo over the 5-row region dim
+    "sinks/viz.py": 1,  # collect_for_viz — max_rows-guarded (raises)
+}
+
+
+def _py_files():
+    for p in sorted(ROOT.rglob("*.py")):
+        yield p, str(p.relative_to(ROOT))
+
+
+def test_no_module_level_heavy_imports():
+    bad = []
+    for p, rel in _py_files():
+        tree = ast.parse(p.read_text())
+        for node in tree.body:  # module scope only — lazy is fine
+            mods = []
+            if isinstance(node, ast.Import):
+                mods = [a.name.split(".")[0] for a in node.names]
+            elif isinstance(node, ast.ImportFrom) and node.level == 0:
+                mods = [(node.module or "").split(".")[0]]
+            bad += [
+                f"{rel}:{node.lineno} imports {m}"
+                for m in mods
+                if m in HEAVY
+            ]
+    assert not bad, bad
+
+
+def test_driver_side_materialization_sites_are_frozen():
+    for needle, allowed in [
+        (".collect()", COLLECT_ALLOWED),
+        (".toPandas()", TOPANDAS_ALLOWED),
+    ]:
+        found = {}
+        for p, rel in _py_files():
+            n = p.read_text().count(needle)
+            if n:
+                found[rel] = n
+        assert found == allowed, (
+            f"{needle} sites changed: {found} != {allowed} — if the "
+            "new site is genuinely bounded (scalar, k-sized, or "
+            "size-guarded), update the allowlist with its "
+            "justification; if not, it does not belong in a "
+            "distributed data path"
+        )
