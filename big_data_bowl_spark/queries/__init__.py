@@ -313,7 +313,7 @@ _PRIORITY = [
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: the ten queries whose CODE changed in round 12 — d12 (core
+# names: the eleven queries whose CODE changed in round 12 — d12 (core
 # parameterized as incremental_lsh_pairs for the backfill AQE probe;
 # registered semantics identical), m11/m13 (the bagged trainer's leaf
 # and right-side scans folded into arithmetic on scan 1/2 sums —
@@ -331,7 +331,10 @@ _PRIORITY = [
 # aggregation; df/n_docs/avgdl one broadcast stats row — 2 joins and
 # a shuffle dropped), u04 (the UDTF ships rows over Arrow instead of
 # pickle — the registry's last row-at-a-time Python stage, now
-# flagged to zero by the plan audit). Their earlier greens were
+# flagged to zero by the plan audit), dq01 (CODE AND ORACLE: the
+# text column's distinct count keys on md5(text) in both engines —
+# the wide-column shuffle audit caught count_distinct(text) shipping
+# whole documents as distinct-group keys). Their earlier greens were
 # earned by different code, so they re-verify first.
 _FIRST = [
     "d12_incremental_lsh_maintenance",
@@ -344,6 +347,7 @@ _FIRST = [
     "m09_feature_hashing",
     "v14_hybrid_rrf_search",
     "u04_python_udtf",
+    "dq01_column_profile",
 ]
 
 

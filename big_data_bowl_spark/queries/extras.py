@@ -572,21 +572,34 @@ _DQ_COLS = ("text", "lang", "source", "n_chars")
     oracle=" UNION ALL ".join(
         f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows, "
         f"COUNT(*) - COUNT({c}) AS n_null, "
-        f"COUNT(DISTINCT {c}) AS n_distinct FROM documents"
+        + (
+            f"COUNT(DISTINCT md5({c})) AS n_distinct"
+            if c == "text"
+            else f"COUNT(DISTINCT {c}) AS n_distinct"
+        )
+        + " FROM documents"
         for c in _DQ_COLS
     ),
     note="Column profile (rows/nulls/distincts per column) — the "
     "pre-training audit table. ONE scan: all per-column aggregates "
     "compute in a single pass (count_distinct rewrites to partial "
     "distinct aggregation), then the 1-row wide result unpivots "
-    "driver-costlessly; never one scan per column",
+    "driver-costlessly; never one scan per column. The text column's "
+    "distinct count keys on md5(text), not the text value (r12 — the "
+    "wide-column shuffle audit caught count_distinct(text) shipping "
+    "the whole document as the distinct-group key; the 16-byte "
+    "digest is the engine's exact text-equality key everywhere, d01 "
+    "included, and md5(NULL) is NULL in both engines so null "
+    "handling is identical). Profiling a 100 TB corpus must never "
+    "shuffle the corpus.",
 )
 def dq01_column_profile(spark: SparkSession, sf_dir: str):
     d = t(spark, sf_dir, "documents")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in _DQ_COLS:
+        key = F.md5(F.col(c)) if c == "text" else F.col(c)
         aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        aggs.append(F.count_distinct(key).alias(f"nd_{c}"))
     wide = d.agg(*aggs)
     profile = F.array(
         *[

@@ -29,20 +29,46 @@ _JOIN_LABELS = [
 ]
 
 
+def _final_trees(plan: str) -> str:
+    """Concatenate every FINAL-plan operator tree in a formatted
+    explain: the main plan plus each `===== Subqueries =====` entry
+    (scalar/IN subqueries print their own AdaptiveSparkPlan with its
+    own Final/Initial sections and globally-unique node ids — a
+    detector that reads only the main tree misses physical nodes
+    hosted in subqueries; review r12)."""
+    trees = []
+    for section in plan.split("===== Subqueries ====="):
+        for part in re.split(r"^Subquery:\d+ ", section, flags=re.M):
+            if "== Final Plan ==" in part:
+                trees.append(
+                    part.split("== Final Plan ==", 1)[1].split(
+                        "== Initial Plan ==", 1
+                    )[0]
+                )
+            elif "== Physical Plan ==" in part:
+                trees.append(
+                    part.split("== Physical Plan ==", 1)[-1].split(
+                        "\n\n", 1
+                    )[0]
+                )
+            elif part.strip():
+                # non-AQE subquery entry: header line + tree up to the
+                # first blank line (the header carries no (id) so it
+                # is inert to the node regex)
+                trees.append(part.split("\n\n", 1)[0])
+    return "\n".join(trees)
+
+
 def audit(plan: str) -> dict:
     """Audit a post-execution `explain('formatted')` rendering.
 
     The formatted output prints the operator TREE first (for adaptive
     plans: a `== Final Plan ==` section followed by `== Initial
     Plan ==`), then one details block per node id. Only final-plan
-    nodes count; details are looked up by node id.
+    nodes count (main plan AND subquery plans); details are looked up
+    by node id.
     """
-    if "== Final Plan ==" in plan:
-        tree = plan.split("== Final Plan ==", 1)[1].split(
-            "== Initial Plan ==", 1
-        )[0]
-    else:
-        tree = plan.split("== Physical Plan ==", 1)[-1].split("\n\n", 1)[0]
+    tree = _final_trees(plan)
     nodes = re.findall(r"(\w[\w ]*?) +\((\d+)\)", tree)
     final_ids = {nid for _, nid in nodes}
     details = {
@@ -121,22 +147,37 @@ def audit(plan: str) -> dict:
             single += 1
     # wide-column shuffle detector: several query notes CLAIM "only
     # hashes shuffle, payloads don't" (d01/d02, the mm dedup passes,
-    # e05) — this makes the claim a checked number. An Exchange whose
-    # Input still carries one of the lake's wide raw columns (text,
-    # payload, embedding) moves the heavy bytes through the network at
-    # 100 TB. Scope: raw source columns only — a derived alias (cv =
-    # cast embedding) escapes, and partial-agg sum buffers are not
-    # raw columns; treat hits as candidates, not automatic flags
-    # (an operator whose SEMANTICS move payloads, e.g. a shard
-    # writer, legitimately shuffles them).
-    wide = 0
+    # e05) — this makes the claim a checked number. An Exchange OR
+    # BroadcastExchange whose Input still carries one of the lake's
+    # wide raw columns (text, payload, embedding) moves the heavy
+    # bytes through the network at 100 TB. Scope: raw source columns
+    # only — a derived alias (cv = cast embedding) escapes, and
+    # partial-agg sum buffers are not raw columns. Classification is
+    # MECHANICAL (review r12 — an earlier spelling asserted it in
+    # prose): a round-robin REPARTITION_BY_NUM hit is fan_out's
+    # guarded test-scale compute redistribution (sources/io.py, a
+    # no-op at scale — pinned by test_fan_out_is_a_noop_on_well_
+    # partitioned_input); ANY other wide hit (hash-keyed or
+    # broadcast) is unexplained and joins the sweep's flag list.
+    wide_fanout = 0
+    wide_keyed = 0
     for name, nid in nodes:
-        if name.strip() != "Exchange":
+        nm = name.strip()
+        if nm not in ("Exchange", "BroadcastExchange"):
             continue
-        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block_of.get(nid, ""))
+        blk = block_of.get(nid, "")
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", blk)
         attrs = m.group(1) if m else ""
-        if re.search(r"\b(text|payload|embedding)#", attrs):
-            wide += 1
+        if not re.search(r"\b(text|payload|embedding)#", attrs):
+            continue
+        if (
+            nm == "Exchange"
+            and "RoundRobinPartitioning" in blk
+            and "REPARTITION_BY_NUM" in blk
+        ):
+            wide_fanout += 1
+        else:
+            wide_keyed += 1
     rescanned = {t: n for t, n in scan_tables.items() if n > 1}
     scans_label = str(len(scans)) + (
         " ("
@@ -148,7 +189,8 @@ def audit(plan: str) -> dict:
     return {
         "scans": scans_label,
         "scan_tables": scan_tables,
-        "wide_shuffles": wide,
+        "wide_fanout": wide_fanout,
+        "wide_keyed": wide_keyed,
         "exchanges": sum(
             1 for name, _ in nodes if name.strip() == "Exchange"
         ),
@@ -184,7 +226,9 @@ def main() -> None:
         "--all",
         action="store_true",
         help="also sweep EVERY registered batch query for scale-killer "
-        "patterns (single-partition exchanges, cartesian products)",
+        "patterns (single-partition exchanges, cartesian products, "
+        "row-at-a-time Python stages, unexplained wide-column "
+        "exchanges) plus the informational rescan watch",
     )
     args = ap.parse_args()
 
@@ -270,21 +314,25 @@ def main() -> None:
                 a["single_partition"]
                 or "CART" in a["joins"]
                 or a["row_python"]
+                or a["wide_keyed"]
             ):
                 flagged.append((name, a))
             worst = max(a["scan_tables"].values(), default=0)
             if worst >= 3:
                 rescans.append((worst, name, a["scans"]))
-            if a["wide_shuffles"]:
-                wides.append((a["wide_shuffles"], name))
+            if a["wide_fanout"]:
+                wides.append((a["wide_fanout"], name))
         lines += [
             "",
             f"Full-registry sweep ({len(REGISTRY) - len(streaming)} batch "
             f"queries audited): **{len(flagged)} plans flagged** for "
             "data-sized single-partition exchanges, cartesian "
-            "products, or row-at-a-time Python stages "
+            "products, row-at-a-time Python stages "
             "(BatchEvalPython — a plain @udf; every intended Python "
-            "stage is Arrow-batched) (benign global-aggregate merges "
+            "stage is Arrow-batched), or unexplained wide-column "
+            "exchanges (a raw text/payload/embedding column riding a "
+            "hash-keyed Exchange or a BroadcastExchange — subquery "
+            "plans included) (benign global-aggregate merges "
             "excluded — see column note above)"
             + (
                 " — " + ", ".join(n for n, _ in flagged)
@@ -321,33 +369,39 @@ def main() -> None:
             "functions run outside codegen — 1.4x slower, see its "
             "note).",
             "",
-            "Wide-column shuffle audit (Exchanges whose Input still "
-            "carries a raw text/payload/embedding column — the bytes "
-            "that must NOT ride the network at 100 TB unless moving "
-            "them IS the operator): "
+            "Wide-column shuffle audit (any Exchange or "
+            "BroadcastExchange — subquery plans included — whose "
+            "Input still carries a raw text/payload/embedding "
+            "column: the bytes that must NOT ride the network at "
+            "100 TB unless moving them IS the operator). "
+            "Classification is mechanical: hits whose Arguments are "
+            "RoundRobinPartitioning/REPARTITION_BY_NUM are fan_out's "
+            "GUARDED test-scale compute redistribution "
+            "(sources/io.py — a small parquet file scans as one "
+            "split; the guard repartitions ONLY below "
+            "defaultParallelism splits, so at 100 TB it is a no-op, "
+            "pinned by tests/test_plans.py::"
+            "test_fan_out_is_a_noop_on_well_partitioned_input); any "
+            "OTHER wide hit is counted in the flag list above. "
+            "fan_out-pattern hits: "
             + (
                 ", ".join(
                     f"{n} [{c}]" for c, n in sorted(wides, reverse=True)
                 )
                 if wides
-                else "none — every dedup/ANN/fingerprint pass "
-                "shuffles digests and ids only, as the query notes "
-                "claim; this line verifies that mechanically."
+                else "none."
+            )
+            + " Unexplained wide hits: "
+            + (
+                ", ".join(
+                    f"{n} [{a['wide_keyed']}]"
+                    for n, a in flagged
+                    if a["wide_keyed"]
+                )
+                or "none — every keyed or broadcast exchange "
+                "registry-wide moves digests/ids only, as the query "
+                "notes claim; this line verifies that mechanically."
             ),
-            "",
-            "r12 adjudication of the wide-column hits: every one is "
-            "fan_out's GUARDED test-scale compute redistribution "
-            "(sources/io.py — a small parquet file scans as one "
-            "split, so per-row-expensive signature/codec work would "
-            "otherwise run on a single core; the round-robin is "
-            "RoundRobinPartitioning/REPARTITION_BY_NUM in each hit). "
-            "The guard repartitions ONLY when the scan has fewer "
-            "splits than defaultParallelism — at 100 TB it is a "
-            "no-op and no wide column rides any exchange, pinned by "
-            "tests/test_plans.py::"
-            "test_fan_out_is_a_noop_on_well_partitioned_input. "
-            "Every KEYED exchange registry-wide shuffles digests/ids "
-            "only.",
         ]
     out = "\n".join(lines) + "\n"
     print(out)
