@@ -35,63 +35,17 @@ from . import graph  # noqa: F401,E402
 #      for the rows-only entries), sort ascending, alphabetical
 #      within a round.
 #
-# Round-12 layout, explicit (VERDICT r11 item 1 — retire the r6
-# staleness cohort): _FIRST holds the four queries whose CODE changed
-# this round (d12's core parameterized for the AQE backfill probe;
-# m11/m13's trainer cut from 5 to 3 data scans — byte-identical by
-# arithmetic, but the executed code is new; mm07, whose encode_jpeg
-# path gained the quant/range validation). They take slots 1-4; the
-# TWO round-12 registrations (j11b/j13b — the capped fuzzy production
-# spellings, VERDICT r11 item 3, unranked rule 2) land at 5-6; the
-# full 25-query r6 cohort fills 7-31; the r7 cohort's alphabetical
-# head fills the remaining ~19 slots. Registration STOPPED at two
-# (VERDICT r11 item 7: hold the line at 254 + the capped pair):
-# prefix arithmetic leaves every r6 entry inside the ~50-slot prefix
-# with headroom for jitter. Both round-12 registrations passed the
-# local typed gate at sf0.001 AND sf0.01 --plain.
+# Round-13 layout, explicit (VERDICT r12 item 1 — retire the r7
+# staleness cohort, the oldest remaining block): _PRIORITY was
+# regenerated from CORRECTNESS_r02..r12 (max green round per name,
+# ascending, alphabetical within round). _FIRST holds the queries
+# whose CODE or ORACLE changed in round 13 (see its comment). The
+# full 31-query r7 cohort fills the slots right after _FIRST; the r8
+# cohort's alphabetical head takes whatever remains of the ~50-slot
+# prefix. Registration held at 256 (VERDICT r12 item 6: deepen, not
+# widen) so the whole r7 cohort verifies this round with headroom.
 _PRIORITY = [
-    # last driver-green in r6
-    "m04_rf_feature_importances",
-    "m05_random_split_counts",
-    "m07_rf_tree_stats",
-    "m08_roc_auc",
-    "m09_feature_hashing",
-    "mm07_jpeg_roundtrip_features",
-    "mm09_mp4_container_metadata",
-    "mm10_mp4_sample_index",
-    "n16_shingle_containment",
-    "n17_segment_dedup",
-    "n18_lm_perplexity",
-    "n19_benchmark_decontamination",
-    "s11_orc_sink_roundtrip",
-    "s12_schema_evolution_scan",
-    "t15_funnel_analysis",
-    "t16_streaming_cdc_compaction",
-    "t18_streaming_sliding",
-    "t19_cohort_retention",
-    "t20_gapfill_resample",
-    "t21_streaming_stream_stream_join",
-    "t23_cusum_changepoint",
-    "u04_python_udtf",
-    "v09_product_quantization",
-    "v12_mmr_diversified_topk",
-    "w09_rolling_mean",
     # last driver-green in r7
-    "a01_grouped_sum",
-    "a02_grouped_count_mean",
-    "a03_grouped_mode",
-    "a04_global_minmax",
-    "a05_count_distinct",
-    "a06_row_count",
-    "a07_contingency_table",
-    "a20_grouping_sets",
-    "d09_merge_upsert",
-    "j01_inner_join_1key",
-    "j02_inner_join_2keys",
-    "j03_selfjoin_anchor_attach",
-    "j04_left_outer_join",
-    "j05_crossjoin_grid",
-    "j07_inner_join_merge",
     "j08_semijoin_scalar_subquery",
     "mm11_mp4_sample_ranges",
     "mm12_fmp4_sample_ranges",
@@ -147,7 +101,6 @@ _PRIORITY = [
     "mm06_png_roundtrip_features",
     "n01_token_stats",
     "n02_quality_score",
-    "n03_lang_id",
     "n08_source_quota",
     "o03_limit",
     "o04_deterministic_sample",
@@ -183,7 +136,6 @@ _PRIORITY = [
     "j12_grid_radius_join",
     "m06_decision_stump",
     "m10_depth2_tree",
-    "m11_bagged_ensemble",
     "m12_calibration_bins",
     "mm15_image_dhash_neardup",
     "mm16_video_frame_neardup",
@@ -208,7 +160,6 @@ _PRIORITY = [
     "v04_ivf_topk",
     "v10_ivfpq_topk",
     "v13_dim_truncation_recall",
-    "v14_hybrid_rrf_search",
     "w11_longest_streak",
     "w12_percent_rank_cume",
     # last driver-green in r10
@@ -222,12 +173,10 @@ _PRIORITY = [
     "d04_simhash",
     "d05_dedup_components",
     "d06_simhash_neardup",
-    "dq01_column_profile",
     "dq02_referential_orphans",
     "dq03_distribution_drift",
     "e02_field_control",
     "e03_field_control_season",
-    "e04_corpus_curation",
     "f12_bivariate_gaussian",
     "j09_full_outer_join",
     "mm02_image_features",
@@ -270,9 +219,7 @@ _PRIORITY = [
     "d07_cdc_compaction",
     "d08_scd2_history",
     "d10_incremental_agg_maintenance",
-    "d12_incremental_lsh_maintenance",
     "dq04_key_skew_profile",
-    "dq05_constraint_suite",
     "f13_winsorize",
     "g01_pagerank_neardup",
     "g02_label_propagation",
@@ -284,7 +231,6 @@ _PRIORITY = [
     "j13_fuzzy_match_deletion_blocking",
     "m01_rf_train_confusion",
     "m02_rf_predict_counts",
-    "m13_bagged_ensemble_approx",
     "mm05_audio_roundtrip_features",
     "mm08_audio_spectral_features",
     "mm14_gif_roundtrip_features",
@@ -310,45 +256,65 @@ _PRIORITY = [
     "v06_kmeans_two_steps",
     "v07_int8_quantize",
     "v08_embedding_dedup_components",
+    # last driver-green in r12
+    "a01_grouped_sum",
+    "a02_grouped_count_mean",
+    "a03_grouped_mode",
+    "a04_global_minmax",
+    "a05_count_distinct",
+    "a06_row_count",
+    "a07_contingency_table",
+    "a20_grouping_sets",
+    "d09_merge_upsert",
+    "d12_incremental_lsh_maintenance",
+    "dq01_column_profile",
+    "dq05_constraint_suite",
+    "e04_corpus_curation",
+    "j01_inner_join_1key",
+    "j02_inner_join_2keys",
+    "j03_selfjoin_anchor_attach",
+    "j04_left_outer_join",
+    "j05_crossjoin_grid",
+    "j07_inner_join_merge",
+    "j11b_fuzzy_capped_audit",
+    "j13b_fuzzy_capped_audit",
+    "m04_rf_feature_importances",
+    "m05_random_split_counts",
+    "m07_rf_tree_stats",
+    "m08_roc_auc",
+    "m09_feature_hashing",
+    "m11_bagged_ensemble",
+    "m13_bagged_ensemble_approx",
+    "mm07_jpeg_roundtrip_features",
+    "mm09_mp4_container_metadata",
+    "mm10_mp4_sample_index",
+    "n03_lang_id",
+    "n16_shingle_containment",
+    "n17_segment_dedup",
+    "n18_lm_perplexity",
+    "n19_benchmark_decontamination",
+    "s11_orc_sink_roundtrip",
+    "s12_schema_evolution_scan",
+    "t15_funnel_analysis",
+    "t16_streaming_cdc_compaction",
+    "t18_streaming_sliding",
+    "t19_cohort_retention",
+    "t20_gapfill_resample",
+    "t21_streaming_stream_stream_join",
+    "t23_cusum_changepoint",
+    "u04_python_udtf",
+    "v09_product_quantization",
+    "v12_mmr_diversified_topk",
+    "v14_hybrid_rrf_search",
+    "w09_rolling_mean",
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: the eleven queries whose CODE changed in round 12 — d12 (core
-# parameterized as incremental_lsh_pairs for the backfill AQE probe;
-# registered semantics identical), m11/m13 (the bagged trainer's leaf
-# and right-side scans folded into arithmetic on scan 1/2 sums —
-# byte-identical output, new executed code), mm07 (encode_jpeg gained
-# quant-range and 12-bit sample validation ahead of its emit path),
-# e04 (the row-local stages n02/n03/n14 fused into the base documents
-# scan — 8 -> 4 scans, 2 joins dropped, same rows), n03 (its argmax
-# expression extracted into the shared _pred_lang_expr helper e04
-# reuses), dq05 (per-table constraints now genuinely share one
-# conditional-aggregation scan each, unstacked to report rows —
-# 7 -> 4 scans, matching what its note always claimed), m09 (the
-# groupBy on the unique o_orderkey only ever merged features of the
-# same row — now a pure projection: 3 scans -> 1, 1 shuffle -> 0),
-# v14 (the BM25 arm's doc length + per-term tf now one conditional
-# aggregation; df/n_docs/avgdl one broadcast stats row — 2 joins and
-# a shuffle dropped), u04 (the UDTF ships rows over Arrow instead of
-# pickle — the registry's last row-at-a-time Python stage, now
-# flagged to zero by the plan audit), dq01 (CODE AND ORACLE: the
-# text column's distinct count keys on md5(text) in both engines —
-# the wide-column shuffle audit caught count_distinct(text) shipping
-# whole documents as distinct-group keys). Their earlier greens were
-# earned by different code, so they re-verify first.
-_FIRST = [
-    "d12_incremental_lsh_maintenance",
-    "m13_bagged_ensemble_approx",
-    "m11_bagged_ensemble",
-    "mm07_jpeg_roundtrip_features",
-    "e04_corpus_curation",
-    "n03_lang_id",
-    "dq05_constraint_suite",
-    "m09_feature_hashing",
-    "v14_hybrid_rrf_search",
-    "u04_python_udtf",
-    "dq01_column_profile",
-]
+# names: queries whose CODE or ORACLE changed in round 13, so their
+# earlier greens were earned by different code and they re-verify
+# first. Populated as round-13 work lands (VERDICT r12 item 2 — the
+# measured rescan-watch adjudication touches the v-family plans).
+_FIRST = []
 
 
 def _ordered_names():
