@@ -1,9 +1,14 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Runs each headline query end-to-end (plan + execute + count) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints the result as JSON:
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
+Two stdout lines (VERDICT r12 item 3): line 1 is the FULL result
+(all per-query timings, also archived to bench_last.json); the LAST
+line is a <=1800-byte compact summary (total, vs_baseline,
+ambient_factor, regressions, slowest timings) so a tail-truncating
+capture always ends with one complete, parseable JSON object.
 
 The per-query timing includes full materialization (df.count() after
 a no-op cache-free execution) — scan, shuffle, and aggregation all
@@ -26,6 +31,74 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+def compact_summary(result, limit=1800):
+    """Build the bench run's LAST stdout line (VERDICT r12 item 3).
+
+    The driver archives only the final ~2000 chars of stdout and
+    parses the JSON it finds there; with 104 headline queries the
+    full result line is >2000 chars, so its head is cut off and the
+    permanent gate record shows `"parsed": null` with a truncated
+    tail (BENCH_r11/r12). This summary keeps every decision-bearing
+    field (total, vs_baseline, ambient_factor, regressions, errors)
+    plus the slowest per-query timings that still fit, and is
+    guaranteed under `limit` bytes so the tail always contains one
+    complete, parseable object. The FULL per-query map is printed on
+    the first stdout line AND written to bench_last.json, so nothing
+    is lost — this line is the machine-readable index to it.
+
+    Pure function of the full result dict, unit-tested without Spark
+    (tests/test_bench_protocol.py).
+    """
+    s = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "n_queries": len(result.get("queries", {})),
+        "queries_file": "bench_last.json",
+    }
+    for k in ("baseline_total", "vs_baseline", "ambient_factor"):
+        if k in result:
+            s[k] = result[k]
+    if "errors" in result:
+        s["error_queries"] = sorted(result["errors"])
+    if "noise_retries" in result:
+        s["noise_retry_queries"] = sorted(result["noise_retries"])
+    if "regressions" in result:
+        # normally {}; if a bad round floods it, keep the worst 10 by
+        # ratio and say how many were dropped rather than overflow
+        reg = result["regressions"]
+        if len(reg) > 10:
+            worst = sorted(
+                reg, key=lambda n: -(reg[n]["ratio"] or 0)
+            )[:10]
+            s["regressions"] = {n: reg[n] for n in worst}
+            s["regressions_dropped"] = len(reg) - 10
+        else:
+            s["regressions"] = reg
+
+    def enc(obj):
+        return json.dumps(obj, separators=(",", ":"))
+
+    # fill the remaining budget with the slowest timings — the ones
+    # drift forensics needs first
+    timings = result.get("queries", {})
+    slowest = {}
+    for name in sorted(timings, key=lambda n: -timings[n]):
+        trial = dict(s)
+        trial["slowest"] = {**slowest, name: timings[name]}
+        if len(enc(trial)) > limit:
+            break
+        slowest[name] = timings[name]
+    if slowest:
+        s["slowest"] = slowest
+    out = enc(s)
+    while len(out) > limit and s.get("slowest"):
+        s["slowest"].popitem()
+        out = enc(s)
+    return out
+
 
 def timed_best(run_once, bud):
     """The measurement protocol for one query, extracted so the noise
@@ -447,7 +520,25 @@ def main() -> None:
                     file=sys.stderr,
                 )
 
+    # Full result: first stdout line (complete per-query map for any
+    # consumer reading whole stdout) AND bench_last.json (the in-repo
+    # archive the compact line points at — survives the driver's
+    # 2000-char tail capture where BENCH_r11/r12 lost 46 of 104
+    # per-query timings). The LAST line is the bounded compact
+    # summary, so the driver's tail always ends with one complete,
+    # parseable JSON object carrying total/vs_baseline/regressions/
+    # ambient_factor + the slowest timings (VERDICT r12 item 3).
     print(json.dumps(result))
+    try:
+        last_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_last.json"
+        )
+        with open(last_path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout must not fail the run
+        print(f"# bench_last.json not written: {exc}", file=sys.stderr)
+    print(compact_summary(result))
     # Opt-in hard gate (VERDICT r2 #1): exit nonzero on any >2x
     # per-query regression or per-query error. Off by default so the
     # driver's JSON-line contract (rc 0 + one line) is never at risk.

@@ -92,3 +92,79 @@ def test_ambient_ratio_none_without_budget():
 
     assert ambient_ratio(scripted([0.5, 0.5]), None) is None
     assert ambient_ratio(scripted([0.5, 0.5]), 0.0) is None
+
+
+def _fake_result(n_queries, with_regressions=0):
+    qs = {
+        f"q{i:03d}_some_longish_query_name_{i}": round(0.05 + i * 0.017, 3)
+        for i in range(n_queries)
+    }
+    r = {
+        "metric": "headline_queries_total",
+        "value": round(sum(qs.values()), 3),
+        "unit": "sec",
+        "queries": qs,
+        "sf": 0.1,
+        "baseline_total": 119.211,
+        "vs_baseline": 0.691,
+        "ambient_factor": 1.296,
+        "regressions": {
+            f"q{i:03d}_some_longish_query_name_{i}": {
+                "sec": 9.9, "baseline_sec": 1.0, "ratio": 9.9
+            }
+            for i in range(with_regressions)
+        },
+    }
+    return r
+
+
+def test_compact_summary_bounded_and_parseable():
+    # VERDICT r12 item 3: the last stdout line must fit a 2000-char
+    # tail capture whole, whatever the registry grows to
+    import json
+
+    from bench import compact_summary
+
+    for n in (0, 1, 104, 300):
+        line = compact_summary(_fake_result(n))
+        assert len(line) <= 1800, (n, len(line))
+        s = json.loads(line)
+        assert s["metric"] == "headline_queries_total"
+        assert s["vs_baseline"] == 0.691
+        assert s["ambient_factor"] == 1.296
+        assert s["n_queries"] == n
+        assert s["queries_file"] == "bench_last.json"
+        if n:
+            # slowest-first: every included timing >= any excluded one
+            assert s["slowest"]
+            floor = min(s["slowest"].values())
+            excluded = [
+                v for k, v in _fake_result(n)["queries"].items()
+                if k not in s["slowest"]
+            ]
+            assert all(v <= floor for v in excluded)
+
+
+def test_compact_summary_truncates_regression_floods():
+    import json
+
+    from bench import compact_summary
+
+    line = compact_summary(_fake_result(104, with_regressions=25))
+    assert len(line) <= 1800
+    s = json.loads(line)
+    assert len(s["regressions"]) == 10
+    assert s["regressions_dropped"] == 15
+
+
+def test_compact_summary_carries_errors_and_retries():
+    import json
+
+    from bench import compact_summary
+
+    r = _fake_result(50)
+    r["errors"] = {"q001_some_longish_query_name_1": "Boom: x"}
+    r["noise_retries"] = {"q002_some_longish_query_name_2": {"retries": 1}}
+    s = json.loads(compact_summary(r))
+    assert s["error_queries"] == ["q001_some_longish_query_name_1"]
+    assert s["noise_retry_queries"] == ["q002_some_longish_query_name_2"]
