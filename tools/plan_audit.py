@@ -352,22 +352,33 @@ def main() -> None:
                 else "none."
             ),
             "",
-            "r12 adjudication of the watch: this column exposed and "
-            "fixed e04 (8->4 scans, 2 joins dropped), dq05 (7->4), "
-            "m09 (3->1, shuffle eliminated) and v14's BM25 arm (doc "
-            "length + per-term tf now one conditional-agg groupBy, "
-            "df/n_docs/avgdl one broadcast stats row — 2 joins and a "
-            "shuffle dropped, 14% faster). Of what remains: the "
-            "v-family rescans are training/audit semantics (Lloyd "
-            "steps re-read vectors per iteration; recall audits need "
-            "an exact arm AND an approximate arm by definition); "
-            "d10 re-reads events because proving base+delta == full "
-            "recompute requires computing both sides; t19/t20 read "
-            "events in genuinely different roles (cohort anchor vs "
-            "activity; bounds vs samples); n23's zero-rescan "
-            "alternative was measured and rejected (higher-order "
-            "functions run outside codegen — 1.4x slower, see its "
-            "note).",
+            "r13 adjudication of the watch (every entry now MEASURED, "
+            "VERDICT r12 item 2; protocol tools/measure_iso.py — "
+            "warmup + best-of-3 at sf0.1, isolated): the whole "
+            "v-ANN family was rebuilt around literal model "
+            "parameters (coarse centroids, PQ codebook, per-query "
+            "ADC LUTs and probe lists are driver-side artifacts — "
+            "the FAISS serving architecture — embedded via one-parse "
+            "SQL text, not Py4J Column chatter) and ACCEPTED: "
+            "v04 4->1 scans, 1.115s->0.650s; v10 7->2 scans (index "
+            "columns in the scan stage, raw vectors touched only for "
+            "the top-REFINE shortlist), 1.463s->1.147s; v11 6->2 "
+            "scans, 0.779s->0.569s; v13 4->2 scans via single-pass "
+            "dual-rank (hit == rn_full<=k AND rn_trunc<=k on the "
+            "same row), 0.536s->0.482s. Of what remains: v06 "
+            "(3 scans, 1.190s, inside its 1.551 budget) re-reads "
+            "vectors per Lloyd step — iterative-training semantics, "
+            "ACCEPTED (at 100 TB the corpus would be cached across "
+            "steps, spark.ml's own practice); d10 (0.340s) re-reads "
+            "events because proving base+delta == full recompute "
+            "requires both sides — ACCEPTED, the rescan IS the "
+            "proof; t19 (0.442s)/t20 (0.265s) read events in "
+            "genuinely different roles (cohort anchor vs activity; "
+            "bounds vs samples) — ACCEPTED with wall numbers an "
+            "order under their shapes' budgets; n23's zero-rescan "
+            "alternative was measured and REJECTED in r12 "
+            "(higher-order functions run outside codegen — 1.4x "
+            "slower, see its note).",
             "",
             "Wide-column shuffle audit (any Exchange or "
             "BroadcastExchange — subquery plans included — whose "
