@@ -320,11 +320,15 @@ _PRIORITY = [
 # faster than their incumbents at sf0.1, see PLANS.md adjudication).
 # Oracles unchanged; outputs bit-identical, re-gated at sf0.001 and
 # sf0.01 --plain.
+# e05 joined the rebuild: its IVF assignment is now the same per-row
+# argmax expression (was crossJoin+groupBy+join-back, which also
+# re-derived the dedup chain twice).
 _FIRST = [
     "v10_ivfpq_topk",
     "v04_ivf_topk",
     "v11_ann_recall_audit",
     "v13_dim_truncation_recall",
+    "e05_embedding_index_pipeline",
 ]
 
 

@@ -131,26 +131,24 @@ from .vectors import _dot  # noqa: E402,F401
 _CENT_CACHE: dict[tuple, list] = {}
 
 
-def _trained_centroids(spark: "SparkSession", e, sf_dir: str) -> "DataFrame":
+def _trained_centroid_rows(spark: "SparkSession", e, sf_dir: str) -> list:
     """The IVF coarse quantizer as TRAINED centroids: v06's bounded
     two-step Lloyd fit (seeded with vec_id < NLIST, 6-decimal-rounded
     between and after steps so both engines see identical values),
     collected to the driver as k x dim = NLIST x KM_DIM doubles — the
     kmeans-scalar class of metadata action. An index's model
     parameters train ONCE and ship with the index, so they are
-    memoized per sf_dir (the _fitted-RF precedent): v04 and v10 share
-    one training pass instead of re-scanning the corpus twice per
-    query. Returns a (cid, kv) DataFrame built from the literals,
-    which downstream broadcasts exactly like any small dim table."""
+    memoized per sf_dir (the _fitted-RF precedent): v04/v10/e05 share
+    one training pass instead of re-scanning the corpus per query.
+    Returns the (cid, kv) rows, which _cell_expr embeds as one-parse
+    SQL literals (r13 — formerly a broadcast DataFrame)."""
     from .vectors import _spark_lloyd_step
 
     # memo key includes the parquet fingerprint so regenerating the
     # data at the same path invalidates the cache (ADVICE r8)
     key = data_fingerprint(sf_dir, "embeddings")
     if key in _CENT_CACHE:
-        return spark.createDataFrame(
-            _CENT_CACHE[key], "cid long, kv array<double>"
-        )
+        return _CENT_CACHE[key]
 
     vec = F.col("embedding").cast("array<double>")
     corp = e.select("vec_id", vec.alias("cv"))
@@ -173,12 +171,12 @@ def _trained_centroids(spark: "SparkSession", e, sf_dir: str) -> "DataFrame":
     )
     rows = [(int(r["cid"]), [float(x) for x in r["kv"]]) for r in cent.collect()]
     _CENT_CACHE[key] = rows
-    return spark.createDataFrame(rows, "cid long, kv array<double>")
+    return rows
 
 
 def _trained_cent_sql() -> str:
     """WITH-clause fragment ending in the `cent` CTE that mirrors
-    _trained_centroids: two _sql_lloyd_step chains regrouped to
+    _trained_centroid_rows: two _sql_lloyd_step chains regrouped to
     (cid, kv). Drop-in replacement for the old vec_id<NLIST seed
     CTE in the v04/v10 oracles."""
     from .vectors import _sql_lloyd_step
@@ -210,14 +208,6 @@ def _pydot(a, b) -> float:
     for x, y in zip(a, b):
         acc = acc + x * y
     return acc
-
-
-def _trained_centroid_rows(spark, e, sf_dir: str) -> list:
-    """The memoized (cid, kv) centroid rows behind _trained_centroids,
-    exposed so per-row assignment expressions can embed them as
-    literals instead of broadcast-joining a 8-row DataFrame."""
-    _trained_centroids(spark, e, sf_dir)  # populate the memo
-    return _CENT_CACHE[data_fingerprint(sf_dir, "embeddings")]
 
 
 _QV_CACHE: dict[tuple, list] = {}
@@ -2302,17 +2292,12 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
         F.col("vec_id") == F.col("canonical_id")
     ).join(members, "canonical_id")
 
-    cent = _trained_centroids(spark, e, sf_dir)
-    assign = (
-        keep.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "cid",
-            _dot(F.col("cv"), F.col("kv")).alias("score"),
-        )
-        .groupBy("vec_id")
-        .agg(F.expr("max_by(cid, struct(score, -cid))").alias("cell"))
-    )
+    # IVF cell assignment as a per-row argmax expression over the
+    # literal trained centroids (r13, same rebuild as v04/v10): the
+    # old crossJoin(broadcast cent) + groupBy(vec_id) + join-back
+    # spelling re-derived the whole dedup chain a second time and
+    # paid two vec_id shuffles for what is a pure projection on keep.
+    cell = _cell_expr("cv", _trained_centroid_rows(spark, e, sf_dir))
     scale = F.greatest(
         F.array_max(F.transform(F.col("cv"), lambda x: F.abs(x))),
         F.lit(1e-30),
@@ -2325,15 +2310,12 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
         ).cast("bigint")
         % N_SHARDS
     )
-    return (
-        keep.join(assign, "vec_id")
-        .select(
-            "vec_id",
-            "n_members",
-            "cell",
-            scale.alias("scale"),
-            shard.alias("shard"),
-        )
+    return keep.select(
+        "vec_id",
+        "n_members",
+        cell.alias("cell"),
+        scale.alias("scale"),
+        shard.alias("shard"),
     )
 
 

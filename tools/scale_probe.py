@@ -235,6 +235,28 @@ def n_exchanges(df) -> int:
     return len(re.findall(r"\bExchange\b", plan))
 
 
+def aqe_decisions(df) -> dict:
+    """AQE runtime re-plan decisions from the FINAL plan, by mode:
+    AQEShuffleRead nodes render as 'AQEShuffleRead local|coalesced|
+    skewed' — the r13 100x probe records which decisions actually
+    FIRE when the input grows two decades (VERDICT r12 item 4)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out: dict = {}
+    for m in re.findall(r"AQEShuffleRead (\w+)", plan):
+        out[m] = out.get(m, 0) + 1
+    return out
+
+
+def heap_used_mb(spark) -> int:
+    """Driver+executor JVM used heap right after the run (local mode:
+    one JVM, so this IS executor memory), sampled before GC can
+    collect the shuffle/aggregate buffers."""
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    return int((rt.totalMemory() - rt.freeMemory()) // 2**20)
+
+
 def run_one(spark, name: str, sf_dir: str):
     from big_data_bowl_spark.queries import REGISTRY
 
@@ -246,7 +268,9 @@ def run_one(spark, name: str, sf_dir: str):
     # identical at both scales — a fair like-for-like timing
     rows = len(df.collect())
     wall = time.time() - t0
-    return wall, rows, n_exchanges(df)
+    return wall, rows, n_exchanges(df), aqe_decisions(df), heap_used_mb(
+        spark
+    )
 
 
 def main() -> None:
@@ -298,8 +322,8 @@ def main() -> None:
             build_key_exploded_events(
                 spark, args.sf, probe, args.t35_keys
             )
-            w1, r1, x1 = run_one(spark, name, args.sf)
-            wN, rN, xN = run_one(spark, name, probe)
+            w1, r1, x1, a1, h1 = run_one(spark, name, args.sf)
+            wN, rN, xN, aN, hN = run_one(spark, name, probe)
             print(
                 json.dumps(
                     {
@@ -325,8 +349,8 @@ def main() -> None:
                 args.queries
                 or ["j11b_fuzzy_capped_audit", "j13b_fuzzy_capped_audit"]
             ):
-                w1, r1, x1 = run_one(spark, name, args.sf)
-                wN, rN, xN = run_one(spark, name, probe)
+                w1, r1, x1, a1, h1 = run_one(spark, name, args.sf)
+                wN, rN, xN, aN, hN = run_one(spark, name, probe)
                 print(
                     json.dumps(
                         {
@@ -348,8 +372,8 @@ def main() -> None:
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as probe:
         build_probe_lake(spark, args.sf, probe, args.factor)
         for name in (args.queries or PIPELINES):
-            w1, r1, x1 = run_one(spark, name, args.sf)
-            wN, rN, xN = run_one(spark, name, probe)
+            w1, r1, x1, a1, h1 = run_one(spark, name, args.sf)
+            wN, rN, xN, aN, hN = run_one(spark, name, probe)
             results.append(
                 {
                     "query": name,
@@ -361,6 +385,10 @@ def main() -> None:
                     "exchanges_1x": x1,
                     f"exchanges_{args.factor}x": xN,
                     "plan_shape_stable": x1 == xN,
+                    "aqe_1x": a1,
+                    f"aqe_{args.factor}x": aN,
+                    "heap_mb_1x": h1,
+                    f"heap_mb_{args.factor}x": hN,
                 }
             )
             print(json.dumps(results[-1]))
