@@ -117,10 +117,14 @@ PIPELINES = [
 ]
 
 
-def build_probe_lake(spark, sf_dir: str, out_dir: str, factor: int):
+def build_probe_lake(
+    spark, sf_dir: str, out_dir: str, factor: int, tables=None
+):
     from pyspark.sql import functions as F
 
     for table, key in TABLES.items():
+        if tables is not None and table not in tables:
+            continue
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         exploded = (
             df.withColumn(
@@ -305,6 +309,14 @@ def main() -> None:
         "walls/plans on the healthy growth axis",
     )
     ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of the replica tables to build "
+        "(default: all); at --factor 100 skipping lineitem/customer "
+        "saves most of the lake-build time when the probed pipelines "
+        "only read events/documents/embeddings",
+    )
+    ap.add_argument(
         "queries",
         nargs="*",
         help="subset of PIPELINES to probe (default: all)",
@@ -370,7 +382,13 @@ def main() -> None:
 
     results = []
     with tempfile.TemporaryDirectory(prefix="scale_probe_") as probe:
-        build_probe_lake(spark, args.sf, probe, args.factor)
+        build_probe_lake(
+            spark,
+            args.sf,
+            probe,
+            args.factor,
+            tables=set(args.tables.split(",")) if args.tables else None,
+        )
         for name in (args.queries or PIPELINES):
             w1, r1, x1, a1, h1 = run_one(spark, name, args.sf)
             wN, rN, xN, aN, hN = run_one(spark, name, probe)
