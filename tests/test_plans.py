@@ -606,3 +606,41 @@ def test_unpartitioned_windows_sit_on_bounded_input(spark):
 
     events = load_table(spark, SF, "events").count()
     assert hours < events / 10  # aggregate-sized, not data-sized
+
+
+def test_rebuilt_ann_family_embeddings_scan_counts_hold(spark):
+    """r13 rescan-watch adjudication (VERDICT r12 item 2): the v-ANN
+    family was rebuilt around driver-side literal model parameters —
+    coarse centroids, PQ codebook, per-query ADC LUTs and probe lists
+    embedded as one-parse SQL text — so each SERVE plan touches the
+    embeddings parquet a fixed, small number of times (training
+    scans happen at index-build time, by design; the serve plan is
+    what a query pays per request). These ceilings pin the measured
+    wins (v04 4->1, v10 7->2, v11 6->2, v13 4->2 scans; walls in the
+    PLANS.md adjudication): a refactor that re-derives index columns
+    per arm would fail HERE as extra embeddings scans, not in a
+    cluster bill. e05 joined the rebuild — its IVF assignment is a
+    projection on the dedup survivors, not crossJoin+groupBy+join-
+    back (which also re-derived the dedup chain twice)."""
+    import contextlib
+    import io
+
+    from tools.plan_audit import audit
+
+    for name, max_scans in [
+        ("v04_ivf_topk", 1),
+        ("v10_ivfpq_topk", 2),
+        ("v11_ann_recall_audit", 2),
+        ("v13_dim_truncation_recall", 2),
+        ("e05_embedding_index_pipeline", 2),
+    ]:
+        df = REGISTRY[name].fn(spark, SF)
+        # execute THIS df's QueryExecution so its adaptive plan
+        # finalizes (the plan_audit convention)
+        df.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        a = audit(buf.getvalue())
+        n = a["scan_tables"].get("embeddings", 0)
+        assert n <= max_scans, (name, a["scan_tables"])
