@@ -2271,15 +2271,36 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
 
     e = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    ids = e.select("vec_id", vec.alias("cv"))
+
+    # Every cv-derived column is computed SCAN-SIDE and cv dropped
+    # before the first join (r13, found by tools/shuffle_metrics.py:
+    # Catalyst prunes unused columns through joins but never computes
+    # expressions early, so with cell/scale projected after the
+    # attach join the 64-dim double array rode BOTH the vec_id SMJ
+    # exchange and the canonical_id attach exchange at ~405 B/row —
+    # invisible to the name-based wide-column audit because the
+    # column is the derived alias cv, not `embedding`). Cost of
+    # computing early: the centroid argmax also runs on rows the
+    # survivor filter will drop — scan-local CPU on the dup fraction,
+    # bought for zero wide exchanges anywhere in the plan; at 100 TB
+    # shuffle bytes are the scarcer resource by orders of magnitude.
+    cell = _cell_expr("cv", _trained_centroid_rows(spark, e, sf_dir))
+    scale = F.greatest(
+        F.array_max(F.transform(F.col("cv"), lambda x: F.abs(x))),
+        F.lit(1e-30),
+    )
+    feats = e.select("vec_id", vec.alias("cv")).select(
+        "vec_id", cell.alias("cell"), scale.alias("scale")
+    )
 
     pairs = v03_bucketed_neardup(spark, sf_dir).select("vec_a", "vec_b")
     labels = connected_components(pairs, src="vec_a", dst="vec_b")
-    canon = ids.join(
-        labels, ids["vec_id"] == labels["node"], "left"
+    canon = feats.join(
+        labels, feats["vec_id"] == labels["node"], "left"
     ).select(
         "vec_id",
-        "cv",
+        "cell",
+        "scale",
         F.coalesce("comp", "vec_id").alias("canonical_id"),
     )
     members = canon.groupBy("canonical_id").agg(
@@ -2292,16 +2313,6 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
         F.col("vec_id") == F.col("canonical_id")
     ).join(members, "canonical_id")
 
-    # IVF cell assignment as a per-row argmax expression over the
-    # literal trained centroids (r13, same rebuild as v04/v10): the
-    # old crossJoin(broadcast cent) + groupBy(vec_id) + join-back
-    # spelling re-derived the whole dedup chain a second time and
-    # paid two vec_id shuffles for what is a pure projection on keep.
-    cell = _cell_expr("cv", _trained_centroid_rows(spark, e, sf_dir))
-    scale = F.greatest(
-        F.array_max(F.transform(F.col("cv"), lambda x: F.abs(x))),
-        F.lit(1e-30),
-    )
     shard = (
         F.conv(
             F.substring(F.md5(F.col("vec_id").cast("string")), 1, 6),
@@ -2313,8 +2324,8 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
     return keep.select(
         "vec_id",
         "n_members",
-        cell.alias("cell"),
-        scale.alias("scale"),
+        "cell",
+        "scale",
         shard.alias("shard"),
     )
 

@@ -644,3 +644,44 @@ def test_rebuilt_ann_family_embeddings_scan_counts_hold(spark):
         a = audit(buf.getvalue())
         n = a["scan_tables"].get("embeddings", 0)
         assert n <= max_scans, (name, a["scan_tables"])
+
+
+def test_digest_only_shuffles_stay_narrow(spark):
+    """r13: the wide-column audit (PLANS.md) classifies exchange
+    inputs by column NAME, which a derived alias escapes — e05's
+    `cv` (the cast embedding array) rode two exchanges at ~405
+    bytes/record until tools/shuffle_metrics.py weighed them. This
+    pin verifies the "only ids and digests ride exchanges" claim by
+    WEIGHT: for the pipelines whose notes make it, every shuffle
+    exchange in the executed plan stays under 256 bytes/record —
+    an embedding array (~520 B), a text column (KBs) or a shingle
+    array would trip it immediately, while id+digest+scalar rows
+    (measured 9-244 B/rec across the set at sf0.01) never approach
+    it. j11b is pinned looser: its audit facet intentionally carries
+    a bounded sample payload on bucket-count-sized rows."""
+    from tools.shuffle_metrics import audit_executed
+
+    for name, ceiling in [
+        ("e01_distance_at_anchor", 256),
+        ("e03_field_control_season", 256),
+        ("e04_corpus_curation", 256),
+        ("e05_embedding_index_pipeline", 256),
+        ("d02_dedup_minhash_lsh", 256),
+        ("d11_canonical_survivor", 256),
+        ("d12_incremental_lsh_maintenance", 256),
+        ("dq01_column_profile", 256),
+        ("j13b_fuzzy_capped_audit", 256),
+        ("m11_bagged_ensemble", 256),
+        ("n09_vocab_topk", 256),
+        ("v10_ivfpq_topk", 256),
+        ("v14_hybrid_rrf_search", 256),
+        ("j11b_fuzzy_capped_audit", 2048),
+    ]:
+        df = REGISTRY[name].fn(spark, SF)
+        df.collect()
+        a = audit_executed(df)
+        assert a["max_bytes_per_record"] <= ceiling, (name, a)
+        # and nothing spills at test scale — a nonzero spill here
+        # means an operator's working set is data-sized where the
+        # notes claim it is not
+        assert a["spill_bytes"] == 0, (name, a)
