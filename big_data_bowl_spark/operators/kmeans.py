@@ -3,20 +3,38 @@ embedding column.
 
 Each iteration is the declarative step proven by the
 `v05_kmeans_step` oracle (queries/vectors.py): assign every vector to
-its nearest centroid via argmin(||k||² − 2·c·k) over BROADCAST
-centroids — a map-side `min_by`, never a corpus×k window — then
-recompute centroids as element-wise means in long (cell, dim) form.
+its nearest centroid via a per-row argmin EXPRESSION over the k
+driver-side centroid literals — never a crossJoin, never a
+corpus-sized shuffle — then recompute centroids as element-wise means
+in long (cell, dim) form, whose partial aggregation combines
+map-side to k x dim rows per task.
+
+r13 rewrite (found by tools/shuffle_metrics.py): the previous
+spelling assigned via corpus.crossJoin(broadcast(cent)) +
+groupBy(vec_id).min_by — the min_by partials collapse the k-fold
+explosion map-side, but the groupBy exchange still moved the ENTIRE
+corpus, vectors included, once per iteration (~420 B/row measured).
+Centroids are k x dim doubles — driver-side model state by any
+honest reading (the convergence check already collected a scalar per
+round) — so each round now collects the (cell, dim) aggregate
+(k x dim rows, the same payload the old plan shuffled to build
+`new_cent`) and embeds the updated centroids as one-parse SQL
+literals in the next round's assignment (functions/sqltext.py
+exactness contracts). This is how spark.ml's own KMeans iterates:
+centers live on the driver, only sufficient statistics cross the
+network. Per-iteration network cost: k x dim x n_tasks partial rows;
+the corpus never leaves its partitions.
 
 Scale notes (100 TB):
-- Per-iteration cost: one corpus scan + one (cell, dim) aggregation
-  whose output is k×dim rows. Centroids (k×dim doubles) always fit
-  in a broadcast.
-- Convergence is detected on max centroid displacement — one extra
-  k×dim-row action per round, trivial next to the scan.
-- `localCheckpoint` pins each round's centroids so round n doesn't
-  re-evaluate rounds 1..n-1 (same discipline as
-  operators/components.py).
+- Per-iteration cost: one corpus scan + one map-side-combined
+  (cell, dim) aggregation; nothing data-sized shuffles.
+- Convergence is detected on max centroid displacement, computed on
+  the driver from the collected k x dim means.
 - Empty cells keep their previous centroid (standard Lloyd fix).
+- The corpus projection is localCheckpoint'd once so round n doesn't
+  re-evaluate upstream lineage (same discipline as
+  operators/components.py); a cluster deployment would persist or
+  re-scan the lake instead.
 
 The reference repo has no clustering; this backs the IVF ANN path
 (v04) with trained, rather than sampled, coarse centroids.
@@ -24,16 +42,63 @@ The reference repo has no clustering; this backs the IVF ANN path
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.sqltext import nearest_cell_sql, sql_darr
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+
+def nearest_cell_expr(cv_name: str, cent_rows):
+    """Column: argmin-distance cell id for `cv_name` over literal
+    (cid, kv) centroid rows — ONE F.expr parse however many centroids
+    (see functions/sqltext.nearest_cell_sql for the exactness and
+    tie-break contract)."""
+    return F.expr(nearest_cell_sql(cv_name, cent_rows))
+
+
+def seed_centroid_rows(corp: DataFrame, k: int) -> list:
+    """Deterministic seeds: the k lowest-id vectors, renumbered
+    0..k-1 in id order. A k-row driver collect — model
+    initialization, the same metadata class as the per-round
+    centroid state."""
+    rows = corp.orderBy("vid").limit(k).collect()
+    return [(i, [float(x) for x in r["cv"]]) for i, r in enumerate(rows)]
+
+
+def step_stats(corp: DataFrame, cent_rows) -> DataFrame:
+    """One Lloyd step's sufficient statistics: assign by literal
+    argmin (a projection — no join, no corpus shuffle), then the
+    (cell, dim) member counts and mean components. The groupBy
+    partial-aggregates map-side, so the only exchange carries
+    k x dim rows per task."""
+    assign = corp.select(
+        nearest_cell_expr("cv", cent_rows).alias("cell"), "cv"
     )
+    dims = assign.select(
+        "cell", F.posexplode("cv").alias("dim_idx", "val")
+    )
+    return dims.groupBy("cell", "dim_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("val") / F.count(F.lit(1))).alias("m"),
+    )
+
+
+def collect_step(corp: DataFrame, cent_rows) -> dict:
+    """Run one step and collect its k x dim sufficient statistics:
+    {cell: (n_members, [means by dim])}."""
+    by_cell: dict = {}
+    for r in step_stats(corp, cent_rows).collect():
+        by_cell.setdefault(int(r["cell"]), {})[int(r["dim_idx"])] = (
+            int(r["n"]),
+            float(r["m"]),
+        )
+    return {
+        cell: (
+            dims[0][0],  # every member contributes one dim-0 row
+            [dims[i][1] for i in range(len(dims))],
+        )
+        for cell, dims in by_cell.items()
+    }
 
 
 def kmeans_fit(
@@ -56,89 +121,34 @@ def kmeans_fit(
         .localCheckpoint()  # scan input once, reuse every round
     )
 
-    w0 = Window.orderBy("vid")
-    cent = (
-        corp.orderBy("vid")
-        .limit(k)
-        .select(
-            (F.row_number().over(w0) - 1).alias("cid"),
-            F.col("cv").alias("kv"),
-        )
-        .localCheckpoint()
-    )
+    cent = seed_centroid_rows(corp, k)
+    members = {cid: 0 for cid, _ in cent}
     for _ in range(max_iter):
-        d = _dot(F.col("kv"), F.col("kv")) - 2.0 * _dot(
-            F.col("cv"), F.col("kv")
-        )
-        assign = (
-            corp.crossJoin(F.broadcast(cent))
-            .select("vid", "cv", "cid", d.alias("d"))
-            .groupBy("vid")
-            .agg(
-                F.expr("min_by(cid, struct(d, cid))").alias("cell"),
-                F.first("cv").alias("cv"),
-            )
-        )
-        dims = assign.select(
-            "cell", F.posexplode("cv").alias("dim_idx", "val")
-        )
-        new_cent = (
-            dims.groupBy("cell", "dim_idx")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                (F.sum("val") / F.count(F.lit(1))).alias("m"),
-            )
-            .groupBy("cell")
-            .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("dim_idx", "m"))
-                ).alias("pairs"),
-                # member count = the dim-0 row's count: every vector in
-                # the cell contributes exactly one dim_idx==0 row, so
-                # this stays exact even if arrays are ragged (where
-                # first() over differing per-dim counts is arbitrary)
-                F.max(
-                    F.when(F.col("dim_idx") == 0, F.col("n"))
-                ).alias("n_members"),
-            )
-            .select(
-                F.col("cell").alias("cid"),
-                F.transform(F.col("pairs"), lambda p: p["m"]).alias("kv"),
-                "n_members",
-            )
-        )
-        # empty cells keep their previous centroid
-        stepped = (
-            cent.alias("old")
-            .join(new_cent.alias("new"), "cid", "left")
-            .select(
-                "cid",
-                F.coalesce("new.kv", "old.kv").alias("kv"),
-                F.coalesce("new.n_members", F.lit(0)).alias("n_members"),
-                F.when(F.col("new.kv").isNull(), F.lit(0.0))
-                .otherwise(
-                    F.array_max(
-                        F.zip_with(
-                            "old.kv",
-                            "new.kv",
-                            lambda a, b: F.abs(a - b),
-                        )
-                    )
+        stats = collect_step(corp, cent)
+        new_cent, max_move = [], 0.0
+        members = {}
+        for cid, kv in cent:
+            if cid in stats:
+                n, means = stats[cid]
+                max_move = max(
+                    max_move,
+                    max(abs(a - b) for a, b in zip(kv, means)),
                 )
-                .alias("moved"),
-            )
-            .localCheckpoint()
-        )
-        max_move = stepped.agg(F.max("moved")).collect()[0][0]
-        prev_cent = cent
-        cent = stepped.select("cid", "kv", "n_members").localCheckpoint()
-        # release superseded checkpoints (stepped fed cent, which is
-        # now materialized; prev_cent fed stepped): without this a
-        # long run pins O(iters x k x dim) storage (review r7). The
-        # INITIAL cent may not be a checkpoint — unpersist is a no-op
-        # on non-persisted frames.
-        stepped.unpersist()
-        prev_cent.unpersist()
-        if max_move is not None and max_move <= tol:
+                new_cent.append((cid, means))
+                members[cid] = n
+            else:  # empty cell keeps its previous centroid
+                new_cent.append((cid, kv))
+                members[cid] = 0
+        cent = new_cent
+        if max_move <= tol:
             break
-    return cent
+
+    spark = corpus.sparkSession
+    vals = ",".join(
+        f"({cid}, {sql_darr(kv)}, {members[cid]})" for cid, kv in cent
+    )
+    return spark.sql(
+        f"SELECT CAST(cid AS INT) AS cid, kv, "
+        f"CAST(n_members AS BIGINT) AS n_members "
+        f"FROM (VALUES {vals}) AS t(cid, kv, n_members)"
+    )

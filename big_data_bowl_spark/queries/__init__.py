@@ -322,13 +322,21 @@ _PRIORITY = [
 # sf0.01 --plain.
 # e05 joined the rebuild: its IVF assignment is now the same per-row
 # argmax expression (was crossJoin+groupBy+join-back, which also
-# re-derived the dedup chain twice).
+# re-derived the dedup chain twice), and later in r13 its cv-derived
+# columns moved scan-side so no exchange carries a vector
+# (tools/shuffle_metrics.py finding).
+# v05/v06 joined last: the Lloyd step assigns via the same literal
+# argmin projection (operators/kmeans.py rewrite) instead of
+# crossJoin+groupBy(vec_id), whose exchange moved the corpus with
+# vectors; outputs bit-identical, re-gated at both SFs.
 _FIRST = [
     "v10_ivfpq_topk",
     "v04_ivf_topk",
     "v11_ann_recall_audit",
     "v13_dim_truncation_recall",
     "e05_embedding_index_pipeline",
+    "v05_kmeans_step",
+    "v06_kmeans_two_steps",
 ]
 
 

@@ -142,7 +142,7 @@ def _trained_centroid_rows(spark: "SparkSession", e, sf_dir: str) -> list:
     one training pass instead of re-scanning the corpus per query.
     Returns the (cid, kv) rows, which _cell_expr embeds as one-parse
     SQL literals (r13 — formerly a broadcast DataFrame)."""
-    from .vectors import _spark_lloyd_step
+    from .vectors import _seed_rows, _spark_lloyd_step, _step_rows
 
     # memo key includes the parquet fingerprint so regenerating the
     # data at the same path invalidates the cache (ADVICE r8)
@@ -152,24 +152,13 @@ def _trained_centroid_rows(spark: "SparkSession", e, sf_dir: str) -> list:
 
     vec = F.col("embedding").cast("array<double>")
     corp = e.select("vec_id", vec.alias("cv"))
-    seed = e.filter(F.col("vec_id") < NLIST).select(
-        F.col("vec_id").alias("cid"), vec.alias("kv")
-    )
-
-    def regroup(step):
-        return step.groupBy(F.col("cell").alias("cid")).agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("dim_idx", "centroid_val"))
-                ),
-                lambda s: s["centroid_val"],
-            ).alias("kv")
-        )
-
-    cent = regroup(
-        _spark_lloyd_step(corp, regroup(_spark_lloyd_step(corp, seed)))
-    )
-    rows = [(int(r["cid"]), [float(x) for x in r["kv"]]) for r in cent.collect()]
+    # two row-fed Lloyd steps (the r13 literal-assignment rewrite —
+    # each step's k x dim rounded centroids collect as the next
+    # step's literals, so no training exchange carries a vector);
+    # values identical to the old in-plan regroup chain: same
+    # assignment folds, same rounded means, exact repr round-trips
+    step1_rows = _step_rows(_spark_lloyd_step(corp, _seed_rows(corp, NLIST)))
+    rows = _step_rows(_spark_lloyd_step(corp, step1_rows))
     _CENT_CACHE[key] = rows
     return rows
 
@@ -249,28 +238,15 @@ def _probe_pairs(cent_rows, qrows, nprobe: int) -> list:
     return out
 
 
-def _sql_dlit(x: float) -> str:
-    """Exact double literal for Spark SQL: repr() is the shortest
-    round-trip representation and string->double parsing is exact, so
-    the parsed value is bit-identical to the collected double. (Bare
-    SQL numeric literals would parse as DECIMAL — hence the CAST.)"""
-    return f"CAST('{x!r}' AS DOUBLE)"
-
-
-def _sql_darr(vals) -> str:
-    return "array(" + ",".join(_sql_dlit(x) for x in vals) + ")"
-
-
-def _sql_fold_dot(a: str, b: str) -> str:
-    """_dot as SQL text: the identical zip_with/aggregate sequential
-    fold, generated as a string so a plan embedding dozens of literal
-    codewords costs ONE F.expr parse instead of hundreds of Py4J
-    round-trips (the m13/m11 r12 precedent — Column-API construction
-    of these trees measured 0.7-1.8s of pure plan-build time)."""
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    )
+# Exact-double SQL-text builders — shared with operators/kmeans.py
+# and queries/vectors.py since the r13 Lloyd rewrite; the exactness
+# contracts (repr round-trip, identical fold sequence) are documented
+# at the definitions (functions/sqltext.py).
+from ..functions.sqltext import (  # noqa: E402
+    sql_darr as _sql_darr,
+    sql_dlit as _sql_dlit,
+    sql_fold_dot as _sql_fold_dot,
+)
 
 
 def _cell_expr(cv_name: str, cent_rows):

@@ -279,48 +279,26 @@ KM_DIM = 64
     FROM dims GROUP BY cell, dim_idx
     """,
     note=f"One Lloyd's k-means iteration over embeddings (k={KM_K}): "
-    "argmin squared distance via ||k||^2 - 2 c.k (broadcast "
-    "centroids, map-side max_by — no window over corpus x k rows), "
-    "then element-wise centroid means in LONG form (cell, dim). "
-    "Sums decimal-cast for order independence; the full loop is this "
-    "step under the d05-style convergence driver. The 100 TB shape: "
-    "per-iteration cost = one broadcast scan + one (cell, dim) "
-    "aggregation, state = k x dim doubles",
+    "argmin squared distance via ||k||^2 - 2 c.k as a per-row "
+    "expression over the k collected centroid literals (r13 — "
+    "formerly crossJoin(broadcast)+groupBy(vec_id).min_by, whose "
+    "exchange moved the whole corpus WITH vectors at ~420 B/row; "
+    "now the assignment is a projection and nothing data-sized "
+    "shuffles), then element-wise centroid means in LONG form "
+    "(cell, dim) whose groupBy partial-aggregates map-side. Sums "
+    "decimal-cast for order independence; the full loop is this "
+    "step under operators/kmeans.py's convergence driver. The "
+    "100 TB shape: per-iteration cost = one corpus scan + one "
+    "k x dim-row exchange, state = k x dim doubles on the driver",
 )
 def v05_kmeans_step(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
-    cent = e.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), vec.alias("kv")
-    )
     corp = e.select("vec_id", vec.alias("cv"))
-    d = _dot(F.col("kv"), F.col("kv")) - 2.0 * _dot(
-        F.col("cv"), F.col("kv")
-    )
-    # min_by on (d, cid) struct == ORDER BY d ASC, cid ASC LIMIT 1 per
-    # vector, but partially aggregable (k rows collapse map-side)
-    assign = (
-        corp.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cv", "cid", d.alias("d"))
-        .groupBy("vec_id")
-        .agg(
-            F.expr("min_by(cid, struct(d, cid))").alias("cell"),
-            F.first("cv").alias("cv"),
-        )
-    )
-    dims = assign.select(
-        "cell", F.posexplode("cv").alias("dim_idx0", "val")
-    ).select("cell", (F.col("dim_idx0") + 1).alias("dim_idx"), "val")
-    from ..functions.rounding import rhu
-
-    return dims.groupBy("cell", "dim_idx").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        rhu(
-            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("centroid_val"),
-    )
+    # seeds collected as literal model rows (k x dim doubles); the
+    # assignment is then a scan-side projection — see
+    # _spark_lloyd_step for the r13 rewrite rationale
+    return _spark_lloyd_step(corp, _seed_rows(corp, KM_K))
 
 
 # ---------------------------------------------------------------------------
@@ -356,20 +334,48 @@ def _sql_lloyd_step(corp: str, cent: str, tag: str) -> str:
       FROM dims{tag} GROUP BY cell, dim_idx)"""
 
 
-def _spark_lloyd_step(corp, cent):
-    """One Lloyd step (broadcast centroids, map-side min_by assignment,
-    long-form rounded means) — the v05 body, reusable."""
-    from ..functions.rounding import rhu
+def _seed_rows(corp, k: int) -> list:
+    """v05/v06's deterministic seeds — (cid=vec_id, kv) for the
+    vec_id < k vectors, collected driver-side: k x dim doubles, the
+    model-initialization metadata class (the v04 rebuild's
+    _trained_centroid_rows precedent)."""
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["cv"]])
+        for r in corp.filter(F.col("vec_id") < k).collect()
+    ]
 
-    d = _dot(F.col("kv"), F.col("kv")) - 2.0 * _dot(F.col("cv"), F.col("kv"))
-    assign = (
-        corp.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cv", "cid", d.alias("d"))
-        .groupBy("vec_id")
-        .agg(
-            F.expr("min_by(cid, struct(d, cid))").alias("cell"),
-            F.first("cv").alias("cv"),
+
+def _step_rows(step_df) -> list:
+    """Collect one Lloyd step's (cell, dim_idx, centroid_val) output
+    as (cid, kv) rows for the next step's literal assignment — k x
+    dim 6-decimal-rounded doubles, exact through repr round-trip."""
+    by: dict = {}
+    for r in step_df.collect():
+        by.setdefault(int(r["cell"]), {})[int(r["dim_idx"])] = float(
+            r["centroid_val"]
         )
+    return [
+        (cell, [dims[i] for i in sorted(dims)])
+        for cell, dims in sorted(by.items())
+    ]
+
+
+def _spark_lloyd_step(corp, cent_rows):
+    """One Lloyd step over literal centroid rows: per-row argmin
+    assignment (operators/kmeans.nearest_cell_expr — a PROJECTION),
+    then long-form rounded means whose groupBy partial-aggregates
+    map-side to k x dim rows per task. The r13 rewrite: the old
+    crossJoin(broadcast) + groupBy(vec_id).min_by spelling collapsed
+    the k-fold explosion map-side but still moved the whole corpus,
+    vectors included, through the groupBy exchange (~420 B/row,
+    tools/shuffle_metrics.py) — now nothing data-sized shuffles.
+    Assignments are bit-identical: same d formula, same fold
+    sequence, same (d, cid) tie-break (sqltext.nearest_cell_sql)."""
+    from ..functions.rounding import rhu
+    from ..operators.kmeans import nearest_cell_expr
+
+    assign = corp.select(
+        nearest_cell_expr("cv", cent_rows).alias("cell"), "cv"
     )
     dims = assign.select(
         "cell", F.posexplode("cv").alias("dim_idx0", "val")
@@ -400,30 +406,28 @@ def _spark_lloyd_step(corp, cent):
     SELECT cell, dim_idx, n_members, centroid_val FROM step2
     """,
     note="V6: operators/kmeans.kmeans_fit bounded to TWO Lloyd "
-    "iterations so the whole fit is one declarative plan with a full "
-    "DuckDB value oracle (VERDICT r2 #9) — iteration-1 centroids are "
-    "rounded to 6 decimals in BOTH engines before re-use, making the "
-    "second assignment bit-deterministic. The unbounded operator "
-    "(displacement-convergence loop, localCheckpoint lineage "
-    "truncation) stays pytest-verified; per-iteration plan shape is "
-    "identical: broadcast centroids, map-side min_by, (cell, dim) "
-    "aggregation.",
+    "iterations with a full DuckDB value oracle (VERDICT r2 #9) — "
+    "iteration-1 centroids are rounded to 6 decimals in BOTH engines "
+    "before re-use, making the second assignment bit-deterministic. "
+    "r13: step-1's k x dim rounded centroids COLLECT and feed step 2 "
+    "as one-parse literals (exact repr round-trip), exactly how the "
+    "unbounded operator iterates — the serve plan is one corpus scan "
+    "+ one map-side-combined (cell, dim) exchange (~32 B/row "
+    "measured), and no exchange anywhere carries a vector. The "
+    "unbounded operator (displacement-convergence loop) stays "
+    "pytest-verified with the identical per-iteration shape.",
 )
 def v06_kmeans_two_steps(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "embeddings")
     vec = F.col("embedding").cast("array<double>")
     corp = e.select("vec_id", vec.alias("cv"))
-    cent1 = e.filter(F.col("vec_id") < KM_K).select(
-        F.col("vec_id").alias("cid"), vec.alias("kv")
-    )
-    step1 = _spark_lloyd_step(corp, cent1)
-    cent2 = step1.groupBy(F.col("cell").alias("cid")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_idx", "centroid_val"))),
-            lambda s: s["centroid_val"],
-        ).alias("kv")
-    )
-    return _spark_lloyd_step(corp, cent2).select(
+    # step-1 centroids are collected (k x dim 6-decimal doubles, the
+    # per-round model state) and fed to step 2 as literals — the
+    # trainer's iteration discipline (operators/kmeans.py r13): the
+    # serve plan is ONE corpus scan + one (cell, dim) aggregation,
+    # and no exchange anywhere carries a vector
+    cent2_rows = _step_rows(_spark_lloyd_step(corp, _seed_rows(corp, KM_K)))
+    return _spark_lloyd_step(corp, cent2_rows).select(
         "cell", "dim_idx", "n_members", "centroid_val"
     )
 

@@ -673,6 +673,8 @@ def test_digest_only_shuffles_stay_narrow(spark):
         ("j13b_fuzzy_capped_audit", 256),
         ("m11_bagged_ensemble", 256),
         ("n09_vocab_topk", 256),
+        ("v05_kmeans_step", 256),
+        ("v06_kmeans_two_steps", 256),
         ("v10_ivfpq_topk", 256),
         ("v14_hybrid_rrf_search", 256),
         ("j11b_fuzzy_capped_audit", 2048),

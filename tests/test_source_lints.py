@@ -28,13 +28,22 @@ HEAVY = {"numpy", "pandas", "pyarrow", "duckdb"}
 # it is bounded. Counts are exact on purpose: a new .collect() in a
 # data path should FAIL here and be argued about, not slip through.
 COLLECT_ALLOWED = {
-    "operators/kmeans.py": 1,  # max centroid movement — 1 scalar row
+    # seed centroids (k rows) + per-round (cell, dim) sufficient
+    # statistics (k x dim rows) — Lloyd's driver-side model state,
+    # the spark.ml KMeans iteration discipline (r13 rewrite: the
+    # corpus-shuffling crossJoin+groupBy assignment became a literal
+    # projection, so the convergence scalar collect became these two)
+    "operators/kmeans.py": 2,
     "operators/rank.py": 2,  # bucket stats — num_buckets-sized
-    # trained coarse codebook (k-sized LUT), the PQ codebook
-    # (PQ_M x PQ_K x PQ_SUB = 512 doubles) and the bounded ANN query
-    # sample (N_QUERIES=3 rows) — all driver-side index/model
-    # artifacts, memoized per data fingerprint (r13 v-family rebuild)
-    "queries/extras.py": 3,
+    # the PQ codebook (PQ_M x PQ_K x PQ_SUB = 512 doubles) and the
+    # bounded ANN query sample (N_QUERIES=3 rows) — driver-side
+    # index/model artifacts, memoized per data fingerprint (r13
+    # v-family rebuild); the coarse-codebook trainer's collects live
+    # in vectors.py since the r13 Lloyd rewrite
+    "queries/extras.py": 2,
+    # _seed_rows (k centroid rows) + _step_rows (k x dim rounded
+    # means) — the v05/v06/trainer Lloyd model state (r13)
+    "queries/vectors.py": 2,
     "queries/ml.py": 5,  # trained split thresholds / sufficient
     #   statistics — bounded by features x quantiles, never rows
     "queries/nlp.py": 1,  # BPE's next merge pair — limit(1), 1 row
@@ -138,9 +147,6 @@ def test_driver_side_materialization_sites_are_frozen():
 # LIMIT) asserted against the physical plan in
 # test_plans.py::test_unpartitioned_windows_sit_on_bounded_input.
 UNPARTITIONED_WINDOW_ALLOWED = {
-    # kmeans seed numbering: input is corp.orderBy(vid).limit(k) —
-    # k rows (the centroid count), never the corpus
-    "operators/kmeans.py": 1,
     # m06/m10 best-split pick: input is the (feature x threshold)
     # candidate aggregate — 9 rows by construction, never the corpus
     "queries/ml.py": 1,

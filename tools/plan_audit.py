@@ -419,11 +419,14 @@ def main() -> None:
             "the top-REFINE shortlist), 1.463s->1.147s; v11 6->2 "
             "scans, 0.779s->0.569s; v13 4->2 scans via single-pass "
             "dual-rank (hit == rn_full<=k AND rn_trunc<=k on the "
-            "same row), 0.536s->0.482s. Of what remains: v06 "
-            "(3 scans, 1.190s, inside its 1.551 budget) re-reads "
-            "vectors per Lloyd step — iterative-training semantics, "
-            "ACCEPTED (at 100 TB the corpus would be cached across "
-            "steps, spark.ml's own practice); d10 (0.340s) re-reads "
+            "same row), 0.536s->0.482s. Of what remains: v06's "
+            "per-Lloyd-step vector re-reads were adjudicated "
+            "iterative-training semantics (spark.ml's own practice), "
+            "then the r13 literal-assignment rewrite ALSO moved the "
+            "seed/step-1 reads into eager model-state jobs — same 3 "
+            "total corpus reads, serve plan now 1 scan + one k x dim "
+            "exchange (~32 B/row), 1.252s vs its 1.551 budget; d10 "
+            "(0.340s) re-reads "
             "events because proving base+delta == full recompute "
             "requires both sides — ACCEPTED, the rescan IS the "
             "proof; t19 (0.442s)/t20 (0.265s) read events in "

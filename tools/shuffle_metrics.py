@@ -68,6 +68,8 @@ DEFAULT_QUERIES = [
     "j13b_fuzzy_capped_audit",
     "m11_bagged_ensemble",
     "n09_vocab_topk",
+    "v05_kmeans_step",
+    "v06_kmeans_two_steps",
     "v10_ivfpq_topk",
     "v14_hybrid_rrf_search",
 ]
