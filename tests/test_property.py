@@ -992,3 +992,63 @@ def test_timer_sessions_millisecond_boundary_window(spark, tmp_path):
         t_last - timedelta(milliseconds=1),
         1,
     ) in oracle2
+
+
+def test_nearest_cell_sql_matches_python_argmin_bitwise(spark):
+    """The r13 Lloyd rewrite leans on one exactness contract: the
+    literal-centroid argmin expression (functions/sqltext.
+    nearest_cell_sql) assigns every vector to the SAME cell the old
+    crossJoin + min_by spelling did, bit-for-bit — same d formula,
+    same left-to-right fold, same (d, cid) tie-break. This pins it
+    against a driver-side reference that replays the identical IEEE
+    op sequence in Python (binary64 both sides), over adversarial
+    vectors: duplicated centroids (exact ties), negated pairs,
+    near-identical values differing in the last ulp, and denormals."""
+    import random as _r
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.kmeans import nearest_cell_expr
+
+    rng = _r.Random(13)
+    dim, k, n = 8, 5, 200
+
+    def vec():
+        kind = rng.random()
+        if kind < 0.2:
+            return [rng.choice([0.0, -0.0, 1e-310, 1.0]) for _ in range(dim)]
+        base = [rng.uniform(-2, 2) for _ in range(dim)]
+        if kind < 0.4:  # last-ulp sibling of another draw
+            return [x + abs(x) * 2.2e-16 for x in base]
+        return base
+
+    cents = [(cid, vec()) for cid in range(k)]
+    cents[3] = (3, list(cents[1][1]))  # duplicated centroid: exact tie
+    rows = [(i, vec()) for i in range(n)]
+    rows += [(n + j, list(kv)) for j, (_, kv) in enumerate(cents)]
+
+    def pyfold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    expected = {}
+    for vid, cv in rows:
+        best = None
+        for cid, kv in cents:
+            d = pyfold_dot(kv, kv) - 2.0 * pyfold_dot(cv, kv)
+            if best is None or (d, cid) < best:
+                best = (d, cid)
+        expected[vid] = best[1]
+
+    df = spark.createDataFrame(
+        [(vid, cv) for vid, cv in rows], "vid long, cv array<double>"
+    )
+    got = {
+        r["vid"]: r["cell"]
+        for r in df.select(
+            "vid", nearest_cell_expr("cv", cents).alias("cell")
+        ).collect()
+    }
+    assert got == expected

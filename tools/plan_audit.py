@@ -240,6 +240,53 @@ def audit(plan: str) -> dict:
     }
 
 
+# Queries with an adjudicated WIDE exchange (> WEIGHT_CEILING
+# bytes/record in the executed plan, measured by
+# tools/shuffle_metrics.audit_executed): each either moves payload
+# because moving it IS the operator, or buffers a group bounded by a
+# documented contract. The r13 registry-wide weigh sweep found
+# exactly this set; anything new that exceeds the ceiling fails the
+# --all sweep until adjudicated here. (The sweep that created this
+# list also caught two REAL wide shuffles — e05's cv arrays and the
+# v05/v06 Lloyd corpus shuffle — which were FIXED, not allowlisted.)
+WEIGHT_CEILING = 256  # bytes/record; id+digest+scalar rows measure 9-244
+WEIGHT_ALLOWED = {
+    # shingle-verify joins: scoring candidate pairs on shingle ARRAYS
+    # is the operator; a 100 TB deployment co-locates via a bucketed
+    # shingle lake (queries/nlp.py _paired_candidate_shingles)
+    "d03_ngram_jaccard_verify",
+    "n16_shingle_containment",
+    # segment text regroups ONCE (md5-keyed rank -> per-doc
+    # reassembly); any spelling of segment dedup moves each segment
+    # exactly once — the reassembly semantics
+    "n17_segment_dedup",
+    # SRP bucket colocation of vectors — the LSH design: vectors
+    # shuffle once into their buckets to be compared at all
+    "v03_bucketed_cosine_neardup",
+    # order-sensitive sequential folds buffer one user's history per
+    # reducer — the documented bounded-group contract; unbounded
+    # streams use the t16-style stateful fold (notes at each)
+    "t17_ewma_smoothing",
+    "t23_cusum_changepoint",
+    # exact-percentile buffers / sorted-collect semantics: the exact
+    # spellings kept for oracle bit-parity; a09b/a19 are the
+    # production swaps whose sketch partials are constant-size
+    # (wide per record, BOUNDED per group — they stop growing)
+    "a09_grouped_quantiles",
+    "a09b_grouped_quantiles_approx",
+    "a13_collect_sorted_array",
+    "a19_tdigest_quantiles",
+    "a22_robust_outliers",
+    "f13_winsorize",
+    # fuzzy-match audit facet: a bounded sample payload on
+    # bucket-COUNT-sized rows (max_bucket cap contract)
+    "j11_fuzzy_name_match",
+    "j11b_fuzzy_capped_audit",
+    # single-row temporal cut scalar (1 record)
+    "o13_temporal_split",
+}
+
+
 # Queries whose plans legitimately contain an unpartitioned Window,
 # with the bound that makes each benign (verified by the r12 judge
 # gate run and pinned by tests/test_source_lints.py::
@@ -343,9 +390,12 @@ def main() -> None:
             "t08_streaming_sessionization",
             "t11_streaming_dedup",
         }  # streaming plans have no batch explain
+        from tools.shuffle_metrics import audit_executed
+
         flagged = []
         rescans = []
         wides = []
+        heavy_ok = []
         for name, spec in REGISTRY.items():
             if name in streaming:
                 continue
@@ -355,17 +405,36 @@ def main() -> None:
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             a = audit(buf.getvalue())
+            # weight audit (r13): weigh every exchange in the executed
+            # plan — name-based column checks miss derived aliases
+            w = audit_executed(df)
+            overweight = [
+                s
+                for s in w["shuffles"]
+                if s["records"] and s["bytes_per_record"] > WEIGHT_CEILING
+            ]
+            a["overweight"] = overweight
+            a["spill"] = w["spill_bytes"]
             if (
                 a["single_partition"]
                 or "CART" in a["joins"]
                 or a["row_python"]
                 or a["wide_keyed"]
+                or w["spill_bytes"]
+                or (overweight and name not in WEIGHT_ALLOWED)
                 or (
                     a["global_windows"]
                     and name not in WINDOW_GLOBAL_ALLOWED
                 )
             ):
                 flagged.append((name, a))
+            elif overweight:
+                heavy_ok.append(
+                    (
+                        max(s["bytes_per_record"] for s in overweight),
+                        name,
+                    )
+                )
             worst = max(a["scan_tables"].values(), default=0)
             if worst >= 3:
                 rescans.append((worst, name, a["scans"]))
@@ -387,11 +456,28 @@ def main() -> None:
             "grid, t31/t33's hourly running sum — VERDICT r12 "
             "item 5; source sites frozen by "
             "tests/test_source_lints.py) (benign global-aggregate "
-            "merges excluded — see column note above)"
+            "merges excluded — see column note above), or — r13 — "
+            "any measured spill, or any exchange over "
+            f"{WEIGHT_CEILING} bytes/record (tools/shuffle_metrics "
+            "SQLMetrics weighing — the detector that catches a "
+            "derived-alias wide column the name check above cannot) "
+            "outside the adjudicated WEIGHT_ALLOWED set"
             + (
                 " — " + ", ".join(n for n, _ in flagged)
                 if flagged
                 else " (zero scale-killers registry-wide)."
+            ),
+            "",
+            "Weight audit allowlist hits this sweep (adjudicated in "
+            "tools/plan_audit.WEIGHT_ALLOWED — payload movement IS "
+            "the operator, or a documented bounded-group buffer): "
+            + (
+                ", ".join(
+                    f"{n} [{bpr} B/rec]"
+                    for bpr, n in sorted(heavy_ok, reverse=True)
+                )
+                if heavy_ok
+                else "none."
             ),
             "",
             "Rescan watch (any table scanned >= 3x in one plan — "
