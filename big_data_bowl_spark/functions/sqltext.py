@@ -50,6 +50,12 @@ def nearest_cell_sql(cv_name: str, cent_rows) -> str:
     kv.kv term is folded over the literal array by the same sequence
     as the old column fold, so every d — and therefore every
     assignment — is bit-identical to the crossJoin spelling's."""
+    if not cent_rows:
+        raise ValueError(
+            "nearest_cell_sql: no centroid rows — the corpus the "
+            "seeds were drawn from is empty (an empty struct array "
+            "would be malformed SQL, not an empty assignment)"
+        )
     structs = ",".join(
         f"struct({sql_fold_dot(sql_darr(kv), sql_darr(kv))} - 2.0 * "
         f"{sql_fold_dot(cv_name, sql_darr(kv))} AS d, {cid} AS c)"
