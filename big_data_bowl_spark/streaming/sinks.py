@@ -143,3 +143,6 @@ def run_to_merge_snapshot(
             .start()
         )
         q.awaitTermination()
+        from .windows import _capture_state_metrics
+
+        _capture_state_metrics(q, os.path.basename(path))

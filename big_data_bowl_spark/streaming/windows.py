@@ -174,6 +174,24 @@ def batch_shuffle_partitions(spark, n_partitions: int | None = None):
         spark.conf.set(key, old)
 
 
+# Final-batch state-store metrics of every drain this process ran:
+# (sink_name, [stateOperators dicts]) appended by run_to_memory /
+# sinks.run_to_merge_snapshot. numRowsTotal/memoryUsedBytes at drain
+# end are the MEASURED size of what the watermark left alive — the
+# number the "state is O(keys/open windows), not O(stream)" claims
+# rest on. Read by tools/state_metrics.py and the pin test
+# (tests/test_plans.py::test_streaming_state_is_key_bounded);
+# bounded: callers drain a handful of queries per process.
+LAST_STATE_METRICS: list = []
+
+
+def _capture_state_metrics(q, sink_name: str) -> None:
+    prog = q.lastProgress or {}
+    LAST_STATE_METRICS.append(
+        (sink_name, prog.get("stateOperators", []) or [])
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,
@@ -195,6 +213,7 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        _capture_state_metrics(q, table_name)
 
 def sliding_sums(
     events: DataFrame,

@@ -345,3 +345,57 @@ def test_hadoop_is_dir_scheme_aware(spark, tmp_path):
     assert hadoop_is_dir(spark, f"file://{f}") is False
     with pytest.raises(FileNotFoundError, match="does not exist"):
         hadoop_is_dir(spark, str(tmp_path / "nope.parquet"))
+
+
+def test_streaming_state_is_key_bounded(spark, sf_dir):
+    """r13: the streaming family's central scale claim — state is
+    O(keys / open windows), never O(stream length) — verified from
+    the state store's OWN ledger, not the plan. Every drain records
+    its final micro-batch stateOperators progress
+    (streaming/windows.LAST_STATE_METRICS); numRowsTotal at drain end
+    is exactly what the watermark left alive. Representative shapes:
+    sessionization and the per-user MIN fold hold one row per USER;
+    streaming dedup holds one row per (user, type) key; the
+    timer-closed sessionizer's live+evicted total accounts for every
+    user exactly once (timers fire and evict as the availableNow
+    watermark passes). tools/state_metrics.py prints the full-family
+    table (recorded in SCALE.md)."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.sources.io import load_table
+    from big_data_bowl_spark.streaming import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    card = ev.agg(
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct("user_id", "event_type").alias("user_types"),
+        F.count(F.lit(1)).alias("events"),
+    ).collect()[0]
+
+    def drained_state(name):
+        W.LAST_STATE_METRICS.clear()
+        REGISTRY[name].fn(spark, sf_dir).collect()
+        ops = [op for _, opl in W.LAST_STATE_METRICS for op in opl]
+        assert ops, f"{name}: no stateOperators captured"
+        return ops
+
+    # one session state row per user
+    (op,) = drained_state("t08_streaming_sessionization")
+    assert op["numRowsTotal"] == card["users"]
+
+    # dedup state: one row per distinct (user, type) key seen
+    (op,) = drained_state("t11_streaming_dedup")
+    assert op["numRowsTotal"] == card["user_types"]
+
+    # per-user MIN fold: one row per user — and far below events
+    (op,) = drained_state("t33_streaming_reach")
+    assert op["numRowsTotal"] == card["users"]
+    assert op["numRowsTotal"] < card["events"]
+
+    # timer sessionizer: every user's state either still live or
+    # evicted by its fired timer — accounted exactly once
+    (op,) = drained_state("t35_timer_closed_sessions")
+    assert (
+        op["numRowsTotal"] + op["numRowsRemoved"] == card["users"]
+    )
