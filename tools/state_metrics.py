@@ -39,7 +39,7 @@ STREAMING_QUERIES = [
     "t16_streaming_cdc_compaction",
     "t18_streaming_sliding",
     "t21_streaming_stream_stream_join",
-    "t24_stateful_sessionization",
+    "t24_streaming_merge_sink",
     "t25_stateful_running_stats",
     "t25b_stateful_running_stats_us",
     "t26_streaming_histogram",
