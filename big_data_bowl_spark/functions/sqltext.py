@@ -38,6 +38,39 @@ def sql_fold_dot(a: str, b: str) -> str:
     )
 
 
+def pyfold_dot(a, b) -> float:
+    """Driver-side replay of sql_fold_dot's exact IEEE op sequence:
+    Python floats are binary64 and * / + map to the same hardware
+    ops, so this equals the SQL fold bit-for-bit over the same
+    doubles (the queries/extras._pydot precedent)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def sql_dot_lit(col: str, vals, base: int = 0) -> str:
+    """Dot of an array<double> column with a LITERAL vector, unrolled
+    to flat arithmetic: `0.0 + l0*col[base] + l1*col[base+1] + ...`.
+
+    Bit-identical to sql_fold_dot(col, literal-array): the flat chain
+    parses left-associative, so the op sequence is the fold's
+    (((0+t0)+t1)+...) exactly — the leading literal zero is kept
+    because IEEE 0.0 + (-0.0) == 0.0 while dropping it would leave
+    -0.0, and Spark's double ordering (Double.compare) distinguishes
+    the two in the argmin tie-break.
+
+    Why it exists (r13): aggregate/zip_with higher-order functions
+    evaluate INTERPRETED, one lambda call per element per row —
+    measured ~2x total wall on e05's 100x lake where the argmin runs
+    on every row. Flat arithmetic compiles into whole-stage codegen
+    (Spark splits oversized expressions into methods itself)."""
+    terms = " + ".join(
+        f"{sql_dlit(v)} * {col}[{base + i}]" for i, v in enumerate(vals)
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
 def nearest_cell_sql(cv_name: str, cent_rows) -> str:
     """Nearest-centroid assignment as ONE per-row expression over
     literal centroids: argmin of d = dot(kv,kv) - 2*dot(cv,kv) with
@@ -57,8 +90,8 @@ def nearest_cell_sql(cv_name: str, cent_rows) -> str:
             "would be malformed SQL, not an empty assignment)"
         )
     structs = ",".join(
-        f"struct({sql_fold_dot(sql_darr(kv), sql_darr(kv))} - 2.0 * "
-        f"{sql_fold_dot(cv_name, sql_darr(kv))} AS d, {cid} AS c)"
+        f"struct({sql_dlit(pyfold_dot(kv, kv))} - 2.0 * "
+        f"{sql_dot_lit(cv_name, kv)} AS d, {cid} AS c)"
         for cid, kv in cent_rows
     )
     return f"array_min(array({structs})).c"

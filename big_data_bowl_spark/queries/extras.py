@@ -245,19 +245,37 @@ def _probe_pairs(cent_rows, qrows, nprobe: int) -> list:
 from ..functions.sqltext import (  # noqa: E402
     sql_darr as _sql_darr,
     sql_dlit as _sql_dlit,
+    sql_dot_lit as _sql_dot_lit,
     sql_fold_dot as _sql_fold_dot,
 )
 
 
-def _cell_expr(cv_name: str, cent_rows):
+def _cell_expr(cv_name: str, cent_rows, compiled: bool = False):
     """Coarse-cell assignment as ONE per-row expression over literal
     centroids: argmax of dot(cv, kv) with ties to the lowest cid —
     exactly max_by(cid, struct(score, -cid)) from the old broadcast
     crossJoin + groupBy spelling, minus the NLIST-fold row explosion
     and the corpus-sized shuffle. array_max compares (s, nc) structs
-    fieldwise: highest score, then highest -cid == lowest cid."""
+    fieldwise: highest score, then highest -cid == lowest cid.
+
+    Two kernels, same bits (r13, both measured): the default HOF fold
+    keeps the expression tree tiny — right for SERVE queries
+    (v04/v10), whose per-invocation cost is plan build + a bounded
+    scan, and where a compiled 512-term unroll measured +1.2-3.3 s of
+    per-run codegen against zero execution win at bench scale.
+    `compiled=True` unrolls to flat arithmetic (sqltext.sql_dot_lit,
+    identical op order) — right for INDEX-BUILD ops (e05), which
+    evaluate the argmin over the whole corpus: on the 100x replica
+    lake the interpreted fold cost ~700 s of per-element lambda
+    dispatch that the compiled kernel does as straight-line FMA. At
+    production scale the split is the architecture itself: build
+    materializes cell/code columns to the lake once (compiled
+    kernel), serve READS them and never recomputes."""
+    dot = _sql_dot_lit if compiled else (
+        lambda col, kv: _sql_fold_dot(col, _sql_darr(kv))
+    )
     structs = ",".join(
-        f"struct({_sql_fold_dot(cv_name, _sql_darr(kv))} AS s, "
+        f"struct({dot(cv_name, kv)} AS s, "
         f"{-cid} AS nc, {cid} AS c)"
         for cid, kv in cent_rows
     )
@@ -1463,6 +1481,12 @@ def _code_expr(cv_name: str, m: int, cb_m):
     + groupBy spelling. The d2 identity keeps the exact operand order
     of the _PQ_D2 oracle fragment: (sv.sv - 2*sv.ckv) + ckv.ckv.
     SQL-text generated for the same one-parse reason as _cell_expr."""
+    # HOF-fold kernel on purpose (the serve-vs-build split documented
+    # at _cell_expr): v10's serve invocation is plan-build-bound — the
+    # unrolled spelling measured 1.15 -> 4.46 s/run in pure per-run
+    # codegen with nothing to amortize it against at bench scale. An
+    # index BUILD materializing codes corpus-wide would pass the
+    # compiled kernel instead (e05's _cell_expr(compiled=True) path).
     sv = f"slice({cv_name}, {m * PQ_SUB + 1}, {PQ_SUB})"
     sv2 = _sql_fold_dot(sv, sv)
     structs = ",".join(
@@ -2260,7 +2284,9 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
     # survivor filter will drop — scan-local CPU on the dup fraction,
     # bought for zero wide exchanges anywhere in the plan; at 100 TB
     # shuffle bytes are the scarcer resource by orders of magnitude.
-    cell = _cell_expr("cv", _trained_centroid_rows(spark, e, sf_dir))
+    cell = _cell_expr(
+        "cv", _trained_centroid_rows(spark, e, sf_dir), compiled=True
+    )
     scale = F.greatest(
         F.array_max(F.transform(F.col("cv"), lambda x: F.abs(x))),
         F.lit(1e-30),
