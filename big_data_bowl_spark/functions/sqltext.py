@@ -65,6 +65,12 @@ def sql_dot_lit(col: str, vals, base: int = 0) -> str:
     measured ~2x total wall on e05's 100x lake where the argmin runs
     on every row. Flat arithmetic compiles into whole-stage codegen
     (Spark splits oversized expressions into methods itself)."""
+    if not len(vals):
+        raise ValueError(
+            "sql_dot_lit: empty literal vector — would emit the "
+            "malformed SQL '(CAST(0.0 AS DOUBLE) + )'; a 0-dim dot "
+            "has no meaning here, fail loud like nearest_cell_sql"
+        )
     terms = " + ".join(
         f"{sql_dlit(v)} * {col}[{base + i}]" for i, v in enumerate(vals)
     )

@@ -45,15 +45,128 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.sqltext import nearest_cell_sql, sql_darr
+from ..functions.sqltext import (
+    nearest_cell_sql,
+    pyfold_dot,
+    sql_darr,
+    sql_fold_dot,
+)
+
+# Literal-kernel ceiling (VERDICT r13 item 2, measured in SCALE.md
+# "Round-14 literal-kernel ceiling"): nearest_cell_sql emits
+# ~k x dim literal terms of one-parse SQL text. That text compiles
+# into whole-stage codegen and is the fastest kernel at serving
+# nlist (<= 64 everywhere this repo trains), but parse/analyze cost
+# grows superlinearly with k and becomes the bottleneck long before
+# production IVF's nlist ~ sqrt(N). assign_cells() switches to the
+# broadcast kernel above this k x dim product; the two kernels are
+# bit-identical by the exactness contract (pinned in
+# tests/test_operators.py::test_assignment_kernels_bit_identical).
+LITERAL_KERNEL_MAX_TERMS = 64 * 64
 
 
 def nearest_cell_expr(cv_name: str, cent_rows):
     """Column: argmin-distance cell id for `cv_name` over literal
     (cid, kv) centroid rows — ONE F.expr parse however many centroids
     (see functions/sqltext.nearest_cell_sql for the exactness and
-    tie-break contract)."""
+    tie-break contract). For large k use assign_cells(), which
+    dispatches to the broadcast kernel above the measured parse
+    ceiling (LITERAL_KERNEL_MAX_TERMS)."""
     return F.expr(nearest_cell_sql(cv_name, cent_rows))
+
+
+def broadcast_cells(
+    corp: DataFrame, cent_rows, cv_name: str = "cv",
+    out_name: str = "cell",
+) -> DataFrame:
+    """Large-k assignment kernel: centroids travel as DATA — a
+    ONE-ROW broadcast relation carrying array<struct<c, kk, kv>> —
+    instead of SQL-text literals, and the argmin is the same per-row
+    expression evaluated with higher-order functions over that
+    column. No corpus shuffle at ANY k: the single centroid row
+    reaches every partition via BroadcastNestedLoopJoin (the
+    crossJoin(broadcast(grid)) shape e03 uses), the corpus side
+    stays in place, and there is no groupBy — deliberately NOT the
+    pre-r13 crossJoin + groupBy(vec_id).min_by spelling, whose
+    exchange moved the whole corpus with vectors (~420 B/row,
+    tools/shuffle_metrics.py r13).
+
+    Bit-compatibility with nearest_cell_expr (pinned by test):
+    - k.kk is pyfold_dot(kv, kv) computed driver-side — the same
+      doubles nearest_cell_sql folds into its literal, delivered
+      exactly through createDataFrame's binary64 path;
+    - the dot is sql_fold_dot's aggregate/zip_with fold — the
+      documented bit-identical op sequence to sql_dot_lit's flat
+      chain (functions/sqltext.py contract);
+    - ties break by array_min over struct(d, c) — fieldwise, lowest
+      distance then lowest cid, identical to the literal kernel.
+
+    Cost model: HOFs evaluate interpreted (one lambda call per
+    element), measured ~2x the codegen'd literal kernel per term —
+    but per-row work is O(k x dim) in either kernel, and only this
+    one's plan-build cost stays flat in k. Crossover adjudicated in
+    PLANS.md; SCALE.md records the measured literal-parse ceiling."""
+    spark = corp.sparkSession
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    if not cent_rows:
+        raise ValueError(
+            "broadcast_cells: no centroid rows (same contract as "
+            "nearest_cell_sql — fail loud, not an empty assignment)"
+        )
+    cents = [
+        (int(cid), pyfold_dot(kv, kv), [float(x) for x in kv])
+        for cid, kv in cent_rows
+    ]
+    schema = StructType([
+        StructField(
+            "__cents__",
+            ArrayType(
+                StructType([
+                    StructField("c", IntegerType(), False),
+                    StructField("kk", DoubleType(), False),
+                    StructField(
+                        "kv", ArrayType(DoubleType(), False), False
+                    ),
+                ]),
+                False,
+            ),
+            False,
+        )
+    ])
+    one = spark.createDataFrame([(cents,)], schema)
+    d = f"k.kk - 2.0 * {sql_fold_dot(cv_name, 'k.kv')}"
+    argmin = (
+        f"array_min(transform(__cents__, "
+        f"k -> struct({d} AS d, k.c AS c))).c"
+    )
+    return (
+        corp.crossJoin(F.broadcast(one))
+        .withColumn(out_name, F.expr(argmin))
+        .drop("__cents__")
+    )
+
+
+def assign_cells(
+    corp: DataFrame, cent_rows, cv_name: str = "cv",
+    out_name: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid assignment with kernel dispatch: the
+    codegen'd literal kernel below LITERAL_KERNEL_MAX_TERMS total
+    literal terms (k x dim), the flat-plan-cost broadcast kernel
+    above it. Both kernels produce bit-identical assignments."""
+    terms = sum(len(kv) for _, kv in cent_rows)
+    if terms <= LITERAL_KERNEL_MAX_TERMS:
+        return corp.withColumn(
+            out_name, nearest_cell_expr(cv_name, cent_rows)
+        )
+    return broadcast_cells(corp, cent_rows, cv_name, out_name)
 
 
 def seed_centroid_rows(corp: DataFrame, k: int) -> list:
@@ -77,9 +190,18 @@ def step_stats(corp: DataFrame, cent_rows) -> DataFrame:
     dims = assign.select(
         "cell", F.posexplode("cv").alias("dim_idx", "val")
     )
+    # Decimal-cast the sum so the mean is independent of partition
+    # merge order (exact integer-scaled addition commutes; a plain
+    # double sum does not) — the same determinism contract as the
+    # v05/v06 oracle path (_spark_lloyd_step). Without it, trainer
+    # centroids — and therefore convergence round counts — could
+    # vary run-to-run with task scheduling.
     return dims.groupBy("cell", "dim_idx").agg(
         F.count(F.lit(1)).alias("n"),
-        (F.sum("val") / F.count(F.lit(1))).alias("m"),
+        (
+            F.sum(F.col("val").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
     )
 
 
@@ -144,6 +266,12 @@ def kmeans_fit(
             break
 
     spark = corpus.sparkSession
+    if not cent:
+        raise ValueError(
+            "kmeans_fit: no centroids (k=0 or empty corpus) — an "
+            "empty VALUES clause would be malformed SQL, not an "
+            "empty model; fail loud like nearest_cell_sql"
+        )
     vals = ",".join(
         f"({cid}, {sql_darr(kv)}, {members[cid]})" for cid, kv in cent
     )

@@ -35,61 +35,18 @@ from . import graph  # noqa: F401,E402
 #      for the rows-only entries), sort ascending, alphabetical
 #      within a round.
 #
-# Round-13 layout, explicit (VERDICT r12 item 1 — retire the r7
+# Round-14 layout, explicit (VERDICT r13 item 1 — retire the r8
 # staleness cohort, the oldest remaining block): _PRIORITY was
-# regenerated from CORRECTNESS_r02..r12 (max green round per name,
-# ascending, alphabetical within round). _FIRST holds the queries
-# whose CODE or ORACLE changed in round 13 (see its comment). The
-# full 31-query r7 cohort fills the slots right after _FIRST; the r8
-# cohort's alphabetical head takes whatever remains of the ~50-slot
-# prefix. Registration held at 256 (VERDICT r12 item 6: deepen, not
-# widen) so the whole r7 cohort verifies this round with headroom.
+# regenerated from CORRECTNESS_r02..r13 (max green round per name,
+# ascending, alphabetical within round; histogram at regeneration
+# r8:27 r9:39 r10:45 r11:45 r12:50 r13:50). _FIRST holds the
+# queries whose CODE or ORACLE changed in round 14 (see its
+# comment). The full 27-query r8 cohort fills the slots right after
+# _FIRST; the r9 cohort's alphabetical head takes whatever remains
+# of the ~50-slot prefix. Registration held at 256 (VERDICT r13
+# item 6: deepen, not widen).
 _PRIORITY = [
-    # last driver-green in r7
-    "j08_semijoin_scalar_subquery",
-    "mm11_mp4_sample_ranges",
-    "mm12_fmp4_sample_ranges",
-    "mm13_exif_metadata",
-    "n20_bpe_train",
-    "n21_bpe_tokenize",
-    "n22_rag_chunking",
-    "o01_sort_desc_topk",
-    "o02_offset_limit",
-    "p01_project",
-    "p02_drop_columns",
-    "p03_rename",
-    "p04_computed_projection",
-    "p05_filter_conjunctive",
-    "p06_filter_inlist",
-    "p07_filter_or_chain",
-    "p08_filter_between",
-    "p09_filter_regex",
-    "p10_null_nan_filters",
-    "p11_filter_modulo",
-    "p12_case_multiway",
-    "p13_case_boolean_combo",
-    "s01_csv_scan_inferred",
-    "s02_csv_multifile_union",
-    "s04_generated_grid",
-    "w01_group_flag",
-    "w02_group_broadcast_value",
-    "w03_rownum_in_group",
-    "w05_group_min_filter",
-    "w06_normalize_by_group_max",
-    "w10_offset_windows",
     # last driver-green in r8
-    "a14_bool_aggs",
-    "e01_distance_at_anchor",
-    "e06_streaming_pipeline",
-    "f01_substring_cast",
-    "f02_regex_replace_trim",
-    "f03_regex_match",
-    "f04_string_concat",
-    "f05_euclidean_distance",
-    "f06_velocity_decomposition",
-    "f07_sigmoid",
-    "f08_radius_cubic_clamp",
-    "f09_clamp_least",
     "f10_floor_mod_round",
     "f11_arithmetic_projections",
     "j06_join_rowid",
@@ -116,7 +73,6 @@ _PRIORITY = [
     "t24_streaming_merge_sink",
     "u01_groupby_apply",
     "u02_transform_chain",
-    "v11_ann_recall_audit",
     "w04_global_rowid",
     # last driver-green in r9
     "a08_salted_grouped_sum",
@@ -130,7 +86,6 @@ _PRIORITY = [
     "dq06_k_anonymity",
     "dq07_functional_dependency",
     "dq08_snapshot_diff",
-    "e05_embedding_index_pipeline",
     "f14_higher_order_arrays",
     "g06_bfs_hops",
     "j12_grid_radius_join",
@@ -157,9 +112,6 @@ _PRIORITY = [
     "t32_lag1_autocorr",
     "u03_pandas_udf_scalar",
     "u05_map_in_arrow",
-    "v04_ivf_topk",
-    "v10_ivfpq_topk",
-    "v13_dim_truncation_recall",
     "w11_longest_streak",
     "w12_percent_rank_cume",
     # last driver-green in r10
@@ -252,8 +204,6 @@ _PRIORITY = [
     "v01_cosine_topk",
     "v02_srp_lsh_buckets",
     "v03_bucketed_cosine_neardup",
-    "v05_kmeans_step",
-    "v06_kmeans_two_steps",
     "v07_int8_quantize",
     "v08_embedding_dedup_components",
     # last driver-green in r12
@@ -307,6 +257,57 @@ _PRIORITY = [
     "v12_mmr_diversified_topk",
     "v14_hybrid_rrf_search",
     "w09_rolling_mean",
+    # last driver-green in r13
+    "a14_bool_aggs",
+    "e01_distance_at_anchor",
+    "e05_embedding_index_pipeline",
+    "e06_streaming_pipeline",
+    "f01_substring_cast",
+    "f02_regex_replace_trim",
+    "f03_regex_match",
+    "f04_string_concat",
+    "f05_euclidean_distance",
+    "f06_velocity_decomposition",
+    "f07_sigmoid",
+    "f08_radius_cubic_clamp",
+    "f09_clamp_least",
+    "j08_semijoin_scalar_subquery",
+    "mm11_mp4_sample_ranges",
+    "mm12_fmp4_sample_ranges",
+    "mm13_exif_metadata",
+    "n20_bpe_train",
+    "n21_bpe_tokenize",
+    "n22_rag_chunking",
+    "o01_sort_desc_topk",
+    "o02_offset_limit",
+    "p01_project",
+    "p02_drop_columns",
+    "p03_rename",
+    "p04_computed_projection",
+    "p05_filter_conjunctive",
+    "p06_filter_inlist",
+    "p07_filter_or_chain",
+    "p08_filter_between",
+    "p09_filter_regex",
+    "p10_null_nan_filters",
+    "p11_filter_modulo",
+    "p12_case_multiway",
+    "p13_case_boolean_combo",
+    "s01_csv_scan_inferred",
+    "s02_csv_multifile_union",
+    "s04_generated_grid",
+    "v04_ivf_topk",
+    "v05_kmeans_step",
+    "v06_kmeans_two_steps",
+    "v10_ivfpq_topk",
+    "v11_ann_recall_audit",
+    "v13_dim_truncation_recall",
+    "w01_group_flag",
+    "w02_group_broadcast_value",
+    "w03_rownum_in_group",
+    "w05_group_min_filter",
+    "w06_normalize_by_group_max",
+    "w10_offset_windows",
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new

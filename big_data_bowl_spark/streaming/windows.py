@@ -180,7 +180,7 @@ def batch_shuffle_partitions(spark, n_partitions: int | None = None):
 # end are the MEASURED size of what the watermark left alive — the
 # number the "state is O(keys/open windows), not O(stream)" claims
 # rest on. Read by tools/state_metrics.py and the pin test
-# (tests/test_plans.py::test_streaming_state_is_key_bounded);
+# (tests/test_streaming.py::test_streaming_state_is_key_bounded);
 # bounded: callers drain a handful of queries per process.
 LAST_STATE_METRICS: list = []
 

@@ -281,6 +281,100 @@ def test_kmeans_fit_recovers_separated_blobs(spark):
     assert got == [(-10, 5, 30), (0, 0, 30), (10, 10, 30)]
 
 
+def test_assignment_kernels_bit_identical(spark):
+    """VERDICT r13 item 2: above the literal kernel's measured parse
+    ceiling, assign_cells dispatches to the broadcast array-of-struct
+    kernel — and the two kernels must agree BIT-FOR-BIT on every
+    assignment (same fold sequence, same kk doubles, same (d, cid)
+    tie-break), at a k past the dispatch crossover."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.kmeans import (
+        LITERAL_KERNEL_MAX_TERMS,
+        assign_cells,
+        broadcast_cells,
+        nearest_cell_expr,
+    )
+
+    rng = random.Random(11)
+    dim = 16
+    k = LITERAL_KERNEL_MAX_TERMS // dim + 8  # past the crossover
+    # adversarial centroids: duplicates force the cid tie-break, and
+    # near-duplicates (1 ulp apart in one coordinate) force the
+    # bit-level distance compare
+    cent = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(k - 2)]
+    cent.append((k - 2, list(cent[0][1])))  # exact duplicate of cid 0
+    bumped = list(cent[1][1])
+    import math
+    bumped[0] = math.nextafter(bumped[0], math.inf)
+    cent.append((k - 1, bumped))  # 1-ulp twin of cid 1
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(400)]
+    # plant exact copies of the duplicated centroids among the rows
+    rows[0] = (0, list(cent[0][1]))
+    rows[1] = (1, list(cent[1][1]))
+    corp = spark.createDataFrame(rows, "vid long, cv array<double>")
+
+    lit = corp.withColumn("cell", nearest_cell_expr("cv", cent))
+    bc = broadcast_cells(corp, cent)
+    got_lit = {r["vid"]: r["cell"] for r in lit.collect()}
+    got_bc = {r["vid"]: r["cell"] for r in bc.collect()}
+    assert got_lit == got_bc
+    assert got_lit[0] == 0  # duplicate centroid tie broke to low cid
+    # dispatcher: this k routes to the broadcast kernel (no giant
+    # literal parse), and small k routes to the literal kernel
+    disp = assign_cells(corp, cent)
+    assert {r["vid"]: r["cell"] for r in disp.collect()} == got_lit
+    assert "__cents__" not in disp.columns
+    small = assign_cells(corp, cent[:4])
+    lit_small = corp.withColumn(
+        "cell", nearest_cell_expr("cv", cent[:4])
+    )
+    assert [r["cell"] for r in small.orderBy("vid").collect()] == [
+        r["cell"] for r in lit_small.orderBy("vid").collect()
+    ]
+    # the broadcast kernel must not shuffle the corpus: its plan has
+    # no Exchange at all (BroadcastNestedLoopJoin of a 1-row side)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bc.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_kmeans_and_sqltext_degenerate_inputs_fail_loud(spark):
+    """ADVICE r13: empty literal vectors / zero centroids must raise
+    a descriptive ValueError, not emit malformed SQL that dies with
+    an opaque parse error downstream."""
+    import pytest
+
+    from big_data_bowl_spark.functions.sqltext import (
+        nearest_cell_sql,
+        sql_dot_lit,
+    )
+    from big_data_bowl_spark.operators.kmeans import kmeans_fit
+
+    with pytest.raises(ValueError, match="empty literal vector"):
+        sql_dot_lit("cv", [])
+    with pytest.raises(ValueError, match="no centroid rows"):
+        nearest_cell_sql("cv", [])
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vid long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="no centroid"):
+        kmeans_fit(df, id_col="vid", k=0, max_iter=0)
+    empty = df.where("vid < 0")
+    with pytest.raises(ValueError, match="no centroid"):
+        kmeans_fit(empty, id_col="vid", k=3, max_iter=0)
+
+
 def test_a10_approx_distinct_within_tolerance(spark, sf_dir):
     """a10 has no cross-engine oracle (different sketches); pin the
     HLL++ estimates within 5% of exact counts instead."""

@@ -95,12 +95,15 @@ def walk_plan(jplan):
     stack = [jplan]
     while stack:
         node = stack.pop()
-        jvm_id = node.id() if hasattr(node, "id") else None
         try:
             # SparkPlan.id is a unique per-node int in Spark 4
             jvm_id = int(node.id())
         except Exception:
-            jvm_id = id(node)
+            # Fallback for Spark versions without SparkPlan.id: a
+            # JVM-side identity (Py4J hands out a fresh Python proxy
+            # per access, so Python id(node) would never dedup).
+            jvm_id = (node.nodeName(), int(node.semanticHash()),
+                      int(node.hashCode()))
         if jvm_id in seen:
             continue
         seen.add(jvm_id)

@@ -13,7 +13,7 @@ number of state rows alive after the availableNow backlog drained
 For each streaming query this tool prints those numbers next to the
 relevant key-space cardinality (events, users, event types, time
 buckets at sf0.01) so "state == keys, not events" is a read-off, not
-an argument. tests/test_plans.py::test_streaming_state_is_key_bounded
+an argument. tests/test_streaming.py::test_streaming_state_is_key_bounded
 pins the invariant for representative shapes.
 
 Usage:
