@@ -63,8 +63,18 @@ def sql_dot_lit(col: str, vals, base: int = 0) -> str:
     Why it exists (r13): aggregate/zip_with higher-order functions
     evaluate INTERPRETED, one lambda call per element per row —
     measured ~2x total wall on e05's 100x lake where the argmin runs
-    on every row. Flat arithmetic compiles into whole-stage codegen
-    (Spark splits oversized expressions into methods itself)."""
+    on every row. Flat arithmetic compiles into whole-stage codegen.
+
+    Ceiling (r14, measured): codegen of the flat chain is clean only
+    up to ~512 total literal terms per expression (k=8 x dim=64 —
+    exactly the regime every trained model here serves in). Beyond
+    that janino fails with "Code grows beyond 64 KB" and the stage
+    runs interpreted after a wasted compile attempt; by ~300 KB of
+    SQL text a single action costs tens of seconds and at ~1 MB the
+    job fails outright. Above the ceiling use
+    operators/kmeans.broadcast_cells (bit-identical assignments,
+    centroids as a 1-row broadcast relation, plan cost flat in k);
+    operators/kmeans.assign_cells dispatches automatically."""
     if not len(vals):
         raise ValueError(
             "sql_dot_lit: empty literal vector — would emit the "

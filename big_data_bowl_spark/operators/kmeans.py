@@ -52,17 +52,20 @@ from ..functions.sqltext import (
     sql_fold_dot,
 )
 
-# Literal-kernel ceiling (VERDICT r13 item 2, measured in SCALE.md
+# Literal-kernel ceiling (VERDICT r13 item 2, measured — SCALE.md
 # "Round-14 literal-kernel ceiling"): nearest_cell_sql emits
-# ~k x dim literal terms of one-parse SQL text. That text compiles
-# into whole-stage codegen and is the fastest kernel at serving
-# nlist (<= 64 everywhere this repo trains), but parse/analyze cost
-# grows superlinearly with k and becomes the bottleneck long before
-# production IVF's nlist ~ sqrt(N). assign_cells() switches to the
-# broadcast kernel above this k x dim product; the two kernels are
+# ~k x dim literal terms of one-parse SQL text. MEASURED at dim=64:
+# k <= 8 (512 terms) compiles into whole-stage codegen cleanly —
+# the regime every trained model in this repo serves in (KM_K=8,
+# NLIST=8); at k = 9 janino dies with "Code grows beyond 64 KB"
+# and the stage runs INTERPRETED after a wasted compile attempt
+# (k=9 first exec 14.5 s on a 500-row corpus); by k=96 a single
+# action costs ~50 s and at k=256 the job fails outright with a
+# boxed janino exception. assign_cells() therefore dispatches to
+# the broadcast kernel above 512 total terms; the two kernels are
 # bit-identical by the exactness contract (pinned in
 # tests/test_operators.py::test_assignment_kernels_bit_identical).
-LITERAL_KERNEL_MAX_TERMS = 64 * 64
+LITERAL_KERNEL_MAX_TERMS = 512
 
 
 def nearest_cell_expr(cv_name: str, cent_rows):
@@ -179,14 +182,14 @@ def seed_centroid_rows(corp: DataFrame, k: int) -> list:
 
 
 def step_stats(corp: DataFrame, cent_rows) -> DataFrame:
-    """One Lloyd step's sufficient statistics: assign by literal
-    argmin (a projection — no join, no corpus shuffle), then the
-    (cell, dim) member counts and mean components. The groupBy
+    """One Lloyd step's sufficient statistics: assign via
+    assign_cells (codegen'd literal argmin below the measured
+    512-term ceiling, broadcast array-of-struct kernel above it —
+    either way a per-row computation with no corpus shuffle), then
+    the (cell, dim) member counts and mean components. The groupBy
     partial-aggregates map-side, so the only exchange carries
     k x dim rows per task."""
-    assign = corp.select(
-        nearest_cell_expr("cv", cent_rows).alias("cell"), "cv"
-    )
+    assign = assign_cells(corp, cent_rows).select("cell", "cv")
     dims = assign.select(
         "cell", F.posexplode("cv").alias("dim_idx", "val")
     )
@@ -230,11 +233,19 @@ def kmeans_fit(
     k: int = 8,
     max_iter: int = 20,
     tol: float = 1e-6,
+    on_round=None,
 ) -> DataFrame:
     """Run Lloyd's iterations until max centroid movement <= tol.
 
     Initial centroids are the k lowest-id vectors (deterministic).
     Returns DataFrame[cid, kv: array<double>, n_members].
+
+    `on_round(i, n_stat_rows, max_move)` is an instrumentation hook
+    called after each iteration's driver-side update with the number
+    of sufficient-statistic rows that round collected (must stay at
+    k x dim — the "corpus never shuffles, only k x dim crosses the
+    network" claim) — used by tools/scale_probe.py --kmeans-fit to
+    pin per-round wall/collect/heap at the 100x design point.
     """
     vec = F.col(vec_col).cast("array<double>")
     corp = (
@@ -245,7 +256,7 @@ def kmeans_fit(
 
     cent = seed_centroid_rows(corp, k)
     members = {cid: 0 for cid, _ in cent}
-    for _ in range(max_iter):
+    for it in range(max_iter):
         stats = collect_step(corp, cent)
         new_cent, max_move = [], 0.0
         members = {}
@@ -262,6 +273,12 @@ def kmeans_fit(
                 new_cent.append((cid, kv))
                 members[cid] = 0
         cent = new_cent
+        if on_round is not None:
+            on_round(
+                it,
+                sum(len(means) for _, means in stats.values()),
+                max_move,
+            )
         if max_move <= tol:
             break
 

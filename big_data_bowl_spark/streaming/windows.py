@@ -184,11 +184,31 @@ def batch_shuffle_partitions(spark, n_partitions: int | None = None):
 # bounded: callers drain a handful of queries per process.
 LAST_STATE_METRICS: list = []
 
+# Final micro-batch EXECUTED PLANS of every drain this process ran:
+# (sink_name, jvm SparkPlan or None, n_batches) appended alongside
+# LAST_STATE_METRICS. tools/shuffle_metrics.py --streaming walks
+# these with the same SQLMetrics harvest as the batch audit, so
+# streaming exchanges get byte-WEIGHED, not just state-counted
+# (VERDICT r13 item 4). lastExecution covers the LAST micro-batch
+# only — n_batches says how much of the drain that weighing saw
+# (availableNow file sources here drain in 1 batch; the tool prints
+# n_batches so a multi-batch drain is never silently half-weighed).
+LAST_EXEC_PLANS: list = []
+
 
 def _capture_state_metrics(q, sink_name: str) -> None:
     prog = q.lastProgress or {}
     LAST_STATE_METRICS.append(
         (sink_name, prog.get("stateOperators", []) or [])
+    )
+    try:
+        # _jsq is a StreamingQueryWrapper; the MicroBatchExecution
+        # underneath holds the last batch's IncrementalExecution
+        jplan = q._jsq.streamingQuery().lastExecution().executedPlan()
+    except Exception:
+        jplan = None
+    LAST_EXEC_PLANS.append(
+        (sink_name, jplan, len(q.recentProgress or []))
     )
 
 

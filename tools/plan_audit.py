@@ -523,6 +523,25 @@ def main() -> None:
             "(higher-order functions run outside codegen — 1.4x "
             "slower, see its note).",
             "",
+            "r14 literal-kernel ceiling (VERDICT r13 item 2, "
+            "measured — SCALE.md 'Round-14 literal-kernel "
+            "ceiling'): the one-parse literal argmin "
+            "(sqltext.nearest_cell_sql) codegens cleanly only up to "
+            "~512 total literal terms (k=8 x dim=64 — the regime "
+            "every trained model here serves in); at k=9 janino "
+            "hits the JVM's 64 KB method limit and the stage runs "
+            "interpreted after a wasted compile attempt, and by "
+            "k~192 the plan is non-viable outright. "
+            "operators/kmeans.assign_cells dispatches at that "
+            "crossover to broadcast_cells — centroids as a ONE-ROW "
+            "broadcast array<struct> relation, argmin via the same "
+            "IEEE fold as higher-order functions, zero Exchange in "
+            "the plan, bit-identical assignments (pinned by "
+            "tests/test_operators.py::"
+            "test_assignment_kernels_bit_identical). The serving "
+            "queries stay on the literal kernel: they are all at "
+            "k=8 where it is both clean and fastest.",
+            "",
             "Wide-column shuffle audit (any Exchange or "
             "BroadcastExchange — subquery plans included — whose "
             "Input still carries a raw text/payload/embedding "

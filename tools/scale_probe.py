@@ -277,6 +277,102 @@ def run_one(spark, name: str, sf_dir: str):
     )
 
 
+def run_kmeans_fit_probe(spark, sf_dir: str, factor: int) -> None:
+    """The iterative-trainer probe (VERDICT r13 item 5): kmeans_fit
+    k=8 for a FIXED 5 rounds (tol=0 so convergence can't end the
+    loop early and unbalance the comparison) at 1x and at factor-x,
+    with per-round wall/collect/heap from the on_round hook.
+
+    What "corpus never shuffles" must mean here, measurably:
+    - checkpoint materialization (the one corpus-sized cost) scales
+      ~linearly with the lake and happens ONCE, not per round;
+    - every round collects exactly k x dim sufficient-statistic rows
+      at BOTH scales (the driver-bound state is scale-invariant);
+    - per-round wall is scan-bound (flat across rounds, ~linear in
+      factor), with no growth round-over-round (no lineage/stage
+      accumulation past the checkpoint).
+    """
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.kmeans import kmeans_fit
+
+    def fit_instrumented(lake: str, tag: str) -> dict:
+        emb = spark.read.parquet(f"{lake}/embeddings.parquet")
+        # time the corpus-sized one-off separately: the SAME
+        # projection + localCheckpoint kmeans_fit builds internally
+        # (eager), on a throwaway to approximate materialization cost
+        t0 = time.time()
+        emb.select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        ).where(F.col("cv").isNotNull()).localCheckpoint().count()
+        ckpt_s = time.time() - t0
+
+        rounds = []
+        marks = {"t": time.time()}
+
+        def on_round(i, n_stat_rows, max_move):
+            now = time.time()
+            rounds.append(
+                {
+                    "round": i,
+                    "wall_s": round(now - marks["t"], 2),
+                    "stat_rows": n_stat_rows,
+                    "heap_mb": heap_used_mb(spark),
+                }
+            )
+            marks["t"] = now
+
+        t1 = time.time()
+        cent = kmeans_fit(
+            emb, id_col="vec_id", k=8, max_iter=5, tol=0.0,
+            on_round=on_round,
+        )
+        n_cells = cent.count()
+        out = {
+            "lake": tag,
+            "ckpt_materialize_s": round(ckpt_s, 2),
+            "fit_total_s": round(time.time() - t1, 2),
+            "rounds": rounds,
+            "model_cells": n_cells,
+        }
+        print(json.dumps(out))
+        return out
+
+    with tempfile.TemporaryDirectory(prefix="kmeans_probe_") as probe:
+        build_probe_lake(
+            spark, sf_dir, probe, factor, tables={"embeddings"}
+        )
+        r1 = fit_instrumented(sf_dir, "1x")
+        rN = fit_instrumented(probe, f"{factor}x")
+        stat_rows_1 = {r["stat_rows"] for r in r1["rounds"]}
+        stat_rows_n = {r["stat_rows"] for r in rN["rounds"]}
+        print(
+            json.dumps(
+                {
+                    "probe": f"kmeans_fit k=8 x5 rounds @ {factor}x",
+                    "ckpt_ratio": round(
+                        rN["ckpt_materialize_s"]
+                        / max(r1["ckpt_materialize_s"], 1e-9),
+                        2,
+                    ),
+                    "fit_ratio": round(
+                        rN["fit_total_s"] / max(r1["fit_total_s"], 1e-9), 2
+                    ),
+                    "stat_rows_flat_and_equal": stat_rows_1
+                    == stat_rows_n
+                    and len(stat_rows_1 | stat_rows_n) == 1,
+                    "max_round_wall_s": max(
+                        r["wall_s"] for r in rN["rounds"]
+                    ),
+                    "round_walls_Nx": [
+                        r["wall_s"] for r in rN["rounds"]
+                    ],
+                }
+            )
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
@@ -309,6 +405,18 @@ def main() -> None:
         "walls/plans on the healthy growth axis",
     )
     ap.add_argument(
+        "--kmeans-fit",
+        type=int,
+        default=0,
+        metavar="FACTOR",
+        help="run the iterative kmeans_fit probe instead (VERDICT "
+        "r13 item 5): fit k=8 for a fixed 5 rounds on the 1x and "
+        "FACTORx embeddings replicas, recording checkpoint "
+        "materialization cost, per-round wall, per-round collected "
+        "sufficient-statistic rows (must stay k x dim at BOTH "
+        "scales) and used heap",
+    )
+    ap.add_argument(
         "--tables",
         default=None,
         help="comma-separated subset of the replica tables to build "
@@ -327,6 +435,10 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.kmeans_fit:
+        run_kmeans_fit_probe(spark, args.sf, args.kmeans_fit)
+        return
 
     if args.t35_keys:
         name = args.keys_query

@@ -136,10 +136,18 @@ def audit_executed(df) -> dict:
     """Harvest shuffle/broadcast/spill metrics from a DataFrame whose
     own QueryExecution has been executed (df.collect() first — the
     plan_audit convention; count() builds a different plan)."""
+    return audit_jplan(df._jdf.queryExecution().executedPlan())
+
+
+def audit_jplan(jplan) -> dict:
+    """Harvest shuffle/broadcast/spill SQLMetrics from an executed
+    JVM SparkPlan — shared by the batch audit (audit_executed) and
+    the streaming micro-batch audit (--streaming walks the plans
+    streaming/windows.LAST_EXEC_PLANS captured at drain end)."""
     shuffles, broadcasts = [], []
     spill = 0
     reused = 0
-    for node in walk_plan(df._jdf.queryExecution().executedPlan()):
+    for node in walk_plan(jplan):
         name = node.nodeName()
         if name.startswith("ReusedExchange"):
             reused += 1
@@ -181,10 +189,41 @@ def audit_executed(df) -> dict:
     }
 
 
+# The streaming registry (one availableNow drain each): weighed via
+# the plans LAST_EXEC_PLANS captures at drain end. Same 256 B/rec
+# discipline as the batch audit; the t21 stream-stream join and t12
+# interval join shuffle event rows on BOTH sides of the join keys
+# (that join IS the operator — events are ~60 B wide), everything
+# else moves keyed aggregates/digests.
+STREAMING_QUERIES = [
+    "t07_streaming_tumbling",
+    "t08_streaming_sessionization",
+    "t11_streaming_dedup",
+    "t12_streaming_interval_join",
+    "t16_streaming_cdc_compaction",
+    "t18_streaming_sliding",
+    "t21_streaming_stream_stream_join",
+    "t24_streaming_merge_sink",
+    "t25_stateful_running_stats",
+    "t26_streaming_histogram",
+    "t29_streaming_topk",
+    "t33_streaming_reach",
+    "t34_stateful_type_counts",
+    "t35_timer_closed_sessions",
+    "e06_streaming_pipeline",
+]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--md", action="store_true")
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="weigh the final micro-batch plan of each streaming "
+        "drain instead of batch query plans",
+    )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -195,13 +234,30 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results = []
-    for name in args.queries or DEFAULT_QUERIES:
-        df = REGISTRY[name].fn(spark, args.sf)
-        df.collect()
-        a = audit_executed(df)
-        a["query"] = name
-        results.append(a)
-        print(json.dumps(a))
+    if args.streaming:
+        from big_data_bowl_spark.streaming import windows as sw
+
+        for name in args.queries or STREAMING_QUERIES:
+            seen = len(sw.LAST_EXEC_PLANS)
+            REGISTRY[name].fn(spark, args.sf).collect()
+            for sink, jplan, n_batches in sw.LAST_EXEC_PLANS[seen:]:
+                if jplan is None:
+                    a = {"error": "no lastExecution captured"}
+                else:
+                    a = audit_jplan(jplan)
+                a["query"] = name
+                a["sink"] = sink
+                a["n_batches"] = n_batches
+                results.append(a)
+                print(json.dumps(a))
+    else:
+        for name in args.queries or DEFAULT_QUERIES:
+            df = REGISTRY[name].fn(spark, args.sf)
+            df.collect()
+            a = audit_executed(df)
+            a["query"] = name
+            results.append(a)
+            print(json.dumps(a))
 
     if args.md:
         print()
@@ -211,6 +267,13 @@ def main() -> None:
         )
         print("|---|---|---|---|---|")
         for a in results:
+            if "error" in a:
+                print(f"| {a['query']} | {a['error']} | | | |")
+                continue
+            label = a["query"]
+            if "sink" in a:
+                label += f" ({a['sink']}, {a['n_batches']} batch)"
+            a = dict(a, query=label)
             sh = (
                 "; ".join(
                     f"{s['records']:,} @ {s['bytes_per_record']}"
