@@ -311,33 +311,36 @@ _PRIORITY = [
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: queries whose CODE changed in round 13, so their earlier
+# names: queries whose CODE changed in round 14, so their earlier
 # greens were earned by different code and they re-verify first.
-# The v-ANN family was rebuilt per VERDICT r12 item 2 (measured
-# rescan-watch adjudication): v04 4->1 corpus scans / v10 7->2 /
-# v11 6->2 / v13 4->2, with coarse centroids, PQ codebook, ADC LUTs
-# and probe lists as driver-side literal model parameters embedded
-# via one-parse SQL text (the FAISS serving architecture; all four
-# faster than their incumbents at sf0.1, see PLANS.md adjudication).
-# Oracles unchanged; outputs bit-identical, re-gated at sf0.001 and
-# sf0.01 --plain.
-# e05 joined the rebuild: its IVF assignment is now the same per-row
-# argmax expression (was crossJoin+groupBy+join-back, which also
-# re-derived the dedup chain twice), and later in r13 its cv-derived
-# columns moved scan-side so no exchange carries a vector
-# (tools/shuffle_metrics.py finding).
-# v05/v06 joined last: the Lloyd step assigns via the same literal
-# argmin projection (operators/kmeans.py rewrite) instead of
-# crossJoin+groupBy(vec_id), whose exchange moved the corpus with
-# vectors; outputs bit-identical, re-gated at both SFs.
+# The round-14 change in a registered path is the drain helper
+# (streaming/windows.py): run_to_memory / run_to_merge_snapshot now
+# await termination through _await_capturing_plans, which polls the
+# running drain and pins each micro-batch's executed plan so
+# tools/shuffle_metrics.py --streaming can byte-weigh streaming
+# exchanges (VERDICT r13 item 4). Results are untouched by
+# construction (the capture only READS lastExecution), but every
+# query that drains through the helper re-verifies first anyway —
+# the r13 discipline. (The r13 _FIRST cohort — the v-ANN/kmeans
+# literal-model rebuild — went driver-green in r13 and rotates back
+# into _PRIORITY by recency.)
 _FIRST = [
-    "v10_ivfpq_topk",
-    "v04_ivf_topk",
-    "v11_ann_recall_audit",
-    "v13_dim_truncation_recall",
-    "e05_embedding_index_pipeline",
-    "v05_kmeans_step",
-    "v06_kmeans_two_steps",
+    "t07_streaming_tumbling",
+    "t08_streaming_sessionization",
+    "t11_streaming_dedup",
+    "t12_streaming_interval_join",
+    "t16_streaming_cdc_compaction",
+    "t18_streaming_sliding",
+    "t21_streaming_stream_stream_join",
+    "t24_streaming_merge_sink",
+    "t25_stateful_running_stats",
+    "t25b_stateful_running_stats_us",
+    "t26_streaming_histogram",
+    "t29_streaming_topk",
+    "t33_streaming_reach",
+    "t34_stateful_type_counts",
+    "t35_timer_closed_sessions",
+    "e06_streaming_pipeline",
 ]
 
 

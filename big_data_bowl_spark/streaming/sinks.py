@@ -142,7 +142,10 @@ def run_to_merge_snapshot(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-        from .windows import _capture_state_metrics
+        from .windows import (
+            _await_capturing_plans,
+            _capture_state_metrics,
+        )
 
-        _capture_state_metrics(q, os.path.basename(path))
+        plans = _await_capturing_plans(q)
+        _capture_state_metrics(q, os.path.basename(path), plans)

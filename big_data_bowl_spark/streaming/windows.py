@@ -184,31 +184,55 @@ def batch_shuffle_partitions(spark, n_partitions: int | None = None):
 # bounded: callers drain a handful of queries per process.
 LAST_STATE_METRICS: list = []
 
-# Final micro-batch EXECUTED PLANS of every drain this process ran:
-# (sink_name, jvm SparkPlan or None, n_batches) appended alongside
-# LAST_STATE_METRICS. tools/shuffle_metrics.py --streaming walks
-# these with the same SQLMetrics harvest as the batch audit, so
-# streaming exchanges get byte-WEIGHED, not just state-counted
-# (VERDICT r13 item 4). lastExecution covers the LAST micro-batch
-# only — n_batches says how much of the drain that weighing saw
-# (availableNow file sources here drain in 1 batch; the tool prints
-# n_batches so a multi-batch drain is never silently half-weighed).
+# Per-micro-batch EXECUTED PLANS of every drain this process ran:
+# (sink_name, {batch_id: jvm SparkPlan}, n_batches) appended
+# alongside LAST_STATE_METRICS. tools/shuffle_metrics.py --streaming
+# walks these with the same SQLMetrics harvest as the batch audit,
+# so streaming exchanges get byte-WEIGHED, not just state-counted
+# (VERDICT r13 item 4). MicroBatchExecution keeps only
+# lastExecution — which for stateful availableNow drains is the
+# EMPTY watermark-commit batch, hiding the work batch's exchanges —
+# so _await_capturing_plans polls during the drain and pins each
+# batch's IncrementalExecution via its Py4J proxy before the next
+# batch replaces it. n_batches (from recentProgress) is recorded so
+# the tool can flag a drain whose captured plans miss a batch.
 LAST_EXEC_PLANS: list = []
 
 
-def _capture_state_metrics(q, sink_name: str) -> None:
+def _await_capturing_plans(q) -> dict:
+    """awaitTermination() with a capture loop: poll the running
+    drain's lastExecution and keep one executed-plan reference per
+    micro-batch (the proxy pins the JVM object, so its final
+    SQLMetrics stay readable after the drain). Test/audit-scale
+    micro-batches run ~1 s; the 50 ms poll cannot miss one unless a
+    batch completes faster than that, which n_batches exposes."""
+    import time as _time
+
+    plans: dict = {}
+
+    def grab():
+        try:
+            le = q._jsq.streamingQuery().lastExecution()
+            if le is not None:
+                plans[int(le.currentBatchId())] = le.executedPlan()
+        except Exception:
+            pass
+
+    while q.isActive:
+        grab()
+        _time.sleep(0.05)
+    q.awaitTermination()
+    grab()
+    return plans
+
+
+def _capture_state_metrics(q, sink_name: str, plans=None) -> None:
     prog = q.lastProgress or {}
     LAST_STATE_METRICS.append(
         (sink_name, prog.get("stateOperators", []) or [])
     )
-    try:
-        # _jsq is a StreamingQueryWrapper; the MicroBatchExecution
-        # underneath holds the last batch's IncrementalExecution
-        jplan = q._jsq.streamingQuery().lastExecution().executedPlan()
-    except Exception:
-        jplan = None
     LAST_EXEC_PLANS.append(
-        (sink_name, jplan, len(q.recentProgress or []))
+        (sink_name, plans or {}, len(q.recentProgress or []))
     )
 
 
@@ -232,8 +256,8 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-        _capture_state_metrics(q, table_name)
+        plans = _await_capturing_plans(q)
+        _capture_state_metrics(q, table_name, plans)
 
 def sliding_sums(
     events: DataFrame,

@@ -399,3 +399,35 @@ def test_streaming_state_is_key_bounded(spark, sf_dir):
     assert (
         op["numRowsTotal"] + op["numRowsRemoved"] == card["users"]
     )
+
+
+def test_streaming_drains_capture_every_batch_plan(spark, sf_dir):
+    """r14 (VERDICT r13 item 4): the drain helpers pin each
+    micro-batch's executed plan so the shuffle-byte audit can weigh
+    streaming exchanges. t35 drains in 2 batches (work + the empty
+    watermark-commit batch that fires the timers) — exactly the
+    shape whose work batch a lastExecution-only capture LOSES — so
+    pin: every batch captured, the work batch's shuffle carries
+    measurable records at digest weight, and nothing spills."""
+    from tools.shuffle_metrics import audit_jplan
+
+    from big_data_bowl_spark.queries import REGISTRY
+    from big_data_bowl_spark.streaming import windows as W
+
+    W.LAST_EXEC_PLANS.clear()
+    REGISTRY["t35_timer_closed_sessions"].fn(spark, sf_dir).collect()
+    ((sink, plans, n_batches),) = W.LAST_EXEC_PLANS
+    assert n_batches >= 2  # work batch + watermark-commit batch
+    assert sorted(plans) == list(range(n_batches))
+    per = [audit_jplan(p) for p in plans.values()]
+    shuffled_records = sum(
+        s["records"] for b in per for s in b["shuffles"]
+    )
+    assert shuffled_records > 0  # the work batch is weighed, not lost
+    assert all(
+        s["bytes_per_record"] <= 256
+        for b in per
+        for s in b["shuffles"]
+        if s["records"]
+    )
+    assert sum(b["spill_bytes"] for b in per) == 0

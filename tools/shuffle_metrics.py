@@ -240,11 +240,37 @@ def main() -> None:
         for name in args.queries or STREAMING_QUERIES:
             seen = len(sw.LAST_EXEC_PLANS)
             REGISTRY[name].fn(spark, args.sf).collect()
-            for sink, jplan, n_batches in sw.LAST_EXEC_PLANS[seen:]:
-                if jplan is None:
-                    a = {"error": "no lastExecution captured"}
+            for sink, plans, n_batches in sw.LAST_EXEC_PLANS[seen:]:
+                if not plans:
+                    a = {"error": "no micro-batch plans captured"}
                 else:
-                    a = audit_jplan(jplan)
+                    # aggregate the per-batch audits: every batch's
+                    # exchanges count, spill sums, ceilings are maxes
+                    per = [audit_jplan(p) for p in plans.values()]
+                    a = {
+                        "shuffles": [
+                            s for b in per for s in b["shuffles"]
+                        ],
+                        "broadcasts": [
+                            x for b in per for x in b["broadcasts"]
+                        ],
+                        "reused_exchanges": sum(
+                            b["reused_exchanges"] for b in per
+                        ),
+                        "total_shuffle_bytes": sum(
+                            b["total_shuffle_bytes"] for b in per
+                        ),
+                        "max_bytes_per_record": max(
+                            b["max_bytes_per_record"] for b in per
+                        ),
+                        "max_broadcast_bytes": max(
+                            b["max_broadcast_bytes"] for b in per
+                        ),
+                        "spill_bytes": sum(
+                            b["spill_bytes"] for b in per
+                        ),
+                        "batches_weighed": sorted(plans),
+                    }
                 a["query"] = name
                 a["sink"] = sink
                 a["n_batches"] = n_batches
@@ -272,7 +298,11 @@ def main() -> None:
                 continue
             label = a["query"]
             if "sink" in a:
-                label += f" ({a['sink']}, {a['n_batches']} batch)"
+                nw = len(a.get("batches_weighed", []))
+                label += (
+                    f" ({a['sink']}, {nw}/{a['n_batches']} "
+                    "batches weighed)"
+                )
             a = dict(a, query=label)
             sh = (
                 "; ".join(
