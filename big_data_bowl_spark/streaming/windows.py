@@ -203,9 +203,16 @@ def _await_capturing_plans(q) -> dict:
     """awaitTermination() with a capture loop: poll the running
     drain's lastExecution and keep one executed-plan reference per
     micro-batch (the proxy pins the JVM object, so its final
-    SQLMetrics stay readable after the drain). Test/audit-scale
-    micro-batches run ~1 s; the 50 ms poll cannot miss one unless a
-    batch completes faster than that, which n_batches exposes."""
+    SQLMetrics stay readable after the drain).
+
+    Capture guarantee: batch N's IncrementalExecution stays exposed
+    from the start of batch N until batch N+1 begins PLANNING, so a
+    batch is missed only if it plans+runs+hands-over inside one
+    10 ms poll — work batches at audit scale run hundreds of ms, and
+    the FINAL batch (the stateful watermark-commit batch) is always
+    captured by the post-termination grab. A miss is not silent
+    either way: the audit compares len(plans) to the drain's batch
+    count and flags (tools/plan_audit.py streaming section)."""
     import time as _time
 
     plans: dict = {}
@@ -220,10 +227,19 @@ def _await_capturing_plans(q) -> dict:
 
     while q.isActive:
         grab()
-        _time.sleep(0.05)
+        _time.sleep(0.01)
     q.awaitTermination()
     grab()
     return plans
+
+
+# How many drains keep their plan references pinned: each entry
+# holds Py4J proxies to whole executed-plan graphs, so a long-lived
+# session (the 256-query gate drains 16 streams; plan_audit --all
+# drains more) must not grow JVM heap without bound. Entries older
+# than the window keep their (sink, n_batches) row — index stability
+# for concurrent readers — but drop the plan refs.
+_MAX_PINNED_PLAN_DRAINS = 32
 
 
 def _capture_state_metrics(q, sink_name: str, plans=None) -> None:
@@ -231,9 +247,19 @@ def _capture_state_metrics(q, sink_name: str, plans=None) -> None:
     LAST_STATE_METRICS.append(
         (sink_name, prog.get("stateOperators", []) or [])
     )
-    LAST_EXEC_PLANS.append(
-        (sink_name, plans or {}, len(q.recentProgress or []))
+    # n_batches from the last batchId + 1 (batch ids start at 0 on
+    # the fresh checkpoints every drain here uses), NOT from
+    # len(recentProgress): recentProgress is capped (default 100
+    # entries), so a long drain would under-report its batch count
+    # and defeat the missed-batch flag.
+    n_batches = int(prog.get("batchId", -1)) + 1 or len(
+        q.recentProgress or []
     )
+    LAST_EXEC_PLANS.append((sink_name, plans or {}, n_batches))
+    for i in range(len(LAST_EXEC_PLANS) - _MAX_PINNED_PLAN_DRAINS):
+        sink, old_plans, nb = LAST_EXEC_PLANS[i]
+        if old_plans:
+            LAST_EXEC_PLANS[i] = (sink, {}, nb)
 
 
 def run_to_memory(

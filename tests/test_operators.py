@@ -348,6 +348,28 @@ def test_assignment_kernels_bit_identical(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
 
+    # Ragged-input parity (r14 review finding): a row SHORTER than
+    # the centroid dim must FAIL LOUD in BOTH kernels (ANSI
+    # out-of-bounds index), not silently diverge — the zip_with
+    # spelling broadcast_cells originally used would have null-padded
+    # the short side and produced a different assignment than the
+    # literal kernel's positional indexing. Both kernels index cv
+    # positionally now, so both raise the same ANSI error class.
+    import pytest
+    from pyspark.errors.exceptions.captured import (
+        ArrayIndexOutOfBoundsException,
+    )
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0] * (dim - 3))], "vid long, cv array<double>"
+    )
+    with pytest.raises(ArrayIndexOutOfBoundsException):
+        ragged.withColumn(
+            "cell", nearest_cell_expr("cv", cent[:4])
+        ).collect()
+    with pytest.raises(ArrayIndexOutOfBoundsException):
+        broadcast_cells(ragged, cent[:4]).collect()
+
 
 def test_kmeans_and_sqltext_degenerate_inputs_fail_loud(spark):
     """ADVICE r13: empty literal vectors / zero centroids must raise

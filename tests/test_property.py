@@ -1052,3 +1052,13 @@ def test_nearest_cell_sql_matches_python_argmin_bitwise(spark):
         ).collect()
     }
     assert got == expected
+    # r14: the broadcast kernel (centroids as a 1-row broadcast
+    # array<struct> relation, HOF fold) must replay the same IEEE
+    # sequence over the same adversarial inputs — three-way pin
+    from big_data_bowl_spark.operators.kmeans import broadcast_cells
+
+    got_bc = {
+        r["vid"]: r["cell"]
+        for r in broadcast_cells(df, cents).collect()
+    }
+    assert got_bc == expected

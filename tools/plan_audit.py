@@ -390,17 +390,26 @@ def main() -> None:
             "t08_streaming_sessionization",
             "t11_streaming_dedup",
         }  # streaming plans have no batch explain
+        from big_data_bowl_spark.streaming import windows as sw
         from tools.shuffle_metrics import audit_executed
 
         flagged = []
         rescans = []
         wides = []
         heavy_ok = []
+        # streaming drains triggered inside the sweep below append
+        # their captured micro-batch plans to LAST_EXEC_PLANS —
+        # harvest them per-query here so the streaming weight
+        # section does not re-drain what this sweep already ran
+        drain_plans: dict = {}
         for name, spec in REGISTRY.items():
             if name in streaming:
                 continue
+            drain_seen = len(sw.LAST_EXEC_PLANS)
             df = spec.fn(spark, args.sf)
             df.collect()
+            if len(sw.LAST_EXEC_PLANS) > drain_seen:
+                drain_plans[name] = sw.LAST_EXEC_PLANS[drain_seen:]
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
@@ -581,9 +590,10 @@ def main() -> None:
         # query's memory-sink READ, but the drain's own micro-batch
         # exchanges live in per-batch IncrementalExecutions that
         # streaming/windows.LAST_EXEC_PLANS captures at drain time.
-        # Re-run each drain here and weigh EVERY captured batch under
-        # the same ceiling/allowlist discipline.
-        from big_data_bowl_spark.streaming import windows as sw
+        # The sweep already drained most streaming queries (their
+        # plans harvested into drain_plans); only the ones it
+        # skipped re-drain here. Every captured batch is weighed
+        # under the same ceiling/allowlist discipline.
         from tools.shuffle_metrics import (
             STREAMING_QUERIES,
             audit_jplan,
@@ -592,9 +602,11 @@ def main() -> None:
         stream_rows = []
         stream_flagged = []
         for name in STREAMING_QUERIES:
-            seen = len(sw.LAST_EXEC_PLANS)
-            REGISTRY[name].fn(spark, args.sf).collect()
-            for sink, plans, n_batches in sw.LAST_EXEC_PLANS[seen:]:
+            if name not in drain_plans:
+                seen = len(sw.LAST_EXEC_PLANS)
+                REGISTRY[name].fn(spark, args.sf).collect()
+                drain_plans[name] = sw.LAST_EXEC_PLANS[seen:]
+            for sink, plans, n_batches in drain_plans[name]:
                 per = [audit_jplan(p) for p in plans.values()]
                 shuffles = [s for b in per for s in b["shuffles"]]
                 over = [

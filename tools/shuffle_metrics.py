@@ -100,10 +100,14 @@ def walk_plan(jplan):
             jvm_id = int(node.id())
         except Exception:
             # Fallback for Spark versions without SparkPlan.id: a
-            # JVM-side identity (Py4J hands out a fresh Python proxy
-            # per access, so Python id(node) would never dedup).
-            jvm_id = (node.nodeName(), int(node.semanticHash()),
-                      int(node.hashCode()))
+            # fresh token, so nothing dedups. Over-visiting a shared
+            # subtree double-COUNTS its metrics; any structural key
+            # (semanticHash etc.) would instead collapse DISTINCT
+            # but identical-shaped nodes and silently DROP metrics —
+            # for an audit, over-count loud beats under-count quiet.
+            # (Plans are trees plus ReusedExchange backstops, which
+            # are never recursed, so no-dedup cannot loop.)
+            jvm_id = object()
         if jvm_id in seen:
             continue
         seen.add(jvm_id)
@@ -205,6 +209,7 @@ STREAMING_QUERIES = [
     "t21_streaming_stream_stream_join",
     "t24_streaming_merge_sink",
     "t25_stateful_running_stats",
+    "t25b_stateful_running_stats_us",
     "t26_streaming_histogram",
     "t29_streaming_topk",
     "t33_streaming_reach",
@@ -221,8 +226,9 @@ def main() -> None:
     ap.add_argument(
         "--streaming",
         action="store_true",
-        help="weigh the final micro-batch plan of each streaming "
-        "drain instead of batch query plans",
+        help="weigh EVERY captured micro-batch plan of each "
+        "streaming drain (streaming/windows.LAST_EXEC_PLANS) "
+        "instead of batch query plans",
     )
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
