@@ -371,6 +371,18 @@ def test_assignment_kernels_bit_identical(spark):
     assert [r["cell"] for r in small.orderBy("vid").collect()] == [
         r["cell"] for r in lit_small.orderBy("vid").collect()
     ]
+    # dispatch boundary is INCLUSIVE at exactly MAX_TERMS terms:
+    # k*dim == 512 stays on the literal kernel (no broadcast join in
+    # the plan), one more centroid crosses to the broadcast kernel
+    at_ceiling = LITERAL_KERNEL_MAX_TERMS // dim
+    assert at_ceiling * dim == LITERAL_KERNEL_MAX_TERMS
+    plan_at = assign_cells(corp, cent[:at_ceiling])._jdf.queryExecution(
+    ).analyzed().toString()
+    plan_over = assign_cells(
+        corp, cent[: at_ceiling + 1]
+    )._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in plan_at
+    assert "Join" in plan_over
     # the broadcast kernel must not shuffle the corpus: its plan has
     # no Exchange at all (BroadcastNestedLoopJoin of a 1-row side)
     import contextlib
