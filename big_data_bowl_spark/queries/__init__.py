@@ -324,13 +324,17 @@ _PRIORITY = [
 # the r13 discipline. (The r13 _FIRST cohort — the v-ANN/kmeans
 # literal-model rebuild — went driver-green in r13 and rotates back
 # into _PRIORITY by recency.)
-# Ordered cheapest-drain-first: the prefix's FIRST query pays the
-# whole session's warmup (JVM, parquet footers, codegen), and t07
-# measured 8.3 s in that slot on a noisy host — uncomfortably close
-# to the 10 s per-query driver-timeout risk the streaming gotcha
-# documents. t26 (1.3 s base) absorbs the warmup instead; t07 runs
-# warm (~3-4 s) further down.
+# Ordering: the prefix's FIRST query pays the whole session's
+# warmup (JVM, parquet footers, codegen — measured ~8 s first-slot
+# on a loaded host, whatever the query), and streaming queries
+# carry a ~10 s per-query wall risk in the driver's gate
+# (.claude/skills/verify gotchas). So slot 0 is a01 — the trivial
+# one-scan canary every prior round's gate has re-verified anyway —
+# to absorb the warmup the way batch-first prefixes did in r12/r13,
+# and the streaming family follows cheapest-drain-first so t07
+# (the priciest drain) runs fully warm.
 _FIRST = [
+    "a01_grouped_sum",
     "t26_streaming_histogram",
     "t34_stateful_type_counts",
     "t29_streaming_topk",
