@@ -431,3 +431,45 @@ def test_streaming_drains_capture_every_batch_plan(spark, sf_dir):
         if s["records"]
     )
     assert sum(b["spill_bytes"] for b in per) == 0
+
+
+def test_plan_capture_survives_forced_multi_batch_drain(
+    spark, tmp_path
+):
+    """The capture poll's riskiest shape: MANY small fast batches
+    (maxFilesPerTrigger=1 over several files). Batch N's
+    IncrementalExecution stays exposed until batch N+1 begins
+    planning, so every batch whose wall exceeds one 10 ms poll is
+    captured; n_batches comes from batchId+1 (NOT the capped
+    recentProgress), and a genuinely missed batch would surface as
+    len(plans) < n_batches — the plan_audit flag. Here all batches
+    are Spark-job-sized (>> 10 ms), so all must be captured."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.streaming import windows as W
+
+    src = tmp_path / "multi"
+    for i in range(4):
+        spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id"), (F.col("id") % 7).alias("grp")
+        ).coalesce(1).write.mode(
+            "append" if i else "overwrite"
+        ).parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    W.LAST_EXEC_PLANS.clear()
+    W.run_to_memory(stream, "multi_batch_capture", "complete")
+    ((sink, plans, n_batches),) = W.LAST_EXEC_PLANS
+    assert sink == "multi_batch_capture"
+    assert n_batches >= 4  # one per file
+    assert sorted(plans) == list(range(n_batches))
+    total = spark.table("multi_batch_capture").agg(
+        F.sum("n")
+    ).collect()[0][0]
+    assert total == 400
