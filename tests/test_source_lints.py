@@ -192,3 +192,38 @@ def test_unpartitioned_window_sites_are_frozen():
         "the plan assertion in test_plans.py; if not, it must not "
         "ship"
     )
+
+
+def test_streaming_audit_lists_cover_every_draining_query():
+    """r14 review follow-up: the shuffle-byte audit silently skipped
+    t25b because tools/shuffle_metrics.STREAMING_QUERIES was
+    hand-maintained. Pin both audit tools' lists to the set of
+    registered queries whose SOURCE drains a stream (run_to_memory /
+    run_to_merge_snapshot) so adding a streaming query without
+    extending the audits — or letting the two tools drift apart —
+    fails here instead of shipping an unweighed drain."""
+    import inspect
+
+    from tools.shuffle_metrics import (
+        STREAMING_QUERIES as weighed,
+    )
+    from tools.state_metrics import (
+        STREAMING_QUERIES as state_checked,
+    )
+
+    from big_data_bowl_spark.queries import REGISTRY
+
+    draining = set()
+    for name, spec in REGISTRY.items():
+        src = inspect.getsource(spec.fn)
+        if "run_to_memory" in src or "run_to_merge_snapshot" in src:
+            draining.add(name)
+    assert set(weighed) == draining, (
+        "tools/shuffle_metrics.STREAMING_QUERIES out of sync with "
+        f"the queries that actually drain: {set(weighed) ^ draining}"
+    )
+    assert set(state_checked) == draining, (
+        "tools/state_metrics.STREAMING_QUERIES out of sync with "
+        f"the queries that actually drain: "
+        f"{set(state_checked) ^ draining}"
+    )
