@@ -2,12 +2,14 @@
 embedding column.
 
 Each iteration is the declarative step proven by the
-`v05_kmeans_step` oracle (queries/vectors.py): assign every vector to
-its nearest centroid via a per-row argmin EXPRESSION over the k
-driver-side centroid literals — never a crossJoin, never a
-corpus-sized shuffle — then recompute centroids as element-wise means
-in long (cell, dim) form, whose partial aggregation combines
-map-side to k x dim rows per task.
+`v05_kmeans_step` oracle (queries/vectors.py): assign every vector
+to its nearest centroid via a per-row argmin over driver-side
+centroid state — the codegen'd literal expression up to the
+measured 512-term ceiling, the one-row-broadcast array<struct>
+kernel above it (assign_cells; both bit-identical, and in NEITHER
+regime does the corpus shuffle) — then recompute centroids as
+element-wise means in long (cell, dim) form, whose partial
+aggregation combines map-side to k x dim rows per task.
 
 r13 rewrite (found by tools/shuffle_metrics.py): the previous
 spelling assigned via corpus.crossJoin(broadcast(cent)) +
