@@ -234,11 +234,16 @@ def _await_capturing_plans(q) -> dict:
 
 
 # How many drains keep their plan references pinned: each entry
-# holds Py4J proxies to whole executed-plan graphs, so a long-lived
-# session (the 256-query gate drains 16 streams; plan_audit --all
-# drains more) must not grow JVM heap without bound. Entries older
-# than the window keep their (sink, n_batches) row — index stability
-# for concurrent readers — but drop the plan refs.
+# holds Py4J proxies to whole executed-plan graphs, so a LONG-LIVED
+# session (a notebook, a repeated test loop — anything draining more
+# than the window) must not grow JVM heap without bound. Entries
+# older than the window keep their (sink, n_batches) row — index
+# stability for concurrent readers — but drop the plan refs. The
+# known in-repo consumers sit under the window by design: the
+# 256-query gate drains 16 streams, and plan_audit --all harvests
+# its ~16 drains' tuples into its own report-scoped dict (those
+# references intentionally outlive a trim; the audit process exits
+# right after).
 _MAX_PINNED_PLAN_DRAINS = 32
 
 
@@ -251,10 +256,9 @@ def _capture_state_metrics(q, sink_name: str, plans=None) -> None:
     # the fresh checkpoints every drain here uses), NOT from
     # len(recentProgress): recentProgress is capped (default 100
     # entries), so a long drain would under-report its batch count
-    # and defeat the missed-batch flag.
-    n_batches = int(prog.get("batchId", -1)) + 1 or len(
-        q.recentProgress or []
-    )
+    # and defeat the missed-batch flag. No fallback: if no progress
+    # event exists at all, the honest count is 0.
+    n_batches = max(0, int(prog.get("batchId", -1)) + 1)
     LAST_EXEC_PLANS.append((sink_name, plans or {}, n_batches))
     for i in range(len(LAST_EXEC_PLANS) - _MAX_PINNED_PLAN_DRAINS):
         sink, old_plans, nb = LAST_EXEC_PLANS[i]

@@ -416,6 +416,28 @@ def test_assignment_kernels_bit_identical(spark):
         ).collect()
     with pytest.raises(ArrayIndexOutOfBoundsException):
         broadcast_cells(ragged, cent[:4]).collect()
+    # ...and a row LONGER than the centroid dim must NOT fail in
+    # either kernel (the literal kernel never indexes past dim-1;
+    # broadcast_cells zips over a size(kv) slice) and both must
+    # ignore the extra elements identically: the longer twin of a
+    # planted centroid still assigns to that centroid's cid in both.
+    longer = spark.createDataFrame(
+        [(0, list(cent[2][1]) + [99.0, -99.0]),
+         (1, [rng.uniform(-1, 1) for _ in range(dim + 5)])],
+        "vid long, cv array<double>",
+    )
+    lit_long = {
+        r["vid"]: r["cell"]
+        for r in longer.withColumn(
+            "cell", nearest_cell_expr("cv", cent)
+        ).collect()
+    }
+    bc_long = {
+        r["vid"]: r["cell"]
+        for r in broadcast_cells(longer, cent).collect()
+    }
+    assert lit_long == bc_long
+    assert lit_long[0] == 2  # extras ignored, exact match wins
 
 
 def test_kmeans_and_sqltext_degenerate_inputs_fail_loud(spark):

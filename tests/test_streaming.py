@@ -448,9 +448,12 @@ def test_plan_capture_survives_forced_multi_batch_drain(
 
     from big_data_bowl_spark.streaming import windows as W
 
+    # 5k rows per file keeps every micro-batch comfortably above the
+    # 10 ms poll period (a Spark job's scheduling floor alone is
+    # ~50 ms), so strict all-batches capture is deterministic here
     src = tmp_path / "multi"
     for i in range(4):
-        spark.range(i * 100, (i + 1) * 100).select(
+        spark.range(i * 5000, (i + 1) * 5000).select(
             F.col("id"), (F.col("id") % 7).alias("grp")
         ).coalesce(1).write.mode(
             "append" if i else "overwrite"
@@ -472,4 +475,4 @@ def test_plan_capture_survives_forced_multi_batch_drain(
     total = spark.table("multi_batch_capture").agg(
         F.sum("n")
     ).collect()[0][0]
-    assert total == 400
+    assert total == 20000

@@ -621,6 +621,10 @@ def main() -> None:
                 stream_rows.append(
                     (name, sink, len(plans), n_batches, shuffles, spill)
                 )
+            # metrics harvested — release this drain's plan-graph
+            # references so the sweep's JVM footprint stays bounded
+            # by ONE drain, not all sixteen
+            del drain_plans[name]
         lines += [
             "",
             "## Streaming micro-batch exchange weights (r14)",
