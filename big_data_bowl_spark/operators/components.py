@@ -77,6 +77,30 @@ def connected_components(
         )
         .localCheckpoint()
     )
+    # Converged-at-init fast path (r15): LSH near-dup graphs are
+    # clique-shaped per bucket, and for any component whose minimum
+    # node is a neighbor of every other member (cliques, stars), the
+    # init fold above IS the fixpoint. Detect it with one edge-level
+    # agreement check — comp(u) == comp(v) on every edge implies comp
+    # is constant per component, and the component-min m always has
+    # comp(m) = m (labels never go below the true min and
+    # min(m ∪ N(m)) = m), so the constant is the min: converged.
+    # Cost: one join + isEmpty on node-sized tables, against the full
+    # pointer-jump round (3-way edge union + join + groupBy + join +
+    # localCheckpoint + isEmpty) the loop would otherwise spend just
+    # to confirm no change — the common near-dup case pays the check
+    # and skips the round; a genuinely deep graph pays the check once
+    # and enters the loop as before.
+    lu = labels.select(F.col("node").alias("u"), F.col("comp").alias("uc"))
+    lv = labels.select(F.col("node").alias("v"), F.col("comp").alias("vc"))
+    if (
+        sym.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("uc") != F.col("vc"))
+        .isEmpty()
+    ):
+        return labels
+
     stepped = None
     for _ in range(max_rounds):
         # pointer-jumping edges: node <-> its current label

@@ -117,7 +117,26 @@ def broadcast_cells(
     but per-row work is O(k x dim) in either kernel, and only this
     one's plan-build cost stays flat in k. Crossover adjudicated in
     PLANS.md; SCALE.md records the measured literal-parse ceiling."""
-    spark = corp.sparkSession
+    one = _cents_relation(corp.sparkSession, cent_rows, "broadcast_cells")
+    d = f"k.kk - 2.0 * {_guarded_dot_sql(cv_name)}"
+    argmin = (
+        f"array_min(transform(__cents__, "
+        f"k -> struct({d} AS d, k.c AS c))).c"
+    )
+    return (
+        corp.crossJoin(F.broadcast(one))
+        .withColumn(out_name, F.expr(argmin))
+        .drop("__cents__")
+    )
+
+
+def _cents_relation(spark, cent_rows, caller: str):
+    """The centroid model as a ONE-ROW broadcast relation:
+    array<struct<c, kk, kv>> where kk = pyfold_dot(kv, kv) is the
+    same binary64 the literal kernels fold driver-side, delivered
+    exactly through createDataFrame's binary64 path. Shared by both
+    broadcast kernels (argmin-distance and argmax-dot) so their
+    model bits are byte-for-byte the literal kernels'."""
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,
@@ -128,7 +147,7 @@ def broadcast_cells(
 
     if not cent_rows:
         raise ValueError(
-            "broadcast_cells: no centroid rows (same contract as "
+            f"{caller}: no centroid rows (same contract as "
             "nearest_cell_sql — fail loud, not an empty assignment)"
         )
     cents = [
@@ -151,35 +170,66 @@ def broadcast_cells(
             False,
         )
     ])
-    one = spark.createDataFrame([(cents,)], schema)
-    # The dot's fast path is the plain zip_with fold (sql_fold_dot —
-    # the documented bit-identical sequence to sql_dot_lit's flat
-    # chain on equal-length inputs; index-counter and sequence()
-    # spellings measured 3.6x / 1.5x slower). Ragged rows take the
-    # guarded branches so the semantics stay the LITERAL kernel's
-    # positional-indexing semantics exactly: a LONGER cv has its
-    # extra elements ignored (zip over a size(kv) slice — zip_with
-    # alone would null-pad kv and poison the dot where the literal
-    # kernel ignores); a SHORTER cv hits the same out-of-bounds
-    # cv[...] access the literal kernel hits (ANSI: identical error;
-    # non-ANSI: identical NULL-poisoned distance).
+    return spark.createDataFrame([(cents,)], schema)
+
+
+def _guarded_dot_sql(cv_name: str) -> str:
+    """dot(cv, k.kv) for the broadcast kernels. The fast path is the
+    plain zip_with fold (sql_fold_dot — the documented bit-identical
+    sequence to sql_dot_lit's flat chain on equal-length inputs;
+    index-counter and sequence() spellings measured 3.6x / 1.5x
+    slower). Ragged rows take the guarded branches so the semantics
+    stay the LITERAL kernels' positional-indexing semantics exactly:
+    a LONGER cv has its extra elements ignored (zip over a size(kv)
+    slice — zip_with alone would null-pad kv and poison the dot
+    where the literal kernel ignores); a SHORTER cv hits the same
+    out-of-bounds cv[...] access the literal kernel hits (ANSI:
+    identical error; non-ANSI: identical NULL-poisoned value)."""
     fast = sql_fold_dot(cv_name, "k.kv")
     ignore_extra = sql_fold_dot(
         f"slice({cv_name}, 1, size(k.kv))", "k.kv"
     )
-    dot = (
+    return (
         f"IF(size({cv_name}) = size(k.kv), {fast}, "
         f"IF(size({cv_name}) > size(k.kv), {ignore_extra}, "
         f"{cv_name}[size(k.kv) - 1]))"
     )
-    d = f"k.kk - 2.0 * {dot}"
-    argmin = (
-        f"array_min(transform(__cents__, "
-        f"k -> struct({d} AS d, k.c AS c))).c"
+
+
+def broadcast_cells_dot(
+    corp: DataFrame, cent_rows, cv_name: str = "cv",
+    out_name: str = "cell",
+) -> DataFrame:
+    """Large-k ARGMAX-DOT assignment kernel — the broadcast twin of
+    queries/extras._cell_expr (IVF cell = argmax of dot(cv, kv),
+    ties to the LOWEST cid) the way broadcast_cells is the twin of
+    nearest_cell_expr (argmin distance). The IVF serve/build family
+    (v04/v10/e05) assigns by raw dot, not by distance, so it needs
+    its own kernel above the literal parse ceiling; routing it
+    through broadcast_cells would change assignments wherever
+    centroid norms differ (argmax dot != argmin distance on
+    unnormalized centroids).
+
+    Bit-compatibility with _cell_expr (pinned by
+    tests/test_operators.py::test_dot_assignment_kernels_bit_identical):
+    the dot is _guarded_dot_sql — sql_fold_dot's zip_with fold, the
+    documented bit-identical IEEE sequence to the compiled kernel's
+    sql_dot_lit chain, behind the same ragged-row guards — and the
+    tie-break is array_max over struct(s, -c, c): highest score,
+    then highest -cid == lowest cid, the literal kernel's struct
+    exactly. kk rides the shared relation unused here (argmax-dot
+    needs no norm term); one model relation, two kernels."""
+    one = _cents_relation(
+        corp.sparkSession, cent_rows, "broadcast_cells_dot"
+    )
+    s = _guarded_dot_sql(cv_name)
+    argmax = (
+        f"array_max(transform(__cents__, "
+        f"k -> struct({s} AS s, -k.c AS nc, k.c AS c))).c"
     )
     return (
         corp.crossJoin(F.broadcast(one))
-        .withColumn(out_name, F.expr(argmin))
+        .withColumn(out_name, F.expr(argmax))
         .drop("__cents__")
     )
 
@@ -216,7 +266,15 @@ def step_stats(corp: DataFrame, cent_rows) -> DataFrame:
     either way a per-row computation with no corpus shuffle), then
     the (cell, dim) member counts and mean components. The groupBy
     partial-aggregates map-side, so the only exchange carries
-    k x dim rows per task."""
+    k x dim rows per task.
+
+    Magnitude/precision envelope (ADVICE r14): the per-dim sum is
+    decimal(38,18) by contract (merge-order determinism, below), so
+    vector components must satisfy |v| < ~1e19 (sum incl.) — larger
+    overflows the decimal (ANSI: error; non-ANSI: NULL mean) — and
+    components below 1e-18 truncate to zero in the sum. Embedding
+    corpora live many orders inside this box (unit-ish norms);
+    callers with out-of-range features should rescale first."""
     assign = assign_cells(corp, cent_rows).select("cell", "cv")
     dims = assign.select(
         "cell", F.posexplode("cv").alias("dim_idx", "val")
@@ -274,6 +332,12 @@ def kmeans_fit(
     k x dim — the "corpus never shuffles, only k x dim crosses the
     network" claim) — used by tools/scale_probe.py --kmeans-fit to
     pin per-round wall/collect/heap at the 100x design point.
+
+    Input envelope (ADVICE r14): per-round means go through
+    step_stats' decimal(38,18) sums (merge-order determinism), so
+    vector components must stay within |v| < ~1e19 and meaningful
+    magnitude >= ~1e-18 — see the step_stats docstring for the
+    stated contract; rescale out-of-range features before fitting.
     """
     vec = F.col(vec_col).cast("array<double>")
     corp = (

@@ -270,7 +270,12 @@ def _cell_expr(cv_name: str, cent_rows, compiled: bool = False):
     dispatch that the compiled kernel does as straight-line FMA. At
     production scale the split is the architecture itself: build
     materializes cell/code columns to the lake once (compiled
-    kernel), serve READS them and never recomputes."""
+    kernel), serve READS them and never recomputes.
+
+    Callers go through _with_cell, which dispatches to the broadcast
+    argmax-dot kernel above the 512-term janino ceiling — either
+    kernel here emits ONE SQL parse whose codegen dies past it
+    (SCALE.md k-ceiling table; VERDICT r14 item 2)."""
     dot = _sql_dot_lit if compiled else (
         lambda col, kv: _sql_fold_dot(col, _sql_darr(kv))
     )
@@ -280,6 +285,35 @@ def _cell_expr(cv_name: str, cent_rows, compiled: bool = False):
         for cid, kv in cent_rows
     )
     return F.expr(f"array_max(array({structs})).c")
+
+
+def _with_cell(
+    df, cent_rows, cv_name: str = "cv", out_name: str = "cell",
+    compiled: bool = False,
+):
+    """IVF cell assignment with kernel dispatch — the argmax-dot twin
+    of operators/kmeans.assign_cells (VERDICT r14 item 2): below the
+    measured 512-term janino ceiling the one-parse literal kernel
+    (_cell_expr, HOF fold or compiled unroll per the serve/build
+    split documented there); above it the broadcast array-of-struct
+    kernel (operators/kmeans.broadcast_cells_dot — bit-identical
+    assignments, plan cost flat in k). Every query-side caller
+    (v04/v10/e05) routes through here, so raising NLIST past 64 can
+    no longer drive a trained model into the cliff SCALE.md measured
+    (k=9x64 first exec 14.5 s interpreted after a failed compile;
+    k=256 job-fatal boxed janino error) — the dispatch boundary is
+    the same inclusive-at-512 one assign_cells pins by test."""
+    from ..operators.kmeans import (
+        LITERAL_KERNEL_MAX_TERMS,
+        broadcast_cells_dot,
+    )
+
+    terms = sum(len(kv) for _, kv in cent_rows)
+    if terms <= LITERAL_KERNEL_MAX_TERMS:
+        return df.withColumn(
+            out_name, _cell_expr(cv_name, cent_rows, compiled)
+        )
+    return broadcast_cells_dot(df, cent_rows, cv_name, out_name)
 
 
 def _query_side_df(spark, qrows):
@@ -375,13 +409,15 @@ def v04_ivf_topk(spark: SparkSession, sf_dir: str):
     qrows = _query_vec_rows(spark, e, sf_dir)
 
     probes = _probe_df(spark, cent_rows, qrows, NPROBE)
-    base = e.select(
-        F.col("vec_id").alias("cand_id"), vec.alias("cv")
-    ).select(
-        "cand_id",
-        "cv",
-        F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
-        _cell_expr("cv", cent_rows).alias("cell"),
+    base = _with_cell(
+        e.select(
+            F.col("vec_id").alias("cand_id"), vec.alias("cv")
+        ).select(
+            "cand_id",
+            "cv",
+            F.sqrt(_dot(F.col("cv"), F.col("cv"))).alias("cn"),
+        ),
+        cent_rows,
     )
     qdf = _query_side_df(spark, qrows)
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
@@ -1486,7 +1522,24 @@ def _code_expr(cv_name: str, m: int, cb_m):
     # unrolled spelling measured 1.15 -> 4.46 s/run in pure per-run
     # codegen with nothing to amortize it against at bench scale. An
     # index BUILD materializing codes corpus-wide would pass the
-    # compiled kernel instead (e05's _cell_expr(compiled=True) path).
+    # compiled kernel instead (e05's compiled _with_cell path).
+    from ..operators.kmeans import LITERAL_KERNEL_MAX_TERMS
+
+    terms = sum(len(ckv) for _, ckv, _ in cb_m)
+    if terms > LITERAL_KERNEL_MAX_TERMS:
+        # fail LOUD at the measured janino ceiling instead of letting
+        # a grown codebook (PQ_K x PQ_SUB literal terms) hit the
+        # cliff SCALE.md measured (VERDICT r14 item 2). The shipped
+        # codebook is PQ_K=8 x PQ_SUB=16 = 128 terms — 4x headroom;
+        # a build needing more moves the codewords into the data
+        # plane (the operators/kmeans.broadcast_cells_dot pattern,
+        # with d2's exact operand order in the struct).
+        raise ValueError(
+            f"_code_expr: {terms} literal terms in subspace {m} "
+            f"exceeds the {LITERAL_KERNEL_MAX_TERMS}-term codegen "
+            "ceiling — broadcast the codebook as data instead of "
+            "SQL text (see operators/kmeans.broadcast_cells_dot)"
+        )
     sv = f"slice({cv_name}, {m * PQ_SUB + 1}, {PQ_SUB})"
     sv2 = _sql_fold_dot(sv, sv)
     structs = ",".join(
@@ -1625,11 +1678,12 @@ def v10_ivfpq_topk(spark: SparkSession, sf_dir: str):
 
     probes = _probe_df(spark, cent_rows, qrows, NPROBE)
     # scan 1: per-row index columns, then candidate ADC — all narrow
-    base = e.select(
-        F.col("vec_id").alias("cand_id"), vec.alias("cv")
+    base = _with_cell(
+        e.select(F.col("vec_id").alias("cand_id"), vec.alias("cv")),
+        cent_rows,
     ).select(
         "cand_id",
-        _cell_expr("cv", cent_rows).alias("cell"),
+        "cell",
         *[
             _code_expr("cv", m, cb[m]).alias(f"code{m}")
             for m in range(PQ_M)
@@ -2257,14 +2311,16 @@ def _e05_oracle() -> str:
     "trained two-step-Lloyd quantizer v04/v10 use (round 8); (4) "
     "deterministic md5 shard for the writer (s08). Scale: the only "
     "corpus-sized exchanges are the SRP bucket groupBy, the CC "
-    "rounds (both bucketed/node-sized) and the cluster-size attach "
-    "— which is corpus-cardinality (one row per component) and "
-    "therefore a co-partitioned shuffle join on canonical_id, NOT "
-    "a broadcast; only the genuinely bounded centroid codebook "
-    "broadcasts. Everything downstream of keep-one is keyed on "
-    "vec_id, so dedup -> quantize -> assign -> shard chains "
-    "without re-partitioning. One new query, zero new operators — "
-    "the composition IS the test.",
+    "rounds (both bucketed/node-sized) and the cluster-size window "
+    "— ONE shuffle of the narrow canon rows on canonical_id (r15: "
+    "formerly a groupBy aggregate PLUS a co-partitioned join back, "
+    "two exchanges for the same count; the component table is "
+    "corpus-cardinality so it could never broadcast); only the "
+    "genuinely bounded centroid codebook broadcasts. Everything "
+    "downstream of keep-one is keyed on vec_id, so dedup -> "
+    "quantize -> assign -> shard chains without re-partitioning. "
+    "One new query, zero new operators — the composition IS the "
+    "test.",
 )
 def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
     from ..operators.components import connected_components
@@ -2284,17 +2340,20 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
     # survivor filter will drop — scan-local CPU on the dup fraction,
     # bought for zero wide exchanges anywhere in the plan; at 100 TB
     # shuffle bytes are the scarcer resource by orders of magnitude.
-    cell = _cell_expr(
-        "cv", _trained_centroid_rows(spark, e, sf_dir), compiled=True
-    )
     scale = F.greatest(
         F.array_max(F.transform(F.col("cv"), lambda x: F.abs(x))),
         F.lit(1e-30),
     )
-    feats = e.select("vec_id", vec.alias("cv")).select(
-        "vec_id", cell.alias("cell"), scale.alias("scale")
-    )
+    feats = _with_cell(
+        e.select("vec_id", vec.alias("cv")),
+        _trained_centroid_rows(spark, e, sf_dir),
+        compiled=True,
+    ).select("vec_id", "cell", scale.alias("scale"))
 
+    # uncapped here (exact oracle semantics); a production index
+    # refresh on an untrusted corpus passes max_bucket through
+    # v03_bucketed_neardup and reads oversized_srp_buckets — the
+    # r15 skew guard this chain inherits (SCALE.md, SRP bucket cap)
     pairs = v03_bucketed_neardup(spark, sf_dir).select("vec_a", "vec_b")
     labels = connected_components(pairs, src="vec_a", dst="vec_b")
     canon = feats.join(
@@ -2305,15 +2364,20 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
         "scale",
         F.coalesce("comp", "vec_id").alias("canonical_id"),
     )
-    members = canon.groupBy("canonical_id").agg(
-        F.count(F.lit(1)).alias("n_members")
-    )
-    # members has one row per component — CORPUS-sized on a mostly
-    # duplicate-free corpus, so it must NOT broadcast; both sides key
-    # on canonical_id, so this is a co-partitioned shuffle join
-    keep = canon.filter(
-        F.col("vec_id") == F.col("canonical_id")
-    ).join(members, "canonical_id")
+    # Cluster size as a count window over canonical_id, NOT a
+    # groupBy+join (r15, VERDICT r14 item 1): the component-size
+    # table is corpus-cardinality (one row per component) so the old
+    # `members` aggregate could never broadcast — it cost an agg
+    # exchange PLUS a co-partitioned join exchange, two of the ten
+    # fixed-cost exchanges that made e05 the bench's best ambient
+    # amplifier. The window shuffles canon ONCE on canonical_id
+    # (narrow rows: id, cell, scale, canonical_id) and the survivor
+    # filter runs on the windowed rows — same result bit-for-bit
+    # (count is order-insensitive), one exchange and no join subtree.
+    keep = canon.withColumn(
+        "n_members",
+        F.count(F.lit(1)).over(Window.partitionBy("canonical_id")),
+    ).filter(F.col("vec_id") == F.col("canonical_id"))
 
     shard = (
         F.conv(

@@ -136,14 +136,26 @@ def v01_cosine_topk(spark: SparkSession, sf_dir: str):
     )
 
 
-def _bucket_expr(vec):
-    """SRP bucket id in [0, 2^N_PLANES): bit p = sign of plane-p dot."""
-    bucket = None
-    for p in range(N_PLANES):
-        w_lit = F.array(*[F.lit(x) for x in SRP[p]])
-        bit = F.when(_dot(vec, w_lit) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+def _bucket_expr(vec_sql: str = "CAST(embedding AS ARRAY<DOUBLE>)"):
+    """SRP bucket id in [0, 2^N_PLANES): bit p = sign of plane-p dot.
+
+    ONE F.expr parse over SQL text, not a Column tree (r15): the old
+    spelling built 8 planes x 64 F.lit Py4J columns PER CALL — pure
+    plan-build cost on every v02/v03/v08/e05 invocation (the
+    m13/VALUES-SQL precedent: Column-API literal trees measured
+    0.7-1.8 s of driver-side build). The SQL fold (sqltext.
+    sql_fold_dot) is the identical aggregate(zip_with) expression the
+    Column spelling parsed to, so every bucket bit — and the DuckDB
+    oracle match — is unchanged bit-for-bit. Takes the vector's SQL
+    text instead of a Column for the same reason."""
+    from ..functions.sqltext import sql_darr, sql_fold_dot
+
+    bits = " + ".join(
+        f"(CASE WHEN {sql_fold_dot(vec_sql, sql_darr(SRP[p]))} > 0.0D "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    return F.expr(f"({bits})")
 
 
 def _sql_bucket(vec_col: str) -> str:
@@ -168,10 +180,7 @@ def _sql_bucket(vec_col: str) -> str:
 )
 def v02_srp_lsh_buckets(spark: SparkSession, sf_dir: str):
     e = t(spark, sf_dir, "embeddings")
-    vec = F.col("embedding").cast("array<double>")
-    return e.select(
-        "vec_id", _bucket_expr(vec).alias("bucket")
-    )
+    return e.select("vec_id", _bucket_expr().alias("bucket"))
 
 
 @register(
@@ -193,22 +202,71 @@ def v02_srp_lsh_buckets(spark: SparkSession, sf_dir: str):
     "keeps the pair space O(sum bucket^2); "
     "exact cosine re-scoring inside each bucket",
 )
-def v03_bucketed_neardup(spark: SparkSession, sf_dir: str):
-    e = t(spark, sf_dir, "embeddings")
+def v03_bucketed_neardup(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+):
+    return _srp_pairs(
+        _srp_withb(t(spark, sf_dir, "embeddings")), max_bucket
+    )
+
+
+def _srp_withb(e):
+    """(vec_id, v, bucket, nrm) from an embeddings-schema DataFrame —
+    the SRP projection pipeline v03/v08/e05 share. Per-vector norm is
+    computed ONCE (one array fold per vector, not three per pair);
+    cosine = dot/(na*nb) stays bit-identical."""
     vec = F.col("embedding").cast("array<double>")
-    # per-vector norm computed ONCE (one array fold per vector, not
-    # three per pair); cosine = dot/(na*nb) stays bit-identical
-    withb = e.select(
-        "vec_id", vec.alias("v"), _bucket_expr(vec).alias("bucket")
+    return e.select(
+        "vec_id", vec.alias("v"), _bucket_expr().alias("bucket")
     ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    # Pair generation is a groupBy on the bucket id, NOT a self-join: a
-    # self-join of this subtree would evaluate the SRP-projection +
-    # norm pipeline twice (the two sides' exchanges don't canonicalize
-    # equal, so nothing is reused). One shuffle keyed on the bucket id
-    # collects each bucket's (vec_id, nrm, v) structs, and i<j pairs
-    # are emitted bucket-locally — identical O(sum bucket^2) pair
-    # space, half the projection compute. A vector lands in exactly
-    # one bucket, so pairs are already distinct.
+
+
+def _srp_pairs(withb, max_bucket: int | None = None):
+    """Bucket-local near-dup pairs from the (vec_id, v, bucket, nrm)
+    rows. Pair generation is a groupBy on the bucket id, NOT a
+    self-join: a self-join of this subtree would evaluate the
+    SRP-projection + norm pipeline twice (the two sides' exchanges
+    don't canonicalize equal, so nothing is reused). One shuffle
+    keyed on the bucket id collects each bucket's (vec_id, nrm, v)
+    structs, and i<j pairs are emitted bucket-locally — identical
+    O(sum bucket^2) pair space, half the projection compute. A
+    vector lands in exactly one bucket, so pairs are already
+    distinct.
+
+    `max_bucket` is the adversarial-skew guard (VERDICT r14 item 3 —
+    the d02 `_pairs_from_bands` treatment for the VECTOR side): a
+    near-collinear embedding corpus — a realistic regime after a bad
+    encoder run or a template-heavy crawl — puts a huge fraction of
+    vectors in ONE SRP bucket, and that bucket's collect_list
+    buffers bucket x dim doubles on a single reducer before a single
+    pair is emitted, then explodes O(bucket^2) pairs. Capping drops
+    buckets larger than `max_bucket` BEFORE the vector-carrying
+    collect (a bucket that hot is a duplicate CLUSTER, better
+    handled by exact dedup than pairwise verification). The size
+    pre-pass aggregates only the bucket ids — column pruning keeps
+    vectors out of it entirely and its shuffle carries (bucket,
+    partial count) rows — so the guard's cost is one extra narrow
+    scan, never extra vector movement; the hot-bucket list is
+    bounded by construction (count > max_bucket can match at most
+    corpus/max_bucket buckets) and broadcasts into a left_anti
+    filter. Callers that cap should audit what was dropped via
+    `oversized_srp_buckets` — silent truncation reads as full
+    coverage. Default None preserves exact v03 semantics (and its
+    oracle); e05's dedup chain inherits the parameter through
+    v03_bucketed_neardup."""
+    if max_bucket is not None:
+        if max_bucket < 2:
+            raise ValueError(
+                f"max_bucket must be >= 2, got {max_bucket} — a cap "
+                "below 2 drops every pair-generating bucket"
+            )
+        hot = (
+            withb.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("bucket")
+        )
+        withb = withb.join(F.broadcast(hot), "bucket", "left_anti")
     buckets = (
         withb.groupBy("bucket")
         .agg(
@@ -236,6 +294,19 @@ def v03_bucketed_neardup(spark: SparkSession, sf_dir: str):
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_COS)
+    )
+
+
+def oversized_srp_buckets(withb, max_bucket: int):
+    """(bucket, bucket_size) for buckets the `max_bucket` cap would
+    drop — the audit companion of `_srp_pairs(..., max_bucket=...)`
+    (the d02 `oversized_buckets` pattern): one narrow aggregation
+    over the SAME bucketed rows, output bounded by the number of hot
+    buckets (a handful by construction of the cap)."""
+    return (
+        withb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 
@@ -372,11 +443,15 @@ def _spark_lloyd_step(corp, cent_rows):
     Assignments are bit-identical: same d formula, same fold
     sequence, same (d, cid) tie-break (sqltext.nearest_cell_sql)."""
     from ..functions.rounding import rhu
-    from ..operators.kmeans import nearest_cell_expr
+    from ..operators.kmeans import assign_cells
 
-    assign = corp.select(
-        nearest_cell_expr("cv", cent_rows).alias("cell"), "cv"
-    )
+    # assign_cells, not bare nearest_cell_expr (r15): below the
+    # 512-term ceiling this IS the literal kernel (same plan, same
+    # bits); above it the dispatcher takes the broadcast kernel, so
+    # training a model with k x dim past the ceiling cannot hit the
+    # measured janino cliff either (VERDICT r14 item 2 — the fence
+    # now covers train AND serve).
+    assign = assign_cells(corp, cent_rows).select("cell", "cv")
     dims = assign.select(
         "cell", F.posexplode("cv").alias("dim_idx0", "val")
     ).select("cell", (F.col("dim_idx0") + 1).alias("dim_idx"), "val")

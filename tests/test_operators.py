@@ -440,6 +440,117 @@ def test_assignment_kernels_bit_identical(spark):
     assert lit_long[0] == 2  # extras ignored, exact match wins
 
 
+def test_dot_assignment_kernels_bit_identical(spark):
+    """VERDICT r14 item 2: the IVF serve/build family assigns by
+    ARGMAX DOT (ties to lowest cid), not argmin distance, so it has
+    its own broadcast kernel (broadcast_cells_dot) behind the
+    queries-side dispatcher (extras._with_cell). Above the 512-term
+    ceiling the dispatcher must route to it, and the two kernels
+    must agree bit-for-bit — including on centroids whose NORMS
+    differ (where a wrong route through the distance kernel would
+    visibly change assignments)."""
+    import math
+    import random
+
+    import big_data_bowl_spark.queries.extras as ex
+    from big_data_bowl_spark.operators.kmeans import (
+        LITERAL_KERNEL_MAX_TERMS,
+        broadcast_cells_dot,
+    )
+
+    rng = random.Random(23)
+    dim = 16
+    k = LITERAL_KERNEL_MAX_TERMS // dim + 8  # past the crossover
+    # adversarial: wildly different norms (argmax-dot vs argmin-dist
+    # discriminator), an exact duplicate pair (cid tie-break), and a
+    # 1-ulp twin (bit-level score compare)
+    cent = [
+        (
+            i,
+            [rng.uniform(-1, 1) * (10.0 ** (i % 5 - 2)) for _ in range(dim)],
+        )
+        for i in range(k - 2)
+    ]
+    cent.append((k - 2, list(cent[0][1])))  # duplicate of cid 0
+    bumped = list(cent[1][1])
+    bumped[0] = math.nextafter(bumped[0], math.inf)
+    cent.append((k - 1, bumped))
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(400)
+    ]
+    corp = spark.createDataFrame(rows, "vid long, cv array<double>")
+
+    lit = corp.withColumn("cell", ex._cell_expr("cv", cent))
+    bc = broadcast_cells_dot(corp, cent)
+    got_lit = {r["vid"]: r["cell"] for r in lit.collect()}
+    got_bc = {r["vid"]: r["cell"] for r in bc.collect()}
+    assert got_lit == got_bc
+    # compiled (sql_dot_lit) kernel parity at a k UNDER the ceiling —
+    # the serve/build split's other leg, kept small so the unrolled
+    # chain stays codegen-clean in the test
+    lit_c = corp.withColumn("cell", ex._cell_expr("cv", cent[:8], True))
+    lit_h = corp.withColumn("cell", ex._cell_expr("cv", cent[:8]))
+    assert [r["cell"] for r in lit_c.orderBy("vid").collect()] == [
+        r["cell"] for r in lit_h.orderBy("vid").collect()
+    ]
+    # dispatcher: over-ceiling routes to the broadcast kernel
+    # (BroadcastNestedLoopJoin of the 1-row model relation, NO
+    # corpus shuffle), at-or-under stays on the one-parse literal
+    disp = ex._with_cell(corp, cent)
+    assert {r["vid"]: r["cell"] for r in disp.collect()} == got_lit
+    assert "__cents__" not in disp.columns
+    plan_over = disp._jdf.queryExecution().analyzed().toString()
+    assert "Join" in plan_over
+    at_ceiling = LITERAL_KERNEL_MAX_TERMS // dim
+    plan_at = ex._with_cell(
+        corp, cent[:at_ceiling]
+    )._jdf.queryExecution().analyzed().toString()
+    assert "Join" not in plan_at
+
+
+def test_v04_code_path_survives_over_ceiling_nlist(spark, monkeypatch):
+    """VERDICT r14 item 2, the end-to-end leg: drive v04's ACTUAL
+    code path with a trained model past the 512-term literal
+    ceiling (NLIST=16 x dim=64 = 1024 terms) and require (a) the
+    query executes — no janino cliff, because _with_cell routes the
+    assignment through the broadcast kernel, and training's
+    _spark_lloyd_step routes through assign_cells — and (b) the
+    over-ceiling assignments are bit-identical to the literal
+    HOF kernel's on the same trained centroids."""
+    import big_data_bowl_spark.queries.extras as ex
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setattr(ex, "NLIST", 16)
+    # _CENT_CACHE keys on the DATA fingerprint only — an NLIST=16
+    # model must not leak into other tests (or vice versa)
+    ex._CENT_CACHE.clear()
+    try:
+        e = ex.t(spark, sf, "embeddings")
+        cent = ex._trained_centroid_rows(spark, e, sf)
+        assert len(cent) == 16
+        assert sum(len(kv) for _, kv in cent) > 512
+        out = ex.v04_ivf_topk(spark, sf).collect()
+        assert len(out) > 0  # ran end-to-end through the fence
+        corp = e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("cv")
+        )
+        fenced = {
+            r["vec_id"]: r["cell"]
+            for r in ex._with_cell(corp, cent).collect()
+        }
+        literal = {
+            r["vec_id"]: r["cell"]
+            for r in corp.withColumn(
+                "cell", ex._cell_expr("cv", cent)
+            ).collect()
+        }
+        assert fenced == literal
+        assert len(set(fenced.values())) > 1  # non-vacuous model
+    finally:
+        ex._CENT_CACHE.clear()
+
+
 def test_kmeans_and_sqltext_degenerate_inputs_fail_loud(spark):
     """ADVICE r13: empty literal vectors / zero centroids must raise
     a descriptive ValueError, not emit malformed SQL that dies with
@@ -2434,6 +2545,80 @@ def test_lsh_bucket_cap_under_adversarial_skew(spark):
             _pairs_from_bands(bands, max_bucket=1)
     finally:
         bands.unpersist()
+
+
+def test_srp_bucket_cap_under_degenerate_collinear_corpus(spark):
+    """VERDICT r14 item 3 — the d02 skew treatment for the VECTOR
+    side: a near-collinear embedding corpus (every vector a tiny
+    perturbation of one direction — a bad encoder run) lands whole
+    in ONE SRP bucket, whose collect_list would buffer bucket x dim
+    doubles on a single reducer and then explode O(bucket^2) pairs.
+    The max_bucket cap must drop exactly that bucket — BEFORE the
+    vector-carrying collect — while keeping ordinary near-dup pairs
+    in cold buckets, and oversized_srp_buckets must name what was
+    dropped. e05's dedup chain inherits the parameter through
+    v03_bucketed_neardup."""
+    import random
+
+    import pytest
+
+    from big_data_bowl_spark.queries.vectors import (
+        EMBED_DIM,
+        _srp_pairs,
+        _srp_withb,
+        oversized_srp_buckets,
+    )
+
+    rng = random.Random(7)
+    base = [rng.uniform(0.5, 1.0) for _ in range(EMBED_DIM)]
+    # 120 near-collinear vectors: same plane-projection signs ->
+    # same SRP bucket; pairwise cosine ~1 -> every pair passes the
+    # threshold, the full quadratic blowup
+    hot = [
+        (
+            i,
+            [x * (1.0 + 1e-9 * rng.random()) for x in base],
+        )
+        for i in range(120)
+    ]
+    # a genuine near-dup pair in a DIFFERENT bucket: -base flips
+    # every projection sign, so its bucket is the bit-complement
+    cold = [
+        (1000, [-x for x in base]),
+        (1001, [-x * 1.0001 for x in base]),
+    ]
+    e = spark.createDataFrame(
+        hot + cold, "vec_id long, embedding array<double>"
+    )
+    withb = _srp_withb(e).cache()
+    try:
+        hot_bucket = withb.filter(F.col("vec_id") == 0).collect()[0][
+            "bucket"
+        ]
+        cold_bucket = withb.filter(F.col("vec_id") == 1000).collect()[
+            0
+        ]["bucket"]
+        assert hot_bucket != cold_bucket
+
+        uncapped = _srp_pairs(withb).count()
+        assert uncapped >= 120 * 119 // 2  # the quadratic blowup
+
+        capped = {
+            (r.vec_a, r.vec_b)
+            for r in _srp_pairs(withb, max_bucket=50).collect()
+        }
+        assert (1000, 1001) in capped  # cold-bucket pair survives
+        assert not any(a < 1000 and b < 1000 for a, b in capped)
+
+        audit = oversized_srp_buckets(withb, 50).collect()
+        assert [(r.bucket, r.bucket_size) for r in audit] == [
+            (hot_bucket, 120)
+        ]
+
+        with pytest.raises(ValueError, match="max_bucket"):
+            _srp_pairs(withb, max_bucket=1)
+    finally:
+        withb.unpersist()
 
 
 def test_d12_incremental_union_equals_full_recompute(spark, sf_dir):
