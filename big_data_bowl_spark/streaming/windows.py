@@ -198,10 +198,30 @@ LAST_STATE_METRICS: list = []
 # the tool can flag a drain whose captured plans miss a batch.
 LAST_EXEC_PLANS: list = []
 
+# Plan capture is OPT-IN (ADVICE r14): the 10 ms poll and the
+# per-batch JVM plan pinning only pay off when an audit reads the
+# plans, so the audit tools (tools/plan_audit.py --all,
+# tools/shuffle_metrics.py --streaming) and the all-batch-capture
+# pin test set this True around their drains; every other session —
+# the driver's gate, bench, plain queries — drains with a bare
+# awaitTermination() and pins nothing.
+CAPTURE_EXEC_PLANS: bool = False
+
+# Backstop within one capturing drain (ADVICE r14): each pinned plan
+# is a whole executed-plan graph, so a capturing drain with a huge
+# availableNow backlog must not grow JVM heap O(n_batches). Batches
+# past the cap are dropped lowest-first (the final watermark-commit
+# batch is always the post-termination grab, so it survives); the
+# audit's missed-batch flag (len(plans) < n_batches) fires on the
+# gap — a capped drain reads as "not fully weighed", never as full
+# coverage. In-repo capturing drains run 1-4 batches, far under.
+_MAX_PINNED_PLANS_PER_DRAIN = 64
+
 
 def _await_capturing_plans(q) -> dict:
-    """awaitTermination() with a capture loop: poll the running
-    drain's lastExecution and keep one executed-plan reference per
+    """awaitTermination(), with a capture loop when
+    CAPTURE_EXEC_PLANS is set: poll the running drain's
+    lastExecution and keep one executed-plan reference per
     micro-batch (the proxy pins the JVM object, so its final
     SQLMetrics stay readable after the drain).
 
@@ -215,6 +235,10 @@ def _await_capturing_plans(q) -> dict:
     count and flags (tools/plan_audit.py streaming section)."""
     import time as _time
 
+    if not CAPTURE_EXEC_PLANS:
+        q.awaitTermination()
+        return {}
+
     plans: dict = {}
 
     def grab():
@@ -224,6 +248,8 @@ def _await_capturing_plans(q) -> dict:
                 plans[int(le.currentBatchId())] = le.executedPlan()
         except Exception:
             pass
+        while len(plans) > _MAX_PINNED_PLANS_PER_DRAIN:
+            del plans[min(plans)]
 
     while q.isActive:
         grab()

@@ -168,3 +168,58 @@ def test_compact_summary_carries_errors_and_retries():
     s = json.loads(compact_summary(r))
     assert s["error_queries"] == ["q001_some_longish_query_name_1"]
     assert s["noise_retry_queries"] == ["q002_some_longish_query_name_2"]
+
+
+def test_adjudicate_regressions_three_verdicts():
+    """VERDICT r14 item 4: the bench adjudicates its own flags. A
+    flagged query whose isolated re-read lands back under threshold
+    is 'cleared_isolated'; one still over raw but inside the 2x gate
+    after dividing the isolated canary's drift is 'ambient'; one over
+    even corrected is 'regressed' — and every entry carries the
+    isolated reading and corrected ratio inline."""
+    from bench import adjudicate_regressions
+
+    budgets = {"a01": 0.3, "qa": 1.0, "qb": 1.0, "qc": 1.0}
+    regressions = {
+        "qa": {"sec": 2.5, "baseline_sec": 1.0, "ratio": 2.5},
+        "qb": {"sec": 3.0, "baseline_sec": 1.0, "ratio": 3.0},
+        "qc": {"sec": 9.0, "baseline_sec": 1.0, "ratio": 9.0},
+    }
+    iso = {
+        "a01": {"best_sec": 0.45, "rows": 6},   # canary: ambient 1.5
+        "qa": {"best_sec": 1.4, "rows": 1},     # under 2.0 thresh
+        "qb": {"best_sec": 2.6, "rows": 1},     # 2.6x raw, 1.73 corr
+        "qc": {"best_sec": 8.0, "rows": 1},     # 8x raw, 5.33 corr
+    }
+    v = adjudicate_regressions(regressions, budgets, iso, "a01", 0.3)
+    assert v == {
+        "qa": "cleared_isolated",
+        "qb": "ambient",
+        "qc": "regressed",
+    }
+    assert regressions["qa"]["isolated_sec"] == 1.4
+    assert regressions["qb"]["iso_ambient_factor"] == 1.5
+    assert regressions["qb"]["isolated_ratio"] == 2.6
+    assert regressions["qb"]["isolated_ratio_corrected"] == 1.73
+    assert regressions["qc"]["isolated_ratio_corrected"] == 5.33
+
+
+def test_adjudicate_regressions_missing_reading_is_visible():
+    from bench import adjudicate_regressions
+
+    regressions = {"qx": {"sec": 2.0, "baseline_sec": 0.5, "ratio": 4.0}}
+    v = adjudicate_regressions(regressions, {"qx": 0.5}, {}, "a01", 0.3)
+    assert v == {"qx": "no_isolated_reading"}
+
+
+def test_compact_summary_carries_adjudication():
+    import json
+
+    from bench import compact_summary
+
+    r = _fake_result(50, with_regressions=2)
+    r["regressions_adjudicated"] = {
+        n: "ambient" for n in r["regressions"]
+    }
+    s = json.loads(compact_summary(r))
+    assert s["regressions_adjudicated"] == r["regressions_adjudicated"]

@@ -414,8 +414,22 @@ def test_streaming_drains_capture_every_batch_plan(spark, sf_dir):
     from big_data_bowl_spark.queries import REGISTRY
     from big_data_bowl_spark.streaming import windows as W
 
+    # capture is opt-in (ADVICE r14): a plain drain must pin NOTHING
+    # (no poll, no JVM plan references) — pin that first
     W.LAST_EXEC_PLANS.clear()
+    assert not W.CAPTURE_EXEC_PLANS  # the shipped default
     REGISTRY["t35_timer_closed_sessions"].fn(spark, sf_dir).collect()
+    ((_, no_plans, nb_off),) = W.LAST_EXEC_PLANS
+    assert no_plans == {} and nb_off >= 2
+
+    W.LAST_EXEC_PLANS.clear()
+    W.CAPTURE_EXEC_PLANS = True
+    try:
+        REGISTRY["t35_timer_closed_sessions"].fn(
+            spark, sf_dir
+        ).collect()
+    finally:
+        W.CAPTURE_EXEC_PLANS = False
     ((sink, plans, n_batches),) = W.LAST_EXEC_PLANS
     assert n_batches >= 2  # work batch + watermark-commit batch
     assert sorted(plans) == list(range(n_batches))
@@ -467,7 +481,11 @@ def test_plan_capture_survives_forced_multi_batch_drain(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     W.LAST_EXEC_PLANS.clear()
-    W.run_to_memory(stream, "multi_batch_capture", "complete")
+    W.CAPTURE_EXEC_PLANS = True
+    try:
+        W.run_to_memory(stream, "multi_batch_capture", "complete")
+    finally:
+        W.CAPTURE_EXEC_PLANS = False
     ((sink, plans, n_batches),) = W.LAST_EXEC_PLANS
     assert sink == "multi_batch_capture"
     assert n_batches >= 4  # one per file

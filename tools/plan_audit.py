@@ -400,7 +400,10 @@ def main() -> None:
         # streaming drains triggered inside the sweep below append
         # their captured micro-batch plans to LAST_EXEC_PLANS —
         # harvest them per-query here so the streaming weight
-        # section does not re-drain what this sweep already ran
+        # section does not re-drain what this sweep already ran.
+        # Plan capture is opt-in (ADVICE r14) — this audit is one of
+        # the two readers, so it turns the poll+pin on for the sweep
+        sw.CAPTURE_EXEC_PLANS = True
         drain_plans: dict = {}
         for name, spec in REGISTRY.items():
             if name in streaming:
@@ -623,7 +626,16 @@ def main() -> None:
                 )
             # metrics harvested — release this drain's plan-graph
             # references so the sweep's JVM footprint stays bounded
-            # by ONE drain, not all sixteen
+            # by ONE drain, not all sixteen. clear() the plans dict
+            # IN PLACE (ADVICE r14): windows.LAST_EXEC_PLANS holds
+            # the same dict object, so a `del drain_plans[name]`
+            # alone freed nothing — with ~16 drains (< the 32-entry
+            # trim window) every plan graph stayed pinned until
+            # process exit. In-place clearing empties both holders'
+            # view at once; the sink/n_batches rows stay for index
+            # stability.
+            for _, plans, _ in drain_plans[name]:
+                plans.clear()
             del drain_plans[name]
         lines += [
             "",

@@ -243,6 +243,9 @@ def main() -> None:
     if args.streaming:
         from big_data_bowl_spark.streaming import windows as sw
 
+        # plan capture is opt-in (ADVICE r14) — this tool reads the
+        # per-batch plans, so it turns the poll+pin on for its drains
+        sw.CAPTURE_EXEC_PLANS = True
         for name in args.queries or STREAMING_QUERIES:
             seen = len(sw.LAST_EXEC_PLANS)
             REGISTRY[name].fn(spark, args.sf).collect()
