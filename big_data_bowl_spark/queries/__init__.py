@@ -35,53 +35,18 @@ from . import graph  # noqa: F401,E402
 #      for the rows-only entries), sort ascending, alphabetical
 #      within a round.
 #
-# Round-14 layout, explicit (VERDICT r13 item 1 — retire the r8
+# Round-15 layout, explicit (VERDICT r14 item 6 — retire the r9
 # staleness cohort, the oldest remaining block): _PRIORITY was
-# regenerated from CORRECTNESS_r02..r13 (max green round per name,
+# regenerated from CORRECTNESS_r02..r14 (max green round per name,
 # ascending, alphabetical within round; histogram at regeneration
-# r8:27 r9:39 r10:45 r11:45 r12:50 r13:50). _FIRST holds the
-# queries whose CODE or ORACLE changed in round 14 (see its
-# comment). The full 27-query r8 cohort fills the slots right after
-# _FIRST; the r9 cohort's alphabetical head takes whatever remains
-# of the ~50-slot prefix. Registration held at 256 (VERDICT r13
-# item 6: deepen, not widen).
+# r9:30 r10:41 r11:40 r12:46 r13:49 r14:50). _FIRST holds the
+# queries whose CODE or ORACLE changed in round 15 (see its
+# comment). The full 30-query r9 cohort fills the slots right after
+# _FIRST (15 + 30 = 45 <= the ~50-slot prefix, so the whole cohort
+# verifies this round). Registration held at 256 (VERDICT r14
+# item 7: deepen, not widen).
 _PRIORITY = [
-    # last driver-green in r8
-    "f10_floor_mod_round",
-    "f11_arithmetic_projections",
-    "j06_join_rowid",
-    "m00_ml_feature_table",
-    "m07b_rf_var_used",
-    "mm01_media_metadata",
-    "mm03_frame_sample",
-    "mm04_resize_features",
-    "mm06_png_roundtrip_features",
-    "n01_token_stats",
-    "n02_quality_score",
-    "n08_source_quota",
-    "o03_limit",
-    "o04_deterministic_sample",
-    "o05_deterministic_split",
-    "o06_union_append",
-    "o07_scalar_extraction",
-    "r01_pivot_wide",
-    "r02_pivot_wide_multivalue",
-    "s03_tsv_scan",
-    "s05_parquet_sink_roundtrip",
-    "s13_python_datasource",
-    "s14_zorder_locality",
-    "t24_streaming_merge_sink",
-    "u01_groupby_apply",
-    "u02_transform_chain",
-    "w04_global_rowid",
     # last driver-green in r9
-    "a08_salted_grouped_sum",
-    "a21_grouped_histogram",
-    "a22_robust_outliers",
-    "a23_grouped_ols",
-    "a24_welch_ttest",
-    "a25_weighted_median",
-    "a26_class_balance_entropy",
     "d11_canonical_survivor",
     "dq06_k_anonymity",
     "dq07_functional_dependency",
@@ -104,10 +69,8 @@ _PRIORITY = [
     "s15_small_file_compaction",
     "t01_tumbling_window",
     "t09_interval_join",
-    "t26_streaming_histogram",
     "t27_sequence_pattern",
     "t28_markov_transitions",
-    "t29_streaming_topk",
     "t30_last_touch_attribution",
     "t32_lag1_autocorr",
     "u03_pandas_udf_scalar",
@@ -152,11 +115,7 @@ _PRIORITY = [
     "t02_sliding_window",
     "t05_json_props",
     "t10_date_parts",
-    "t25_stateful_running_stats",
-    "t25b_stateful_running_stats_us",
     "t31_cumulative_reach",
-    "t33_streaming_reach",
-    "t34_stateful_type_counts",
     "u06_grouped_agg_pandas_udf",
     "w07_running_total",
     "w08_ntile_quartiles",
@@ -193,21 +152,15 @@ _PRIORITY = [
     "t03_session_window",
     "t04_interevent_gap",
     "t06_asof_join",
-    "t07_streaming_tumbling",
-    "t08_streaming_sessionization",
-    "t11_streaming_dedup",
-    "t12_streaming_interval_join",
     "t13_asof_join_forward",
     "t14_time_weighted_avg",
     "t17_ewma_smoothing",
-    "t35_timer_closed_sessions",
     "v01_cosine_topk",
     "v02_srp_lsh_buckets",
     "v03_bucketed_cosine_neardup",
     "v07_int8_quantize",
     "v08_embedding_dedup_components",
     # last driver-green in r12
-    "a01_grouped_sum",
     "a02_grouped_count_mean",
     "a03_grouped_mode",
     "a04_global_minmax",
@@ -246,11 +199,8 @@ _PRIORITY = [
     "s11_orc_sink_roundtrip",
     "s12_schema_evolution_scan",
     "t15_funnel_analysis",
-    "t16_streaming_cdc_compaction",
-    "t18_streaming_sliding",
     "t19_cohort_retention",
     "t20_gapfill_resample",
-    "t21_streaming_stream_stream_join",
     "t23_cusum_changepoint",
     "u04_python_udtf",
     "v09_product_quantization",
@@ -261,7 +211,6 @@ _PRIORITY = [
     "a14_bool_aggs",
     "e01_distance_at_anchor",
     "e05_embedding_index_pipeline",
-    "e06_streaming_pipeline",
     "f01_substring_cast",
     "f02_regex_replace_trim",
     "f03_regex_match",
@@ -308,49 +257,110 @@ _PRIORITY = [
     "w05_group_min_filter",
     "w06_normalize_by_group_max",
     "w10_offset_windows",
+    # last driver-green in r14
+    "a01_grouped_sum",
+    "a08_salted_grouped_sum",
+    "a21_grouped_histogram",
+    "a22_robust_outliers",
+    "a23_grouped_ols",
+    "a24_welch_ttest",
+    "a25_weighted_median",
+    "a26_class_balance_entropy",
+    "e06_streaming_pipeline",
+    "f10_floor_mod_round",
+    "f11_arithmetic_projections",
+    "j06_join_rowid",
+    "m00_ml_feature_table",
+    "m07b_rf_var_used",
+    "mm01_media_metadata",
+    "mm03_frame_sample",
+    "mm04_resize_features",
+    "mm06_png_roundtrip_features",
+    "n01_token_stats",
+    "n02_quality_score",
+    "n08_source_quota",
+    "o03_limit",
+    "o04_deterministic_sample",
+    "o05_deterministic_split",
+    "o06_union_append",
+    "o07_scalar_extraction",
+    "r01_pivot_wide",
+    "r02_pivot_wide_multivalue",
+    "s03_tsv_scan",
+    "s05_parquet_sink_roundtrip",
+    "s13_python_datasource",
+    "s14_zorder_locality",
+    "t07_streaming_tumbling",
+    "t08_streaming_sessionization",
+    "t11_streaming_dedup",
+    "t12_streaming_interval_join",
+    "t16_streaming_cdc_compaction",
+    "t18_streaming_sliding",
+    "t21_streaming_stream_stream_join",
+    "t24_streaming_merge_sink",
+    "t25_stateful_running_stats",
+    "t25b_stateful_running_stats_us",
+    "t26_streaming_histogram",
+    "t29_streaming_topk",
+    "t33_streaming_reach",
+    "t34_stateful_type_counts",
+    "t35_timer_closed_sessions",
+    "u01_groupby_apply",
+    "u02_transform_chain",
+    "w04_global_rowid",
 ]
 
 # Absolute head of the verified prefix, ahead even of unranked new
-# names: queries whose CODE changed in round 14, so their earlier
+# names: queries whose CODE changed in round 15, so their earlier
 # greens were earned by different code and they re-verify first.
-# The round-14 change in a registered path is the drain helper
-# (streaming/windows.py): run_to_memory / run_to_merge_snapshot now
-# await termination through _await_capturing_plans, which polls the
-# running drain and pins each micro-batch's executed plan so
-# tools/shuffle_metrics.py --streaming can byte-weigh streaming
-# exchanges (VERDICT r13 item 4). Results are untouched by
-# construction (the capture only READS lastExecution), but every
-# query that drains through the helper re-verifies first anyway —
-# the r13 discipline. (The r13 _FIRST cohort — the v-ANN/kmeans
-# literal-model rebuild — went driver-green in r13 and rotates back
-# into _PRIORITY by recency.)
-# Ordering: the prefix's FIRST query pays the whole session's
-# warmup (JVM, parquet footers, codegen — measured ~8 s first-slot
-# on a loaded host, whatever the query), and streaming queries
-# carry a ~10 s per-query wall risk in the driver's gate
-# (.claude/skills/verify gotchas). So slot 0 is a01 — the trivial
-# one-scan canary every prior round's gate has re-verified anyway —
-# to absorb the warmup the way batch-first prefixes did in r12/r13,
-# and the streaming family follows cheapest-drain-first so t07
-# (the priciest drain) runs fully warm.
+# Round-15 changes in registered paths (VERDICT r14 items 1-3):
+# (a) e05's cluster-size attach became a count window over
+#     canonical_id (queries/extras.py — one exchange instead of
+#     groupBy+join);
+# (b) the v-ANN/kmeans assignment kernels now dispatch through the
+#     512-term fence: v04/v10/e05 cell assignment via
+#     extras._with_cell (argmax-dot broadcast kernel above the
+#     ceiling), v05/v06 training via operators/kmeans.assign_cells
+#     inside _spark_lloyd_step; v08/v11 consume v03/v04 and
+#     re-verify with them; v03 itself was refactored into
+#     _srp_withb/_srp_pairs to host the max_bucket skew cap.
+#     Perf structure changes ride the same cohort: the SRP bucket
+#     expression became one SQL parse (v02/v03/v08/e05 — identical
+#     expression, no Py4J literal tree) and connected_components
+#     gained a converged-at-init fast path (d05/v08/e05 — same
+#     fixpoint, one agreement check instead of a full confirm
+#     round), so v02 and d05 re-verify here too.
+# (c) the streaming drain helper gates plan capture behind
+#     CAPTURE_EXEC_PLANS (default off — the driver's gate now takes
+#     the bare awaitTermination() branch). Results untouched by
+#     construction, but the r13 discipline re-verifies a
+#     representative drain per sink family anyway: t26 (memory,
+#     cheapest), t24 (merge snapshot), t35 (stateful timers + the
+#     all-batch pin), e06 (composed pipeline); the full streaming
+#     family went driver-green in r14 on the capturing code whose
+#     results this branch must equal, and the local 256-query gate
+#     runs every drain each round regardless.
+# Ordering: slot 0 is a01 — the trivial one-scan canary — to absorb
+# the session warmup (JVM, parquet footers, codegen — measured ~8 s
+# first-slot on a loaded host); batch family next; streaming drains
+# last so they run fully warm (each carries ~10 s wall risk in the
+# driver's gate, .claude/skills/verify gotchas).
 _FIRST = [
     "a01_grouped_sum",
+    "v02_srp_lsh_buckets",
+    "d05_dedup_components",
+    "v03_bucketed_cosine_neardup",
+    "v05_kmeans_step",
+    "v06_kmeans_two_steps",
+    "v04_ivf_topk",
+    "v10_ivfpq_topk",
+    "v11_ann_recall_audit",
+    "v08_embedding_dedup_components",
+    "e05_embedding_index_pipeline",
     "t26_streaming_histogram",
-    "t34_stateful_type_counts",
-    "t29_streaming_topk",
-    "t33_streaming_reach",
-    "t25_stateful_running_stats",
-    "t25b_stateful_running_stats_us",
-    "t12_streaming_interval_join",
-    "t18_streaming_sliding",
-    "t16_streaming_cdc_compaction",
-    "t11_streaming_dedup",
+    "t24_streaming_merge_sink",
     "t35_timer_closed_sessions",
     "e06_streaming_pipeline",
-    "t24_streaming_merge_sink",
-    "t08_streaming_sessionization",
-    "t21_streaming_stream_stream_join",
-    "t07_streaming_tumbling",
 ]
 
 
