@@ -78,9 +78,17 @@ def compact_summary(result, limit=1800):
         else:
             s["regressions"] = reg
     if "regressions_adjudicated" in result:
-        # small name->verdict map (bounded at 10 by the re-read cap);
-        # the per-entry isolated readings ride inside s["regressions"]
-        s["regressions_adjudicated"] = result["regressions_adjudicated"]
+        # name->verdict strings; shown only for the regressions kept
+        # above (a flooded round's not_re_read_capped tail would eat
+        # the byte budget saying nothing — the count says it instead)
+        adj = result["regressions_adjudicated"]
+        if set(adj) == {"error"}:
+            s["regressions_adjudicated"] = adj
+        else:
+            kept = {n: v for n, v in adj.items() if n in s["regressions"]}
+            s["regressions_adjudicated"] = kept
+            if len(adj) > len(kept):
+                s["regressions_adjudicated_dropped"] = len(adj) - len(kept)
 
     def enc(obj):
         return json.dumps(obj, separators=(",", ":"))
@@ -100,6 +108,23 @@ def compact_summary(result, limit=1800):
     out = enc(s)
     while len(out) > limit and s.get("slowest"):
         s["slowest"].popitem()
+        out = enc(s)
+    # Adjudication data can hold the line over the limit even with
+    # `slowest` empty (each kept regression carries four isolated_*
+    # fields; r15 review finding — a 14-flag round measured 2740
+    # bytes): shed the least-worst kept regressions, their verdict
+    # rows in lockstep, counted in regressions_dropped so truncation
+    # stays visible. The guarantee is the LIMIT, never completeness —
+    # bench_last.json holds the full maps.
+    while len(out) > limit and s.get("regressions"):
+        victim = min(
+            s["regressions"],
+            key=lambda n: s["regressions"][n].get("ratio") or 0,
+        )
+        del s["regressions"][victim]
+        if isinstance(s.get("regressions_adjudicated"), dict):
+            s["regressions_adjudicated"].pop(victim, None)
+        s["regressions_dropped"] = s.get("regressions_dropped", 0) + 1
         out = enc(s)
     return out
 
@@ -159,7 +184,8 @@ def timed_best(run_once, bud):
 
 
 def adjudicate_regressions(
-    regressions, budgets, iso_readings, canary, canary_budget
+    regressions, budgets, iso_readings, canary, canary_budget,
+    attempted=None,
 ):
     """Self-adjudication of flagged regressions (VERDICT r14 item 4):
     the graded artifact must not ship `regressions` that three prose
@@ -175,8 +201,12 @@ def adjudicate_regressions(
       canary's measured host drift puts it inside the 2x gate — the
       host was slow, the plan is not.
     - "regressed": over threshold even drift-corrected — real.
-    - "no_isolated_reading": the re-read subprocess produced nothing
-      for this query (itself visible, never silent).
+    - "not_re_read_capped": the flood cap excluded this query from
+      the re-read list (`attempted`) — deliberately skipped, which
+      is a different fact than a tool failure.
+    - "no_isolated_reading": the query WAS sent to the re-read
+      subprocess but no reading came back (itself visible, never
+      silent).
 
     Mutates each regression entry in place to carry isolated_sec /
     isolated_ratio / iso_ambient_factor / isolated_ratio_corrected,
@@ -191,6 +221,9 @@ def adjudicate_regressions(
         )
     verdicts = {}
     for name, r in regressions.items():
+        if attempted is not None and name not in attempted:
+            verdicts[name] = "not_re_read_capped"
+            continue
         iso = iso_readings.get(name, {}).get("best_sec")
         if iso is None:
             verdicts[name] = "no_isolated_reading"
@@ -631,6 +664,7 @@ def main() -> None:
                             iso,
                             canary,
                             budgets.get(canary),
+                            attempted=set(worst),
                         )
                     )
                     for name, v in result[

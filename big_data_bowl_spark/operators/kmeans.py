@@ -198,7 +198,7 @@ def _guarded_dot_sql(cv_name: str) -> str:
 
 def broadcast_cells_dot(
     corp: DataFrame, cent_rows, cv_name: str = "cv",
-    out_name: str = "cell",
+    out_name: str = "cell", ragged: str = "positional",
 ) -> DataFrame:
     """Large-k ARGMAX-DOT assignment kernel — the broadcast twin of
     queries/extras._cell_expr (IVF cell = argmax of dot(cv, kv),
@@ -212,17 +212,39 @@ def broadcast_cells_dot(
 
     Bit-compatibility with _cell_expr (pinned by
     tests/test_operators.py::test_dot_assignment_kernels_bit_identical):
-    the dot is _guarded_dot_sql — sql_fold_dot's zip_with fold, the
-    documented bit-identical IEEE sequence to the compiled kernel's
-    sql_dot_lit chain, behind the same ragged-row guards — and the
-    tie-break is array_max over struct(s, -c, c): highest score,
-    then highest -cid == lowest cid, the literal kernel's struct
-    exactly. kk rides the shared relation unused here (argmax-dot
-    needs no norm term); one model relation, two kernels."""
+    the dot is sql_fold_dot's zip_with fold — the documented
+    bit-identical IEEE sequence to the compiled kernel's sql_dot_lit
+    chain on equal-length inputs — and the tie-break is array_max
+    over struct(s, -c, c): highest score, then highest -cid ==
+    lowest cid, the literal kernel's struct exactly.
+
+    `ragged` selects which LITERAL kernel's length-mismatch
+    semantics this twin reproduces, because _cell_expr's two kernels
+    themselves diverge on ragged rows (r15 review finding):
+    - "positional" (the compiled sql_dot_lit build kernel — e05):
+      longer cv ignored past dim, shorter cv hits the identical
+      out-of-bounds index (_guarded_dot_sql);
+    - "zip" (the HOF fold serve kernel — v04/v10): plain
+      zip_with(cv, k.kv) — null-padding poisons the score on EITHER
+      length mismatch, exactly like the literal kernel's zip_with
+      against its literal array.
+    _with_cell passes the mode matching its below-ceiling kernel, so
+    each dispatch pair is bit-identical on ALL inputs, ragged
+    included — not just the equal-length happy path. kk rides the
+    shared relation unused here (argmax-dot needs no norm term);
+    one model relation, two kernels."""
+    if ragged not in ("positional", "zip"):
+        raise ValueError(
+            f"ragged must be 'positional' or 'zip', got {ragged!r}"
+        )
     one = _cents_relation(
         corp.sparkSession, cent_rows, "broadcast_cells_dot"
     )
-    s = _guarded_dot_sql(cv_name)
+    s = (
+        _guarded_dot_sql(cv_name)
+        if ragged == "positional"
+        else sql_fold_dot(cv_name, "k.kv")
+    )
     argmax = (
         f"array_max(transform(__cents__, "
         f"k -> struct({s} AS s, -k.c AS nc, k.c AS c))).c"

@@ -313,7 +313,16 @@ def _with_cell(
         return df.withColumn(
             out_name, _cell_expr(cv_name, cent_rows, compiled)
         )
-    return broadcast_cells_dot(df, cent_rows, cv_name, out_name)
+    # ragged mode tracks the below-ceiling kernel this branch
+    # replaces (r15 review finding: the two literal kernels diverge
+    # on length-mismatched rows — compiled indexes positionally, the
+    # HOF fold null-pads — so the broadcast twin must reproduce THE
+    # ONE it stands in for, or crossing the ceiling would silently
+    # change what malformed rows do)
+    return broadcast_cells_dot(
+        df, cent_rows, cv_name, out_name,
+        ragged="positional" if compiled else "zip",
+    )
 
 
 def _query_side_df(spark, qrows):

@@ -260,12 +260,10 @@ def _srp_pairs(withb, max_bucket: int | None = None):
                 f"max_bucket must be >= 2, got {max_bucket} — a cap "
                 "below 2 drops every pair-generating bucket"
             )
-        hot = (
-            withb.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .filter(F.col("n") > max_bucket)
-            .select("bucket")
-        )
+        # the filter IS the audit's aggregation (one definition of
+        # "oversized" — a semantic change to the audit and the cap
+        # cannot diverge)
+        hot = oversized_srp_buckets(withb, max_bucket).select("bucket")
         withb = withb.join(F.broadcast(hot), "bucket", "left_anti")
     buckets = (
         withb.groupBy("bucket")

@@ -223,3 +223,69 @@ def test_compact_summary_carries_adjudication():
     }
     s = json.loads(compact_summary(r))
     assert s["regressions_adjudicated"] == r["regressions_adjudicated"]
+
+
+def test_adjudicate_capped_excess_is_not_re_read():
+    """r15 review finding: regressions beyond the worst-10 re-read
+    cap were labeled 'no_isolated_reading' — the documented meaning
+    of which is a tool failure. They were never attempted, and the
+    verdict must say so."""
+    from bench import adjudicate_regressions
+
+    regressions = {
+        "qa": {"sec": 3.0, "baseline_sec": 1.0, "ratio": 3.0},
+        "qb": {"sec": 2.5, "baseline_sec": 1.0, "ratio": 2.5},
+    }
+    iso = {"a01": {"best_sec": 0.3}, "qa": {"best_sec": 1.2}}
+    v = adjudicate_regressions(
+        regressions, {"qa": 1.0, "qb": 1.0}, iso, "a01", 0.3,
+        attempted={"qa"},
+    )
+    assert v == {
+        "qa": "cleared_isolated",
+        "qb": "not_re_read_capped",
+    }
+    assert "isolated_sec" not in regressions["qb"]
+
+
+def test_compact_summary_bounded_under_adjudicated_flood():
+    """r15 review finding (verified at 2740 bytes for 14 flags): the
+    isolated_* fields plus the verdict map can push the compact line
+    over its 1800-byte guarantee with `slowest` already empty. The
+    summary must shed kept regressions (verdicts in lockstep,
+    counted in regressions_dropped) until the limit holds."""
+    import json
+
+    from bench import compact_summary
+
+    r = _fake_result(104, with_regressions=40)
+    for name, entry in r["regressions"].items():
+        entry.update(
+            isolated_sec=9.999,
+            isolated_ratio=9.99,
+            iso_ambient_factor=1.501,
+            isolated_ratio_corrected=6.66,
+        )
+    r["regressions_adjudicated"] = {
+        n: ("regressed" if i % 2 else "not_re_read_capped")
+        for i, n in enumerate(r["regressions"])
+    }
+    line = compact_summary(r)
+    assert len(line) <= 1800
+    s = json.loads(line)
+    # every kept regression still has a verdict, truncation is
+    # counted, and the verdict map never names a dropped regression
+    assert set(s["regressions_adjudicated"]) <= set(s["regressions"])
+    assert s["regressions_dropped"] >= 30
+    assert s["regressions_adjudicated_dropped"] >= 1
+
+
+def test_compact_summary_passes_through_adjudication_error():
+    import json
+
+    from bench import compact_summary
+
+    r = _fake_result(50, with_regressions=2)
+    r["regressions_adjudicated"] = {"error": "TimeoutExpired: 1200s"}
+    s = json.loads(compact_summary(r))
+    assert s["regressions_adjudicated"] == {"error": "TimeoutExpired: 1200s"}

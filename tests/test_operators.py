@@ -507,6 +507,63 @@ def test_dot_assignment_kernels_bit_identical(spark):
     )._jdf.queryExecution().analyzed().toString()
     assert "Join" not in plan_at
 
+    # Ragged-row parity per dispatch pair (r15 review finding: the
+    # two LITERAL kernels themselves diverge on length-mismatched
+    # rows — the HOF fold null-pads, the compiled unroll indexes
+    # positionally — so each broadcast mode must match the kernel it
+    # stands in for, or crossing the ceiling silently changes what
+    # malformed rows do).
+    import pytest
+    from pyspark.errors.exceptions.captured import (
+        ArrayIndexOutOfBoundsException,
+    )
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0] * (dim + 3)), (1, [1.0] * (dim - 2))],
+        "vid long, cv array<double>",
+    )
+    # serve pair: HOF literal fold == zip-mode broadcast, on BOTH
+    # mismatch directions (null-pad semantics — no error, same cell)
+    hof = {
+        r["vid"]: r["cell"]
+        for r in ragged.withColumn(
+            "cell", ex._cell_expr("cv", cent)
+        ).collect()
+    }
+    zipm = {
+        r["vid"]: r["cell"]
+        for r in broadcast_cells_dot(ragged, cent, ragged="zip").collect()
+    }
+    assert hof == zipm
+    # build pair: compiled literal == positional-mode broadcast —
+    # longer row identical cell, shorter row the identical ANSI
+    # out-of-bounds error in both
+    longer = ragged.filter("vid = 0")
+    lit_c = {
+        r["vid"]: r["cell"]
+        for r in longer.withColumn(
+            "cell", ex._cell_expr("cv", cent[:4], True)
+        ).collect()
+    }
+    pos = {
+        r["vid"]: r["cell"]
+        for r in broadcast_cells_dot(
+            longer, cent[:4], ragged="positional"
+        ).collect()
+    }
+    assert lit_c == pos
+    shorter = ragged.filter("vid = 1")
+    with pytest.raises(ArrayIndexOutOfBoundsException):
+        shorter.withColumn(
+            "cell", ex._cell_expr("cv", cent[:4], True)
+        ).collect()
+    with pytest.raises(ArrayIndexOutOfBoundsException):
+        broadcast_cells_dot(
+            shorter, cent[:4], ragged="positional"
+        ).collect()
+    with pytest.raises(ValueError, match="positional"):
+        broadcast_cells_dot(corp, cent, ragged="both")
+
 
 def test_v04_code_path_survives_over_ceiling_nlist(spark, monkeypatch):
     """VERDICT r14 item 2, the end-to-end leg: drive v04's ACTUAL
