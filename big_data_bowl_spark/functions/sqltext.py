@@ -87,6 +87,28 @@ def sql_dot_lit(col: str, vals, base: int = 0) -> str:
     return f"(CAST(0.0 AS DOUBLE) + {terms})"
 
 
+def sql_dot_cols(a: str, b: str, dim: int) -> str:
+    """Dot of TWO array<double> COLUMNS unrolled to flat arithmetic:
+    `0.0 + a[0]*b[0] + a[1]*b[1] + ...` — the column-column twin of
+    sql_dot_lit, for hot paths where BOTH operands vary per row (the
+    quadratic pair-scoring inner loop of v03, r15) and the fold's
+    per-element interpreted lambda dispatch dominates (measured:
+    10.1M pairs scored at 100x in 367 s with the fold, 23 s with
+    this chain). Bit-identical to sql_fold_dot(a, b) on length-dim
+    inputs: the flat chain parses left-associative, so the op
+    sequence is the fold's (((0+t0)+t1)+...) exactly, same leading
+    literal zero (IEEE -0.0 tie-break rationale at sql_dot_lit).
+    Positional semantics on OTHER lengths: elements past dim are
+    ignored; shorter arrays hit an out-of-bounds index (ANSI error /
+    non-ANSI NULL) — callers pass the corpus' fixed embedding dim.
+    Term count is dim (64 here), far under the 512-term codegen
+    ceiling documented at sql_dot_lit."""
+    if dim <= 0:
+        raise ValueError(f"sql_dot_cols: dim must be positive, got {dim}")
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
 def nearest_cell_sql(cv_name: str, cent_rows) -> str:
     """Nearest-centroid assignment as ONE per-row expression over
     literal centroids: argmin of d = dot(kv,kv) - 2*dot(cv,kv) with

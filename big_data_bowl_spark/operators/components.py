@@ -56,9 +56,24 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).where(F.col("u") != F.col("v"))
+    # NO .distinct() on the edge list (r15 — found by the e05 100x
+    # probe OOMing an 8 GB driver heap in exactly this
+    # materialization): min-label propagation is duplicate-
+    # insensitive (min over a multiset equals min over its set), so
+    # deduplicating edges buys nothing semantically, while its
+    # map-side hash aggregation holds state keyed by EDGE — at the
+    # 100x design point ~20M (u,v) entries across every concurrent
+    # task, the largest transient allocation anywhere in the dedup
+    # chain. Without it every aggregation in this operator is keyed
+    # by NODE (bounded by |V|, not |E|) and sym materializes as a
+    # narrow no-shuffle pipeline. In-repo edge feeds are already
+    # pair-distinct by construction (LSH emits i<j pairs once — d02
+    # distincts its banded pairs, v03 buckets are disjoint); a
+    # caller with a genuinely duplicate-heavy edge stream pays extra
+    # join rows per round and should pre-distinct at its own
+    # (edge-keyed) cost, consciously.
     sym = (
         sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
         # evaluated once here, reused every round — without this the
         # upstream pipeline (e.g. the whole LSH candidate generation)
         # would re-run inside every iteration
@@ -99,6 +114,11 @@ def connected_components(
         .where(F.col("uc") != F.col("vc"))
         .isEmpty()
     ):
+        # labels is independently checkpointed — release the edge
+        # list's storage blocks before returning (r15: they are the
+        # operator's largest pinned footprint and nothing downstream
+        # reads them)
+        sym.unpersist()
         return labels
 
     stepped = None
@@ -151,4 +171,7 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    # same storage release as the fast path: the final labels are
+    # checkpointed (stepped), sym is dead weight from here on
+    sym.unpersist()
     return labels

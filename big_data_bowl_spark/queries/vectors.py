@@ -223,30 +223,35 @@ def _srp_withb(e):
 
 def _srp_pairs(withb, max_bucket: int | None = None):
     """Bucket-local near-dup pairs from the (vec_id, v, bucket, nrm)
-    rows. Pair generation is a groupBy on the bucket id, NOT a
-    self-join: a self-join of this subtree would evaluate the
-    SRP-projection + norm pipeline twice (the two sides' exchanges
-    don't canonicalize equal, so nothing is reused). One shuffle
-    keyed on the bucket id collects each bucket's (vec_id, nrm, v)
-    structs, and i<j pairs are emitted bucket-locally — identical
-    O(sum bucket^2) pair space, half the projection compute. A
-    vector lands in exactly one bucket, so pairs are already
-    distinct.
+    rows. ONLY IDS ride the quadratic path (r15 — found by the e05
+    100x probe OOMing an 8 GB heap): the bucket groupBy collects
+    vec_ids alone (6 KB of state for an 800-member bucket, not
+    800 x 64 doubles), i<j id pairs explode bucket-locally (the
+    per-row remainder slice copies 8-byte longs, not 520-byte
+    structs — the struct spelling churned ~42 GB of transient copies
+    at 100x), and the vectors+norms attach via two shuffled-hash
+    joins for scoring (exchange weights documented at the hint
+    below). Pair generation is still a groupBy, not a self-join of
+    the bucketed subtree, so the SRP projection pipeline evaluates
+    once for bucketing; the two scoring joins re-scan only the
+    (vec_id, v, nrm) projection — linear, scan-side, no SRP work.
+
+    The pair dot is the COMPILED column-column chain
+    (sqltext.sql_dot_cols — bit-identical fold sequence, whole-stage
+    codegen): the interpreted zip_with fold paid per-element lambda
+    dispatch on every one of O(sum bucket^2) pairs — measured 367 s
+    for 10.1M pairs at 100x vs 23 s compiled. Norms stay the linear
+    scan-side fold. A vector lands in exactly one bucket, so pairs
+    are already distinct.
 
     `max_bucket` is the adversarial-skew guard (VERDICT r14 item 3 —
     the d02 `_pairs_from_bands` treatment for the VECTOR side): a
     near-collinear embedding corpus — a realistic regime after a bad
     encoder run or a template-heavy crawl — puts a huge fraction of
-    vectors in ONE SRP bucket, and that bucket's collect_list
-    buffers bucket x dim doubles on a single reducer before a single
-    pair is emitted, then explodes O(bucket^2) pairs. Capping drops
-    buckets larger than `max_bucket` BEFORE the vector-carrying
-    collect (a bucket that hot is a duplicate CLUSTER, better
+    vectors in ONE SRP bucket, whose O(bucket^2) pair explosion is
+    the job-killer (a bucket that hot is a duplicate CLUSTER, better
     handled by exact dedup than pairwise verification). The size
-    pre-pass aggregates only the bucket ids — column pruning keeps
-    vectors out of it entirely and its shuffle carries (bucket,
-    partial count) rows — so the guard's cost is one extra narrow
-    scan, never extra vector movement; the hot-bucket list is
+    pre-pass aggregates only bucket ids; the hot-bucket list is
     bounded by construction (count > max_bucket can match at most
     corpus/max_bucket buckets) and broadcasts into a left_anti
     filter. Callers that cap should audit what was dropped via
@@ -267,30 +272,64 @@ def _srp_pairs(withb, max_bucket: int | None = None):
         withb = withb.join(F.broadcast(hot), "bucket", "left_anti")
     buckets = (
         withb.groupBy("bucket")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("vec_id", "nrm", "v"))
-            ).alias("xs")
-        )
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("xs"))
         .filter(F.size("xs") > 1)
     )
     pairs = buckets.select(
-        F.posexplode("xs").alias("pos", "a"), "xs"
+        F.posexplode("xs").alias("pos", "vec_a"), "xs"
     ).select(
-        "a",
+        "vec_a",
         F.explode(
             F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
-        ).alias("b"),
+        ).alias("vec_b"),
     )
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    side_a = withb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
     )
+    side_b = withb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    from ..functions.sqltext import sql_dot_cols, sql_fold_dot
+
+    # compiled flat chain on the standard EMBED_DIM corpus, the
+    # interpreted fold on any other dim — the guard keeps the OLD
+    # any-dim contract (planted test corpora use dim 16) while the
+    # hot path runs codegen'd; on 64-dim rows chain == fold
+    # bit-for-bit (sql_dot_cols contract), so the branch never
+    # changes a value, only its evaluation speed
+    dot = (
+        f"IF(size(va) = {EMBED_DIM} AND size(vb) = {EMBED_DIM}, "
+        f"{sql_dot_cols('va', 'vb', EMBED_DIM)}, "
+        f"{sql_fold_dot('va', 'vb')})"
+    )
+    cos = F.expr(dot) / (F.col("na") * F.col("nb"))
+    # shuffle_hash, hinted on the CORPUS sides: Catalyst sizes the
+    # pair side from its 256-row bucket parent (Generate does not
+    # multiply size estimates), so left alone it BROADCASTS the
+    # 10M-row pair side at 100x and builds a multi-GB driver hash
+    # table (measured: notEnoughMemoryToBuildAndBroadcastTableError
+    # at 8 GB). The hint makes each scoring join a shuffled hash
+    # join with the corpus as build side — per-task hash state is
+    # corpus/N_partitions rows (bounded, scales with the cluster),
+    # pair rows stream as probe, nothing is driver-resident.
+    # Measured exchange weights (tools/shuffle_metrics, sf0.1): the
+    # corpus sides at ~404 B/row (corpus-linear, scan-equivalent;
+    # one of the two is a ReusedExchange), and the pairs-with-va
+    # rows between the joins at ~366 B/row — ONE vector rides the
+    # candidate-sized exchange, the deliberate, disk-backed price
+    # for keeping every in-MEMORY structure bounded (the bucket-
+    # struct alternative held bucket x dim doubles resident per
+    # reducer and OOM'd the 100x probe). Adjudicated in
+    # tools/plan_audit.WEIGHT_ALLOWED; a bucketed lake (the s06
+    # layout) makes both joins shuffle-free at deployment scale.
     return (
-        pairs.select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cosine"),
-        )
+        pairs.join(side_a.hint("shuffle_hash"), "vec_a")
+        .join(side_b.hint("shuffle_hash"), "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= NEARDUP_COS)
     )
 

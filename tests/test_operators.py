@@ -197,6 +197,36 @@ def test_connected_components_long_path_pointer_jumping(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_connected_components_duplicate_edges_are_harmless(spark):
+    """r15: the edge-list .distinct() was removed (its map-side hash
+    state was keyed by EDGE — the allocation that OOM'd the e05 100x
+    probe) on the invariant that min-label propagation is duplicate-
+    insensitive. Pin the invariant: a heavily duplicated multigraph
+    labels identically to its deduplicated form, on both the
+    converged-at-init fast path (triangle) and the loop path
+    (chain)."""
+    from big_data_bowl_spark.operators.components import (
+        connected_components,
+    )
+
+    base = [(1, 2), (2, 3), (3, 4), (20, 21), (21, 22), (20, 22)]
+    dup = base * 7 + [(b, a) for a, b in base] * 3
+    want = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            spark.createDataFrame(base, "src long, dst long")
+        ).collect()
+    }
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            spark.createDataFrame(dup, "src long, dst long")
+        ).collect()
+    }
+    assert got == want
+    assert got[4] == 1 and got[22] == 20
+
+
 def test_asof_join_backward_inclusive_semantics(spark):
     from big_data_bowl_spark.operators.asof import asof_join
 

@@ -260,8 +260,15 @@ WEIGHT_ALLOWED = {
     # reassembly); any spelling of segment dedup moves each segment
     # exactly once — the reassembly semantics
     "n17_segment_dedup",
-    # SRP bucket colocation of vectors — the LSH design: vectors
-    # shuffle once into their buckets to be compared at all
+    # SRP near-dup scoring attach (r15 design): pair GENERATION is
+    # id-only; scoring is two shuffled-hash joins whose corpus sides
+    # ride at ~404 B/row (corpus-linear, scan-equivalent) and whose
+    # intermediate carries one vector per candidate at ~366 B/row —
+    # a disk-backed exchange in place of the reducer-RESIDENT
+    # bucket x dim struct state the old bucket-local spelling held,
+    # which OOM'd the 100x probe (SCALE.md r15). Per-task hash state
+    # stays corpus/N_partitions. s06-style lake bucketing removes
+    # both exchanges at deployment scale.
     "v03_bucketed_cosine_neardup",
     # order-sensitive sequential folds buffer one user's history per
     # reducer — the documented bounded-group contract; unbounded
