@@ -76,14 +76,19 @@ def compact_summary(result, limit=1800):
             s["regressions"] = {n: reg[n] for n in worst}
             s["regressions_dropped"] = len(reg) - 10
         else:
-            s["regressions"] = reg
+            # shallow-copy: the over-limit shedding loop below deletes
+            # entries from s["regressions"] in place, and aliasing the
+            # caller's dict would silently mutate result["regressions"]
+            # (ADVICE r15 — compact_summary must stay a pure function
+            # of the full result dict)
+            s["regressions"] = dict(reg)
     if "regressions_adjudicated" in result:
         # name->verdict strings; shown only for the regressions kept
         # above (a flooded round's not_re_read_capped tail would eat
         # the byte budget saying nothing — the count says it instead)
         adj = result["regressions_adjudicated"]
         if set(adj) == {"error"}:
-            s["regressions_adjudicated"] = adj
+            s["regressions_adjudicated"] = dict(adj)
         else:
             kept = {n: v for n, v in adj.items() if n in s["regressions"]}
             s["regressions_adjudicated"] = kept
@@ -207,6 +212,13 @@ def adjudicate_regressions(
     - "no_isolated_reading": the query WAS sent to the re-read
       subprocess but no reading came back (itself visible, never
       silent).
+    - "no_budget": an isolated reading exists (isolated_sec is set)
+      but the query has no frozen budget to compare it against, so
+      no ratio/threshold verdict is possible — only reachable for a
+      query flagged by some out-of-band path, since the in-run
+      regression gate itself only fires on budgeted queries
+      (ADVICE r15: documented + unit-tested so consumers keying on
+      the verdict strings handle all six).
 
     Mutates each regression entry in place to carry isolated_sec /
     isolated_ratio / iso_ambient_factor / isolated_ratio_corrected,
@@ -655,6 +667,15 @@ def main() -> None:
                     # must never take down the bench's JSON contract
                     result["regressions_adjudicated"] = {
                         "error": f"{type(exc).__name__}: {exc}"[:200]
+                    }
+                if not iso and "regressions_adjudicated" not in result:
+                    # subprocess succeeded but its last stdout line
+                    # parsed to an empty object: without this branch,
+                    # flagged regressions would ship with neither
+                    # verdicts nor an error marker (ADVICE r15 — the
+                    # adjudication contract is "never silent")
+                    result["regressions_adjudicated"] = {
+                        "error": "empty isolated readings"
                     }
                 if iso:
                     result["regressions_adjudicated"] = (

@@ -41,6 +41,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'd DataFrame's storage blocks NOW.
+
+    ``Dataset.unpersist`` only consults the CacheManager, but
+    ``localCheckpoint`` persists the physical-plan RDD directly and
+    never registers it there — so ``df.unpersist()`` on a checkpointed
+    frame is a no-op and the blocks live until the ContextCleaner GCs
+    the RDD (ADVICE r15). The checkpointed Dataset's analyzed plan is
+    a ``LogicalRDD`` holding that exact RDD; unpersisting at the RDD
+    level (non-blocking) is what actually releases the memory —
+    verified against ``sc.getRDDStorageInfo`` before/after. Falls back
+    to eventual ContextCleaner cleanup if the py4j surface shifts.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:  # pragma: no cover — internal-API guard only
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -117,8 +137,9 @@ def connected_components(
         # labels is independently checkpointed — release the edge
         # list's storage blocks before returning (r15: they are the
         # operator's largest pinned footprint and nothing downstream
-        # reads them)
-        sym.unpersist()
+        # reads them); RDD-level, since Dataset.unpersist is a no-op
+        # on checkpointed frames (ADVICE r16)
+        _release_local_checkpoint(sym)
         return labels
 
     stepped = None
@@ -155,9 +176,10 @@ def connected_components(
         labels = stepped.select("node", "comp")
         done = stepped.where(F.col("comp") != F.col("old")).isEmpty()
         # release the SUPERSEDED round's checkpointed blocks: without
-        # this, a long run pins O(rounds x nodes) storage (review r7)
+        # this, a long run pins O(rounds x nodes) storage (review r7;
+        # RDD-level since r16 — Dataset.unpersist never freed them)
         if prev_ckpt is not None:
-            prev_ckpt.unpersist()
+            _release_local_checkpoint(prev_ckpt)
         if done:
             break
     else:
@@ -173,5 +195,5 @@ def connected_components(
         )
     # same storage release as the fast path: the final labels are
     # checkpointed (stepped), sym is dead weight from here on
-    sym.unpersist()
+    _release_local_checkpoint(sym)
     return labels

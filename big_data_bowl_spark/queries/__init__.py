@@ -35,58 +35,20 @@ from . import graph  # noqa: F401,E402
 #      for the rows-only entries), sort ascending, alphabetical
 #      within a round.
 #
-# Round-15 layout, explicit (VERDICT r14 item 6 — retire the r9
+# Round-16 layout, explicit (VERDICT r15 item 3 — retire the r10
 # staleness cohort, the oldest remaining block): _PRIORITY was
-# regenerated from CORRECTNESS_r02..r14 (max green round per name,
+# regenerated from CORRECTNESS_r02..r15 (max green round per name,
 # ascending, alphabetical within round; histogram at regeneration
-# r9:30 r10:41 r11:40 r12:46 r13:49 r14:50). _FIRST holds the
-# queries whose CODE or ORACLE changed in round 15 (see its
-# comment). The full 30-query r9 cohort fills the slots right after
-# _FIRST (15 + 30 = 45 <= the ~50-slot prefix, so the whole cohort
-# verifies this round). Registration held at 256 (VERDICT r14
-# item 7: deepen, not widen).
+# r10:35 r11:37 r12:46 r13:43 r14:45 r15:50). _FIRST holds the
+# queries whose CODE or ORACLE changed in round 16 (see its
+# comment). The full 35-query r10 cohort fills the slots right
+# after _FIRST, so the whole cohort verifies this round and no
+# query's last driver-green predates r11 afterwards.
 _PRIORITY = [
-    # last driver-green in r9
-    "d11_canonical_survivor",
-    "dq06_k_anonymity",
-    "dq07_functional_dependency",
-    "dq08_snapshot_diff",
-    "f14_higher_order_arrays",
-    "g06_bfs_hops",
-    "j12_grid_radius_join",
-    "m06_decision_stump",
-    "m10_depth2_tree",
-    "m12_calibration_bins",
-    "mm15_image_dhash_neardup",
-    "mm16_video_frame_neardup",
-    "mm17_audio_fingerprint_neardup",
-    "mm18_scene_changes",
-    "n12_sequence_packing",
-    "n15_trending_terms",
-    "n23_pmi_cooccurrence",
-    "o11_group_sample_topk",
-    "o12_kfold_assignment",
-    "s15_small_file_compaction",
-    "t01_tumbling_window",
-    "t09_interval_join",
-    "t27_sequence_pattern",
-    "t28_markov_transitions",
-    "t30_last_touch_attribution",
-    "t32_lag1_autocorr",
-    "u03_pandas_udf_scalar",
-    "u05_map_in_arrow",
-    "w11_longest_streak",
-    "w12_percent_rank_cume",
     # last driver-green in r10
-    "a09_grouped_quantiles",
-    "a11_rollup_agg",
-    "a12_grouped_corr",
-    "a13_collect_sorted_array",
-    "d01_dedup_exact",
     "d02_dedup_minhash_lsh",
     "d03_ngram_jaccard_verify",
     "d04_simhash",
-    "d05_dedup_components",
     "d06_simhash_neardup",
     "dq02_referential_orphans",
     "dq03_distribution_drift",
@@ -156,10 +118,7 @@ _PRIORITY = [
     "t14_time_weighted_avg",
     "t17_ewma_smoothing",
     "v01_cosine_topk",
-    "v02_srp_lsh_buckets",
-    "v03_bucketed_cosine_neardup",
     "v07_int8_quantize",
-    "v08_embedding_dedup_components",
     # last driver-green in r12
     "a02_grouped_count_mean",
     "a03_grouped_mode",
@@ -210,7 +169,6 @@ _PRIORITY = [
     # last driver-green in r13
     "a14_bool_aggs",
     "e01_distance_at_anchor",
-    "e05_embedding_index_pipeline",
     "f01_substring_cast",
     "f02_regex_replace_trim",
     "f03_regex_match",
@@ -245,11 +203,6 @@ _PRIORITY = [
     "s01_csv_scan_inferred",
     "s02_csv_multifile_union",
     "s04_generated_grid",
-    "v04_ivf_topk",
-    "v05_kmeans_step",
-    "v06_kmeans_two_steps",
-    "v10_ivfpq_topk",
-    "v11_ann_recall_audit",
     "v13_dim_truncation_recall",
     "w01_group_flag",
     "w02_group_broadcast_value",
@@ -258,7 +211,6 @@ _PRIORITY = [
     "w06_normalize_by_group_max",
     "w10_offset_windows",
     # last driver-green in r14
-    "a01_grouped_sum",
     "a08_salted_grouped_sum",
     "a21_grouped_histogram",
     "a22_robust_outliers",
@@ -266,7 +218,6 @@ _PRIORITY = [
     "a24_welch_ttest",
     "a25_weighted_median",
     "a26_class_balance_entropy",
-    "e06_streaming_pipeline",
     "f10_floor_mod_round",
     "f11_arithmetic_projections",
     "j06_join_rowid",
@@ -297,70 +248,80 @@ _PRIORITY = [
     "t16_streaming_cdc_compaction",
     "t18_streaming_sliding",
     "t21_streaming_stream_stream_join",
-    "t24_streaming_merge_sink",
     "t25_stateful_running_stats",
     "t25b_stateful_running_stats_us",
-    "t26_streaming_histogram",
     "t29_streaming_topk",
     "t33_streaming_reach",
     "t34_stateful_type_counts",
-    "t35_timer_closed_sessions",
     "u01_groupby_apply",
     "u02_transform_chain",
     "w04_global_rowid",
-]
-
-# Absolute head of the verified prefix, ahead even of unranked new
-# names: queries whose CODE changed in round 15, so their earlier
-# greens were earned by different code and they re-verify first.
-# Round-15 changes in registered paths (VERDICT r14 items 1-3):
-# (a) e05's cluster-size attach became a count window over
-#     canonical_id (queries/extras.py — one exchange instead of
-#     groupBy+join);
-# (b) the v-ANN/kmeans assignment kernels now dispatch through the
-#     512-term fence: v04/v10/e05 cell assignment via
-#     extras._with_cell (argmax-dot broadcast kernel above the
-#     ceiling), v05/v06 training via operators/kmeans.assign_cells
-#     inside _spark_lloyd_step; v08/v11 consume v03/v04 and
-#     re-verify with them; v03 itself was refactored into
-#     _srp_withb/_srp_pairs to host the max_bucket skew cap.
-#     Perf structure changes ride the same cohort: the SRP bucket
-#     expression became one SQL parse (v02/v03/v08/e05 — identical
-#     expression, no Py4J literal tree) and connected_components
-#     gained a converged-at-init fast path (d05/v08/e05 — same
-#     fixpoint, one agreement check instead of a full confirm
-#     round), so v02 and d05 re-verify here too.
-# (c) the streaming drain helper gates plan capture behind
-#     CAPTURE_EXEC_PLANS (default off — the driver's gate now takes
-#     the bare awaitTermination() branch). Results untouched by
-#     construction, but the r13 discipline re-verifies a
-#     representative drain per sink family anyway: t26 (memory,
-#     cheapest), t24 (merge snapshot), t35 (stateful timers + the
-#     all-batch pin), e06 (composed pipeline); the full streaming
-#     family went driver-green in r14 on the capturing code whose
-#     results this branch must equal, and the local 256-query gate
-#     runs every drain each round regardless.
-# Ordering: slot 0 is a01 — the trivial one-scan canary — to absorb
-# the session warmup (JVM, parquet footers, codegen — measured ~8 s
-# first-slot on a loaded host); batch family next; streaming drains
-# last so they run fully warm (each carries ~10 s wall risk in the
-# driver's gate, .claude/skills/verify gotchas).
-_FIRST = [
+    # last driver-green in r15
     "a01_grouped_sum",
-    "v02_srp_lsh_buckets",
+    "a09_grouped_quantiles",
+    "a11_rollup_agg",
+    "a12_grouped_corr",
+    "a13_collect_sorted_array",
+    "d01_dedup_exact",
     "d05_dedup_components",
+    "d11_canonical_survivor",
+    "dq06_k_anonymity",
+    "dq07_functional_dependency",
+    "dq08_snapshot_diff",
+    "e05_embedding_index_pipeline",
+    "e06_streaming_pipeline",
+    "f14_higher_order_arrays",
+    "g06_bfs_hops",
+    "j12_grid_radius_join",
+    "m06_decision_stump",
+    "m10_depth2_tree",
+    "m12_calibration_bins",
+    "mm15_image_dhash_neardup",
+    "mm16_video_frame_neardup",
+    "mm17_audio_fingerprint_neardup",
+    "mm18_scene_changes",
+    "n12_sequence_packing",
+    "n15_trending_terms",
+    "n23_pmi_cooccurrence",
+    "o11_group_sample_topk",
+    "o12_kfold_assignment",
+    "s15_small_file_compaction",
+    "t01_tumbling_window",
+    "t09_interval_join",
+    "t24_streaming_merge_sink",
+    "t26_streaming_histogram",
+    "t27_sequence_pattern",
+    "t28_markov_transitions",
+    "t30_last_touch_attribution",
+    "t32_lag1_autocorr",
+    "t35_timer_closed_sessions",
+    "u03_pandas_udf_scalar",
+    "u05_map_in_arrow",
+    "v02_srp_lsh_buckets",
     "v03_bucketed_cosine_neardup",
+    "v04_ivf_topk",
     "v05_kmeans_step",
     "v06_kmeans_two_steps",
-    "v04_ivf_topk",
+    "v08_embedding_dedup_components",
     "v10_ivfpq_topk",
     "v11_ann_recall_audit",
+    "w11_longest_streak",
+    "w12_percent_rank_cume",
+]
+
+
+
+# Queries whose executed CODE changed in round 16 (their prior green
+# was earned by different code): the components storage release is
+# now RDD-level (operators/components.py _release_local_checkpoint —
+# ADVICE r16), which executes inside every connected_components
+# caller. Updated as the round progresses.
+_FIRST = [
+    "d05_dedup_components",
     "v08_embedding_dedup_components",
     "e05_embedding_index_pipeline",
-    "t26_streaming_histogram",
-    "t24_streaming_merge_sink",
-    "t35_timer_closed_sessions",
-    "e06_streaming_pipeline",
+    "d11_canonical_survivor",
+    "e04_corpus_curation",
 ]
 
 

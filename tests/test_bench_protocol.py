@@ -289,3 +289,48 @@ def test_compact_summary_passes_through_adjudication_error():
     r["regressions_adjudicated"] = {"error": "TimeoutExpired: 1200s"}
     s = json.loads(compact_summary(r))
     assert s["regressions_adjudicated"] == {"error": "TimeoutExpired: 1200s"}
+
+
+def test_adjudicate_regressions_no_budget_verdict():
+    """ADVICE r15: a flagged query with an isolated reading but no
+    frozen budget gets the documented "no_budget" verdict — it
+    carries isolated_sec (the reading is archived) but no
+    isolated_ratio (there is nothing to ratio against)."""
+    from bench import adjudicate_regressions
+
+    regressions = {"qn": {"sec": 2.0, "baseline_sec": None, "ratio": None}}
+    iso = {"a01": {"best_sec": 0.3}, "qn": {"best_sec": 1.7}}
+    v = adjudicate_regressions(regressions, {}, iso, "a01", 0.3)
+    assert v == {"qn": "no_budget"}
+    assert regressions["qn"]["isolated_sec"] == 1.7
+    assert "isolated_ratio" not in regressions["qn"]
+
+
+def test_compact_summary_shedding_never_mutates_caller():
+    """ADVICE r15: with <=10 regressions compact_summary used to
+    alias the caller's dict, so the over-limit shedding loop deleted
+    entries from result["regressions"] in place. The summary must be
+    a pure function of the full result dict regardless of caller
+    ordering — both maps survive compaction byte-identical."""
+    import copy
+    import json
+
+    from bench import compact_summary
+
+    r = _fake_result(104, with_regressions=8)
+    for entry in r["regressions"].values():
+        entry.update(
+            isolated_sec=9.999,
+            isolated_ratio=9.99,
+            iso_ambient_factor=1.501,
+            isolated_ratio_corrected=6.66,
+        )
+    r["regressions_adjudicated"] = {n: "regressed" for n in r["regressions"]}
+    before = copy.deepcopy(r)
+    line = compact_summary(r)
+    assert len(line) <= 1800
+    s = json.loads(line)
+    # compaction shed something (the 8 verbose entries cannot all fit)
+    assert len(s["regressions"]) < 8
+    # ...but the caller's full maps are untouched
+    assert r == before

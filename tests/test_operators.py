@@ -227,6 +227,38 @@ def test_connected_components_duplicate_edges_are_harmless(spark):
     assert got[4] == 1 and got[22] == 20
 
 
+def test_release_local_checkpoint_frees_blocks(spark):
+    """ADVICE r15: Dataset.unpersist on a localCheckpoint'd frame is
+    a no-op (the checkpoint RDD is never registered with the
+    CacheManager), so components' storage releases must go through
+    the RDD-level helper. Pin both facts against getRDDStorageInfo:
+    unpersist() leaves the blocks, _release_local_checkpoint frees
+    them."""
+    from big_data_bowl_spark.operators.components import (
+        _release_local_checkpoint,
+    )
+
+    def block_ids():
+        jsc = spark.sparkContext._jsc.sc()
+        return {i.id() for i in jsc.getRDDStorageInfo()}
+
+    before = block_ids()
+    df = spark.range(10_000).selectExpr(
+        "id", "id * 2 AS y"
+    ).localCheckpoint()
+    mine = block_ids() - before
+    assert mine, "localCheckpoint did not register storage blocks"
+    df.unpersist()
+    assert mine <= block_ids(), (
+        "Dataset.unpersist freed checkpoint blocks — Spark behavior "
+        "changed; the RDD-level helper may be obsolete"
+    )
+    _release_local_checkpoint(df)
+    assert not (mine & block_ids()), (
+        "RDD-level release left the checkpoint blocks resident"
+    )
+
+
 def test_asof_join_backward_inclusive_semantics(spark):
     from big_data_bowl_spark.operators.asof import asof_join
 
