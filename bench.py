@@ -456,6 +456,10 @@ HEADLINE = [
     # (VERDICT r11 item 3)
     "j11b_fuzzy_capped_audit",
     "j13b_fuzzy_capped_audit",
+    # round-16 addition: the capped SRP near-dup production spelling,
+    # gate-registered with match + oversized-bucket audit facets
+    # (VERDICT r15 item 2 — the j11b/j13b precedent on the vector side)
+    "v03b_bucketed_cosine_capped_audit",
 ]
 
 

@@ -2362,7 +2362,11 @@ def e05_embedding_index_pipeline(spark: SparkSession, sf_dir: str):
     # uncapped here (exact oracle semantics); a production index
     # refresh on an untrusted corpus passes max_bucket through
     # v03_bucketed_neardup and reads oversized_srp_buckets — the
-    # r15 skew guard this chain inherits (SCALE.md, SRP bucket cap)
+    # r15 skew guard this chain inherits (SCALE.md, SRP bucket cap).
+    # That capped spelling is itself a driver-gated row since r16:
+    # v03b_bucketed_cosine_capped_audit (vectors.py) verifies match +
+    # oversized-bucket facets cell-for-cell, so the knob this chain
+    # would flip under skew is oracle-pinned, not pytest-only
     pairs = v03_bucketed_neardup(spark, sf_dir).select("vec_a", "vec_b")
     labels = connected_components(pairs, src="vec_a", dst="vec_b")
     canon = feats.join(

@@ -347,6 +347,83 @@ def oversized_srp_buckets(withb, max_bucket: int):
     )
 
 
+# Gate-tuned so the cap BITES PARTIALLY on the real SRP bucket mix —
+# the j13b precedent. Measured at registration: sf0.01 buckets are
+# sizes 1-7 (the 21 buckets of 5-7 audit out, sizes 2-4 keep
+# pairing), and of v03's TWO uncapped near-dup matches exactly ONE
+# survives the cap (the other sits inside an oversized bucket) —
+# i.e. the gate pins capped == uncapped minus dropped-bucket pairs
+# with a real dropped match, not a cap so large it never fires.
+# sf0.001 splits its size-1-9 mix the same way (22 buckets audited;
+# its match facet is empty because uncapped v03 itself has 0 pairs
+# there). A production corpus tunes this to its own bucket histogram
+# (n24's calibration-audit pattern); the semantics under ANY value
+# are what the gate pins.
+SRP_MAX_BUCKET = 4
+
+
+@register(
+    "v03b_bucketed_cosine_capped_audit",
+    oracle=f"""
+    WITH c AS (SELECT vec_id, {_sql_vec('embedding')} AS v,
+                      {_sql_bucket(_sql_vec('embedding'))} AS bucket
+               FROM embeddings),
+         sz AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+                FROM c GROUP BY 1),
+         p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                      list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))) AS cosine
+               FROM c a JOIN c b
+                 ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+               JOIN sz s
+                 ON s.bucket = a.bucket AND s.n <= {SRP_MAX_BUCKET})
+    SELECT 'match' AS facet, CAST(NULL AS BIGINT) AS bkey,
+           vec_a, vec_b, cosine, CAST(NULL AS BIGINT) AS bucket_size
+    FROM p WHERE cosine >= {NEARDUP_COS!r}
+    UNION ALL
+    SELECT 'oversized_bucket' AS facet, CAST(bucket AS BIGINT) AS bkey,
+           CAST(NULL AS BIGINT) AS vec_a, CAST(NULL AS BIGINT) AS vec_b,
+           CAST(NULL AS DOUBLE) AS cosine, n AS bucket_size
+    FROM sz WHERE n > {SRP_MAX_BUCKET}
+    """,
+    note="V3b: the PRODUCTION spelling of v03 — "
+    f"_srp_pairs(max_bucket={SRP_MAX_BUCKET}) executed and "
+    "gate-verified (VERDICT r15 item 2, the j11b/j13b "
+    "registered-twin pattern): near-dup match facet + "
+    "oversized-SRP-bucket audit facet in ONE cell-for-cell-oracled "
+    "output, so the truncation the adversarial-skew cap performs is "
+    "never silent in the gate either. The cap bites partially on "
+    "the real bucket mix at both gate SFs (hot buckets audit out as "
+    "duplicate CLUSTERS for exact dedup to handle, normal buckets "
+    "still pair) — the exact recall contract of the capped path, "
+    "previously pinned only by pytest (tests/test_operators.py "
+    "test_srp_bucket_cap_under_degenerate_collinear_corpus). e05's dedup "
+    "chain inherits max_bucket through v03_bucketed_neardup; this "
+    "row is the driver-visible twin of that production knob.",
+)
+def v03b_bucketed_cosine_capped_audit(spark: SparkSession, sf_dir: str):
+    withb = _srp_withb(t(spark, sf_dir, "embeddings"))
+    nb = F.lit(None).cast("bigint")
+    matches = _srp_pairs(withb, max_bucket=SRP_MAX_BUCKET).select(
+        F.lit("match").alias("facet"),
+        nb.alias("bkey"),
+        F.col("vec_a").cast("bigint").alias("vec_a"),
+        F.col("vec_b").cast("bigint").alias("vec_b"),
+        F.col("cosine"),
+        nb.alias("bucket_size"),
+    )
+    audit = oversized_srp_buckets(withb, SRP_MAX_BUCKET).select(
+        F.lit("oversized_bucket").alias("facet"),
+        F.col("bucket").cast("bigint").alias("bkey"),
+        nb.alias("vec_a"),
+        nb.alias("vec_b"),
+        F.lit(None).cast("double").alias("cosine"),
+        F.col("bucket_size").cast("bigint").alias("bucket_size"),
+    )
+    return matches.unionByName(audit)
+
+
 # ---------------------------------------------------------------------------
 # V5: one Lloyd's k-means step (assign + recompute centroids)
 # ---------------------------------------------------------------------------

@@ -270,6 +270,10 @@ WEIGHT_ALLOWED = {
     # stays corpus/N_partitions. s06-style lake bucketing removes
     # both exchanges at deployment scale.
     "v03_bucketed_cosine_neardup",
+    # the capped production spelling of the same chain (r16 gate row):
+    # identical adjudication — the ~420 B/row exchanges are the
+    # corpus-side vector attaches, plus a bounded audit aggregation
+    "v03b_bucketed_cosine_capped_audit",
     # order-sensitive sequential folds buffer one user's history per
     # reducer — the documented bounded-group contract; unbounded
     # streams use the t16-style stateful fold (notes at each)
