@@ -315,13 +315,20 @@ _PRIORITY = [
 # was earned by different code): the components storage release is
 # now RDD-level (operators/components.py _release_local_checkpoint —
 # ADVICE r16), which executes inside every connected_components
-# caller. Updated as the round progresses.
+# caller; the fuzzy family's max_bucket cap pre-filters before the
+# collect_list (extras._fuzzy_blocked_pairs — VERDICT r15 item 1, the
+# v03 pattern), touching all four j11/j13 spellings. Updated as the
+# round progresses.
 _FIRST = [
     "d05_dedup_components",
     "v08_embedding_dedup_components",
     "e05_embedding_index_pipeline",
     "d11_canonical_survivor",
     "e04_corpus_curation",
+    "j11_fuzzy_name_match",
+    "j11b_fuzzy_capped_audit",
+    "j13_fuzzy_match_deletion_blocking",
+    "j13b_fuzzy_capped_audit",
 ]
 
 

@@ -3469,7 +3469,35 @@ def _fuzzy_blocked_pairs(keyed, key_col: str, max_bucket: int | None = None):
     audit what was dropped via `fuzzy_oversized_buckets` — silent
     truncation reads as full coverage. Default None preserves the
     registered queries' exact semantics (and their oracles).
+
+    The cap pre-filters BEFORE the collect_list (r16 — the v03
+    `_srp_pairs` pattern, generalized per VERDICT r15 item 1): the
+    old spelling collected every bucket's (key, name) struct list
+    and THEN dropped the oversized ones, so a hot bucket's full
+    member array still materialized in reducer aggregation state —
+    measured at 100x duplication density: j13b heap 3.3 GB / wall
+    7.66x, because 290k-member struct lists were built only to be
+    discarded. The count pre-pass aggregates only the blocking key
+    (bytes-bounded map-side state), the hot-key list is bounded by
+    construction (count > max_bucket can match at most
+    rows/max_bucket keys) and broadcasts into a left_anti, and the
+    collect_list then never sees a bucket larger than the cap —
+    reducer-resident state is <= max_bucket x payload by
+    construction, on ANY corpus. Same measured probe after:
+    heap 1.0 GB / wall 2.26x (SCALE.md r16). The filter reuses the
+    audit's own aggregation (fuzzy_oversized_buckets), so the cap
+    and the audit cannot diverge.
     """
+    if max_bucket is not None and max_bucket < 2:
+        raise ValueError(
+            f"max_bucket must be >= 2, got {max_bucket} — a cap "
+            "below 2 drops every pair-generating bucket"
+        )
+    if max_bucket is not None:
+        hot = fuzzy_oversized_buckets(keyed, key_col, max_bucket).select(
+            key_col
+        )
+        keyed = keyed.join(F.broadcast(hot), key_col, "left_anti")
     buckets = (
         keyed.groupBy(key_col)
         .agg(
@@ -3479,13 +3507,6 @@ def _fuzzy_blocked_pairs(keyed, key_col: str, max_bucket: int | None = None):
         )
         .filter(F.size("xs") > 1)
     )
-    if max_bucket is not None:
-        if max_bucket < 2:
-            raise ValueError(
-                f"max_bucket must be >= 2, got {max_bucket} — a cap "
-                "below 2 drops every pair-generating bucket"
-            )
-        buckets = buckets.filter(F.size("xs") <= max_bucket)
     return buckets.select(
         F.posexplode("xs").alias("pos", "a"), "xs"
     ).select(
