@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _release_local_checkpoint(df: DataFrame) -> None:
+def release_local_checkpoint(df: DataFrame) -> None:
     """Free a localCheckpoint'd DataFrame's storage blocks NOW.
 
     ``Dataset.unpersist`` only consults the CacheManager, but
@@ -139,7 +139,7 @@ def connected_components(
         # operator's largest pinned footprint and nothing downstream
         # reads them); RDD-level, since Dataset.unpersist is a no-op
         # on checkpointed frames (ADVICE r16)
-        _release_local_checkpoint(sym)
+        release_local_checkpoint(sym)
         return labels
 
     stepped = None
@@ -179,7 +179,7 @@ def connected_components(
         # this, a long run pins O(rounds x nodes) storage (review r7;
         # RDD-level since r16 — Dataset.unpersist never freed them)
         if prev_ckpt is not None:
-            _release_local_checkpoint(prev_ckpt)
+            release_local_checkpoint(prev_ckpt)
         if done:
             break
     else:
@@ -195,5 +195,5 @@ def connected_components(
         )
     # same storage release as the fast path: the final labels are
     # checkpointed (stepped), sym is dead weight from here on
-    _release_local_checkpoint(sym)
+    release_local_checkpoint(sym)
     return labels

@@ -317,8 +317,10 @@ _PRIORITY = [
 # ADVICE r16), which executes inside every connected_components
 # caller; the fuzzy family's max_bucket cap pre-filters before the
 # collect_list (extras._fuzzy_blocked_pairs — VERDICT r15 item 1, the
-# v03 pattern), touching all four j11/j13 spellings. Updated as the
-# round progresses.
+# v03 pattern), touching all four j11/j13 spellings; d06/mm15 emit
+# each pair from its first agreeing band instead of a trailing
+# pair-keyed distinct; the iterative graph/MMR loops release
+# superseded checkpoints RDD-level. Updated as the round progresses.
 _FIRST = [
     "d05_dedup_components",
     "v08_embedding_dedup_components",
@@ -329,6 +331,22 @@ _FIRST = [
     "j11b_fuzzy_capped_audit",
     "j13_fuzzy_match_deletion_blocking",
     "j13b_fuzzy_capped_audit",
+    # first-agreeing-band emission replaced the pair-keyed distinct
+    "d06_simhash_neardup",
+    "mm15_image_dhash_neardup",
+    # iterative-loop checkpoint releases are RDD-level now (the
+    # components helper, swept repo-wide). g02 is the one
+    # helper-swap-only query left to the normal rotation: the swap is
+    # results-neutral by construction and pinned by its own pytest
+    # (test_release_local_checkpoint_frees_blocks), and including it
+    # would push the r10 staleness cohort's last member (w08) out of
+    # the ~50-slot verified prefix — VERDICT r15 item 3 outranks a
+    # fourth representative of an identical zero-surface change
+    # (g01/g03/g06/v12 already re-verify all four loop shapes).
+    "g01_pagerank_neardup",
+    "g03_hits_neardup",
+    "g06_bfs_hops",
+    "v12_mmr_diversified_topk",
 ]
 
 

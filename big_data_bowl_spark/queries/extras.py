@@ -19,6 +19,7 @@ import os
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.components import release_local_checkpoint
 from .base import (
     data_fingerprint,
     dsum,
@@ -3050,7 +3051,7 @@ def v12_mmr_diversified_topk(spark: SparkSession, sf_dir: str):
         )
         new_picked = picked.unionByName(nxt).localCheckpoint()
         if prev_picked is not None:
-            prev_picked.unpersist()  # superseded (components.py r7)
+            release_local_checkpoint(prev_picked)  # superseded (components.py r7)
         prev_picked = picked = new_picked
     return picked
 

@@ -36,6 +36,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rhu
+from ..operators.components import release_local_checkpoint
 from .base import register
 from .nlp import _D02_ORACLE, d02_dedup_minhash_lsh
 
@@ -146,7 +147,7 @@ def g01_pagerank_neardup(spark: SparkSession, sf_dir: str):
         # release the superseded round's node-sized checkpoint blocks
         # (the components.py r7 convention)
         if prev_ranks is not None:
-            prev_ranks.unpersist()
+            release_local_checkpoint(prev_ranks)
         prev_ranks = ranks = new_ranks
     return ranks.select(
         F.col("node").alias("doc_id"), F.col("rank").alias("pagerank")
@@ -230,7 +231,7 @@ def g02_label_propagation(spark: SparkSession, sf_dir: str):
             .localCheckpoint()
         )
         if prev_labels is not None:
-            prev_labels.unpersist()
+            release_local_checkpoint(prev_labels)
         prev_labels = labels = new_labels
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
@@ -344,7 +345,7 @@ def g03_hits_neardup(spark: SparkSession, sf_dir: str):
             rhu(F.col("s") / F.col("t"), PR_SCALE).alias("auth"),
         ).localCheckpoint()
         if prev_auths is not None:
-            prev_auths.unpersist()  # superseded (components.py r7)
+            release_local_checkpoint(prev_auths)  # superseded (components.py r7)
         prev_auths = auths
         hr = (
             e_by_v.join(auths, e_by_v["v"] == auths["node"])
@@ -357,7 +358,7 @@ def g03_hits_neardup(spark: SparkSession, sf_dir: str):
             rhu(F.col("s") / F.col("t"), PR_SCALE).alias("hub"),
         ).localCheckpoint()
         if prev_hubs is not None:
-            prev_hubs.unpersist()
+            release_local_checkpoint(prev_hubs)
         prev_hubs = hubs
     return (
         nodes.join(auths, "node", "left")
@@ -623,6 +624,6 @@ def g06_bfs_hops(spark: SparkSession, sf_dir: str):
             .localCheckpoint()
         )
         if prev is not None:
-            prev.unpersist()
+            release_local_checkpoint(prev)
         prev = dist = new_dist
     return dist.select(F.col("node").alias("doc_id"), "hops")

@@ -1300,22 +1300,42 @@ def mm15_image_dhash_neardup(spark, sf_dir):
         .filter(F.size("xs") > 1)
     )
     pairs = buckets.select(
-        F.posexplode("xs").alias("pos", "a"), "xs"
+        "band", F.posexplode("xs").alias("pos", "a"), "xs"
     ).select(
+        "band",
         "a",
         F.explode(
             F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
         ).alias("b"),
     )
+    # First-agreeing-band emission instead of a trailing .distinct()
+    # (r16 — the d06 rewrite, same rationale at 7 bands where a
+    # hamming-0 pair used to be emitted and deduped SEVEN times): the
+    # distinct's hash aggregate was keyed by PAIR — state
+    # proportional to the candidate-pair space. Both dhashes ride in
+    # the bucket, so keep a pair only in its lowest agreeing band — a
+    # row-local bitwise check; every qualifying pair appears exactly
+    # once by construction, no pair-keyed state, one less exchange.
+    mask = F.lit((1 << _IMG_BAND_BITS) - 1)
+
+    def _bkey(h, j):
+        return F.shiftright(h, j * _IMG_BAND_BITS).bitwiseAND(mask)
+
+    no_earlier_band_agrees = F.lit(True)
+    for jj in range(IMG_BANDS - 1):
+        agree = _bkey(F.col("a.dhash"), jj) == _bkey(F.col("b.dhash"), jj)
+        no_earlier_band_agrees = no_earlier_band_agrees & ~(
+            (F.col("band") > jj) & agree
+        )
     ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
     return (
-        pairs.select(
+        pairs.filter(no_earlier_band_agrees)
+        .select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= IMG_HAM_K)
-        .distinct()
     )
 
 

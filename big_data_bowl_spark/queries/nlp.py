@@ -753,24 +753,52 @@ def d06_simhash_neardup(spark: SparkSession, sf_dir: str):
         .filter(F.size("xs") > 1)
     )
     pairs = buckets.select(
-        F.posexplode("xs").alias("pos", "a"), "xs"
+        "band", F.posexplode("xs").alias("pos", "a"), "xs"
     ).select(
+        "band",
         "a",
         F.explode(
             F.slice(F.col("xs"), F.col("pos") + 2, F.size("xs"))
         ).alias("b"),
     )
+    # First-agreeing-band emission instead of a trailing .distinct()
+    # (r16, VERDICT r15 item 1 generalized): a pair within hamming 1
+    # can agree on BOTH bands, and the old distinct deduplicated
+    # those re-emissions with a hash aggregate keyed by PAIR — state
+    # proportional to the candidate-pair space, the exact shape the
+    # r15 components OOM taught us to hunt (measured here: 3.5 GB
+    # heap / 8 exchanges at the 100x bucket-count probe, from a
+    # 95M-pair exchange + pair-keyed dedup state). Both members'
+    # FULL simhashes already ride in the bucket, so each pair is
+    # emitted only from its lowest agreeing band — a row-local
+    # bitwise check, no shuffle, no pair-keyed state; every
+    # qualifying pair appears exactly once by construction. Same
+    # probe after: 1.0 GB heap / 6 exchanges / wall 10.3x -> 6.6x
+    # (SCALE.md r16).
+    mask = F.lit((1 << _BAND_BITS) - 1)
+
+    def _bkey(sim_col, j):
+        return F.shiftright(sim_col, j * _BAND_BITS).bitwiseAND(mask)
+
+    no_earlier_band_agrees = F.lit(True)
+    for jj in range(SIM_BANDS - 1):
+        agree = _bkey(F.col("a.simhash"), jj) == _bkey(
+            F.col("b.simhash"), jj
+        )
+        no_earlier_band_agrees = no_earlier_band_agrees & ~(
+            (F.col("band") > jj) & agree
+        )
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
     return (
-        pairs.select(
+        pairs.filter(no_earlier_band_agrees)
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= HAM_K)
-        .distinct()
     )
 
 

@@ -235,7 +235,7 @@ def test_release_local_checkpoint_frees_blocks(spark):
     unpersist() leaves the blocks, _release_local_checkpoint frees
     them."""
     from big_data_bowl_spark.operators.components import (
-        _release_local_checkpoint,
+        release_local_checkpoint,
     )
 
     def block_ids():
@@ -253,7 +253,7 @@ def test_release_local_checkpoint_frees_blocks(spark):
         "Dataset.unpersist freed checkpoint blocks — Spark behavior "
         "changed; the RDD-level helper may be obsolete"
     )
-    _release_local_checkpoint(df)
+    release_local_checkpoint(df)
     assert not (mine & block_ids()), (
         "RDD-level release left the checkpoint blocks resident"
     )

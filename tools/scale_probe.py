@@ -223,6 +223,54 @@ def build_name_shifted_customers(
     )
 
 
+def build_word_salted_documents(
+    spark, sf_dir: str, out_dir: str, factor: int
+):
+    """The text-dedup bucket-COUNT probe lake (r16, VERDICT r15
+    item 1): the default replica lake duplicates document TEXT
+    verbatim, so every content-derived bucket key (simhash bands,
+    minhash bands, shingles) collides across replicas and bucket
+    SIZE grows by `factor` — the density axis, on which any
+    exact-recall near-dup query's OUTPUT is quadratic by semantics
+    (d06 at 1x/sf0.1 emits 313k pairs; 100x duplication implies
+    ~3e9). This lake instead suffixes every whitespace token with
+    the replica index: a per-replica BIJECTIVE vocabulary remap, so
+    within-replica pair structure stays base-corpus-shaped while
+    hashes are replica-disjoint — bucket COUNT grows by `factor` at
+    base bucket sizes, the axis a 100 TB corpus with bounded
+    duplication actually grows along, where bucket-local pair
+    emission must stay ~output-linear with reducer state bounded by
+    base bucket size. (Hash values change under the remap, so
+    per-replica output is statistically base-shaped, not
+    bit-identical — rows_ratio ~ factor is the expectation, not an
+    exact invariant.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exploded = (
+        df.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(\S+)"),
+                F.concat(F.lit("$1r"), F.col("_rep").cast("string")),
+            ),
+        )
+        .withColumn(
+            "doc_id",
+            F.col("doc_id").cast("long")
+            + F.col("_rep").cast("long") * F.lit(ID_OFFSET),
+        )
+        .drop("_rep")
+    )
+    exploded.write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
 def n_exchanges(df) -> int:
     """Shuffle-exchange count from the FINAL adaptive plan.
 
@@ -261,16 +309,40 @@ def heap_used_mb(spark) -> int:
     return int((rt.totalMemory() - rt.freeMemory()) // 2**20)
 
 
-def run_one(spark, name: str, sf_dir: str):
+def run_one(spark, name: str, sf_dir: str, agg_sink: bool = False):
     from big_data_bowl_spark.queries import REGISTRY
 
     t0 = time.time()
     df = REGISTRY[name].fn(spark, sf_dir)
-    # collect() executes df's own QueryExecution, finalizing ITS
-    # adaptive plan (see n_exchanges); outputs here are small
-    # (aggregated surfaces), so the driver transfer is bounded and
-    # identical at both scales — a fair like-for-like timing
-    rows = len(df.collect())
+    if agg_sink:
+        # pair-output queries (d06, the perceptual triad) emit rows
+        # proportional to the candidate-pair space — collecting them
+        # would make the probe measure DRIVER TRANSFER, and at 100x
+        # the transfer alone OOMs. Fold the full output into one
+        # (count, checksum) row instead: every pair is still produced
+        # and hashed executor-side, nothing rides to the driver, and
+        # the wrapper is identical at both scales so plan comparison
+        # stays like-for-like (the wrapped plan contains the query's
+        # own subtree plus one fixed final aggregation).
+        from pyspark.sql import functions as F
+
+        df = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            # decimal(38,0): a long sum of billions of xxhash64
+            # values overflows under ANSI mode; 38 digits absorb
+            # ~1e19 rows' worth of max-magnitude hashes
+            F.sum(
+                F.xxhash64(*df.columns).cast("decimal(38,0)")
+            ).alias("checksum"),
+        )
+        row = df.collect()[0]
+        rows = int(row["n_rows"])
+    else:
+        # collect() executes df's own QueryExecution, finalizing ITS
+        # adaptive plan (see n_exchanges); outputs here are small
+        # (aggregated surfaces), so the driver transfer is bounded and
+        # identical at both scales — a fair like-for-like timing
+        rows = len(df.collect())
     wall = time.time() - t0
     return wall, rows, n_exchanges(df), aqe_decisions(df), heap_used_mb(
         spark
@@ -405,6 +477,25 @@ def main() -> None:
         "walls/plans on the healthy growth axis",
     )
     ap.add_argument(
+        "--text-buckets",
+        type=int,
+        default=0,
+        metavar="FACTOR",
+        help="run the text-dedup bucket-COUNT probe instead: "
+        "replicate documents with per-replica token-salted text "
+        "(FACTORx content-derived buckets at base bucket sizes) and "
+        "compare the pair family's walls/plans on the healthy growth "
+        "axis; implies --agg-sink for the probed queries",
+    )
+    ap.add_argument(
+        "--agg-sink",
+        action="store_true",
+        help="fold each query's output into one (count, checksum) "
+        "row executor-side instead of collecting it — required for "
+        "pair-output queries whose row count is the quantity under "
+        "test (the driver transfer would otherwise dominate or OOM)",
+    )
+    ap.add_argument(
         "--kmeans-fit",
         type=int,
         default=0,
@@ -465,6 +556,35 @@ def main() -> None:
             )
         return
 
+    if args.text_buckets:
+        f = args.text_buckets
+        with tempfile.TemporaryDirectory(prefix="text_keys_") as probe:
+            build_word_salted_documents(spark, args.sf, probe, f)
+            for name in (args.queries or ["d06_simhash_neardup"]):
+                w1, r1, x1, a1, h1 = run_one(
+                    spark, name, args.sf, agg_sink=True
+                )
+                wN, rN, xN, aN, hN = run_one(
+                    spark, name, probe, agg_sink=True
+                )
+                print(
+                    json.dumps(
+                        {
+                            "probe": f"{name} @ {f}x TEXT BUCKETS",
+                            "wall_1x_s": round(w1, 2),
+                            f"wall_{f}x_s": round(wN, 2),
+                            "wall_ratio": round(wN / w1, 2),
+                            "rows_1x": r1,
+                            f"rows_{f}x": rN,
+                            "rows_ratio": round(rN / max(r1, 1), 2),
+                            "exchanges": [x1, xN],
+                            "plan_shape_stable": x1 == xN,
+                            "heap_mb": [h1, hN],
+                        }
+                    )
+                )
+        return
+
     if args.fuzzy_buckets:
         f = args.fuzzy_buckets
         with tempfile.TemporaryDirectory(prefix="fuzzy_keys_") as probe:
@@ -502,8 +622,12 @@ def main() -> None:
             tables=set(args.tables.split(",")) if args.tables else None,
         )
         for name in (args.queries or PIPELINES):
-            w1, r1, x1, a1, h1 = run_one(spark, name, args.sf)
-            wN, rN, xN, aN, hN = run_one(spark, name, probe)
+            w1, r1, x1, a1, h1 = run_one(
+                spark, name, args.sf, agg_sink=args.agg_sink
+            )
+            wN, rN, xN, aN, hN = run_one(
+                spark, name, probe, agg_sink=args.agg_sink
+            )
             results.append(
                 {
                     "query": name,
