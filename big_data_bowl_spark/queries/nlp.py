@@ -441,6 +441,21 @@ def _pairs_from_bands(bands, max_bucket: int | None = None):
     should audit what was dropped via `oversized_buckets` — silent
     truncation reads as full coverage. Default None preserves exact
     d02 semantics (and its oracle).
+
+    The trailing `.distinct()` is KEPT, deliberately (r16 — the
+    bucket-pair sweep that removed d06/mm15's pair-keyed distincts
+    adjudicated this one the other way): here the bucket lists are
+    already id-only, and first-agreeing-band emission would require
+    every member to CARRY its earlier bands' md5 keys
+    ((LSH_BANDS-1) x ~40 B per banded row — a 15x payload on the
+    collect path) because, unlike d06/mm15, the band keys are not
+    recomputable from what rides in the bucket. The distinct's state
+    is keyed by OUTPUT pair (not an amplified intermediate), lives in
+    a spillable shuffle aggregation (never a single task's resident
+    array), and the duplication it removes is bounded by LSH_BANDS
+    (measured 1.91x raw emissions over distinct pairs at sf0.1).
+    Measured at the 100x bucket-count probe: wall 1.48x, plan stable
+    8/8 exchanges (SCALE.md r16).
     """
     buckets = (
         bands.groupBy("band", "bkey")
