@@ -52,10 +52,26 @@ def release_local_checkpoint(df: DataFrame) -> None:
     a ``LogicalRDD`` holding that exact RDD; unpersisting at the RDD
     level (non-blocking) is what actually releases the memory —
     verified against ``sc.getRDDStorageInfo`` before/after. Falls back
-    to eventual ContextCleaner cleanup if the py4j surface shifts.
+    to eventual ContextCleaner cleanup if the py4j surface shifts —
+    but LOUDLY (r16 review finding): a silent pass on a
+    non-checkpointed or derived frame (whose analyzed plan is not a
+    LogicalRDD, so there is no RDD handle to release) would re-create
+    the invisible O(rounds x nodes) block leak this helper exists to
+    fix. Callers must pass the localCheckpoint() result itself, not a
+    projection of it.
     """
     try:
         plan = df._jdf.queryExecution().analyzed()
+        if not plan.getClass().getSimpleName().startswith("LogicalRDD"):
+            warnings.warn(
+                "release_local_checkpoint: analyzed plan is "
+                f"{plan.getClass().getSimpleName()}, not LogicalRDD — "
+                "pass the localCheckpoint() result itself; nothing "
+                "was released (blocks now wait for ContextCleaner GC)",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            return
         plan.rdd().unpersist(False)
     except Exception:  # pragma: no cover — internal-API guard only
         pass

@@ -3485,7 +3485,7 @@ def _fuzzy_blocked_pairs(keyed, key_col: str, max_bucket: int | None = None):
     collect_list then never sees a bucket larger than the cap —
     reducer-resident state is <= max_bucket x payload by
     construction, on ANY corpus. Same measured probe after:
-    heap 1.0 GB / wall 2.26x (SCALE.md r16). The filter reuses the
+    heap 0.9 GB / wall 5.72x (SCALE.md r16). The filter reuses the
     audit's own aggregation (fuzzy_oversized_buckets), so the cap
     and the audit cannot diverge.
     """
@@ -3494,6 +3494,16 @@ def _fuzzy_blocked_pairs(keyed, key_col: str, max_bucket: int | None = None):
             f"max_bucket must be >= 2, got {max_bucket} — a cap "
             "below 2 drops every pair-generating bucket"
         )
+    # A NULL blocking key carries no blocking information: the SQL
+    # equi-join spelling (and every oracle) never pairs NULL = NULL,
+    # and — r16 review finding — a NULL-keyed bucket would also slip
+    # through the left_anti cap below (anti joins don't match NULL
+    # keys), re-materializing exactly the unbounded reducer array the
+    # cap exists to prevent. Drop null-keyed rows up front, in the
+    # capped and uncapped spellings alike; a production blocker that
+    # wants null-key rows pairs them under a second, non-null
+    # blocking pass (the documented multi-pass recall recipe).
+    keyed = keyed.where(F.col(key_col).isNotNull())
     if max_bucket is not None:
         hot = fuzzy_oversized_buckets(keyed, key_col, max_bucket).select(
             key_col
@@ -3523,9 +3533,14 @@ def fuzzy_oversized_buckets(keyed, key_col: str, max_bucket: int):
     cap would drop — the audit companion of
     `_fuzzy_blocked_pairs(..., max_bucket=...)`, mirroring
     nlp.oversized_buckets: one extra count-aggregation over the SAME
-    blocking rows, output bounded by the number of hot keys."""
+    blocking rows, output bounded by the number of hot keys. NULL
+    keys are excluded to mirror the pair generator: they never pair
+    (SQL equi-join semantics), so reporting a NULL bucket as
+    "dropped by the cap" would claim a truncation that is really the
+    null-key rule."""
     return (
-        keyed.groupBy(key_col)
+        keyed.where(F.col(key_col).isNotNull())
+        .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("bucket_size"))
         .filter(F.col("bucket_size") > max_bucket)
     )

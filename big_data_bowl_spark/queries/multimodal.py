@@ -1315,21 +1315,21 @@ def mm15_image_dhash_neardup(spark, sf_dir):
     # proportional to the candidate-pair space. Both dhashes ride in
     # the bucket, so keep a pair only in its lowest agreeing band — a
     # row-local bitwise check; every qualifying pair appears exactly
-    # once by construction, no pair-keyed state, one less exchange.
-    mask = F.lit((1 << _IMG_BAND_BITS) - 1)
+    # once by construction, no pair-keyed state, one less exchange
+    # (functions/banding.py — shared with d06).
+    from ..functions.banding import first_agreeing_band_only
 
-    def _bkey(h, j):
-        return F.shiftright(h, j * _IMG_BAND_BITS).bitwiseAND(mask)
-
-    no_earlier_band_agrees = F.lit(True)
-    for jj in range(IMG_BANDS - 1):
-        agree = _bkey(F.col("a.dhash"), jj) == _bkey(F.col("b.dhash"), jj)
-        no_earlier_band_agrees = no_earlier_band_agrees & ~(
-            (F.col("band") > jj) & agree
-        )
     ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
     return (
-        pairs.filter(no_earlier_band_agrees)
+        pairs.filter(
+            first_agreeing_band_only(
+                F.col("band"),
+                F.col("a.dhash"),
+                F.col("b.dhash"),
+                IMG_BANDS,
+                _IMG_BAND_BITS,
+            )
+        )
         .select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),

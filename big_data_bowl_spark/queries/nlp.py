@@ -457,18 +457,28 @@ def _pairs_from_bands(bands, max_bucket: int | None = None):
     Measured at the 100x bucket-count probe: wall 1.48x, plan stable
     8/8 exchanges (SCALE.md r16).
     """
-    buckets = (
-        bands.groupBy("band", "bkey")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
     if max_bucket is not None:
         if max_bucket < 2:
             raise ValueError(
                 f"max_bucket must be >= 2, got {max_bucket} — a cap "
                 "below 2 drops every pair-generating bucket"
             )
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
+        # pre-filter BEFORE the collect_list (r16 review finding —
+        # the same fix _fuzzy_blocked_pairs and _srp_pairs carry):
+        # the old post-collect F.size filter still materialized every
+        # oversized bucket's full id array in reducer state before
+        # discarding it. The count pre-pass IS the audit's own
+        # aggregation (oversized_buckets), so cap and audit cannot
+        # diverge; the hot list is bounded by construction and
+        # broadcasts. (bkey is an md5 digest — never NULL — so a
+        # plain left_anti is exact here.)
+        hot = oversized_buckets(bands, max_bucket).select("band", "bkey")
+        bands = bands.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
         buckets.select(F.posexplode("ids").alias("pos", "doc_a"), "ids")
         .select(
@@ -787,27 +797,24 @@ def d06_simhash_neardup(spark: SparkSession, sf_dir: str):
     # FULL simhashes already ride in the bucket, so each pair is
     # emitted only from its lowest agreeing band — a row-local
     # bitwise check, no shuffle, no pair-keyed state; every
-    # qualifying pair appears exactly once by construction. Same
-    # probe after: 1.0 GB heap / 6 exchanges / wall 10.3x -> 6.6x
-    # (SCALE.md r16).
-    mask = F.lit((1 << _BAND_BITS) - 1)
+    # qualifying pair appears exactly once by construction
+    # (functions/banding.py — shared with mm15). Same probe after:
+    # 2.0 GB heap / 6 exchanges / wall 10.3x -> 7.2x (SCALE.md r16).
+    from ..functions.banding import first_agreeing_band_only
 
-    def _bkey(sim_col, j):
-        return F.shiftright(sim_col, j * _BAND_BITS).bitwiseAND(mask)
-
-    no_earlier_band_agrees = F.lit(True)
-    for jj in range(SIM_BANDS - 1):
-        agree = _bkey(F.col("a.simhash"), jj) == _bkey(
-            F.col("b.simhash"), jj
-        )
-        no_earlier_band_agrees = no_earlier_band_agrees & ~(
-            (F.col("band") > jj) & agree
-        )
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
     return (
-        pairs.filter(no_earlier_band_agrees)
+        pairs.filter(
+            first_agreeing_band_only(
+                F.col("band"),
+                F.col("a.simhash"),
+                F.col("b.simhash"),
+                SIM_BANDS,
+                _BAND_BITS,
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

@@ -2666,6 +2666,50 @@ def test_lsh_bucket_cap_under_adversarial_skew(spark):
         bands.unpersist()
 
 
+def test_fuzzy_null_blocking_keys_never_pair_and_never_bypass_cap(
+    spark, tmp_path
+):
+    """r16 review finding: a NULL blocking key must not pair (SQL
+    equi-join semantics — every oracle spells the blocker as an
+    equi-join, where NULL = NULL is false) and must not slip through
+    the capped path's left_anti pre-filter (anti joins don't match
+    NULL keys), which would re-materialize the unbounded reducer
+    array the cap exists to prevent. Plant an oversized NULL-key
+    bucket next to a normal pair and check both spellings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from big_data_bowl_spark.queries.extras import (
+        _fuzzy_blocked_pairs,
+        fuzzy_oversized_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    # 60 rows whose blocking key is NULL + one genuine near-pair
+    keyed = spark.createDataFrame(
+        [(i, f"null-keyed-{i}", None) for i in range(60)]
+        + [(100, "unique-alice-smith1", "blockA"),
+           (101, "unique-alice-smith2", "blockA")],
+        "c_custkey long, c_name string, blk string",
+    )
+    # uncapped: no pair may come from the NULL bucket
+    got = {
+        (r["a"]["c_custkey"], r["b"]["c_custkey"])
+        for r in _fuzzy_blocked_pairs(keyed, "blk").collect()
+    }
+    assert got == {(100, 101)}
+    # capped below the NULL bucket's size: still only the real pair,
+    # and the audit reports no NULL bucket (it was excluded by the
+    # null-key rule, not dropped by the cap)
+    got_capped = {
+        (r["a"]["c_custkey"], r["b"]["c_custkey"])
+        for r in _fuzzy_blocked_pairs(keyed, "blk", max_bucket=50).collect()
+    }
+    assert got_capped == {(100, 101)}
+    audit = fuzzy_oversized_buckets(keyed, "blk", 50).collect()
+    assert audit == []
+
+
 def test_srp_bucket_cap_under_degenerate_collinear_corpus(spark):
     """VERDICT r14 item 3 — the d02 skew treatment for the VECTOR
     side: a near-collinear embedding corpus (every vector a tiny
