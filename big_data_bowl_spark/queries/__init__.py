@@ -312,41 +312,40 @@ _PRIORITY = [
 
 
 # Queries whose executed CODE changed in round 16 (their prior green
-# was earned by different code): the components storage release is
-# now RDD-level (operators/components.py _release_local_checkpoint —
-# ADVICE r16), which executes inside every connected_components
-# caller; the fuzzy family's max_bucket cap pre-filters before the
-# collect_list (extras._fuzzy_blocked_pairs — VERDICT r15 item 1, the
-# v03 pattern), touching all four j11/j13 spellings; d06/mm15 emit
-# each pair from its first agreeing band instead of a trailing
-# pair-keyed distinct; the iterative graph/MMR loops release
-# superseded checkpoints RDD-level. Updated as the round progresses.
+# was earned by different code), PLAN-CHANGING changes first: the
+# fuzzy family's max_bucket cap pre-filters before the collect_list
+# and drops NULL blocking keys (extras._fuzzy_blocked_pairs — VERDICT
+# r15 item 1 + r16 review); d06/mm15 emit each pair from its first
+# agreeing band instead of a trailing pair-keyed distinct
+# (functions/banding.py); the six graph queries drop the edge-keyed
+# distinct from their symmetrization (_sym_edges — d02's output
+# contract makes it a no-op that cost an |E| shuffle each). The
+# heaviest three components-helper callers (e05/d11/e04) also
+# re-verify here. The remaining helper-swap-only queries (d05, v08,
+# v12 — the RDD-level checkpoint release, which runs AFTER the plan
+# executes and is results-neutral by construction, pinned by
+# test_release_local_checkpoint_frees_blocks) are left to the normal
+# rotation: including them would push the r10 staleness cohort out
+# of the ~50-slot verified prefix, and VERDICT r15 item 3 outranks
+# re-verifying a zero-plan-change class a third, fourth and fifth
+# time (this round's full LOCAL 257/257 plain-session gate ran on
+# their post-change code regardless).
 _FIRST = [
-    "d05_dedup_components",
-    "v08_embedding_dedup_components",
-    "e05_embedding_index_pipeline",
-    "d11_canonical_survivor",
-    "e04_corpus_curation",
     "j11_fuzzy_name_match",
     "j11b_fuzzy_capped_audit",
     "j13_fuzzy_match_deletion_blocking",
     "j13b_fuzzy_capped_audit",
-    # first-agreeing-band emission replaced the pair-keyed distinct
     "d06_simhash_neardup",
     "mm15_image_dhash_neardup",
-    # iterative-loop checkpoint releases are RDD-level now (the
-    # components helper, swept repo-wide). g02 is the one
-    # helper-swap-only query left to the normal rotation: the swap is
-    # results-neutral by construction and pinned by its own pytest
-    # (test_release_local_checkpoint_frees_blocks), and including it
-    # would push the r10 staleness cohort's last member (w08) out of
-    # the ~50-slot verified prefix — VERDICT r15 item 3 outranks a
-    # fourth representative of an identical zero-surface change
-    # (g01/g03/g06/v12 already re-verify all four loop shapes).
     "g01_pagerank_neardup",
+    "g02_label_propagation",
     "g03_hits_neardup",
+    "g04_triangle_count",
+    "g05_kcore",
     "g06_bfs_hops",
-    "v12_mmr_diversified_topk",
+    "e05_embedding_index_pipeline",
+    "d11_canonical_survivor",
+    "e04_corpus_curation",
 ]
 
 

@@ -45,6 +45,36 @@ PR_DAMPING = 0.85
 PR_SCALE = 12  # rank rounding, digits
 
 
+def _sym_edges(pairs):
+    """Symmetrized, u-partitioned, checkpointed edge table from d02's
+    candidate pairs — the shared head of the g01/g02/g05/g06 loops.
+
+    NO .distinct() on the union (r16 — the components r15 lesson
+    applied to the graph family's own edge build): d02's output
+    contract is DISTINCT i<j pairs (nlp._pairs_from_bands ends in the
+    adjudicated output-pair-keyed distinct), so the two directed
+    halves are duplicate-free and disjoint (u<v vs u>v; i<j strict
+    means no self-loops) — union-all IS union-distinct here, while
+    the removed distinct cost a full |E|-keyed shuffle + hash state
+    per query just to re-prove it. The oracles' SQL `UNION` dedups by
+    definition, so parity is unchanged; a future edge feed that
+    violates the precondition surfaces loudly as a cell-level oracle
+    mismatch in the driver gate (degrees/contributions would shift),
+    not as silent drift.
+    """
+    return (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        # partition the (large) edge table on the join key ONCE; every
+        # iteration's join reuses it and shuffles only node-sized
+        # tables
+        .repartition("u")
+        .localCheckpoint()
+    )
+
+
 def _pr_oracle() -> str:
     """Unrolled K-iteration PageRank as chained CTEs on top of the d02
     candidate-pair chain (no recursive CTE: several engines disallow
@@ -101,17 +131,7 @@ def _pr_oracle() -> str:
 )
 def g01_pagerank_neardup(spark: SparkSession, sf_dir: str):
     pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        )
-        .distinct()
-        # partition the (large) edge table on the join key ONCE; every
-        # iteration's join reuses it and shuffles only the rank table
-        .repartition("u")
-        .localCheckpoint()
-    )
+    sym = _sym_edges(pairs)
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = sym.select(F.col("u").alias("node")).distinct()
     n = nodes.count()  # one metadata-sized driver scalar (cf. k-means)
@@ -201,15 +221,7 @@ def _lp_oracle() -> str:
 )
 def g02_label_propagation(spark: SparkSession, sf_dir: str):
     pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        )
-        .distinct()
-        .repartition("u")
-        .localCheckpoint()
-    )
+    sym = _sym_edges(pairs)
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -444,11 +456,10 @@ def g04_triangle_count(spark: SparkSession, sf_dir: str):
         F.explode(F.array("a", "b", "c")).alias("node")
     )
     pernode = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
-    sym = (
-        e.unionByName(
-            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .distinct()
+    # union-all, no edge-keyed distinct: e is d02's distinct i<j pair
+    # set (see _sym_edges), so the two directions cannot collide
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     n_tri = F.coalesce("n_tri", F.lit(0))
@@ -519,15 +530,7 @@ def _kcore_oracle() -> str:
 )
 def g05_kcore(spark: SparkSession, sf_dir: str):
     pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        )
-        .distinct()
-        .repartition("u")
-        .localCheckpoint()
-    )
+    sym = _sym_edges(pairs)
     nodes = sym.select(F.col("u").alias("node")).distinct()
     deg = None
     for _ in range(KCORE_ROUNDS):
@@ -597,15 +600,7 @@ def _bfs_oracle() -> str:
 )
 def g06_bfs_hops(spark: SparkSession, sf_dir: str):
     pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        )
-        .distinct()
-        .repartition("u")
-        .localCheckpoint()
-    )
+    sym = _sym_edges(pairs)
     dist = (
         sym.select(F.col("u").alias("node"))
         .filter(F.col("node") % BFS_SEED_MOD == 0)
