@@ -314,23 +314,33 @@ _PRIORITY = [
 # Queries whose executed CODE changed in round 16 (their prior green
 # was earned by different code), PLAN-CHANGING changes first: the
 # fuzzy family's max_bucket cap pre-filters before the collect_list
-# and drops NULL blocking keys (extras._fuzzy_blocked_pairs — VERDICT
-# r15 item 1 + r16 review); d06/mm15 emit each pair from its first
-# agreeing band instead of a trailing pair-keyed distinct
-# (functions/banding.py); the six graph queries drop the edge-keyed
-# distinct from their symmetrization (_sym_edges — d02's output
-# contract makes it a no-op that cost an |E| shuffle each). The
-# heaviest three components-helper callers (e05/d11/e04) also
-# re-verify here. The remaining helper-swap-only queries (d05, v08,
-# v12 — the RDD-level checkpoint release, which runs AFTER the plan
-# executes and is results-neutral by construction, pinned by
-# test_release_local_checkpoint_frees_blocks) are left to the normal
-# rotation: including them would push the r10 staleness cohort out
-# of the ~50-slot verified prefix, and VERDICT r15 item 3 outranks
-# re-verifying a zero-plan-change class a third, fourth and fifth
-# time (this round's full LOCAL 257/257 plain-session gate ran on
-# their post-change code regardless).
+# and drops NULL blocking keys (extras._fuzzy_blocked_pairs); d06/
+# mm15 emit each pair from its first agreeing band instead of a
+# trailing pair-keyed distinct (functions/banding.py); the d03/n16
+# candidate-verify chain attaches shingles via two hinted joins
+# instead of a pair-keyed array-buffering aggregation (the e04 100x
+# probe's OOM — nlp._paired_candidate_shingles), which also changes
+# every d03 consumer (d05/e04/d11); the graph queries drop the
+# edge-keyed distinct from their symmetrization (_sym_edges).
+# Deferred to the normal rotation, with reasons: g02/g05 share the
+# one-line _sym_edges change that g01/g03/g04/g06 re-verify
+# four-fold (results-neutral under d02's output contract, which a
+# violation would break LOUDLY in those four — two spare slots let
+# g02 and d05 back in anyway); the pure
+# helper-swap class (e05, v08, v12 — the RDD-level checkpoint
+# release, results-neutral by construction, pytest-pinned) as in the
+# earlier layout. Including all of them would push the r10
+# staleness cohort out of the ~50-slot verified prefix, and VERDICT
+# r15 item 3 outranks an Nth representative of an identical change;
+# this round's full LOCAL 257/257 plain-session gate plus targeted
+# sf0.01+sf0.001 gate runs covered every changed query regardless.
 _FIRST = [
+    "d03_ngram_jaccard_verify",
+    "d05_dedup_components",
+    "g02_label_propagation",
+    "n16_shingle_containment",
+    "e04_corpus_curation",
+    "d11_canonical_survivor",
     "j11_fuzzy_name_match",
     "j11b_fuzzy_capped_audit",
     "j13_fuzzy_match_deletion_blocking",
@@ -338,14 +348,9 @@ _FIRST = [
     "d06_simhash_neardup",
     "mm15_image_dhash_neardup",
     "g01_pagerank_neardup",
-    "g02_label_propagation",
     "g03_hits_neardup",
     "g04_triangle_count",
-    "g05_kcore",
     "g06_bfs_hops",
-    "e05_embedding_index_pipeline",
-    "d11_canonical_survivor",
-    "e04_corpus_curation",
 ]
 
 

@@ -532,26 +532,40 @@ _D03_ORACLE = (
 
 def _paired_candidate_shingles(spark: SparkSession, sf_dir: str):
     """Shared d03/n16 mechanics: materialized shingle table -> LSH
-    candidate pairs -> ONE shingle-table join reassembled per pair.
+    candidate pairs -> two per-side shingle attach joins.
 
     The shingle table feeds BOTH the LSH candidate generation and the
-    verify join. Catalyst never reuses a subtree referenced from two
+    verify joins. Catalyst never reuses a subtree referenced from two
     join sides, so without materialization the tokenize->shingle
     pipeline (the dominant scan-side cost at corpus scale) would
-    evaluate twice. localCheckpoint evaluates it once per invocation
-    (still inside every timed bench run — nothing is cached across
-    calls); a 100 TB deployment would persist(DISK_ONLY) or write the
-    shingle table to the lake instead.
+    evaluate once PER REFERENCE. localCheckpoint evaluates it once
+    per invocation (still inside every timed bench run — nothing is
+    cached across calls), and every later reference — candidate
+    generation, sh_a attach, sh_b attach — re-reads the checkpointed
+    blocks instead of re-running the pipeline; a 100 TB deployment
+    would persist(DISK_ONLY) or write the shingle table to the lake
+    instead.
 
-    One shingle-table join, not two: joining sa/sb separately would
-    evaluate the corpus tokenize->shingle pipeline once PER SIDE
-    (self-referenced subtrees are never reused). Instead each pair
-    explodes into its two member doc_ids, the (fact-sized, never
-    broadcastable) shingle table joins ONCE keyed on doc_id, and the
-    pair reassembles by grouping — each group has exactly 2 rows, so
-    the conditional first() picks each side deterministically.
-    Returns (doc_a, doc_b, sh_a, sh_b); only the scoring formula
-    differs between the two callers (review r7 dedup).
+    Two joins, NOT a pair-group reassembly (r16 — found by the e04
+    100x probe OOMing an 8 GB heap in exactly this stage): the old
+    spelling exploded each pair into its two member ids, joined the
+    shingle table once, and rebuilt (sh_a, sh_b) rows with a
+    groupBy(doc_a, doc_b).agg(first(when(...))) — an aggregation
+    KEYED BY PAIR whose buffers hold full shingle ARRAYS (UnsafeRow
+    copies of the heaviest column in the chain; at 100x duplication
+    density the partial-aggregation state across 32 tasks exhausted
+    the heap in SortBasedAggregationIterator, stack pinned in
+    SCALE.md r16). The two-join spelling is the v03 scoring-join
+    pattern: the quadratic path carries ONLY ids; each side's array
+    attaches by one shuffled-hash join against the checkpointed
+    shingle table (hinted — Catalyst sizes the exploded pair side
+    from its bucket parent and would otherwise try to broadcast the
+    candidate set, the measured v03 failure). Per-task hash state is
+    corpus/N_partitions shingle rows; pair rows stream as probe; the
+    pair-sized exchange carrying one array per row is the operator's
+    documented candidate-scoring cost (plan_audit.WEIGHT_ALLOWED
+    d03/n16). Returns (doc_a, doc_b, sh_a, sh_b); only the scoring
+    formula differs between the two callers (review r7 dedup).
     """
     d = tf(spark, sf_dir, "documents")
     shingle_tbl = (
@@ -563,21 +577,14 @@ def _paired_candidate_shingles(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     cand = _lsh_pairs_from_shingles(shingle_tbl)
-    members = cand.select(
-        "doc_a",
-        "doc_b",
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"),
+    sa = shingle_tbl.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
-    joined = members.join(shingle_tbl.hint("shuffle_hash"), "doc_id")
-    return joined.groupBy("doc_a", "doc_b").agg(
-        F.first(
-            F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
-            ignorenulls=True,
-        ).alias("sh_a"),
-        F.first(
-            F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
-            ignorenulls=True,
-        ).alias("sh_b"),
+    sb = shingle_tbl.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return cand.join(sa.hint("shuffle_hash"), "doc_a").join(
+        sb.hint("shuffle_hash"), "doc_b"
     )
 
 
