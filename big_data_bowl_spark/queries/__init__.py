@@ -322,11 +322,13 @@ _PRIORITY = [
 # probe's OOM — nlp._paired_candidate_shingles), which also changes
 # every d03 consumer (d05/e04/d11); the graph queries drop the
 # edge-keyed distinct from their symmetrization (_sym_edges).
-# Deferred to the normal rotation, with reasons: g02/g05 share the
-# one-line _sym_edges change that g01/g03/g04/g06 re-verify
-# four-fold (results-neutral under d02's output contract, which a
-# violation would break LOUDLY in those four — two spare slots let
-# g02 and d05 back in anyway); the pure
+# Deferred to the normal rotation, with reasons: g05 shares the
+# one-line _sym_edges change that g01/g02/g06 re-verify in the
+# prefix (g04 runs its own inline copy of the same union-all change;
+# g03 never built symmetrized edges — its r16 change is the x2
+# checkpoint-release swap in its auth/hub loop, hence its slot)
+# — results-neutral under d02's output contract, which a violation
+# would break LOUDLY in every prefix caller; the pure
 # helper-swap class (e05, v08, v12 — the RDD-level checkpoint
 # release, results-neutral by construction, pytest-pinned) as in the
 # earlier layout. Including all of them would push the r10

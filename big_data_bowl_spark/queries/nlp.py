@@ -637,9 +637,10 @@ _N16_ORACLE = (
     "\u2014 a document quoted wholesale inside a much longer one scores "
     "low Jaccard but high containment \u2014 the signal corpus curation "
     "uses for quote/boilerplate-inclusion detection. Same bounded "
-    "candidate space and single shingle-table join as d03 (one "
-    "materialized shingle evaluation, pairs reassembled by grouping); "
-    "only the scoring formula differs.",
+    "candidate space and shingle attach as d03 (one materialized "
+    "shingle evaluation; sh_a/sh_b join per side, shuffled-hash, ids "
+    "only on the quadratic path — r16); only the scoring formula "
+    "differs.",
 )
 def n16_shingle_containment(spark: SparkSession, sf_dir: str):
     paired = _paired_candidate_shingles(spark, sf_dir)
