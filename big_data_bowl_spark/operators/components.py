@@ -73,8 +73,21 @@ def release_local_checkpoint(df: DataFrame) -> None:
             )
             return
         plan.rdd().unpersist(False)
-    except Exception:  # pragma: no cover — internal-API guard only
-        pass
+    except Exception as exc:
+        # Same loudness as the misuse path above (ADVICE r16): this
+        # guard exists for py4j-surface drift across Spark versions,
+        # and a silent pass here would revive the invisible
+        # O(rounds x nodes) block leak the helper was written to
+        # close — the caller keeps running, only slower and fatter,
+        # which is exactly the failure mode that must not be quiet.
+        warnings.warn(
+            "release_local_checkpoint: RDD-level unpersist failed "
+            f"({type(exc).__name__}: {exc}) — the py4j surface may "
+            "have shifted; nothing was released (blocks now wait "
+            "for ContextCleaner GC)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def connected_components(

@@ -259,6 +259,41 @@ def test_release_local_checkpoint_frees_blocks(spark):
     )
 
 
+def test_release_local_checkpoint_failure_path_is_loud(spark):
+    """ADVICE r16 / VERDICT r16 item 5: if the RDD-level unpersist
+    itself blows up (a py4j surface shift), the helper must degrade
+    LOUDLY — a silent pass would revive the O(rounds x nodes)
+    checkpoint-block leak invisibly. Mock the breakage by handing
+    the helper a frame whose _jdf raises, and assert the
+    RuntimeWarning carries the exception text."""
+    import warnings as _warnings
+
+    from big_data_bowl_spark.operators.components import (
+        release_local_checkpoint,
+    )
+
+    class _Boom:
+        def __getattr__(self, name):
+            raise RuntimeError("py4j surface shifted")
+
+    class _FakeDF:
+        _jdf = _Boom()
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        release_local_checkpoint(_FakeDF())
+    msgs = [
+        str(w.message)
+        for w in caught
+        if issubclass(w.category, RuntimeWarning)
+    ]
+    assert any(
+        "RDD-level unpersist failed" in m
+        and "py4j surface shifted" in m
+        for m in msgs
+    ), f"expected a loud failure warning, got {msgs!r}"
+
+
 def test_asof_join_backward_inclusive_semantics(spark):
     from big_data_bowl_spark.operators.asof import asof_join
 
@@ -2667,7 +2702,7 @@ def test_lsh_bucket_cap_under_adversarial_skew(spark):
 
 
 def test_fuzzy_null_blocking_keys_never_pair_and_never_bypass_cap(
-    spark, tmp_path
+    spark,
 ):
     """r16 review finding: a NULL blocking key must not pair (SQL
     equi-join semantics — every oracle spells the blocker as an
@@ -2676,9 +2711,6 @@ def test_fuzzy_null_blocking_keys_never_pair_and_never_bypass_cap(
     NULL keys), which would re-materialize the unbounded reducer
     array the cap exists to prevent. Plant an oversized NULL-key
     bucket next to a normal pair and check both spellings."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     from big_data_bowl_spark.queries.extras import (
         _fuzzy_blocked_pairs,
         fuzzy_oversized_buckets,
