@@ -1270,12 +1270,22 @@ _DHASH_SQL = f"""
     "proven to MISS NOTHING at test scale.",
 )
 def mm15_image_dhash_neardup(spark, sf_dir):
+    return _mm15_pairs(_mm15_dhash_table(spark, sf_dir))
+
+
+def _mm15_dhash_table(spark, sf_dir):
     from ..multimodal.media import image_dhash
 
     media = as_media_table(t(spark, sf_dir, "documents")).filter(
         F.col("media_type") == "image"
     )
-    dh = image_dhash(media)
+    return image_dhash(media)
+
+
+def _mm15_band_rows(dh):
+    """One row per (image, band): the 8-bit pigeonhole bucket keys —
+    the frame both the pair builder and the oversized-bucket audit
+    aggregate over, so cap and audit cannot diverge."""
     band_structs = F.array(
         *[
             F.struct(
@@ -1287,9 +1297,42 @@ def mm15_image_dhash_neardup(spark, sf_dir):
             for b in range(IMG_BANDS)
         ]
     )
-    banded = dh.select(
+    return dh.select(
         "media_id", "dhash", F.explode(band_structs).alias("b")
     ).select("media_id", "dhash", "b.band", "b.bkey")
+
+
+def _mm15_pairs(dh, max_bucket: int | None = None):
+    """mm15's banded near-dup pairs from a DataFrame[media_id, dhash].
+
+    `max_bucket` threads the d02/fuzzy adversarial-skew guard through
+    the dhash bands (VERDICT r16 item 1 — the triad's one named scale
+    gap): a viral perceptual cluster — thousands of near-identical
+    thumbnails sharing a band key — concentrates O(bucket^2) pair
+    emission in ONE task at 100 TB. The cap pre-filters BEFORE the
+    collect_list (functions/banding.drop_oversized_buckets, the
+    `_fuzzy_blocked_pairs` r16 spelling): reducer-resident state is
+    <= max_bucket x 16 B by construction on any corpus. Composition
+    with the first-agreeing-band emission gives an exact recall
+    contract: a pair survives iff its LOWEST agreeing band's bucket
+    is under the cap — if that band is hot, the pair is never emitted
+    there (bucket dropped) and every higher agreeing band's emission
+    is rejected by the row-local lowest-band check, so the pair is
+    attributed to exactly one bucket and dropped WITH its hot
+    cluster. A cluster that hot is duplicate-shaped; route it to
+    d01/d05 exact grouping + survivorship (the fuzzy family's
+    documented recipe). Callers that cap MUST audit what was dropped
+    (banding.oversized_buckets over `_mm15_band_rows`) — silent
+    truncation reads as full coverage. Default None preserves the
+    registered query's exact semantics (and its oracle).
+    """
+    banded = _mm15_band_rows(dh)
+    if max_bucket is not None:
+        from ..functions.banding import drop_oversized_buckets
+
+        banded = drop_oversized_buckets(
+            banded, ("band", "bkey"), max_bucket
+        )
     buckets = (
         banded.groupBy("band", "bkey")
         .agg(
@@ -1337,6 +1380,116 @@ def mm15_image_dhash_neardup(spark, sf_dir):
         )
         .filter(F.col("hamming") <= IMG_HAM_K)
     )
+
+
+def mm15_image_dhash_neardup_capped(spark, sf_dir, max_bucket: int):
+    """mm15 with the adversarial-skew cap: returns (matches, audit)
+    where `audit` lists every (band, bkey, bucket_size) the cap
+    excluded from pair generation — run it or the truncation is
+    silent (the j11/j13 capped-twin contract). Identical to the
+    registered mm15 wherever no band bucket exceeds `max_bucket`;
+    where one does, the dropped pairs are exactly those whose lowest
+    agreeing band is the hot bucket (see `_mm15_pairs`)."""
+    from ..functions.banding import oversized_buckets
+
+    dh = _mm15_dhash_table(spark, sf_dir)
+    matches = _mm15_pairs(dh, max_bucket=max_bucket)
+    audit = oversized_buckets(
+        _mm15_band_rows(dh), ("band", "bkey"), max_bucket
+    )
+    return matches, audit
+
+
+MM15_MAX_BUCKET = 16   # gate-tuned to bite on the real bucket mix:
+#                        at sf0.01 the 7 flat-raster buckets
+#                        (all-zero band keys, sizes 19-25) are
+#                        audited out while the <=9 tail keeps pairing
+
+
+@register(
+    "mm15b_image_dhash_capped_audit",
+    oracle=_DHASH_SQL
+    + f"""
+    , bb AS (SELECT unnest(range(0, {IMG_BANDS})) AS band),
+    bands AS (
+      SELECT dh.media_id, dh.dhash, bb.band,
+             (dh.dhash >> CAST(bb.band * {_IMG_BAND_BITS} AS INTEGER))
+               & {(1 << _IMG_BAND_BITS) - 1} AS bkey
+      FROM dh, bb),
+    sz AS (SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bucket_size
+           FROM bands GROUP BY 1, 2),
+    low AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             a.dhash AS da, b.dhash AS db,
+             min(bb.band) AS low_band
+      FROM dh a JOIN dh b ON a.media_id < b.media_id
+      JOIN bb ON ((a.dhash >> CAST(bb.band * {_IMG_BAND_BITS}
+                     AS INTEGER)) & {(1 << _IMG_BAND_BITS) - 1})
+               = ((b.dhash >> CAST(bb.band * {_IMG_BAND_BITS}
+                     AS INTEGER)) & {(1 << _IMG_BAND_BITS) - 1})
+      GROUP BY 1, 2, 3, 4)
+    SELECT 'match' AS facet,
+           CAST(NULL AS BIGINT) AS band, CAST(NULL AS BIGINT) AS bkey,
+           l.id_a, l.id_b,
+           CAST(bit_count(xor(l.da, l.db)) AS BIGINT) AS hamming,
+           CAST(NULL AS BIGINT) AS bucket_size
+    FROM low l JOIN sz s
+      ON s.band = l.low_band
+     AND s.bkey = ((l.da >> CAST(l.low_band * {_IMG_BAND_BITS}
+                      AS INTEGER)) & {(1 << _IMG_BAND_BITS) - 1})
+    WHERE s.bucket_size <= {MM15_MAX_BUCKET}
+      AND bit_count(xor(l.da, l.db)) <= {IMG_HAM_K}
+    UNION ALL
+    SELECT 'oversized_bucket', CAST(band AS BIGINT),
+           CAST(bkey AS BIGINT), NULL, NULL, NULL, bucket_size
+    FROM sz WHERE bucket_size > {MM15_MAX_BUCKET}
+    """,
+    note="MM15b: the PRODUCTION spelling of mm15 — "
+    f"mm15_image_dhash_neardup_capped(max_bucket={MM15_MAX_BUCKET}) "
+    "executed and gate-verified (VERDICT r16 item 1, the "
+    "j11b/j13b/v03b capped-twin precedent), match + oversized-bucket "
+    "facets in one cell-for-cell-oracled output so the cap's "
+    "truncation is never silent. The cap BITES PARTIALLY on the real "
+    "bucket mix (sf0.01: the 7 flat-raster band buckets — all-zero "
+    "keys, sizes 19-25, a genuine viral-thumbnail shape the "
+    "generative corpus happens to plant — are audited out; the <=9 "
+    "tail keeps pairing). Recall contract, exact and oracle-stated: "
+    "a pair is dropped iff its LOWEST agreeing band's bucket is hot "
+    "— the cap composes with the first-agreeing-band emission so "
+    "each pair is attributed to exactly one bucket (no pair-keyed "
+    "state, and no pair silently half-survives via a higher band). "
+    "Hot clusters are duplicate-shaped; d01/d05 exact grouping + "
+    "survivorship is the documented route for them. Reducer state "
+    f"<= {MM15_MAX_BUCKET} x 16 B per bucket by construction "
+    "(banding.drop_oversized_buckets pre-filters BEFORE the "
+    "collect_list); the planted-hot-bucket pytest "
+    "(tests/test_multimodal.py "
+    "test_mm15_bucket_cap_under_adversarial_skew) pins the "
+    "equivalence capped == uncapped minus hot-lowest-band pairs.",
+)
+def mm15b_image_dhash_capped_audit(spark, sf_dir):
+    matches, audit = mm15_image_dhash_neardup_capped(
+        spark, sf_dir, MM15_MAX_BUCKET
+    )
+    m = matches.select(
+        F.lit("match").alias("facet"),
+        F.lit(None).cast("bigint").alias("band"),
+        F.lit(None).cast("bigint").alias("bkey"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("hamming").cast("bigint").alias("hamming"),
+        F.lit(None).cast("bigint").alias("bucket_size"),
+    )
+    a = audit.select(
+        F.lit("oversized_bucket").alias("facet"),
+        F.col("band").cast("bigint").alias("band"),
+        F.col("bkey").cast("bigint").alias("bkey"),
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("bigint").alias("hamming"),
+        F.col("bucket_size").cast("bigint").alias("bucket_size"),
+    )
+    return m.unionByName(a)
 
 
 # ---------------------------------------------------------------------------
@@ -1428,17 +1581,53 @@ _VID_DHASH_SQL = f"""
     "banding path provably misses nothing at test scale.",
 )
 def mm16_video_frame_neardup(spark, sf_dir):
+    return _mm16_pairs(_mm16_hash_table(spark, sf_dir))
+
+
+def _mm16_hash_table(spark, sf_dir):
     from ..multimodal.media import video_frame_dhashes
 
     media = as_media_table(t(spark, sf_dir, "documents")).filter(
         (F.col("media_type") == "video") & (F.col("n_frames") > 0)
     )
-    hs = (
+    return (
         video_frame_dhashes(media)
         .filter(F.col("fhash") != 0)
         .select("media_id", "fhash")
         .distinct()
     )
+
+
+def _mm16_pairs(hs, max_bucket: int | None = None):
+    """mm16's containment near-dup pairs from a
+    DataFrame[media_id, fhash] of distinct non-blank frame hashes.
+
+    `max_bucket` caps the frame-hash buckets (VERDICT r16 item 1): a
+    VIRAL frame — an intro card, a watermark frame, a platform logo
+    shared by millions of videos — concentrates O(bucket^2) pair
+    emission in ONE task. The cap drops hot hashes BEFORE the
+    collect_list (banding.drop_oversized_buckets, count pre-pass +
+    broadcast left_anti), and — deliberately — before the per-video
+    size counts too: capped semantics are STOP-FRAME REMOVAL, the
+    exact analogue of dropping stopwords before Jaccard (n17's
+    documented recipe) and of production video dedup discarding black
+    frames/intro cards. The capped result equals the uncapped query
+    run on the corpus with hot hashes deleted: containment is
+    computed over INFORMATIVE frames only, numerator and denominator
+    consistently. (Consequence, stated because it matters: this is
+    not a pure subset of the uncapped output — a pair padded with
+    viral frames can cross the threshold once those frames stop
+    diluting its denominator, which is the IDF-correct judgment: the
+    pair genuinely shares most of its distinctive content.) Callers
+    that cap MUST audit the dropped hashes
+    (banding.oversized_buckets — bucket_size = how many videos carry
+    the viral frame). Default None preserves the registered query's
+    exact semantics (and its oracle).
+    """
+    if max_bucket is not None:
+        from ..functions.banding import drop_oversized_buckets
+
+        hs = drop_oversized_buckets(hs, ("fhash",), max_bucket)
     # one evaluation of the hash pipeline serves buckets AND sizes
     hs = hs.localCheckpoint(eager=False)
     sizes = hs.groupBy("media_id").agg(
@@ -1475,6 +1664,20 @@ def mm16_video_frame_neardup(spark, sf_dir):
             "id_a", "id_b", "n_shared", contain.alias("containment")
         )
     )
+
+
+def mm16_video_frame_neardup_capped(spark, sf_dir, max_bucket: int):
+    """mm16 with the viral-frame cap: returns (matches, audit) where
+    `audit` lists every (fhash, bucket_size) the cap excluded — the
+    number of videos carrying each viral frame. Semantics are
+    stop-frame removal (see `_mm16_pairs`); identical to the
+    registered mm16 wherever no frame hash exceeds `max_bucket`."""
+    from ..functions.banding import oversized_buckets
+
+    hs = _mm16_hash_table(spark, sf_dir)
+    matches = _mm16_pairs(hs, max_bucket=max_bucket)
+    audit = oversized_buckets(hs, ("fhash",), max_bucket)
+    return matches, audit
 
 
 # ---------------------------------------------------------------------------
@@ -1523,6 +1726,10 @@ _MM17_BINS_SQL = " UNION ALL ".join(
     "(mm15), video (mm16), audio (mm17).",
 )
 def mm17_audio_fingerprint_neardup(spark, sf_dir):
+    return _mm17_pairs(_mm17_peak_table(spark, sf_dir))
+
+
+def _mm17_peak_table(spark, sf_dir):
     from collections.abc import Iterator
 
     media = t(spark, sf_dir, "documents").filter(
@@ -1559,9 +1766,52 @@ def mm17_audio_fingerprint_neardup(spark, sf_dir):
                     rows.append((mid, k))
             yield pd.DataFrame(rows, columns=["media_id", "bin"])
 
-    peaks = media.mapInPandas(
+    return media.mapInPandas(
         batches, schema="media_id long, bin long"
     )
+
+
+def mm17_audio_fingerprint_neardup_capped(
+    spark, sf_dir, max_bucket: int
+):
+    """mm17 with the hot-bin cap: returns (matches, audit) where
+    `audit` lists every (bin, bucket_size) the cap excluded — the
+    number of clips peaking in each uninformative bin. Capped output
+    is a strict subset of uncapped (see `_mm17_pairs`); identical to
+    the registered mm17 wherever no bin exceeds `max_bucket`."""
+    from ..functions.banding import oversized_buckets
+
+    peaks = _mm17_peak_table(spark, sf_dir)
+    matches = _mm17_pairs(peaks, max_bucket=max_bucket)
+    audit = oversized_buckets(peaks, ("bin",), max_bucket)
+    return matches, audit
+
+
+def _mm17_pairs(peaks, max_bucket: int | None = None):
+    """mm17's shared-peak near-dup pairs from a
+    DataFrame[media_id, bin] of per-clip spectral peak bins.
+
+    `max_bucket` caps the frequency-bin buckets (VERDICT r16 item 1):
+    a HOT bin — mains hum, a codec artifact tone, a jingle every clip
+    in a catalog carries — concentrates O(bucket^2) pair emission in
+    ONE task (mm17's 100x density probe measured 329x wall on
+    exactly this quadratic path). The cap drops hot bins BEFORE the
+    collect_list (banding.drop_oversized_buckets); a bin that common
+    carries no discriminative signal — the Shazam-family systems
+    whose shape mm17 takes do the same thing by inverted-index
+    pruning of overfull posting lists. Because the match rule is an
+    absolute count (n_shared >= threshold over shared bins), capped
+    output is a strict SUBSET of uncapped: dropping a bin only
+    lowers n_shared — a pair is lost iff fewer than the threshold of
+    its shared bins are informative. Callers that cap MUST audit the
+    dropped bins (banding.oversized_buckets — bucket_size = how many
+    clips peak there). Default None preserves the registered query's
+    exact semantics (and its oracle).
+    """
+    if max_bucket is not None:
+        from ..functions.banding import drop_oversized_buckets
+
+        peaks = drop_oversized_buckets(peaks, ("bin",), max_bucket)
     buckets = (
         peaks.groupBy("bin")
         .agg(F.sort_array(F.collect_list("media_id")).alias("xs"))

@@ -2726,3 +2726,195 @@ def test_decode_dispatch_fails_closed_all_formats():
         decode_payload(encode_png(img)[:30], "png", 11, 9)
     except ValueError as e:
         assert e.__cause__ is not None or "PNG" in str(e)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r16 item 1: the perceptual triad's adversarial-skew caps
+# (planted hot buckets; capped == documented recall contract)
+# ---------------------------------------------------------------------------
+
+
+def _mm15_expected(dhashes, cap):
+    """Brute-force the capped recall contract: a pair survives iff
+    hamming <= IMG_HAM_K and its LOWEST agreeing band's bucket holds
+    <= cap members (cap None => any agreeing band qualifies)."""
+    from big_data_bowl_spark.queries.multimodal import (
+        IMG_BANDS,
+        IMG_HAM_K,
+        _IMG_BAND_BITS,
+    )
+
+    def key(h, b):
+        return (h >> (b * _IMG_BAND_BITS)) & ((1 << _IMG_BAND_BITS) - 1)
+
+    sizes = {}
+    for _, h in dhashes:
+        for b in range(IMG_BANDS):
+            sizes[(b, key(h, b))] = sizes.get((b, key(h, b)), 0) + 1
+    out = set()
+    items = sorted(dhashes)
+    for i, (ia, ha) in enumerate(items):
+        for ib, hb in items[i + 1:]:
+            agree = [
+                b for b in range(IMG_BANDS) if key(ha, b) == key(hb, b)
+            ]
+            if not agree or bin(ha ^ hb).count("1") > IMG_HAM_K:
+                continue
+            low = min(agree)
+            if cap is None or sizes[(low, key(ha, low))] <= cap:
+                out.add((ia, ib, bin(ha ^ hb).count("1")))
+    return out
+
+
+def test_mm15_bucket_cap_under_adversarial_skew(spark):
+    """Plant a 40-member viral cluster (identical dhash — every band
+    bucket hot) next to normal near-pairs and a victim pair whose
+    lowest agreeing band is the hot bucket but which also agrees on
+    a small higher band. Pin the exact recall contract: a pair is
+    dropped iff its LOWEST agreeing band is oversized (the victim
+    drops; normal pairs survive), uncapped == brute force, and the
+    audit reports exactly the hot buckets."""
+    from big_data_bowl_spark.functions.banding import oversized_buckets
+    from big_data_bowl_spark.queries.multimodal import (
+        _mm15_band_rows,
+        _mm15_pairs,
+    )
+
+    hot_hash = 0x0123456789ABCD  # 56-bit; 40 copies -> 7 hot buckets
+    rows = [(i, hot_hash) for i in range(40)]
+    # normal near-pair: differs only in bit 0 -> hamming 1, lowest
+    # agreeing band 1 (band 0 differs); band keys disjoint from hot's
+    base = 0x00FE00FE00FE00
+    rows += [(100, base), (101, base ^ 1)]
+    # victim pair: band 0 key EQUALS the hot cluster's band-0 key
+    # (joins the oversized bucket), higher bands differ from hot but
+    # agree with each other within hamming <= 6 -> lowest agreeing
+    # band is 0 (hot) -> dropped by the contract, found by band 1+
+    # in the uncapped spelling
+    vic = (0x00AA00AA00AA00 & ~0xFF) | (hot_hash & 0xFF)
+    # differ in band 1 (two bits, so neither side's band-1 key can
+    # collide with the hot cluster's 0xAB)
+    rows += [(200, vic), (201, vic ^ (3 << 8))]
+    dh = spark.createDataFrame(rows, "media_id long, dhash long")
+
+    cap = 16
+    got_uncapped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in _mm15_pairs(dh).collect()
+    }
+    got_capped = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in _mm15_pairs(dh, max_bucket=cap).collect()
+    }
+    assert got_uncapped == _mm15_expected(rows, None)
+    assert got_capped == _mm15_expected(rows, cap)
+    # the victim pair is the named casualty; normal pair survives
+    assert (200, 201, 2) in got_uncapped
+    assert (200, 201, 2) not in got_capped
+    assert (100, 101, 1) in got_capped
+    # hot-cluster pairs never survive the cap
+    assert not any(a < 40 and b < 40 for a, b, _ in got_capped)
+    audit = {
+        (r.band, r.bkey): r.bucket_size
+        for r in oversized_buckets(
+            _mm15_band_rows(dh), ("band", "bkey"), cap
+        ).collect()
+    }
+    # exactly the hot cluster's 7 band buckets (the victim pair adds
+    # 2 members to hot band 0: 42; bands 1-6 hold the 40 clones)
+    want_audit = {}
+    for b in range(7):
+        k = (hot_hash >> (b * 8)) & 255
+        want_audit[(b, k)] = 42 if b == 0 else 40
+    assert audit == want_audit
+
+
+def test_mm15_cap_below_two_rejected(spark):
+    from big_data_bowl_spark.queries.multimodal import _mm15_pairs
+
+    dh = spark.createDataFrame([(1, 7)], "media_id long, dhash long")
+    with pytest.raises(ValueError, match="max_bucket"):
+        _mm15_pairs(dh, max_bucket=1).collect()
+
+
+def test_mm16_viral_frame_cap_is_stop_frame_removal(spark):
+    """Plant a viral frame hash carried by 31 videos. Capped
+    semantics = the uncapped query on the corpus minus hot hashes:
+    (a) a pair held together ONLY by the viral frame disappears,
+    (b) a genuine pair keeps matching with the viral frame removed
+    from numerator AND denominator, (c) the documented IDF flip-in —
+    a pair diluted below threshold by the viral frame crosses it
+    once the frame stops counting, (d) the audit reports the viral
+    hash with its carrier count."""
+    from big_data_bowl_spark.functions.banding import oversized_buckets
+    from big_data_bowl_spark.queries.multimodal import _mm16_pairs
+
+    H = 999  # the viral frame hash
+    rows = []
+    # 26 background videos exist only to make H hot (each: H + one
+    # unique hash so their pair-space contributes nothing else)
+    for i in range(26):
+        rows += [(500 + i, H), (500 + i, 10_000 + i)]
+    # (a) held together only by H
+    rows += [(1, H), (1, 11), (2, H), (2, 12)]
+    # (b) genuine near-dups that also both carry H
+    rows += [(3, H), (3, 21), (3, 22), (4, H), (4, 21), (4, 22), (4, 23)]
+    # (c) flip-in: shares 1 of 3 uncapped (0.33 < 0.5), 1 of 2 once
+    # H is removed from the smaller side (0.5 >= 0.5)
+    rows += [(5, 31), (5, 32), (5, H), (6, 31), (6, 41), (6, 42)]
+    hs = spark.createDataFrame(rows, "media_id long, fhash long")
+
+    cap = 16
+    pair = lambda df: {  # noqa: E731
+        (r.id_a, r.id_b): (r.n_shared, r.containment)
+        for r in df.collect()
+    }
+    uncapped = pair(_mm16_pairs(hs))
+    capped = pair(_mm16_pairs(hs, max_bucket=cap))
+    # stop-frame-removal equivalence: capped == uncapped on corpus
+    # with the hot hash deleted
+    from pyspark.sql import functions as F
+
+    filtered = pair(_mm16_pairs(hs.where(F.col("fhash") != H)))
+    assert capped == filtered
+    assert (1, 2) in uncapped and (1, 2) not in capped          # (a)
+    assert uncapped[(3, 4)] == (3, 1.0)                         # (b)
+    assert capped[(3, 4)] == (2, 1.0)
+    assert (5, 6) not in uncapped and capped[(5, 6)] == (1, 0.5)  # (c)
+    audit = {
+        r.fhash: r.bucket_size
+        for r in oversized_buckets(hs, ("fhash",), cap).collect()
+    }
+    assert audit == {H: 31}                                     # (d)
+
+
+def test_mm17_hot_bin_cap_is_strict_subset(spark):
+    """Plant a hot frequency bin (30 clips). mm17's match rule is an
+    absolute shared-count, so capped output must be a strict SUBSET
+    of uncapped: a pair relying on the hot bin for its second shared
+    peak drops below MM17_SHARED_MIN; a pair sharing two informative
+    bins is untouched. The audit reports the hot bin."""
+    from big_data_bowl_spark.functions.banding import oversized_buckets
+    from big_data_bowl_spark.queries.multimodal import _mm17_pairs
+
+    B = 77  # the hot bin
+    rows = [(600 + i, B) for i in range(26)]
+    rows += [(1, B), (1, 10), (2, B), (2, 10)]   # relies on hot bin
+    rows += [(3, 20), (3, 21), (3, B), (4, 20), (4, 21), (4, B)]
+    peaks = spark.createDataFrame(rows, "media_id long, bin long")
+
+    cap = 16
+    pairs = lambda df: {  # noqa: E731
+        (r.id_a, r.id_b): r.n_shared for r in df.collect()
+    }
+    uncapped = pairs(_mm17_pairs(peaks))
+    capped = pairs(_mm17_pairs(peaks, max_bucket=cap))
+    assert set(capped) < set(uncapped)
+    assert all(capped[k] <= uncapped[k] for k in capped)
+    assert uncapped[(1, 2)] == 2 and (1, 2) not in capped
+    assert uncapped[(3, 4)] == 3 and capped[(3, 4)] == 2
+    audit = {
+        r.bin: r.bucket_size
+        for r in oversized_buckets(peaks, ("bin",), cap).collect()
+    }
+    assert audit == {B: 30}
