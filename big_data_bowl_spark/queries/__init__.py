@@ -35,52 +35,16 @@ from . import graph  # noqa: F401,E402
 #      for the rows-only entries), sort ascending, alphabetical
 #      within a round.
 #
-# Round-16 layout, explicit (VERDICT r15 item 3 — retire the r10
+# Round-17 layout, explicit (VERDICT r16 item 3 — rotate the r11
 # staleness cohort, the oldest remaining block): _PRIORITY was
-# regenerated from CORRECTNESS_r02..r15 (max green round per name,
+# regenerated from CORRECTNESS_r02..r16 (max green round per name,
 # ascending, alphabetical within round; histogram at regeneration
-# r10:35 r11:37 r12:46 r13:43 r14:45 r15:50). _FIRST holds the
-# queries whose CODE or ORACLE changed in round 16 (see its
-# comment). The full 35-query r10 cohort fills the slots right
-# after _FIRST, so the whole cohort verifies this round and no
-# query's last driver-green predates r11 afterwards.
+# r11:31 r12:42 r13:43 r14:45 r15:46 r16:50). _FIRST holds the
+# queries whose CODE changed in round 17 (see its comment). The full
+# 31-query r11 cohort fills the slots right after _FIRST
+# (4 + 31 = 35 <= 50), so the whole cohort verifies this round and
+# no query's last driver-green predates r12 afterwards.
 _PRIORITY = [
-    # last driver-green in r10
-    "d02_dedup_minhash_lsh",
-    "d03_ngram_jaccard_verify",
-    "d04_simhash",
-    "d06_simhash_neardup",
-    "dq02_referential_orphans",
-    "dq03_distribution_drift",
-    "e02_field_control",
-    "e03_field_control_season",
-    "f12_bivariate_gaussian",
-    "j09_full_outer_join",
-    "mm02_image_features",
-    "n04_fingerprint",
-    "n05_punct_ratio",
-    "n06_bpe_token_count",
-    "n07_rolling_hash_fingerprint",
-    "n09_vocab_topk",
-    "n10_tfidf_top_terms",
-    "n11_repetition_score",
-    "n13_pii_redaction",
-    "n14_source_mixing",
-    "n24_minhash_calibration",
-    "o08_stratified_sample",
-    "o09_set_ops",
-    "o13_temporal_split",
-    "p14_fillna_coalesce",
-    "s06_bucketed_colocated_join",
-    "s07_partitioned_sink_pruning",
-    "s09_jsonl_scan",
-    "t02_sliding_window",
-    "t05_json_props",
-    "t10_date_parts",
-    "t31_cumulative_reach",
-    "u06_grouped_agg_pandas_udf",
-    "w07_running_total",
-    "w08_ntile_quartiles",
     # last driver-green in r11
     "a09b_grouped_quantiles_approx",
     "a10_approx_count_distinct",
@@ -94,14 +58,8 @@ _PRIORITY = [
     "d10_incremental_agg_maintenance",
     "dq04_key_skew_profile",
     "f13_winsorize",
-    "g01_pagerank_neardup",
-    "g02_label_propagation",
-    "g03_hits_neardup",
-    "g04_triangle_count",
     "g05_kcore",
     "j10_anti_join",
-    "j11_fuzzy_name_match",
-    "j13_fuzzy_match_deletion_blocking",
     "m01_rf_train_confusion",
     "m02_rf_predict_counts",
     "mm05_audio_roundtrip_features",
@@ -131,15 +89,12 @@ _PRIORITY = [
     "d12_incremental_lsh_maintenance",
     "dq01_column_profile",
     "dq05_constraint_suite",
-    "e04_corpus_curation",
     "j01_inner_join_1key",
     "j02_inner_join_2keys",
     "j03_selfjoin_anchor_attach",
     "j04_left_outer_join",
     "j05_crossjoin_grid",
     "j07_inner_join_merge",
-    "j11b_fuzzy_capped_audit",
-    "j13b_fuzzy_capped_audit",
     "m04_rf_feature_importances",
     "m05_random_split_counts",
     "m07_rf_tree_stats",
@@ -151,7 +106,6 @@ _PRIORITY = [
     "mm09_mp4_container_metadata",
     "mm10_mp4_sample_index",
     "n03_lang_id",
-    "n16_shingle_containment",
     "n17_segment_dedup",
     "n18_lm_perplexity",
     "n19_benchmark_decontamination",
@@ -263,20 +217,16 @@ _PRIORITY = [
     "a12_grouped_corr",
     "a13_collect_sorted_array",
     "d01_dedup_exact",
-    "d05_dedup_components",
-    "d11_canonical_survivor",
     "dq06_k_anonymity",
     "dq07_functional_dependency",
     "dq08_snapshot_diff",
     "e05_embedding_index_pipeline",
     "e06_streaming_pipeline",
     "f14_higher_order_arrays",
-    "g06_bfs_hops",
     "j12_grid_radius_join",
     "m06_decision_stump",
     "m10_depth2_tree",
     "m12_calibration_bins",
-    "mm15_image_dhash_neardup",
     "mm16_video_frame_neardup",
     "mm17_audio_fingerprint_neardup",
     "mm18_scene_changes",
@@ -307,52 +257,81 @@ _PRIORITY = [
     "v11_ann_recall_audit",
     "w11_longest_streak",
     "w12_percent_rank_cume",
-]
-
-
-
-# Queries whose executed CODE changed in round 16 (their prior green
-# was earned by different code), PLAN-CHANGING changes first: the
-# fuzzy family's max_bucket cap pre-filters before the collect_list
-# and drops NULL blocking keys (extras._fuzzy_blocked_pairs); d06/
-# mm15 emit each pair from its first agreeing band instead of a
-# trailing pair-keyed distinct (functions/banding.py); the d03/n16
-# candidate-verify chain attaches shingles via two hinted joins
-# instead of a pair-keyed array-buffering aggregation (the e04 100x
-# probe's OOM — nlp._paired_candidate_shingles), which also changes
-# every d03 consumer (d05/e04/d11); the graph queries drop the
-# edge-keyed distinct from their symmetrization (_sym_edges).
-# Deferred to the normal rotation, with reasons: g05 shares the
-# one-line _sym_edges change that g01/g02/g06 re-verify in the
-# prefix (g04 runs its own inline copy of the same union-all change;
-# g03 never built symmetrized edges — its r16 change is the x2
-# checkpoint-release swap in its auth/hub loop, hence its slot)
-# — results-neutral under d02's output contract, which a violation
-# would break LOUDLY in every prefix caller; the pure
-# helper-swap class (e05, v08, v12 — the RDD-level checkpoint
-# release, results-neutral by construction, pytest-pinned) as in the
-# earlier layout. Including all of them would push the r10
-# staleness cohort out of the ~50-slot verified prefix, and VERDICT
-# r15 item 3 outranks an Nth representative of an identical change;
-# this round's full LOCAL 257/257 plain-session gate plus targeted
-# sf0.01+sf0.001 gate runs covered every changed query regardless.
-_FIRST = [
+    # last driver-green in r16
+    "d02_dedup_minhash_lsh",
     "d03_ngram_jaccard_verify",
+    "d04_simhash",
     "d05_dedup_components",
-    "g02_label_propagation",
-    "n16_shingle_containment",
-    "e04_corpus_curation",
+    "d06_simhash_neardup",
     "d11_canonical_survivor",
+    "dq02_referential_orphans",
+    "dq03_distribution_drift",
+    "e02_field_control",
+    "e03_field_control_season",
+    "e04_corpus_curation",
+    "f12_bivariate_gaussian",
+    "g01_pagerank_neardup",
+    "g02_label_propagation",
+    "g03_hits_neardup",
+    "g04_triangle_count",
+    "g06_bfs_hops",
+    "j09_full_outer_join",
     "j11_fuzzy_name_match",
     "j11b_fuzzy_capped_audit",
     "j13_fuzzy_match_deletion_blocking",
     "j13b_fuzzy_capped_audit",
-    "d06_simhash_neardup",
+    "mm02_image_features",
     "mm15_image_dhash_neardup",
-    "g01_pagerank_neardup",
-    "g03_hits_neardup",
-    "g04_triangle_count",
-    "g06_bfs_hops",
+    "n04_fingerprint",
+    "n05_punct_ratio",
+    "n06_bpe_token_count",
+    "n07_rolling_hash_fingerprint",
+    "n09_vocab_topk",
+    "n10_tfidf_top_terms",
+    "n11_repetition_score",
+    "n13_pii_redaction",
+    "n14_source_mixing",
+    "n16_shingle_containment",
+    "n24_minhash_calibration",
+    "o08_stratified_sample",
+    "o09_set_ops",
+    "o13_temporal_split",
+    "p14_fillna_coalesce",
+    "s06_bucketed_colocated_join",
+    "s07_partitioned_sink_pruning",
+    "s09_jsonl_scan",
+    "t02_sliding_window",
+    "t05_json_props",
+    "t10_date_parts",
+    "t31_cumulative_reach",
+    "u06_grouped_agg_pandas_udf",
+    "v03b_bucketed_cosine_capped_audit",
+    "w07_running_total",
+    "w08_ntile_quartiles",
+]
+
+
+# Queries whose executed CODE changed in round 17 (their prior green
+# was earned by different code), plan-relevant first: mm15b is NEW
+# (the capped production twin of mm15 — match + oversized-bucket
+# facets, VERDICT r16 item 1); mm15/mm16/mm17 were refactored into
+# cap-aware builders (_mm15_pairs/_mm16_pairs/_mm17_pairs with
+# max_bucket=None on the registered path — results-neutral and
+# plan-neutral by construction, the cap branch is skipped entirely,
+# but the executed code moved so they re-verify). Deferred to the
+# normal rotation, with reason: the queries that merely CALL
+# operators/components.release_local_checkpoint (d05/g01/g02/g03/
+# g06/e05/v08/v12) — this round's change there touches only the
+# helper's FAILURE path (a RuntimeWarning replacing a silent pass;
+# the success path is byte-identical, pytest-pinned both ways), the
+# same results-neutral helper-swap class the r16 layout deferred,
+# and including all eight would push the r11 cohort out of the
+# 50-slot prefix.
+_FIRST = [
+    "mm15b_image_dhash_capped_audit",
+    "mm15_image_dhash_neardup",
+    "mm16_video_frame_neardup",
+    "mm17_audio_fingerprint_neardup",
 ]
 
 
