@@ -533,12 +533,36 @@ def main() -> None:
 
     if args.t35_keys:
         name = args.keys_query
+        # harvest each drain's final-micro-batch stateOperators
+        # (VERDICT r16 item 4): numRowsTotal / memoryUsedBytes are
+        # what the watermark left ALIVE after the availableNow
+        # backlog drained — state ∝ live keys is a read-off of the
+        # 1x vs Nx ratio, not an argument
+        from big_data_bowl_spark.streaming import windows as W
+
+        def state_ops(since: int):
+            out = []
+            for sink, ops in W.LAST_STATE_METRICS[since:]:
+                for op in ops:
+                    out.append(
+                        {
+                            "op": op.get("operatorName", "?"),
+                            "state_rows": op.get("numRowsTotal"),
+                            "state_bytes": op.get("memoryUsedBytes"),
+                        }
+                    )
+            return out
+
         with tempfile.TemporaryDirectory(prefix="t35_keys_") as probe:
             build_key_exploded_events(
                 spark, args.sf, probe, args.t35_keys
             )
+            mark = len(W.LAST_STATE_METRICS)
             w1, r1, x1, a1, h1 = run_one(spark, name, args.sf)
+            s1 = state_ops(mark)
+            mark = len(W.LAST_STATE_METRICS)
             wN, rN, xN, aN, hN = run_one(spark, name, probe)
+            sN = state_ops(mark)
             print(
                 json.dumps(
                     {
@@ -551,6 +575,9 @@ def main() -> None:
                         "rows_ratio": round(rN / r1, 2),
                         "exchanges": [x1, xN],
                         "plan_shape_stable": x1 == xN,
+                        "state_1x": s1,
+                        f"state_{args.t35_keys}x": sN,
+                        "heap_mb": [h1, hN],
                     }
                 )
             )
