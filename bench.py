@@ -460,6 +460,11 @@ HEADLINE = [
     # gate-registered with match + oversized-bucket audit facets
     # (VERDICT r15 item 2 — the j11b/j13b precedent on the vector side)
     "v03b_bucketed_cosine_capped_audit",
+    # round-17 addition: the capped perceptual-dedup production
+    # spelling, gate-registered with match + oversized-bucket audit
+    # facets (VERDICT r16 item 1 — the capped-twin precedent on the
+    # image side)
+    "mm15b_image_dhash_capped_audit",
 ]
 
 
