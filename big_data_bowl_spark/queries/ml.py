@@ -1290,35 +1290,52 @@ def bagged_ensemble_approx(spark, sf_dir):
 
 
 def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
+    """r17 optimization-round rewrite (guide §1.2 "the distributed
+    algorithm" + §8 "decide with small rows"): every aggregate the old
+    3-scan trainer computed — root sums, children-left sums, derived
+    leaf stats, and the OOB vote histogram — is a function of ONE
+    per-row binary descriptor: (pos, w0..w{T-1}, l0..l{K-1}), i.e. the
+    label, the T bagging memberships (md5 slices vs one threshold) and
+    the K candidate-split indicators. The l-indicators are monotone
+    per feature (3 thresholds -> 4 distinct patterns), so the FULL
+    contingency table of the descriptor has at most
+    2 x 2^T x 4^|features| = 4096 rows AT ANY DATA SIZE.
+
+    So: ONE scan aggregates that table (15 narrow int keys, map-side
+    combined — the k-means-sufficient-statistics class of driver
+    action), and root picking, child picking, leaf majorities and the
+    OOB confusion rollup run as exact integer arithmetic over those
+    <= 4096 rows on the driver. Replaces 3 full lineitem scans with 1
+    (the measured walls of the old layout at sf0.1: the two 100-field
+    conditional-agg scans cost ~1.1 s EACH per bench run — almost
+    entirely whole-stage-codegen compilation of the ~200-buffer
+    aggregate, re-paid every run because fresh plans miss the codegen
+    cache — and the vote scan cost ~2.5 s, of which ~1.9 s was the
+    pushed-down n_oob>0 filter re-evaluating the bagging md5 per CASE
+    arm with no common-subexpression elimination inside FilterExec).
+    At 100 TB the win is the 3x scan reduction itself; the <= 4096-row
+    collect is size-independent. Every quantity is the same integer
+    sum the old scans computed (sum of cnt x 0/1 products), so the
+    output is value-identical — pinned by the m11 full-value oracle
+    (driver-checked at three SFs this round) and the pytest goldens.
+
+    The bagging hash is materialized ONCE per row in its own
+    projection (bag_h) and the T membership flags read substrings of
+    that column: referenced T times, md5 is non-cheap, so
+    CollapseProject keeps the stage and the digest is computed once
+    (the CASE-arm-inlined spelling evaluated it per arm in operators
+    without CSE). fan_out on the (l_orderkey, l_linenumber) row id
+    (guide §2.5, unsplittable-input case) parallelizes the md5 + CASE
+    work when the scan is a single split; it is a no-op at scale.
+    """
     li = t(spark, sf_dir, "lineitem")
     thresholds = _collect_thresholds(li, sf_dir, approx=approx)
     th_hex = hex_threshold(BAG_FRACTION, BAG_DIGITS)
 
     from ..functions.hashing import md5_of
+    from ..sources.io import fan_out
 
-    # Every scan starts from one narrow integer projection: the shared
-    # per-row md5 evaluates ONCE (inside `base`'s project), and the
-    # conditional aggregates then multiply plain 0/1 columns — without
-    # this, the hash expression repeats inside each of the ~200
-    # aggregate expressions, which codegen does NOT de-duplicate
-    # across aggregation buffers (measured: 11.4 s -> ~3 s at sf0.1).
-    bag_hash = md5_of(
-        F.col("l_orderkey"), F.col("l_linenumber"), salt="bag"
-    )
-    base = li.select(
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
-        *[
-            F.when(
-                F.substring(bag_hash, BAG_DIGITS * tid + 1, BAG_DIGITS)
-                < th_hex,
-                1,
-            )
-            .otherwise(0)
-            .alias(f"w{tid}")
-            for tid in range(T_TREES)
-        ],
-        *[F.col(f) for f in STUMP_FEATURES],
-    )
+    nth = len(thresholds)
     cands = {
         tid: [
             (i, f, th)
@@ -1328,52 +1345,100 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
         for tid in range(T_TREES)
     }
 
-    # r12 construction-cost note: the wide conditional-agg lists
-    # below are built as SQL STRINGS (one F.expr parse JVM-side per
-    # aggregate) instead of composed Column objects — each composed
-    # F.sum(a*b*c).alias(...) costs ~6 Py4J round-trips and the
-    # ~120-aggregate lists were spending ~1.4 s/run of driver time on
-    # plan CONSTRUCTION alone (measured; strings cut that ~8x). The
-    # `{th!r}D` double literal is the same DoubleType literal
-    # F.lit(float) produces — repr round-trips the exact double, D
-    # keeps the parser off the decimal path — so plans and results
-    # are unchanged (pinned by the m11 full-value oracle + goldens).
-    lexpr = [
-        f"(CASE WHEN {f} <= {th!r}D THEN 1 ELSE 0 END)"
-        for f, th in thresholds
+    bag_hash = md5_of(
+        F.col("l_orderkey"), F.col("l_linenumber"), salt="bag"
+    )
+    raw = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", *STUMP_FEATURES
+    )
+    base = (
+        fan_out(raw, "l_orderkey", "l_linenumber")
+        .select("l_returnflag", *STUMP_FEATURES, bag_hash.alias("bag_h"))
+        .select(
+            F.when(F.col("l_returnflag") == "R", 1)
+            .otherwise(0)
+            .alias("pos"),
+            *[
+                F.when(
+                    F.substring(
+                        "bag_h", BAG_DIGITS * tid + 1, BAG_DIGITS
+                    )
+                    < th_hex,
+                    1,
+                )
+                .otherwise(0)
+                .alias(f"w{tid}")
+                for tid in range(T_TREES)
+            ],
+            *[
+                F.expr(
+                    f"CASE WHEN {f} <= {th!r}D THEN 1 ELSE 0 END"
+                ).alias(f"l{i}")
+                for i, (f, th) in enumerate(thresholds)
+            ],
+        )
+    )
+    keys = (
+        ["pos"]
+        + [f"w{tid}" for tid in range(T_TREES)]
+        + [f"l{i}" for i in range(nth)]
+    )
+    ct = [
+        (
+            r["pos"],
+            tuple(r[f"w{tid}"] for tid in range(T_TREES)),
+            tuple(r[f"l{i}"] for i in range(nth)),
+            r["cnt"],
+        )
+        for r in base.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     ]
 
-    # -- scan 1: ALL 5 root splits in one conditional-agg scan --------
-    proj = base.selectExpr(
-        "pos",
-        *[f"w{tid}" for tid in range(T_TREES)],
-        *[f"{lexpr[i]} AS l{i}" for i in range(len(thresholds))],
-    )
-    aggs = []
-    for tid in range(T_TREES):
-        for i, _f, _th in cands[tid]:
-            aggs.append(F.expr(f"sum(w{tid} * l{i}) AS nl_{tid}_{i}"))
-            aggs.append(
-                F.expr(f"sum(w{tid} * l{i} * pos) AS pl_{tid}_{i}")
-            )
-        aggs.append(F.expr(f"sum(w{tid}) AS n_{tid}"))
-        aggs.append(F.expr(f"sum(w{tid} * pos) AS p_{tid}"))
-    row = proj.agg(*aggs).collect()[0]
+    def _cand_idx(f_th):
+        """Threshold index of a chosen (f, th) split — the Python twin
+        of the old plans' literal `f <= th` columns (always one of the
+        K candidates; duplicate (f, th) candidates share identical
+        indicator values, so first-match lookup is value-safe, same as
+        the old code)."""
+        f_w, th_w = f_th
+        return next(
+            i
+            for i, (f, thv) in enumerate(thresholds)
+            if f == f_w and thv == th_w
+        )
 
+    # -- roots: the old scan 1's sums, in ONE pass over the table -----
+    trng = range(T_TREES)
+    irng = range(nth)
+    nw = [0] * T_TREES
+    pw = [0] * T_TREES
+    nwl = [[0] * nth for _ in trng]
+    pwl = [[0] * nth for _ in trng]
+    for _p, w, lv, c in ct:
+        cp = c * _p
+        for tid in trng:
+            if w[tid]:
+                nw[tid] += c
+                pw[tid] += cp
+                nwl_t, pwl_t = nwl[tid], pwl[tid]
+                for i in irng:
+                    if lv[i]:
+                        nwl_t[i] += c
+                        pwl_t[i] += cp
     root, tree_tot = {}, {}
-    for tid in range(T_TREES):
-        n_all = row[f"n_{tid}"] or 0
-        p_all = row[f"p_{tid}"] or 0
+    for tid in trng:
+        n_all, p_all = nw[tid], pw[tid]
         tree_tot[tid] = (n_all, p_all)
         won = _pick_split(
             [
                 (
                     f,
                     thv,
-                    row[f"nl_{tid}_{i}"],
-                    n_all - row[f"nl_{tid}_{i}"],
-                    row[f"pl_{tid}_{i}"],
-                    p_all - row[f"pl_{tid}_{i}"],
+                    nwl[tid][i],
+                    n_all - nwl[tid][i],
+                    pwl[tid][i],
+                    p_all - pwl[tid][i],
                     n_all,
                     p_all,
                 )
@@ -1384,60 +1449,39 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
         )
         root[tid] = won if won else ("none", TREE_FALLBACK_TH)
 
-    # -- scan 2: ALL 10 children in one conditional-agg scan ----------
-    def in_left_sql(tid):
-        f, th = root[tid]
-        return "TRUE" if f == "none" else f"({f} <= {th!r}D)"
-
-    proj = base.selectExpr(
-        "pos",
-        *[f"w{tid}" for tid in range(T_TREES)],
-        *[f"{lexpr[i]} AS l{i}" for i in range(len(thresholds))],
-        *[
-            f"(CASE WHEN {in_left_sql(tid)} THEN 1 ELSE 0 END)"
-            f" AS s{tid}"
-            for tid in range(T_TREES)
-        ],
-    )
-    # r12 (VERDICT r11 item 4): only the LEFT side is aggregated —
-    # the right side is bag minus left, and scan 1 already holds the
-    # whole-bag sums (n_{tid}, p_{tid}, nl_{tid}_{i}, pl_{tid}_{i}).
-    # Every term is an exact integer sum of 0/1 products, so
-    # R = bag − L is the same arithmetic the dropped aggregates
-    # performed; this halves scan 2's aggregation buffers and its
-    # codegen size (byte-identical output, pinned by the m11 goldens).
-    aggs = []
-    for tid in range(T_TREES):
-        for i, _f, _th in cands[tid]:
-            aggs.append(
-                F.expr(f"sum(w{tid} * s{tid} * l{i}) AS nl_{tid}L{i}")
-            )
-            aggs.append(
-                F.expr(
-                    f"sum(w{tid} * s{tid} * l{i} * pos) AS pl_{tid}L{i}"
-                )
-            )
-        aggs.append(F.expr(f"sum(w{tid} * s{tid}) AS n_{tid}L"))
-        aggs.append(F.expr(f"sum(w{tid} * s{tid} * pos) AS p_{tid}L"))
-    crow = proj.agg(*aggs).collect()[0]
-
-    side_tot, csum = {}, {}
-    for tid in range(T_TREES):
-        n_l = crow[f"n_{tid}L"] or 0
-        p_l = crow[f"p_{tid}L"] or 0
+    # -- children: the old scan 2's left-side sums (one pass) + the
+    # derived R sides (bag minus left, the r12 discipline) ------------
+    root_idx = {
+        tid: (None if root[tid][0] == "none" else _cand_idx(root[tid]))
+        for tid in trng
+    }
+    nl_ = [0] * T_TREES
+    pl_ = [0] * T_TREES
+    nll = [[0] * nth for _ in trng]
+    pll = [[0] * nth for _ in trng]
+    for _p, w, lv, c in ct:
+        cp = c * _p
+        for tid in trng:
+            ri = root_idx[tid]
+            if w[tid] and (ri is None or lv[ri]):
+                nl_[tid] += c
+                pl_[tid] += cp
+                nll_t, pll_t = nll[tid], pll[tid]
+                for i in irng:
+                    if lv[i]:
+                        nll_t[i] += c
+                        pll_t[i] += cp
+    side_tot, csum, child = {}, {}, {}
+    for tid in trng:
         n_t, p_t = tree_tot[tid]
-        side_tot[(tid, "L")] = (n_l, p_l)
-        side_tot[(tid, "R")] = (n_t - n_l, p_t - p_l)
+        side_tot[(tid, "L")] = (nl_[tid], pl_[tid])
+        side_tot[(tid, "R")] = (n_t - nl_[tid], p_t - pl_[tid])
         for i, _f, _th in cands[tid]:
-            nl_l = crow[f"nl_{tid}L{i}"] or 0
-            pl_l = crow[f"pl_{tid}L{i}"] or 0
-            nl_all = row[f"nl_{tid}_{i}"] or 0
-            pl_all = row[f"pl_{tid}_{i}"] or 0
-            csum[(tid, "L", i)] = (nl_l, pl_l)
-            csum[(tid, "R", i)] = (nl_all - nl_l, pl_all - pl_l)
-
-    child = {}
-    for tid in range(T_TREES):
+            csum[(tid, "L", i)] = (nll[tid][i], pll[tid][i])
+            csum[(tid, "R", i)] = (
+                nwl[tid][i] - nll[tid][i],
+                pwl[tid][i] - pll[tid][i],
+            )
         for s in ("L", "R"):
             n_s, p_s = side_tot[(tid, s)]
             won = _pick_split(
@@ -1459,34 +1503,13 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
             )
             child[(tid, s)] = won if won else ("none", TREE_FALLBACK_TH)
 
-    # -- leaf training stats: DERIVED from scan 2, not a fourth scan
-    # (r12, VERDICT r11 item 4). The chosen child split for side s is
-    # one of the CANDIDATES i whose conditional sums over that side
-    # scan 2 already aggregated: leaf (s,'L') is exactly
-    # (nl_{tid}{s}{i*}, pl_{tid}{s}{i*}) and (s,'R') its complement
-    # against the side totals; a 'none' child routes the whole side
-    # to its 'L' leaf. Every quantity is an exact integer sum of 0/1
-    # products, so this is the SAME arithmetic the former scan 3
-    # re-computed against the data — minus one full pass over
-    # lineitem (byte-identical output, pinned by the m11 goldens).
+    # -- leaf majorities: derived from the child sums (r12 discipline:
+    # leaf (s, 'L') is exactly the chosen candidate's conditional sum
+    # over side s, (s, 'R') its complement; 'none' children route the
+    # whole side to the 'L' leaf) ------------------------------------
     leaves = ("LL", "LR", "RL", "RR")
-
-    def leaf_cond_sql(tid: int, leaf: str) -> str:
-        c1 = (
-            in_left_sql(tid)
-            if leaf[0] == "L"
-            else f"(NOT {in_left_sql(tid)})"
-        )
-        f, thv = child[(tid, leaf[0])]
-        if f == "none":
-            c2 = "TRUE" if leaf[1] == "L" else "FALSE"
-        else:
-            cc = f"({f} <= {thv!r}D)"
-            c2 = cc if leaf[1] == "L" else f"(NOT {cc})"
-        return f"({c1} AND {c2})"
-
     leaf_pred = {}
-    for tid in range(T_TREES):
+    for tid in trng:
         for leaf in leaves:
             s = leaf[0]
             f_w, th_w = child[(tid, s)]
@@ -1494,9 +1517,6 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
             if f_w == "none":
                 n_lf, p_lf = (n_s, p_s) if leaf[1] == "L" else (0, 0)
             else:
-                # candidates can share identical (f, th) when adjacent
-                # quantiles coincide; their l_i columns are then equal,
-                # so first-match lookup is value-safe
                 i_w = next(
                     i
                     for i, f, thv in cands[tid]
@@ -1515,47 +1535,61 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
             else:
                 leaf_pred[(tid, leaf)] = "N"
 
-    # -- scan 3 (was 4): OOB majority-vote confusion matrix -----------
-    vr_terms, oob_terms = [], []
-    for tid in range(T_TREES):
-        r_leaves = [lf for lf in leaves if leaf_pred[(tid, lf)] == "R"]
-        if r_leaves:
-            pred_r = " OR ".join(
-                leaf_cond_sql(tid, lf) for lf in r_leaves
-            )
-            vr_terms.append(
-                f"((1 - w{tid}) * "
-                f"(CASE WHEN {pred_r} THEN 1 ELSE 0 END))"
-            )
-        else:
-            vr_terms.append("0")
-        oob_terms.append(f"(1 - w{tid})")
+    # -- OOB majority-vote confusion rollup, over the same table ------
+    child_idx = {
+        (tid, s): (
+            None
+            if child[(tid, s)][0] == "none"
+            else _cand_idx(child[(tid, s)])
+        )
+        for tid in trng
+        for s in ("L", "R")
+    }
 
-    return (
-        base.selectExpr(
-            "CASE WHEN pos = 1 THEN 'R' ELSE 'N' END AS actual",
-            f"({' + '.join(vr_terms)}) AS votes_r",
-            f"({' + '.join(oob_terms)}) AS n_oob",
-        )
-        .filter(F.col("n_oob") > 0)
-        .groupBy(
-            "actual",
-            F.when(
-                2 * F.col("votes_r") >= F.col("n_oob"), "R"
+    def _leaf_cond(tid, leaf, lvec):
+        ri = root_idx[tid]
+        in_left = 1 if ri is None else lvec[ri]
+        c1 = in_left if leaf[0] == "L" else 1 - in_left
+        ci = child_idx[(tid, leaf[0])]
+        if ci is None:
+            c2 = 1 if leaf[1] == "L" else 0
+        else:
+            cc = lvec[ci]
+            c2 = cc if leaf[1] == "L" else 1 - cc
+        return c1 and c2
+
+    r_leaves = {
+        tid: [lf for lf in leaves if leaf_pred[(tid, lf)] == "R"]
+        for tid in trng
+    }
+    out: dict[tuple, int] = {}
+    for _p, w, lv, c in ct:
+        n_oob = sum(1 - w[tid] for tid in trng)
+        if n_oob == 0:
+            continue
+        votes_r = sum(
+            (1 - w[tid])
+            * (
+                1
+                if any(
+                    _leaf_cond(tid, lf, lv) for lf in r_leaves[tid]
+                )
+                else 0
             )
-            .otherwise("N")
-            .alias("predicted"),
-            "votes_r",
-            "n_oob",
+            for tid in trng
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
-        .select(
-            "actual",
-            "predicted",
-            F.col("votes_r").cast("long").alias("votes_r"),
-            F.col("n_oob").cast("long").alias("n_oob"),
-            "n_rows",
+        key = (
+            "R" if _p == 1 else "N",
+            "R" if 2 * votes_r >= n_oob else "N",
+            votes_r,
+            n_oob,
         )
+        out[key] = out.get(key, 0) + c
+
+    return spark.createDataFrame(
+        [(a, p, v, n, c) for (a, p, v, n), c in sorted(out.items())],
+        "actual string, predicted string, votes_r long, "
+        "n_oob long, n_rows long",
     )
 
 

@@ -86,20 +86,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     """Redistribute an under-partitioned scan before CPU-heavy per-row work.
 
     A small parquet file scans as ONE input split, so a per-row-expensive
     pipeline downstream (shingle+md5 minhash, embedding folds, mapInPandas
     codecs) would run on a single core no matter how wide the cluster is.
-    This round-robins the rows across `defaultParallelism` partitions ONLY
+    This redistributes the rows across `defaultParallelism` partitions ONLY
     when the scan has fewer — at 100 TB the scan already carries >= that
     many splits and this is a no-op (no shuffle inserted). The guard is a
     plan-only inspection (no job runs).
+
+    With `keys`, the redistribution hash-partitions on those columns
+    instead of round-robin: a keyless repartition(n) first pays a local
+    SORT of its input (spark.sql.execution.sortBeforeRepartition, on by
+    default since SPARK-23207 so task retries reproduce the same
+    row-to-partition assignment — guide §2.5); hashing a
+    high-cardinality key needs no such sort and is retry-deterministic
+    by construction (measured r17: the m11 contingency scan ran 1.18 s
+    round-robin vs 0.66 s hash-keyed at sf0.1). Callers pass a key
+    whose cardinality is >> defaultParallelism (a row id) so the hash
+    spreads evenly; keyless round-robin stays the fallback for inputs
+    with no such column.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+        return df.repartition(target, *keys) if keys else df.repartition(target)
     return df
 
 

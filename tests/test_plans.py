@@ -300,22 +300,27 @@ def test_a09b_one_shuffle_serves_exact_and_approx(spark):
 
 
 def test_m13_vote_plan_matches_m11_shape(spark):
-    """m13's registered plan (the OOB vote scan + the per-class
-    invariant aggregate) must stay join-free with metadata-sized
+    """m13's registered plan must stay join-free with metadata-sized
     exchanges — the approx trainer changes THRESHOLD VALUES, never
-    the plan shape m11 froze."""
+    the plan shape m11 froze.
+
+    r17 shape: the ensemble's distributed work is ONE contingency-table
+    scan inside the trainer (its own plan, audited by the exchange
+    byte-ceiling test below); the REGISTERED DataFrame is the driver-
+    derived confusion rollup (a local relation) plus m13's per-class
+    invariant aggregate — at most one hash exchange, still no joins."""
     import re
 
     plan = _plan(spark, "m13_bagged_ensemble_approx")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Join" not in plan  # pure scan -> agg -> agg
+    assert "Join" not in plan  # local relation -> agg
     ex = {
         m
         for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
     }
-    # vote-histogram shuffle + per-class rollup shuffle, nothing else
-    assert len(ex) == 2, ex
+    # at most the per-class rollup shuffle, nothing else
+    assert len(ex) <= 1, ex
 
 
 def test_aqe_skew_split_on_dq04s_measured_hot_key(spark):
