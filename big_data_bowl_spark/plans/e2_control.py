@@ -95,8 +95,26 @@ def player_influence(
     players x grid rows — at season scale, 3.4k vs 22M; at 100 TB the
     difference is the whole surface crossing the network or not).
     Verified in the plan: cells go through a local Sort only.
+
+    The repartition carries an EXPLICIT partition count (r17, guide
+    §2.5): the column-only spelling is AQE-coalescible, and AQE's
+    byte-targeted coalescing sees only the pre-expansion players
+    table (3.4k rows ≈ 100 KB at sf0.1), collapses the exchange to
+    ONE partition, and the entire grid-expansion + Gaussian + window
+    sort — 22M rows of CPU work downstream of the exchange — runs in
+    a single task. Partitioning must be sized for the work AFTER the
+    exchange, which AQE's byte heuristic cannot see through a 6480x
+    expansion. The count is the session's shuffle-partition setting
+    (the same target the coalescible form starts from; cluster-tuned
+    at scale, never a local constant). Measured at sf0.1: e03
+    3.29 s -> 0.85 s.
     """
-    cells = players.repartition(player_key).crossJoin(F.broadcast(grid))
+    n_parts = int(
+        players.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    cells = players.repartition(n_parts, player_key).crossJoin(
+        F.broadcast(grid)
+    )
     pdf = bivariate_gaussian_pdf(
         px=F.col("grid_x"),
         py=F.col("grid_y"),

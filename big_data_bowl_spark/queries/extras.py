@@ -3509,8 +3509,23 @@ def _fuzzy_blocked_pairs(keyed, key_col: str, max_bucket: int | None = None):
             key_col
         )
         keyed = keyed.join(F.broadcast(hot), key_col, "left_anti")
+    # Pin the bucket shuffle's partition count (r17, guide §2.2/§2.5):
+    # the stage ABOVE this exchange does the O(sum bucket^2) pair
+    # emission plus per-pair levenshtein — CPU that AQE's byte-targeted
+    # coalescing cannot see. Left coalescible, a blocking table small
+    # in BYTES collapses to one post-shuffle partition and the whole
+    # quadratic stage runs on one core (measured at sf0.1: j11
+    # 2.99 s -> 0.55 s from this pin alone). The explicit repartition
+    # on the blocking key satisfies the groupBy's clustering
+    # requirement, so it replaces — never adds to — the exchange
+    # (guide §2.4); the count is the session's shuffle-partition
+    # setting, cluster-tuned at scale.
+    n_parts = int(
+        keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     buckets = (
-        keyed.groupBy(key_col)
+        keyed.repartition(n_parts, key_col)
+        .groupBy(key_col)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("c_custkey", "c_name"))

@@ -410,12 +410,25 @@ def mm06_png_roundtrip_features(spark, sf_dir):
 def mm07_jpeg_roundtrip_features(spark, sf_dir):
     from collections.abc import Iterator
 
-    media = t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 0
-    ).select(
-        F.col("doc_id").alias("media_id"),
-        (8 * (F.col("doc_id") % 5 + 1)).cast("int").alias("width"),
-        (8 * (F.col("doc_id") % 2 + 1)).cast("int").alias("height"),
+    from ..sources.io import fan_out
+
+    # fan_out BEFORE the Python stage (r17, guide §2.5 + §4): this
+    # query's mapInPandas input is three narrow int columns — the
+    # images are GENERATED inside the worker — so a single-split scan
+    # pins every encode/decode to ONE Python worker while 31 cores
+    # idle. Hash-redistributing ~24 B/row is free and parallelizes the
+    # codec work (measured at sf0.1: 1.37 s -> ~0.25 s execute); no
+    # payload bytes cross the exchange, and at scale the scan already
+    # carries enough splits so this is a no-op.
+    media = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (8 * (F.col("doc_id") % 5 + 1)).cast("int").alias("width"),
+            (8 * (F.col("doc_id") % 2 + 1)).cast("int").alias("height"),
+        ),
+        "media_id",
     )
 
     def batches(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -1125,13 +1138,22 @@ def mm13_exif_metadata(spark, sf_dir):
 def mm14_gif_roundtrip_features(spark, sf_dir):
     from collections.abc import Iterator
 
-    media = t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 3 == 2
-    ).select(
-        F.col("doc_id").alias("media_id"),
-        (F.col("doc_id") % 5 + 1).cast("int").alias("n_frames"),
-        (F.col("doc_id") % 12 + 2).cast("int").alias("width"),
-        (F.col("doc_id") % 6 + 2).cast("int").alias("height"),
+    from ..sources.io import fan_out
+
+    # fan_out before the Python stage — mm07's rationale: the input is
+    # four narrow ints (payloads are generated in-worker), so the
+    # redistribution is payload-free and turns a one-worker LZW
+    # encode/decode loop into a cluster-wide one; no-op at scale.
+    media = fan_out(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 5 + 1).cast("int").alias("n_frames"),
+            (F.col("doc_id") % 12 + 2).cast("int").alias("width"),
+            (F.col("doc_id") % 6 + 2).cast("int").alias("height"),
+        ),
+        "media_id",
     )
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -474,6 +474,19 @@ def _pairs_from_bands(bands, max_bucket: int | None = None):
         # plain left_anti is exact here.)
         hot = oversized_buckets(bands, max_bucket).select("band", "bkey")
         bands = bands.join(F.broadcast(hot), ["band", "bkey"], "left_anti")
+    # NOT pinned against AQE coalescing (r17, measured): the
+    # _fuzzy_blocked_pairs generator pins its bucket shuffle to the
+    # session shuffle-partition count because its post-exchange
+    # quadratic stage (135k+ levenshtein pairs at sf0.1) serializes
+    # under byte-targeted coalescing (j11 2.99 s -> 0.55 s from that
+    # pin). The SAME pin was A/B-measured here and REJECTED: d02's
+    # own wall improved (1.50 -> 1.27 s warm) but every chain
+    # consumer regressed (n24 1.25 -> 1.61, d11 1.99 -> 2.36, e04
+    # 2.25 -> 2.60 — the tiny pair output then rides 32 near-empty
+    # partitions through each consumer's further stages, paying
+    # task-launch overhead per stage that AQE's collapse avoided).
+    # At scale the banded table is large in bytes, so AQE sizes this
+    # exchange correctly on its own.
     buckets = (
         bands.groupBy("band", "bkey")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
