@@ -4046,6 +4046,18 @@ def j12_grid_radius_join(spark: SparkSession, sf_dir: str):
         "cx",
         "cy",
     )
+    # Pin both join-side exchanges to the session shuffle-partition
+    # count (r17 — the _fuzzy_blocked_pairs adjudication applied to
+    # the join spelling): the per-cell candidate expansion + distance
+    # filter above this join is CPU the byte-targeted AQE coalescer
+    # cannot see, and the narrow (id, x, y, cell) tuples are small
+    # enough in bytes to collapse to one post-shuffle partition at
+    # bench scale (measured warm: 1.86 s -> 1.32 s). The explicit
+    # repartitions satisfy the join's clustering requirement, so they
+    # replace the ENSURE_REQUIREMENTS exchanges rather than adding any.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(n_parts, "jcx", "jcy")
+    b = b.repartition(n_parts, "cx", "cy")
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
         F.col("ya") - F.col("yb")
     ) * (F.col("ya") - F.col("yb"))

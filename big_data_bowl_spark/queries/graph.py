@@ -143,7 +143,19 @@ def g01_pagerank_neardup(spark: SparkSession, sf_dir: str):
 
     ranks = nodes.withColumn("rank", rhu(F.lit(1.0) / n, PR_SCALE))
     teleport = (1.0 - PR_DAMPING) / n
-    prev_ranks = None
+    # No per-iteration localCheckpoint (r17, measured 2.70 s -> 1.98 s
+    # at sf0.1, values identical): each iteration references the
+    # previous ranks table exactly ONCE (the contrib join), so the
+    # unrolled PR_ITERS-deep plan is LINEAR in the iteration count —
+    # no self-referenced subtree doubles per round (contrast g03/g06,
+    # whose loops reference an intermediate twice per round and keep
+    # their per-round truncation). The fixed 5-level lineage over the
+    # checkpointed edge table is a bounded plan at any scale; dropping
+    # the five eager checkpoint jobs also drops their five pinned
+    # node-sized block sets (nothing left to release). `deg` IS
+    # checkpointed once: it is referenced by all PR_ITERS iterations,
+    # and inlined it would re-aggregate the edge table per reference.
+    deg = deg.localCheckpoint()
     for _ in range(PR_ITERS):
         contrib = (
             sym.join(ranks, sym["u"] == ranks["node"])
@@ -158,17 +170,12 @@ def g01_pagerank_neardup(spark: SparkSession, sf_dir: str):
             .cast("double")
             .alias("s")
         )
-        new_ranks = summed.select(
+        ranks = summed.select(
             F.col("v").alias("node"),
             rhu(F.lit(teleport) + PR_DAMPING * F.col("s"), PR_SCALE).alias(
                 "rank"
             ),
-        ).localCheckpoint()
-        # release the superseded round's node-sized checkpoint blocks
-        # (the components.py r7 convention)
-        if prev_ranks is not None:
-            release_local_checkpoint(prev_ranks)
-        prev_ranks = ranks = new_ranks
+        )
     return ranks.select(
         F.col("node").alias("doc_id"), F.col("rank").alias("pagerank")
     )
@@ -225,7 +232,11 @@ def g02_label_propagation(spark: SparkSession, sf_dir: str):
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    prev_labels = None
+    # No per-round localCheckpoint (r17 — the g01 adjudication): each
+    # round references the previous labels exactly once, so the
+    # unrolled LP_ROUNDS-deep plan is linear over the checkpointed
+    # edge table; the eager per-round jobs (and their pinned blocks)
+    # were pure overhead at a fixed round count.
     for _ in range(LP_ROUNDS):
         counts = (
             sym.join(labels, sym["u"] == labels["node"])
@@ -235,16 +246,9 @@ def g02_label_propagation(spark: SparkSession, sf_dir: str):
         # most frequent neighborhood label, smallest label on ties:
         # min over the (-n, label) lexicographic struct — partially
         # aggregable, unlike a row_number window over all candidates
-        new_labels = (
-            counts.groupBy(F.col("v").alias("node"))
-            .agg(
-                F.expr("min_by(label, struct(-n, label))").alias("label")
-            )
-            .localCheckpoint()
+        labels = counts.groupBy(F.col("v").alias("node")).agg(
+            F.expr("min_by(label, struct(-n, label))").alias("label")
         )
-        if prev_labels is not None:
-            release_local_checkpoint(prev_labels)
-        prev_labels = labels = new_labels
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("community")
     )
