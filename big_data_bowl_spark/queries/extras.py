@@ -3509,23 +3509,30 @@ def _fuzzy_blocked_pairs(keyed, key_col: str, max_bucket: int | None = None):
             key_col
         )
         keyed = keyed.join(F.broadcast(hot), key_col, "left_anti")
-    # Pin the bucket shuffle's partition count (r17, guide §2.2/§2.5):
-    # the stage ABOVE this exchange does the O(sum bucket^2) pair
-    # emission plus per-pair levenshtein — CPU that AQE's byte-targeted
-    # coalescing cannot see. Left coalescible, a blocking table small
-    # in BYTES collapses to one post-shuffle partition and the whole
-    # quadratic stage runs on one core (measured at sf0.1: j11
-    # 2.99 s -> 0.55 s from this pin alone). The explicit repartition
-    # on the blocking key satisfies the groupBy's clustering
-    # requirement, so it replaces — never adds to — the exchange
-    # (guide §2.4); the count is the session's shuffle-partition
-    # setting, cluster-tuned at scale.
-    n_parts = int(
-        keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    # Pin the bucket shuffle's partition count on the UNCAPPED path
+    # (r17, guide §2.2/§2.5): the stage above this exchange does the
+    # O(sum bucket^2) pair emission plus per-pair levenshtein — CPU
+    # that AQE's byte-targeted coalescing cannot see. Left
+    # coalescible, a blocking table small in BYTES collapses to one
+    # post-shuffle partition and the whole quadratic stage runs on one
+    # core (measured at sf0.1: j11 2.99 s -> 0.55 s, j13 2.47 -> 1.76
+    # from this pin alone). The explicit repartition on the blocking
+    # key satisfies the groupBy's clustering requirement, so it
+    # replaces — never adds to — the exchange (guide §2.4); the count
+    # is the session's shuffle-partition setting, cluster-tuned at
+    # scale. The CAPPED path is deliberately NOT pinned: the
+    # max_bucket pre-filter already bounds per-bucket emission, and
+    # the same pin A/B-measured there made j13b WORSE (2.03 -> 2.78 s
+    # warm — the bounded pair stream then rides 32 near-empty
+    # partitions through the audit-union stages, paying task launch
+    # per stage that AQE's collapse avoids).
+    if max_bucket is None:
+        n_parts = int(
+            keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        keyed = keyed.repartition(n_parts, key_col)
     buckets = (
-        keyed.repartition(n_parts, key_col)
-        .groupBy(key_col)
+        keyed.groupBy(key_col)
         .agg(
             F.sort_array(
                 F.collect_list(F.struct("c_custkey", "c_name"))

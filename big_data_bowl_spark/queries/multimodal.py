@@ -1414,6 +1414,12 @@ def mm15_image_dhash_neardup_capped(spark, sf_dir, max_bucket: int):
     agreeing band is the hot bucket (see `_mm15_pairs`)."""
     from ..functions.banding import oversized_buckets
 
+    # NOT checkpointed (r17, A/B-measured): although the capped
+    # spelling references the dhash table three times (cap pre-pass,
+    # bucket build, audit), a localCheckpoint here measured as a
+    # wash at sf0.1 (1.64 s vs 1.67 s warm under identical ambient) —
+    # the three consumers share the Arrow decode via exchange reuse
+    # well enough that the eager checkpoint job only moves the cost.
     dh = _mm15_dhash_table(spark, sf_dir)
     matches = _mm15_pairs(dh, max_bucket=max_bucket)
     audit = oversized_buckets(
