@@ -857,161 +857,153 @@ def _tree_oracle() -> str:
     "the 100 TB cost profile of a level-wise tree trainer.",
 )
 def m10_depth2_tree(spark, sf_dir):
-    import math
-
+    """r17 optimization-round rewrite (the m11 contingency-table
+    treatment, guide §1.2/§8): the root search, both child searches
+    and the four leaf cells are all integer sums over the per-row
+    descriptor (pos, l0..l{K-1}) — the label plus the K candidate
+    threshold indicators. The indicators are monotone per feature
+    (3 thresholds -> 4 patterns), so the descriptor's full
+    contingency table is <= 2 x 4^|features| = 128 rows AT ANY DATA
+    SIZE. One scan aggregates it (map-side combined, the k-means-
+    sufficient-statistics class of driver action); the level-wise
+    search runs as exact integer arithmetic on the driver. Replaces
+    the old 3 full lineitem scans per run (root agg, children agg,
+    leaf agg — each a separate single-split pass over the unsplittable
+    input) with 1; value-identical by construction
+    (same sums, same rhu(9) gain argmax, same tie-breaks), pinned by
+    the full-value oracle at sf0.001/sf0.01."""
     li = t(spark, sf_dir, "lineitem")
     thresholds = _collect_thresholds(li, sf_dir)
-    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    nth = len(thresholds)
 
-    # -- level 0: root split = m06's one-scan candidate search --------
-    aggs = []
-    for i, (f, th) in enumerate(thresholds):
-        left = F.when(F.col(f) <= F.lit(th), 1).otherwise(0)
-        aggs.append(F.sum(left).alias(f"nl{i}"))
-        aggs.append(F.sum(left * pos).alias(f"pl{i}"))
-    row = li.agg(
-        *aggs,
-        F.count(F.lit(1)).alias("n"),
-        F.sum(pos).alias("pos_all"),
-    ).collect()[0]
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+        *[
+            F.when(F.col(f) <= F.lit(th), 1).otherwise(0).alias(f"l{i}")
+            for i, (f, th) in enumerate(thresholds)
+        ],
+    )
+    keys = ["pos"] + [f"l{i}" for i in range(nth)]
+    ct = [
+        (
+            r["pos"],
+            tuple(r[f"l{i}"] for i in range(nth)),
+            r["cnt"],
+        )
+        for r in base.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
 
-    def rent(p: float) -> float:
-        if p in (0.0, 1.0) or math.isnan(p):
-            return 0.0
-        return -p * math.log(p) - (1.0 - p) * math.log(1.0 - p)
-
-    def pick(cands: list) -> tuple:
-        """argmax by (rounded gain desc, feature asc, threshold asc)
-        over (feature, threshold, n_l, n_r, pos_l, pos_r, n, pos)
-        tuples; None when no candidate splits both ways."""
-        best = None
-        for f, th, n_l, n_r, pos_l, pos_r, n, p_all in cands:
-            if n_l <= 0 or n_r <= 0:
-                continue
-            gain = (
-                rent(p_all / n)
-                - (n_l / n) * rent(pos_l / n_l)
-                - (n_r / n) * rent(pos_r / n_r)
-            )
-            rg = math.floor(gain * 1e9 + 0.5) / 1e9  # rhu, exactly
-            key = (-rg, f, th)
-            if best is None or key < best[0]:
-                best = (key, (f, th))
-        return best[1] if best else None
-
-    n_all, pos_all = row["n"], row["pos_all"]
-    root = pick(
+    # -- level 0: root split over the table's sums --------------------
+    n_all = sum(c for _p, _l, c in ct)
+    pos_all = sum(c * _p for _p, _l, c in ct)
+    nl = [0] * nth
+    pl = [0] * nth
+    for _p, lv, c in ct:
+        cp = c * _p
+        for i in range(nth):
+            if lv[i]:
+                nl[i] += c
+                pl[i] += cp
+    root = _pick_split(
         [
-            (
-                f,
-                th,
-                row[f"nl{i}"],
-                n_all - row[f"nl{i}"],
-                row[f"pl{i}"],
-                pos_all - row[f"pl{i}"],
-                n_all,
-                pos_all,
-            )
+            (f, th, nl[i], n_all - nl[i], pl[i], pos_all - pl[i],
+             n_all, pos_all)
             for i, (f, th) in enumerate(thresholds)
         ]
+        if n_all > 0
+        else []
     )
-    # degenerate data (no candidate splits both ways): single-leaf
-    # fallback, mirrored by the oracle's NOT EXISTS sentinel root
     root_f, root_th = root if root else ("none", TREE_FALLBACK_TH)
-
-    # -- level 1: BOTH children searched in one conditional-agg scan --
-    in_left = (
-        F.lit(True)
+    root_idx = (
+        None
         if root_f == "none"
-        else F.col(root_f) <= F.lit(root_th)
+        else next(
+            i
+            for i, (f, th) in enumerate(thresholds)
+            if f == root_f and th == root_th
+        )
     )
-    side_ind = {
-        "L": F.when(in_left, 1).otherwise(0),
-        "R": F.when(in_left, 0).otherwise(1),
-    }
-    aggs = []
-    for i, (f, th) in enumerate(thresholds):
-        left = F.when(F.col(f) <= F.lit(th), 1).otherwise(0)
-        for s in ("L", "R"):
-            aggs.append(F.sum(side_ind[s] * left).alias(f"nl_{s}{i}"))
-            aggs.append(
-                F.sum(side_ind[s] * left * pos).alias(f"pl_{s}{i}")
-            )
-    for s in ("L", "R"):
-        aggs.append(F.sum(side_ind[s]).alias(f"n_{s}"))
-        aggs.append(F.sum(side_ind[s] * pos).alias(f"pos_{s}"))
-    crow = li.agg(*aggs).collect()[0]
 
+    def _in_left(lv):
+        return 1 if root_idx is None else lv[root_idx]
+
+    # -- level 1: both children, from the same table ------------------
+    sums = {
+        s: {"n": 0, "pos": 0, "nl": [0] * nth, "pl": [0] * nth}
+        for s in ("L", "R")
+    }
+    for _p, lv, c in ct:
+        s = "L" if _in_left(lv) else "R"
+        cp = c * _p
+        sums[s]["n"] += c
+        sums[s]["pos"] += cp
+        for i in range(nth):
+            if lv[i]:
+                sums[s]["nl"][i] += c
+                sums[s]["pl"][i] += cp
     child = {}
     for s in ("L", "R"):
-        n_s, pos_s = crow[f"n_{s}"], crow[f"pos_{s}"]
-        won = pick(
+        n_s, pos_s = sums[s]["n"], sums[s]["pos"]
+        won = _pick_split(
             [
-                (
-                    f,
-                    th,
-                    crow[f"nl_{s}{i}"],
-                    n_s - crow[f"nl_{s}{i}"],
-                    crow[f"pl_{s}{i}"],
-                    pos_s - crow[f"pl_{s}{i}"],
-                    n_s,
-                    pos_s,
-                )
+                (f, th, sums[s]["nl"][i], n_s - sums[s]["nl"][i],
+                 sums[s]["pl"][i], pos_s - sums[s]["pl"][i], n_s, pos_s)
                 for i, (f, th) in enumerate(thresholds)
             ]
             if n_s > 0
             else []
         )
         child[s] = won if won else ("none", TREE_FALLBACK_TH)
-
-    # -- evaluate: per-leaf class counts in one final scan ------------
-    def leaf_cond(leaf: str):
-        c1 = in_left if leaf[0] == "L" else ~in_left
-        f, th = child[leaf[0]]
-        if f == "none":
-            c2 = F.lit(leaf[1] == "L")
-        else:
-            cc = F.col(f) <= F.lit(th)
-            c2 = cc if leaf[1] == "L" else ~cc
-        return c1 & c2
-
-    leaves = ("LL", "LR", "RL", "RR")
-    aggs = []
-    for leaf in leaves:
-        ind = F.when(leaf_cond(leaf), 1).otherwise(0)
-        aggs.append(F.sum(ind).cast("long").alias(f"n_{leaf}"))
-        aggs.append(F.sum(ind * pos).cast("long").alias(f"p_{leaf}"))
-    cells = li.agg(*aggs).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(leaf).alias("leaf"),
-                        F.lit(root_f).alias("root_feature"),
-                        F.lit(root_th).alias("root_threshold"),
-                        F.lit(child[leaf[0]][0]).alias("child_feature"),
-                        F.lit(float(child[leaf[0]][1])).alias(
-                            "child_threshold"
-                        ),
-                        F.col(f"n_{leaf}").alias("n_rows"),
-                        F.col(f"p_{leaf}").alias("n_pos"),
-                    )
-                    for leaf in leaves
-                ]
+    child_idx = {}
+    for s in ("L", "R"):
+        f_w, th_w = child[s]
+        child_idx[s] = (
+            None
+            if f_w == "none"
+            else next(
+                i
+                for i, (f, th) in enumerate(thresholds)
+                if f == f_w and th == th_w
             )
-        ).alias("c")
-    ).select("c.*")
-    return cells.filter(F.col("n_rows") > 0).select(
-        "leaf",
-        "root_feature",
-        "root_threshold",
-        "child_feature",
-        "child_threshold",
-        F.when(2 * F.col("n_pos") >= F.col("n_rows"), "R")
-        .otherwise("N")
-        .alias("predicted"),
-        "n_rows",
-        "n_pos",
+        )
+
+    # -- evaluate: per-leaf class counts from the same table ----------
+    def _leaf_of(lv):
+        s = "L" if _in_left(lv) else "R"
+        ci = child_idx[s]
+        if ci is None:
+            second = "L"
+        else:
+            second = "L" if lv[ci] else "R"
+        return s + second
+
+    leaf_n = {leaf: 0 for leaf in ("LL", "LR", "RL", "RR")}
+    leaf_p = dict(leaf_n)
+    for _p, lv, c in ct:
+        leaf = _leaf_of(lv)
+        leaf_n[leaf] += c
+        leaf_p[leaf] += c * _p
+    rows = [
+        (
+            leaf,
+            root_f,
+            float(root_th),
+            child[leaf[0]][0],
+            float(child[leaf[0]][1]),
+            "R" if 2 * leaf_p[leaf] >= leaf_n[leaf] else "N",
+            leaf_n[leaf],
+            leaf_p[leaf],
+        )
+        for leaf in ("LL", "LR", "RL", "RR")
+        if leaf_n[leaf] > 0
+    ]
+    return spark.createDataFrame(
+        rows,
+        "leaf string, root_feature string, root_threshold double, "
+        "child_feature string, child_threshold double, "
+        "predicted string, n_rows long, n_pos long",
     )
 
 
@@ -1308,11 +1300,12 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
     <= 4096 rows on the driver. Replaces 3 full lineitem scans with 1
     (the measured walls of the old layout at sf0.1: the two 100-field
     conditional-agg scans cost ~1.1 s EACH per bench run — almost
-    entirely whole-stage-codegen compilation of the ~200-buffer
-    aggregate, re-paid every run because fresh plans miss the codegen
-    cache — and the vote scan cost ~2.5 s, of which ~1.9 s was the
-    pushed-down n_oob>0 filter re-evaluating the bagging md5 per CASE
-    arm with no common-subexpression elimination inside FilterExec).
+    entirely the per-row bagging-md5 + CASE evaluation running on the
+    single split the one-row-group input scans as; a control scan with
+    the same 90 aggregates but no md5 ran 0.27 s — and the vote scan
+    cost ~2.5 s, of which ~1.9 s was the pushed-down n_oob>0 filter
+    re-evaluating the bagging md5 per CASE arm with no common-
+    subexpression elimination inside FilterExec).
     At 100 TB the win is the 3x scan reduction itself; the <= 4096-row
     collect is size-independent. Every quantity is the same integer
     sum the old scans computed (sum of cnt x 0/1 products), so the
