@@ -44,8 +44,13 @@ COLLECT_ALLOWED = {
     # _seed_rows (k centroid rows) + _step_rows (k x dim rounded
     # means) — the v05/v06/trainer Lloyd model state (r13)
     "queries/vectors.py": 2,
-    "queries/ml.py": 5,  # trained split thresholds / sufficient
-    #   statistics — bounded by features x quantiles, never rows
+    "queries/ml.py": 3,  # trained split thresholds + the m10/m11
+    #   contingency tables (r17: the tree trainers collect ONE
+    #   descriptor-level contingency table each — <= 2 x 2^T x
+    #   4^|features| rows by indicator monotonicity, size-independent
+    #   — instead of two wide per-scan aggregate rows; two collect
+    #   sites REMOVED by the rewrite). All bounded by features x
+    #   quantiles / descriptor cardinality, never rows
     "queries/nlp.py": 1,  # BPE's next merge pair — limit(1), 1 row
     #   per train step, bounded by the merge budget
 }
