@@ -6,7 +6,7 @@ local[$SPARK_GRAFT_CPUS] and prints the result as JSON:
      "queries": {name: sec, ...}, "sf": ...}
 Two stdout lines (VERDICT r12 item 3): line 1 is the FULL result
 (all per-query timings, also archived to bench_last.json); the LAST
-line is a <=1800-byte compact summary (total, vs_baseline,
+line is a <=1900-byte compact summary (total, vs_baseline,
 ambient_factor, regressions, slowest timings) so a tail-truncating
 capture always ends with one complete, parseable JSON object.
 
@@ -32,7 +32,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def compact_summary(result, limit=1800):
+def compact_summary(result, limit=1900):
     """Build the bench run's LAST stdout line (VERDICT r12 item 3).
 
     The driver archives only the final ~2000 chars of stdout and
@@ -41,9 +41,12 @@ def compact_summary(result, limit=1800):
     permanent gate record shows `"parsed": null` with a truncated
     tail (BENCH_r11/r12). This summary keeps every decision-bearing
     field (total, vs_baseline, ambient_factor, regressions, errors)
-    plus the slowest per-query timings that still fit, and is
-    guaranteed under `limit` bytes so the tail always contains one
-    complete, parseable object. The FULL per-query map is printed on
+    plus a `queries` map holding the slowest per-query timings that
+    still fit (VERDICT r17 item 2 — the driver's PERF comparator
+    reads `queries` from this line; truncation is counted in
+    `queries_omitted`, never silent), and is guaranteed under
+    `limit` bytes so the tail always contains one complete,
+    parseable object. The FULL per-query map is printed on
     the first stdout line AND written to bench_last.json, so nothing
     is lost — this line is the machine-readable index to it.
 
@@ -98,24 +101,40 @@ def compact_summary(result, limit=1800):
     def enc(obj):
         return json.dumps(obj, separators=(",", ":"))
 
-    # fill the remaining budget with the slowest timings — the ones
-    # drift forensics needs first
+    # fill the remaining budget with per-query timings, slowest first
+    # — the ones drift forensics and the driver's round-over-round
+    # per-query comparison need first. The key is "queries" (VERDICT
+    # r17 item 2: the declared bench contract names the per-query map
+    # `queries`, and the driver's PERF comparator reads exactly that
+    # key from the parsed tail line — the old `slowest` name left
+    # PERF_r17 with n_common=0). The FULL 106-entry map is ~3.2 KB of
+    # names alone, which can never fit the driver's 2000-char tail
+    # capture whole, so this stays a greedy slowest-first prefix with
+    # the truncation made visible via `queries_omitted` (never a
+    # silent cap); bench_last.json and the first stdout line carry
+    # the complete map.
     timings = result.get("queries", {})
     slowest = {}
     for name in sorted(timings, key=lambda n: -timings[n]):
         trial = dict(s)
-        trial["slowest"] = {**slowest, name: timings[name]}
+        trial["queries"] = {**slowest, name: timings[name]}
+        # reserve bytes for the truncation marker at its widest, so
+        # adding the real count below can never push past the limit
+        trial["queries_omitted"] = len(timings)
         if len(enc(trial)) > limit:
             break
         slowest[name] = timings[name]
     if slowest:
-        s["slowest"] = slowest
+        s["queries"] = slowest
+    if len(timings) > len(slowest):
+        s["queries_omitted"] = len(timings) - len(slowest)
     out = enc(s)
-    while len(out) > limit and s.get("slowest"):
-        s["slowest"].popitem()
+    while len(out) > limit and s.get("queries"):
+        s["queries"].popitem()
+        s["queries_omitted"] = len(timings) - len(s["queries"])
         out = enc(s)
     # Adjudication data can hold the line over the limit even with
-    # `slowest` empty (each kept regression carries four isolated_*
+    # `queries` empty (each kept regression carries four isolated_*
     # fields; r15 review finding — a 14-flag round measured 2740
     # bytes): shed the least-worst kept regressions, their verdict
     # rows in lockstep, counted in regressions_dropped so truncation

@@ -127,7 +127,7 @@ def test_compact_summary_bounded_and_parseable():
 
     for n in (0, 1, 104, 300):
         line = compact_summary(_fake_result(n))
-        assert len(line) <= 1800, (n, len(line))
+        assert len(line) <= 1900, (n, len(line))
         s = json.loads(line)
         assert s["metric"] == "headline_queries_total"
         assert s["vs_baseline"] == 0.691
@@ -136,13 +136,21 @@ def test_compact_summary_bounded_and_parseable():
         assert s["queries_file"] == "bench_last.json"
         if n:
             # slowest-first: every included timing >= any excluded one
-            assert s["slowest"]
-            floor = min(s["slowest"].values())
+            # (r18: the map is named `queries` — the contract key the
+            # driver's PERF comparator reads — with truncation counted
+            # in queries_omitted, never silent)
+            assert s["queries"]
+            floor = min(s["queries"].values())
             excluded = [
                 v for k, v in _fake_result(n)["queries"].items()
-                if k not in s["slowest"]
+                if k not in s["queries"]
             ]
             assert all(v <= floor for v in excluded)
+            omitted = n - len(s["queries"])
+            if omitted:
+                assert s["queries_omitted"] == omitted
+            else:
+                assert "queries_omitted" not in s
 
 
 def test_compact_summary_truncates_regression_floods():
@@ -151,7 +159,7 @@ def test_compact_summary_truncates_regression_floods():
     from bench import compact_summary
 
     line = compact_summary(_fake_result(104, with_regressions=25))
-    assert len(line) <= 1800
+    assert len(line) <= 1900
     s = json.loads(line)
     assert len(s["regressions"]) == 10
     assert s["regressions_dropped"] == 15
@@ -251,7 +259,7 @@ def test_adjudicate_capped_excess_is_not_re_read():
 def test_compact_summary_bounded_under_adjudicated_flood():
     """r15 review finding (verified at 2740 bytes for 14 flags): the
     isolated_* fields plus the verdict map can push the compact line
-    over its 1800-byte guarantee with `slowest` already empty. The
+    over its byte guarantee with `slowest` already empty. The
     summary must shed kept regressions (verdicts in lockstep,
     counted in regressions_dropped) until the limit holds."""
     import json
@@ -271,7 +279,7 @@ def test_compact_summary_bounded_under_adjudicated_flood():
         for i, n in enumerate(r["regressions"])
     }
     line = compact_summary(r)
-    assert len(line) <= 1800
+    assert len(line) <= 1900
     s = json.loads(line)
     # every kept regression still has a verdict, truncation is
     # counted, and the verdict map never names a dropped regression
@@ -328,7 +336,7 @@ def test_compact_summary_shedding_never_mutates_caller():
     r["regressions_adjudicated"] = {n: "regressed" for n in r["regressions"]}
     before = copy.deepcopy(r)
     line = compact_summary(r)
-    assert len(line) <= 1800
+    assert len(line) <= 1900
     s = json.loads(line)
     # compaction shed something (the 8 verbose entries cannot all fit)
     assert len(s["regressions"]) < 8
