@@ -339,7 +339,11 @@ def g03_hits_neardup(spark: SparkSession, sf_dir: str):
     pairs = d02_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     e_by_u = e.repartition("u").localCheckpoint()
-    e_by_v = e_by_u.repartition("v").localCheckpoint()
+    # LAZY (r18): iteration 1's eager hubs checkpoint is the first
+    # action that reads e_by_v, and it materializes this checkpoint
+    # as a side effect — one fewer eager job, same truncated lineage
+    # (the components.py r18 discipline).
+    e_by_v = e_by_u.repartition("v").localCheckpoint(eager=False)
     nodes = (
         e_by_u.select(F.col("u").alias("node"))
         .unionByName(e_by_u.select(F.col("v").alias("node")))
@@ -348,34 +352,53 @@ def g03_hits_neardup(spark: SparkSession, sf_dir: str):
     dec = f"decimal(38,{PR_SCALE + 3})"
     hubs = nodes.withColumn("hub", F.lit(1.0))
     auths = None
-    prev_auths = prev_hubs = None
+    prev_ar = prev_hr = prev_hubs = None
+    ar = hr = None
+    # ONE eager checkpoint per iteration (r18; was two, measured
+    # 1.48 s -> 1.17 s warm for the loop at sf0.1): the per-side SUM
+    # tables ar/hr carry LAZY checkpoint marks, so the iteration's
+    # single eager hubs checkpoint materializes them in dependency
+    # order — the `at`/`ht` broadcast builds compute and persist
+    # ar/hr, and the normalize projections then READ the persisted
+    # blocks instead of re-running each reduce-side aggregation (the
+    # eager layout paid that double evaluation every iteration:
+    # once in the broadcast build, once on the stream side). auths
+    # needs no checkpoint of its own — it is a narrow projection of
+    # the checkpointed ar plus a 1-row broadcast, so its lineage is
+    # already truncated at ar. Releases keep the r7 discipline:
+    # a round's ar/hr blocks are released only after the NEXT
+    # round's eager action has materialized its successors.
     for _ in range(HITS_ITERS):
         ar = (
             e_by_u.join(hubs, e_by_u["u"] == hubs["node"])
             .groupBy(e_by_u["v"])
             .agg(F.sum(F.col("hub").cast(dec)).cast("double").alias("s"))
-        )
+        ).localCheckpoint(eager=False)
         at = ar.agg(F.sum(F.col("s").cast(dec)).cast("double").alias("t"))
         auths = ar.crossJoin(F.broadcast(at)).select(
             F.col("v").alias("node"),
             rhu(F.col("s") / F.col("t"), PR_SCALE).alias("auth"),
-        ).localCheckpoint()
-        if prev_auths is not None:
-            release_local_checkpoint(prev_auths)  # superseded (components.py r7)
-        prev_auths = auths
+        )
         hr = (
             e_by_v.join(auths, e_by_v["v"] == auths["node"])
             .groupBy(e_by_v["u"])
             .agg(F.sum(F.col("auth").cast(dec)).cast("double").alias("s"))
-        )
+        ).localCheckpoint(eager=False)
         ht = hr.agg(F.sum(F.col("s").cast(dec)).cast("double").alias("t"))
         hubs = hr.crossJoin(F.broadcast(ht)).select(
             F.col("u").alias("node"),
             rhu(F.col("s") / F.col("t"), PR_SCALE).alias("hub"),
         ).localCheckpoint()
+        # the eager checkpoint above materialized this round's ar and
+        # hr — the previous round's blocks (and the superseded hubs
+        # table) are now safe to release (components.py r7/r16)
+        if prev_ar is not None:
+            release_local_checkpoint(prev_ar)
+        if prev_hr is not None:
+            release_local_checkpoint(prev_hr)
         if prev_hubs is not None:
             release_local_checkpoint(prev_hubs)
-        prev_hubs = hubs
+        prev_ar, prev_hr, prev_hubs = ar, hr, hubs
     return (
         nodes.join(auths, "node", "left")
         .join(hubs, "node", "left")
