@@ -382,54 +382,53 @@ def m06_decision_stump(spark, sf_dir):
     # candidate, no row expansion (the crossJoin form materialized
     # rows x candidates — 5.4M intermediate rows at sf0.1 — and ran
     # 2x slower end-to-end).
-    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    #
+    # Expressions are assembled as SQL strings, one F.expr per
+    # aggregate and ONE for the candidate inline (r18, guide §1.2
+    # "per-task work" applied to the DRIVER's plan build): the old
+    # per-Column spelling issued ~3.5k py4j round-trips — measured
+    # 0.5-0.9 s of fn() wall per call at ANY data size, more than
+    # the 0.25 s distributed scan it was building. Same expression
+    # trees, same values ({x!r}D double literals round-trip exactly);
+    # the full-value oracle and the goldens pin the parity.
+    pos_sql = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
     aggs = []
-    for i, (f, th) in enumerate(thresholds):
-        left = F.when(F.col(f) <= F.lit(th), 1).otherwise(0)
-        aggs.append(F.sum(left).alias(f"nl{i}"))
-        aggs.append(F.sum(left * pos).alias(f"pl{i}"))
+    for i, (feat, th) in enumerate(thresholds):
+        left = f"CASE WHEN {feat} <= {th!r}D THEN 1 ELSE 0 END"
+        aggs.append(F.expr(f"sum({left})").alias(f"nl{i}"))
+        aggs.append(F.expr(f"sum(({left}) * ({pos_sql}))").alias(f"pl{i}"))
     row = li.agg(
         *aggs,
         F.count(F.lit(1)).alias("n"),
-        F.sum(pos).alias("pos_all"),
+        F.expr(f"sum({pos_sql})").alias("pos_all"),
     )
-    agg = row.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(f).alias("feature"),
-                        F.lit(th).alias("threshold"),
-                        F.col(f"nl{i}").alias("n_l"),
-                        (F.col("n") - F.col(f"nl{i}")).alias("n_r"),
-                        F.col(f"pl{i}").alias("pos_l"),
-                        (F.col("pos_all") - F.col(f"pl{i}")).alias("pos_r"),
-                    )
-                    for i, (f, th) in enumerate(thresholds)
-                ]
-            )
-        ).alias("c"),
-        "n",
-        "pos_all",
-    ).select("c.*", "n", "pos_all")
+    structs = ", ".join(
+        f"named_struct('feature', '{feat}', 'threshold', {th!r}D, "
+        f"'n_l', nl{i}, 'n_r', n - nl{i}, "
+        f"'pos_l', pl{i}, 'pos_r', pos_all - pl{i})"
+        for i, (feat, th) in enumerate(thresholds)
+    )
+    agg = row.selectExpr(f"inline(array({structs}))", "n", "pos_all")
 
     def ent(p):
-        return F.when(
-            p.isin(0.0, 1.0) | F.isnan(p), F.lit(0.0)
-        ).otherwise(-p * F.log(p) - (1.0 - p) * F.log(1.0 - p))
+        return (
+            f"CASE WHEN {p} IN (0.0D, 1.0D) OR isnan({p}) THEN 0.0D "
+            f"ELSE (-({p})) * ln({p}) - (1.0D - {p}) * ln(1.0D - {p}) "
+            "END"
+        )
 
-    p_all = F.col("pos_all").cast("double") / F.col("n")
-    p_l = F.col("pos_l").cast("double") / F.col("n_l")
-    p_r = F.col("pos_r").cast("double") / F.col("n_r")
+    p_all = "(CAST(pos_all AS DOUBLE) / n)"
+    p_l = "(CAST(pos_l AS DOUBLE) / n_l)"
+    p_r = "(CAST(pos_r AS DOUBLE) / n_r)"
     gain = (
-        ent(p_all)
-        - (F.col("n_l").cast("double") / F.col("n")) * ent(p_l)
-        - (F.col("n_r").cast("double") / F.col("n")) * ent(p_r)
+        f"{ent(p_all)} "
+        f"- (CAST(n_l AS DOUBLE) / n) * {ent(p_l)} "
+        f"- (CAST(n_r AS DOUBLE) / n) * {ent(p_r)}"
     )
-    gains = agg.filter((F.col("n_l") > 0) & (F.col("n_r") > 0)).select(
-        "feature",
-        "threshold",
-        rhu(gain).alias("gain"),
+    gains = agg.filter("n_l > 0 AND n_r > 0").select(
+        F.col("feature"),
+        F.col("threshold"),
+        rhu(F.expr(gain)).alias("gain"),
         F.col("n_l").alias("n_left"),
         F.col("n_r").alias("n_right"),
     )
