@@ -65,6 +65,15 @@ def sql_dot_lit(col: str, vals, base: int = 0) -> str:
     measured ~2x total wall on e05's 100x lake where the argmin runs
     on every row. Flat arithmetic compiles into whole-stage codegen.
 
+    r18 correction: that advantage holds only while the generated
+    method stays under the JVM JIT's ~8 KB bytecode budget (single
+    dots of <= ~64 terms, e.g. sql_dot_cols' pair scoring). A
+    MULTI-CENTROID kernel built from these chains lands in one huge
+    method the JIT refuses, runs in the bytecode interpreter, and
+    loses 2-3x to the fold — so the assignment kernels now use
+    sql_lit_dot_positional (measurements there); no live call site
+    builds multi-centroid flat kernels anymore.
+
     Ceiling (r14, measured): codegen of the flat chain is clean only
     up to ~512 total literal terms per expression (k=8 x dim=64 —
     exactly the regime every trained model here serves in). Beyond
@@ -109,6 +118,47 @@ def sql_dot_cols(a: str, b: str, dim: int) -> str:
     return f"(CAST(0.0 AS DOUBLE) + {terms})"
 
 
+def sql_lit_dot_positional(col: str, vals) -> str:
+    """dot(col, literal vector) as a zip_with/aggregate fold with
+    sql_dot_lit's POSITIONAL ragged-row semantics (r18): on
+    equal-length inputs the fold's op sequence is the flat chain's
+    (((0+t0)+t1)+...) bit-for-bit (the sql_fold_dot contract); a
+    LONGER col has its extra elements ignored (fold over a slice,
+    taken only on the mismatch branch — a bare zip_with would
+    null-pad the literal side and poison the dot where the flat
+    chain ignores); a SHORTER col hits the same out-of-bounds
+    col[...] access the flat chain hits (ANSI: identical error
+    class, non-ANSI: identical NULL-poisoned value). The
+    literal-array mirror of operators/kmeans._guarded_dot_sql.
+
+    Why a fold and not the flat chain (r18, measured): janino
+    compiles the flat unroll fine below the 512-term ceiling, but a
+    multi-centroid kernel lands in ONE generated method whose
+    bytecode passes the JVM JIT's 8000-byte DontCompileHugeMethods
+    limit somewhere above ~64 total terms — past that the method
+    runs in the BYTECODE INTERPRETER. Measured at k=8 x dim=64
+    (512 terms): flat 0.50 s vs fold 0.16 s on the 2000-row bench
+    corpus, and 1.16 s vs 0.72 s on a 200k-row x 32-partition 100x
+    replica — the fold's small lambda methods JIT at any k. The
+    flat chain stays the right tool for SINGLE dots of <= ~64 terms
+    (sql_dot_cols' 10.1M-pair measurement), where the whole method
+    fits the JIT budget."""
+    dim = len(vals)
+    if not dim:
+        raise ValueError(
+            "sql_lit_dot_positional: empty literal vector (same "
+            "contract as sql_dot_lit — fail loud)"
+        )
+    arr = sql_darr(vals)
+    eq_or_slice = (
+        f"IF(size({col}) = {dim}, {col}, slice({col}, 1, {dim}))"
+    )
+    return (
+        f"IF(size({col}) >= {dim}, "
+        f"{sql_fold_dot(eq_or_slice, arr)}, {col}[{dim - 1}])"
+    )
+
+
 def nearest_cell_sql(cv_name: str, cent_rows) -> str:
     """Nearest-centroid assignment as ONE per-row expression over
     literal centroids: argmin of d = dot(kv,kv) - 2*dot(cv,kv) with
@@ -120,7 +170,16 @@ def nearest_cell_sql(cv_name: str, cent_rows) -> str:
     (d, c) structs fieldwise: lowest distance, then lowest cid. The
     kv.kv term is folded over the literal array by the same sequence
     as the old column fold, so every d — and therefore every
-    assignment — is bit-identical to the crossJoin spelling's."""
+    assignment — is bit-identical to the crossJoin spelling's.
+
+    Each per-centroid dot is sql_lit_dot_positional — the guarded
+    literal-array fold — not sql_dot_lit's flat chain (r18): the
+    k x dim flat kernel compiles into one giant method that the JVM
+    JIT refuses past ~8 KB of bytecode, so it ran in the bytecode
+    interpreter (measurements and the ragged-row parity contract at
+    the helper). Values pinned by
+    tests/test_operators.py::test_assignment_kernels_bit_identical
+    and the v05/v06 full-value oracles."""
     if not cent_rows:
         raise ValueError(
             "nearest_cell_sql: no centroid rows — the corpus the "
@@ -129,7 +188,7 @@ def nearest_cell_sql(cv_name: str, cent_rows) -> str:
         )
     structs = ",".join(
         f"struct({sql_dlit(pyfold_dot(kv, kv))} - 2.0 * "
-        f"{sql_dot_lit(cv_name, kv)} AS d, {cid} AS c)"
+        f"{sql_lit_dot_positional(cv_name, kv)} AS d, {cid} AS c)"
         for cid, kv in cent_rows
     )
     return f"array_min(array({structs})).c"

@@ -246,8 +246,8 @@ def _probe_pairs(cent_rows, qrows, nprobe: int) -> list:
 from ..functions.sqltext import (  # noqa: E402
     sql_darr as _sql_darr,
     sql_dlit as _sql_dlit,
-    sql_dot_lit as _sql_dot_lit,
     sql_fold_dot as _sql_fold_dot,
+    sql_lit_dot_positional as _sql_lit_dot_positional,
 )
 
 
@@ -259,25 +259,26 @@ def _cell_expr(cv_name: str, cent_rows, compiled: bool = False):
     and the corpus-sized shuffle. array_max compares (s, nc) structs
     fieldwise: highest score, then highest -cid == lowest cid.
 
-    Two kernels, same bits (r13, both measured): the default HOF fold
-    keeps the expression tree tiny — right for SERVE queries
-    (v04/v10), whose per-invocation cost is plan build + a bounded
-    scan, and where a compiled 512-term unroll measured +1.2-3.3 s of
-    per-run codegen against zero execution win at bench scale.
-    `compiled=True` unrolls to flat arithmetic (sqltext.sql_dot_lit,
-    identical op order) — right for INDEX-BUILD ops (e05), which
-    evaluate the argmin over the whole corpus: on the 100x replica
-    lake the interpreted fold cost ~700 s of per-element lambda
-    dispatch that the compiled kernel does as straight-line FMA. At
-    production scale the split is the architecture itself: build
-    materializes cell/code columns to the lake once (compiled
-    kernel), serve READS them and never recomputes.
+    Two kernels, same bits: the default bare fold (serve queries —
+    v04/v10 — whose rows are uniform-dim by the corpus contract) and
+    `compiled=True`'s POSITIONAL-semantics kernel for index-build
+    ops (e05), which must mirror the flat chain's ragged-row
+    behavior exactly. r18 re-measurement: the flat unroll this flag
+    used to select compiles under janino but lands in ONE generated
+    method past the JVM JIT's ~8 KB bytecode budget at the shipped
+    k=8 x dim=64, so it ran in the bytecode INTERPRETER — measured
+    0.50 s vs the fold's 0.16 s on the bench corpus and 1.16 s vs
+    0.72 s on a 200k-row x 32-partition 100x replica (value parity
+    collect-checked). The r13 serve/build split survives in the
+    SEMANTICS (positional vs null-pad on ragged rows), but both
+    regimes now execute the fold form, whose small lambda methods
+    JIT at any k (sqltext.sql_lit_dot_positional).
 
     Callers go through _with_cell, which dispatches to the broadcast
     argmax-dot kernel above the 512-term janino ceiling — either
     kernel here emits ONE SQL parse whose codegen dies past it
     (SCALE.md k-ceiling table; VERDICT r14 item 2)."""
-    dot = _sql_dot_lit if compiled else (
+    dot = _sql_lit_dot_positional if compiled else (
         lambda col, kv: _sql_fold_dot(col, _sql_darr(kv))
     )
     structs = ",".join(
