@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hex_threshold, md5_sql
 from ..ml.coverage import confusion_matrix, feature_importances, train_eval
 from ..operators.sample import deterministic_split
-from .base import data_fingerprint, dsum, dsum_sql, register, t
+from .base import data_fingerprint, dsum, dsum_sql, local_df, register, t
 
 FEATURE_COLS = ["n_lines", "sum_qty", "sum_price", "max_disc", "n_parts"]
 
@@ -194,7 +194,8 @@ def m04_rf_feature_importances(spark, sf_dir):
     imps = feature_importances(model, FEATURE_COLS)
     total = sum(v for _, v in imps)
     top = max(imps, key=lambda fv: fv[1])[0]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (f, f == top, v >= 0.0, abs(total - 1.0) < 1e-6)
             for f, v in imps
@@ -475,7 +476,8 @@ def m07_rf_tree_stats(spark, sf_dir):
 
     model, _scored, _acc = _fitted(spark, sf_dir)
     stats = tree_stats(model)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 i,
@@ -528,7 +530,8 @@ def m07b_rf_var_used(spark, sf_dir):
         by_tree[tid] = (s + n, ni)
         totals[feat] = totals.get(feat, 0) + n
     forest_top = max(totals.items(), key=lambda kv: (kv[1], kv[0]))[0]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 tid,
@@ -998,7 +1001,8 @@ def m10_depth2_tree(spark, sf_dir):
         for leaf in ("LL", "LR", "RL", "RR")
         if leaf_n[leaf] > 0
     ]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "leaf string, root_feature string, root_threshold double, "
         "child_feature string, child_threshold double, "
@@ -1578,7 +1582,8 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
         )
         out[key] = out.get(key, 0) + c
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(a, p, v, n, c) for (a, p, v, n), c in sorted(out.items())],
         "actual string, predicted string, votes_r long, "
         "n_oob long, n_rows long",

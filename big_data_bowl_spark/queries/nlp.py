@@ -39,7 +39,7 @@ from ..functions.text import (  # noqa: F401
     word_shingles,
 )
 from ..functions.hashing import hex_threshold
-from .base import REGISTRY, dsum, dsum_sql, register, t, tf
+from .base import REGISTRY, dsum, dsum_sql, local_df, register, t, tf
 
 # MinHash/LSH parameters: H hashes split into B bands of R rows.
 # P[candidate | jaccard=s] = 1 - (1 - s^R)^B — with (H,B,R)=(8,4,2)
@@ -1787,7 +1787,8 @@ def _bpe_train_ctes() -> str:
 )
 def n20_bpe_train(spark: SparkSession, sf_dir: str):
     merges = _bpe_fit(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (i, left, right, left + right, int(c))
             for i, (left, right, c) in enumerate(merges)
