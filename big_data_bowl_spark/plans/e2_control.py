@@ -109,9 +109,9 @@ def player_influence(
     at scale, never a local constant). Measured at sf0.1: e03
     3.29 s -> 0.85 s.
     """
-    n_parts = int(
-        players.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    from ..sources.io import shuffle_partition_target
+
+    n_parts = shuffle_partition_target(players.sparkSession)
     cells = players.repartition(n_parts, player_key).crossJoin(
         F.broadcast(grid)
     )

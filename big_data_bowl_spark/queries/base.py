@@ -32,7 +32,20 @@ from ..sources.io import fan_out, load_table
 
 @dataclass(frozen=True)
 class Q:
-    """A registered query: Spark fn + optional DuckDB oracle SQL."""
+    """A registered query: Spark fn + optional DuckDB oracle SQL.
+
+    Eager-construction contract (ADVICE r17): fn() is NOT guaranteed
+    lazy. Trainer-style queries (m10/m11/m13, n20, the k-means
+    steps) and checkpointing pipelines (n18, the d02/d05 chains)
+    run real distributed work — scans, collects, localCheckpoints,
+    streaming drains — INSIDE fn(), and return a driver-derived
+    local relation or checkpoint-backed frame. Tools that call fn()
+    only to inspect a plan pay that cost; the bench times
+    fn()+count() together precisely so the split between the two
+    never affects the measured total. Plan-audit tooling that needs
+    a trainer's distributed plan uses the impl-level hooks (e.g.
+    ml._bagged_ensemble_impl(on_ct=...)) instead of the registered
+    frame."""
 
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None

@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.components import release_local_checkpoint
+from ..sources.io import shuffle_partition_target
 from .base import (
     data_fingerprint,
     dsum,
@@ -3528,9 +3529,7 @@ def _fuzzy_blocked_pairs(keyed, key_col: str, max_bucket: int | None = None):
     # partitions through the audit-union stages, paying task launch
     # per stage that AQE's collapse avoids).
     if max_bucket is None:
-        n_parts = int(
-            keyed.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
+        n_parts = shuffle_partition_target(keyed.sparkSession)
         keyed = keyed.repartition(n_parts, key_col)
     buckets = (
         keyed.groupBy(key_col)
@@ -4063,7 +4062,7 @@ def j12_grid_radius_join(spark: SparkSession, sf_dir: str):
     # bench scale (measured warm: 1.86 s -> 1.32 s). The explicit
     # repartitions satisfy the join's clustering requirement, so they
     # replace the ENSURE_REQUIREMENTS exchanges rather than adding any.
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partition_target(spark)
     a = a.repartition(n_parts, "jcx", "jcy")
     b = b.repartition(n_parts, "cx", "cy")
     d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (

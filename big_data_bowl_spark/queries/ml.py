@@ -844,19 +844,20 @@ def _tree_oracle() -> str:
     "confusion) but deterministic, so DuckDB re-derives every leaf "
     "count value-for-value (m01's RF keeps the invariant-contract "
     "oracle because Poisson bagging is partitioning-sensitive). "
-    "Training is level-wise exhaustive search, the distributed-tree "
-    "layout MLlib itself uses: one scan per level with map-side "
-    "combined INTEGER conditional aggregates (root: 9 candidates x 2 "
-    "sums; children: 9 candidates x 2 sides x 2 sums in ONE scan — "
-    "no per-node passes, no row expansion), argmax on 9-decimal-"
-    "rounded information gain with (feature, threshold) tie-breaks so "
-    "a 1-ulp ln() divergence cannot flip a split. Driver actions are "
-    "metadata-sized by construction: 9 quantile scalars, the 1-row "
-    "root winner, and 40 child-candidate integers; per-leaf class "
-    "counts (= the confusion matrix: predicted is the leaf majority, "
-    "n_pos/n_rows-n_pos are the actual-class cells) aggregate "
-    "in-plan and never collect. 4 scans total at ANY data size — "
-    "the 100 TB cost profile of a level-wise tree trainer.",
+    "Training (the r17 contingency-table design): every level-wise "
+    "sum is a function of the per-row descriptor (pos, l0..l8 — the "
+    "label plus 9 candidate-threshold indicators), whose full "
+    "contingency table is <= 128 rows AT ANY DATA SIZE, so ONE "
+    "map-side-combined scan aggregates it and the exhaustive root/"
+    "child search runs as exact integer arithmetic on the driver "
+    "over that bounded table (the k-means-sufficient-statistics "
+    "class of driver action; plus the 9 memoized quantile scalars). "
+    "Argmax on 9-decimal-rounded information gain with (feature, "
+    "threshold) tie-breaks so a 1-ulp ln() divergence cannot flip a "
+    "split. 2 scans total at ANY data size (quantiles + contingency) "
+    "— the 100 TB cost profile of a sufficient-statistics tree "
+    "trainer; the registered DataFrame is the driver-derived leaf "
+    "table as a bounded local relation.",
 )
 def m10_depth2_tree(spark, sf_dir):
     """r17 optimization-round rewrite (the m11 contingency-table
@@ -1284,7 +1285,7 @@ def bagged_ensemble_approx(spark, sf_dir):
     return _bagged_ensemble_impl(spark, sf_dir, approx=True)
 
 
-def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
+def _bagged_ensemble_impl(spark, sf_dir, approx: bool, on_ct=None):
     """r17 optimization-round rewrite (guide §1.2 "the distributed
     algorithm" + §8 "decide with small rows"): every aggregate the old
     3-scan trainer computed — root sums, children-left sums, derived
@@ -1379,6 +1380,14 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
         + [f"w{tid}" for tid in range(T_TREES)]
         + [f"l{i}" for i in range(nth)]
     )
+    ct_df = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    if on_ct is not None:
+        # test/audit hook (ADVICE r17): the trainer's REGISTERED
+        # output is a driver-built local relation, so plan audits on
+        # it can no longer see the distributed contingency scan —
+        # this hands the scan's DataFrame to the caller (the exchange
+        # byte-ceiling test runs audit_executed on it directly)
+        on_ct(ct_df)
     ct = [
         (
             r["pos"],
@@ -1386,9 +1395,7 @@ def _bagged_ensemble_impl(spark, sf_dir, approx: bool):
             tuple(r[f"l{i}"] for i in range(nth)),
             r["cnt"],
         )
-        for r in base.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
+        for r in ct_df.collect()
     ]
 
     def _cand_idx(f_th):

@@ -115,6 +115,25 @@ def fan_out(df: DataFrame, *keys: str) -> DataFrame:
     return df
 
 
+def shuffle_partition_target(spark: SparkSession) -> int:
+    """Partition count for explicit repartition pins (the r17
+    AQE-coalescing fences in e2_control/fuzzy/grid-join): the count a
+    coalescible exchange would START from. Prefers AQE's
+    `coalescePartitions.initialPartitionNum` when set — that IS the
+    starting target when present — falling back to
+    `spark.sql.shuffle.partitions` (ADVICE r17: three inline
+    `int(conf.get("spark.sql.shuffle.partitions"))` copies silently
+    diverged from the real target whenever initialPartitionNum was
+    configured). Cluster-tuned at scale, never a local constant."""
+    v = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        None,
+    )
+    if v:
+        return int(v)
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
 def load_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All star-schema tables as a dict of DataFrames."""
     return {name: load_table(spark, sf_dir, name) for name in STAR_TABLES}

@@ -311,8 +311,10 @@ def test_m13_vote_plan_matches_m11_shape(spark):
     the plan shape m11 froze.
 
     r17 shape: the ensemble's distributed work is ONE contingency-table
-    scan inside the trainer (its own plan, audited by the exchange
-    byte-ceiling test below); the REGISTERED DataFrame is the driver-
+    scan inside the trainer — its own plan, audited directly through
+    the impl's on_ct hook in the byte-ceiling test below (r18; the
+    registered frame stopped carrying it, so the old wording's claim
+    was vacuous); the REGISTERED DataFrame is the driver-
     derived confusion rollup (a local relation) plus m13's per-class
     invariant aggregate — at most one hash exchange, still no joins."""
     import re
@@ -682,7 +684,6 @@ def test_digest_only_shuffles_stay_narrow(spark):
         ("d12_incremental_lsh_maintenance", 256),
         ("dq01_column_profile", 256),
         ("j13b_fuzzy_capped_audit", 256),
-        ("m11_bagged_ensemble", 256),
         ("n09_vocab_topk", 256),
         ("v05_kmeans_step", 256),
         ("v06_kmeans_two_steps", 256),
@@ -698,3 +699,20 @@ def test_digest_only_shuffles_stay_narrow(spark):
         # means an operator's working set is data-sized where the
         # notes claim it is not
         assert a["spill_bytes"] == 0, (name, a)
+
+    # m11's REGISTERED DataFrame is a driver-built local relation
+    # since r17, so auditing it was vacuous (ADVICE r17): audit the
+    # trainer's real distributed work — the contingency-table scan —
+    # via the impl's on_ct hook instead. The descriptor rows are
+    # 15 small ints + a count; anything payload-sized riding that
+    # exchange trips the same 256 B/rec ceiling.
+    from big_data_bowl_spark.queries.ml import _bagged_ensemble_impl
+
+    captured = []
+    _bagged_ensemble_impl(spark, SF, approx=False, on_ct=captured.append)
+    assert len(captured) == 1  # the hook saw exactly the ct scan
+    ct_df = captured[0]
+    ct_df.collect()
+    a = audit_executed(ct_df)
+    assert a["max_bytes_per_record"] <= 256, ("m11 contingency scan", a)
+    assert a["spill_bytes"] == 0, ("m11 contingency scan", a)
