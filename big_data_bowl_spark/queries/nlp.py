@@ -1273,8 +1273,21 @@ E4_SHARDS = 8
     "four times.",
 )
 def e04_corpus_curation(spark: SparkSession, sf_dir: str):
+    from ..operators.components import connected_components
+
     docs = t(spark, sf_dir, "documents")
-    canon = d05_dedup_components(spark, sf_dir).filter(~F.col("is_dup"))
+    # Keep-one dedup as a LEFT ANTI against the DUP node set instead
+    # of an inner join against d05's canon output (r18, guide §3):
+    # "not a duplicate" is doc_id NOT IN {node | comp != node} — the
+    # dup set is component-member-sized (strictly smaller than the
+    # corpus), while the old spelling rebuilt all-docs canonical ids
+    # from a SECOND documents scan (PLANS.md had e04 at documents x2)
+    # and inner-joined the full corpus against it. Same kept set by
+    # definition (is_dup == doc_id IN dup_ids), pinned by the
+    # full-value oracle. One documents scan, one corpus join removed.
+    pairs = d03_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    dup_ids = cc.where(F.col("comp") != F.col("node")).select("node")
     shard = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
         .cast("bigint")
@@ -1284,7 +1297,7 @@ def e04_corpus_curation(spark: SparkSession, sf_dir: str):
         docs.filter(mixing_keep_expr())
         .filter(quality_score(F.col("text")) >= E4_QUALITY_MIN)
         .filter(_pred_lang_expr() == F.col("lang"))
-        .join(canon.select("doc_id"), "doc_id")
+        .join(dup_ids, docs["doc_id"] == dup_ids["node"], "left_anti")
         .select("doc_id", "source", shard.alias("shard"))
     )
 
@@ -2163,11 +2176,25 @@ def n23_pmi_cooccurrence(spark: SparkSession, sf_dir: str):
 def d11_canonical_survivor(spark: SparkSession, sf_dir: str):
     from pyspark.sql import Window
 
-    labels = d05_dedup_components(spark, sf_dir).select(
-        "doc_id", "canonical_id"
-    )
+    from ..operators.components import connected_components
+
+    # Build (doc_id, canonical_id) directly from the components
+    # fixpoint instead of re-joining documents through d05's output
+    # (r18, guide §2.4): d05 is docs LEFT JOIN labels; d11 then
+    # joined docs AGAIN for n_chars — two corpus-sized joins on
+    # doc_id where one carries both columns. Same values by
+    # construction (canonical_id = coalesce(comp, doc_id), exactly
+    # d05's definition; d11 never reads is_dup), pinned by the
+    # full-value oracle. One documents scan and one join instead of
+    # two of each — at 100 TB, a whole corpus read+shuffle gone.
+    pairs = d03_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
     docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    m = labels.join(docs, "doc_id")
+    m = docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id",
+        F.coalesce("comp", "doc_id").alias("canonical_id"),
+        "n_chars",
+    )
     w = Window.partitionBy("canonical_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
