@@ -561,9 +561,15 @@ def main() -> None:
             "IEEE fold as higher-order functions, zero Exchange in "
             "the plan, bit-identical assignments (pinned by "
             "tests/test_operators.py::"
-            "test_assignment_kernels_bit_identical). The serving "
-            "queries stay on the literal kernel: they are all at "
-            "k=8 where it is both clean and fastest.",
+            "test_assignment_kernels_bit_identical). r18 amendment "
+            "(OPTIMIZATION_r18.md finding 1): below the dispatch "
+            "ceiling the literal kernel now emits the guarded "
+            "literal-array FOLD (sqltext.sql_lit_dot_positional), "
+            "not the flat unroll — janino compiled the 512-term "
+            "unroll but the single generated method exceeded the "
+            "JVM JIT's ~8 KB bytecode budget and ran in the "
+            "bytecode interpreter (fold measured 2-3x faster at "
+            "k=8 x dim=64, bit-identical, same pinning test).",
             "",
             "Wide-column shuffle audit (any Exchange or "
             "BroadcastExchange — subquery plans included — whose "
